@@ -1,0 +1,121 @@
+"""Text-analysis primitives for the training-data pipeline operators.
+
+All pure built-in column expressions (WholeStageCodegen-friendly): these
+run over the `documents` table at 100 TB scale, so nothing here drops to
+Python. Semantics are deliberately simple + deterministic so a SQL oracle
+can reproduce them bit-for-bit (see tools/oracle_fragments.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword lang-id
+#: heuristic. Order matters: ties break by this order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "bu4", "le5", "zai4"),
+}
+
+#: stopwords for the quality score (English-centric, like common
+#: quality-filter recipes)
+QUALITY_STOPWORDS = ("the", "be", "to", "of", "and", "a", "in", "that", "have", "it")
+
+FNV_MOD = 1_000_000_007
+FNV_BASE = 31
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lower → collapse non-alphanumeric runs to single spaces → trim."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), "[^a-z0-9]+", " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    norm = normalize_text(c)
+    return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+
+
+def word_regex_count(c: Column | str) -> Column:
+    """BPE-ish unit count: letter runs, single digits, single punctuation."""
+    return F.regexp_count(_col(c), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def punct_count(c: Column | str) -> Column:
+    return F.regexp_count(_col(c), F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def stopword_count(c: Column | str, stopwords=QUALITY_STOPWORDS) -> Column:
+    toks = tokens(c)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(c: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-id heuristic)."""
+    toks = tokens(c)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def detect_language(c: Column | str) -> Column:
+    """argmax over lang_scores with declaration-order tie-break; 'und' if
+    no stopword hits at all."""
+    scores = lang_scores(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier languages win ties
+    for lang in reversed(list(scores)):
+        s = scores[lang]
+        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s >= best_score, s).otherwise(best_score)
+    zero = F.lit(True)
+    for s in scores.values():
+        zero = zero & (s == 0)
+    return F.when(zero, F.lit("und")).otherwise(best_lang)
+
+
+def rolling_fingerprint(c: Column | str) -> Column:
+    """Polynomial rolling hash (base 31, mod 1e9+7) over the normalized
+    text's characters — the document fingerprint."""
+    norm = normalize_text(c)
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FNV_BASE + F.ascii(ch)) % FNV_MOD,
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality score ∈ [0,1]: rewards mid-length docs, low
+    punctuation density, presence of stopwords. Deterministic formula:
+
+        score = 0.4*min(n_tokens,100)/100
+              + 0.3*(1 - min(punct_ratio*5, 1))
+              + 0.3*min(stopword_ratio*10, 1)
+    """
+    n_tok = token_count(c).cast("double")
+    n_char = F.length(_col(c)).cast("double")
+    punct_ratio = F.when(n_char > 0, punct_count(c) / n_char).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stopword_count(c) / n_tok).otherwise(F.lit(0.0))
+    return (
+        F.least(n_tok, F.lit(100.0)) / 100.0 * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+    )

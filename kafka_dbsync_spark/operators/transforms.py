@@ -1,0 +1,213 @@
+"""Composable DataFrame→DataFrame transforms — the reference's SMT chain.
+
+Each function mirrors one operator from SURVEY.md §2.3 (T1–T14) but is
+expressed as narrow, codegen-friendly column logic: the whole chain is
+shuffle-free, exactly like the reference's record-local SMTs (its chain
+runs in the sink task thread; ours runs inside one WholeStageCodegen span).
+
+Transforms compose with ``df.transform(...)`` or via
+plans.pipeline.build_chain (the analog of `transforms=a,b` connector
+lists).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_dbsync_spark.functions.entrytype import OP_CORRUPT, OP_DELETE, OP_UPSERT, map_entry_type
+from kafka_dbsync_spark.functions.timestamps import (
+    coerce_date,
+    coerce_time,
+    coerce_timestamp,
+)
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — Debezium envelope unwrap (ExtractNewRecordState equivalents)
+# ---------------------------------------------------------------------------
+def unwrap_envelope(
+    df: DataFrame,
+    envelope_col: str = "envelope",
+    mode: str = "drop",  # 'drop' | 'rewrite' | 'tombstone'
+    add_fields: Sequence[str] = (),
+) -> DataFrame:
+    """Project the row image out of a typed Debezium envelope column.
+
+    Modes (matching the reference's connector configs, e.g. the source
+    configs' delete.handling.mode / drop.tombstones options):
+
+    - ``drop``: deletes removed entirely.
+    - ``rewrite``: deletes kept as rows (from ``before``) with
+      ``__deleted=true``.
+    - ``tombstone``: deletes kept with null row image + ``op='d'`` so a
+      downstream keyed sink can apply them (delete-to-tombstone).
+
+    ``add_fields`` projects envelope metadata (op, table, lsn, ts_ms) as
+    ``__<field>`` columns, like the unwrap SMT's add.fields.
+    """
+    env = F.col(envelope_col)
+    op = env["op"]
+    is_delete = op == "d"
+    image = F.when(is_delete, env["before"]).otherwise(env["after"])
+
+    meta: list[Column] = []
+    for f in add_fields:
+        src = {"op": op, "table": env["source"]["table"], "lsn": env["source"]["lsn"], "ts_ms": env["ts_ms"]}[f]
+        meta.append(src.alias(f"__{f}"))
+
+    if mode == "drop":
+        out = df.filter(~is_delete).select(env["after"].alias("row"), *meta)
+    elif mode == "rewrite":
+        out = df.select(image.alias("row"), is_delete.alias("__deleted"), *meta)
+        return out.select("row.*", "__deleted", *[f"__{f}" for f in add_fields])
+    elif mode == "tombstone":
+        out = df.select(
+            F.when(is_delete, F.lit(None).cast(df.schema[envelope_col].dataType["after"].dataType)).otherwise(env["after"]).alias("row"),
+            op.alias("__op"),
+            *meta,
+        )
+        return out
+    else:
+        raise ValueError(f"unknown unwrap mode: {mode}")
+    return out.select("row.*", *[f"__{f}" for f in add_fields])
+
+
+# ---------------------------------------------------------------------------
+# T3/T7 — header-based routing + identifier case conversion
+# ---------------------------------------------------------------------------
+def with_target_table(
+    df: DataFrame,
+    table_format: str = "${TableName}",
+    table_col: str = "table_name",
+    topic_col: str = "topic",
+    case: str = "none",  # 'none' | 'lower' | 'upper'
+) -> DataFrame:
+    """Resolve the target table from the routing template.
+
+    Supports the reference's `${TableName}` / `${topic}` templates
+    (IidrCdcSinkTask.java:222-227) and table.name.case conversion
+    (IidrToJdbcSinkTransform.java:55-58).
+    """
+    expr = F.lit(table_format)
+    expr = F.regexp_replace(expr, r"\$\{TableName\}", F.coalesce(F.col(table_col), F.lit("")))
+    if topic_col in df.columns:
+        expr = F.regexp_replace(expr, r"\$\{topic\}", F.coalesce(F.col(topic_col), F.lit("")))
+    if case == "lower":
+        expr = F.lower(expr)
+    elif case == "upper":
+        expr = F.upper(expr)
+    return df.withColumn("target_table", expr)
+
+
+def case_convert(df: DataFrame, case: str = "lower") -> DataFrame:
+    """field.name.case — rename every column (PostgreSQL lowercases
+    unquoted identifiers; IidrToJdbcSinkTransform.java:212-220)."""
+    if case == "none":
+        return df
+    fn = str.lower if case == "lower" else str.upper
+    return df.toDF(*[fn(c) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# T6 — table-name filter (record-level predicate pushdown)
+# ---------------------------------------------------------------------------
+def filter_table(df: DataFrame, table: str, table_col: str = "table_name") -> DataFrame:
+    """Keep only records routed to ``table`` (case-insensitive, matching
+    IidrToJdbcSinkTransform.java:155-159). Catalyst pushes this ahead of
+    any downstream shuffle automatically."""
+    return df.filter(F.upper(F.col(table_col)) == table.upper())
+
+
+# ---------------------------------------------------------------------------
+# T4/T5/T11 — op mapping + validation → error_reason column
+# ---------------------------------------------------------------------------
+def with_operation(df: DataFrame, entry_type_col: str = "entry_type") -> DataFrame:
+    return df.withColumn("op", map_entry_type(entry_type_col))
+
+
+def validate_iidr(
+    df: DataFrame,
+    key_col: str = "record_key",
+    value_col: str = "record_value",
+    table_col: str = "table_name",
+    entry_type_col: str = "entry_type",
+) -> DataFrame:
+    """Produce ``error_reason`` (NULL = valid), mirroring the reference's
+    validation ladder (IidrCdcSinkTask.java:169-195):
+
+    1. missing required headers (TableName / A_ENTTYP)
+    2. unknown entry-type code
+    3. DELETE without a key; UPSERT without a value
+    """
+    op = F.col("op") if "op" in df.columns else map_entry_type(entry_type_col)
+    reason = (
+        F.when(F.col(table_col).isNull(), F.lit("missing required header: TableName"))
+        .when(F.col(entry_type_col).isNull(), F.lit("missing required header: A_ENTTYP"))
+        .when(op == OP_CORRUPT, F.concat(F.lit("unknown entry type: "), F.col(entry_type_col)))
+        .when((op == OP_DELETE) & F.col(key_col).isNull(), F.lit("delete record requires a key"))
+        .when((op == OP_UPSERT) & F.col(value_col).isNull(), F.lit("upsert record requires a value"))
+    )
+    return df.withColumn("error_reason", reason)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, corrupt) branches off the validated stream. Both branches
+    share the parent plan; Spark evaluates the scan once per action."""
+    return df.filter(F.col("error_reason").isNull()), df.filter(
+        F.col("error_reason").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# T9 — field.type.overrides coercion
+# ---------------------------------------------------------------------------
+_COERCERS = {
+    "timestamp": coerce_timestamp,
+    "date": coerce_date,
+    "time": coerce_time,
+}
+
+
+def coerce_fields(df: DataFrame, overrides: dict[str, str]) -> DataFrame:
+    """Apply ``{"col": "timestamp|date|time"}`` overrides with the
+    reference's multi-pattern parse (IidrToJdbcSinkTransform.java:258-294).
+    Unparseable non-null values are surfaced per-column as
+    ``<col>__parse_error`` so callers can route them to the corrupt branch
+    (the reference throws DataException → DLQ)."""
+    out = df
+    for col_name, kind in overrides.items():
+        if kind not in _COERCERS:
+            raise ValueError(f"unsupported override type: {kind}")
+        parsed = _COERCERS[kind](col_name)
+        out = out.withColumn(
+            f"{col_name}__parse_error",
+            F.col(col_name).isNotNull() & parsed.isNull(),
+        ).withColumn(col_name, parsed)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T8 — permissive row-image decoding (schemaless mode)
+# ---------------------------------------------------------------------------
+def decode_row_image(
+    df: DataFrame,
+    value_col: str = "record_value",
+    schema: T.StructType | None = None,
+    out_col: str = "row_image",
+) -> DataFrame:
+    """Decode the JSON row image. With an explicit schema this is the
+    fixed-schema mode; without one it falls back to map<string,string>
+    (the reference's inferSchema treats every field as optional and
+    coerces by value — IidrToJdbcSinkTransform.java:299-320; declared
+    schemas are the scale-safe path and preferred)."""
+    v = F.col(value_col)
+    decoded = (
+        F.from_json(v, schema)
+        if schema is not None
+        else F.from_json(v, T.MapType(T.StringType(), T.StringType()))
+    )
+    return df.withColumn(out_col, decoded)

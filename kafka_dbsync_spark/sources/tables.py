@@ -1,0 +1,52 @@
+"""Parquet table loaders for the driver-generated test data.
+
+The driver generates TPC-H-ish tables plus `events` (a change-event stream
+stand-in), `documents` and `embeddings` (training-data-pipeline tables) at
+/root/testdata/sf*/ (see TESTDATA.md). Loading via ``spark.read.parquet``
+gives Catalyst predicate pushdown + column pruning for free — callers
+should select/filter on the returned DataFrame and let the optimizer prune
+the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Path layout: {sf_dir}/{name}.parquet.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
+    microsecond TimestampType here (truncation, same rule as the
+    reference's 12→9-digit fraction truncate in TimestampConverter.java:
+    94-112, one step further to Spark's micros)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for spark.sql access."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
