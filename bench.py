@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}
+
+`value` is the total wall time of the headline suite. Each query is
+executed once after a warm-up of the session (a trivial count to absorb
+JVM/codegen startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kafka_dbsync_spark import get_spark
+from kafka_dbsync_spark.queries import QUERIES
+
+# Headline queries: the CDC replication path (the reference's core), the
+# analytics shapes, and the training-data operators. O(n²)-ish pair
+# queries are exercised at correctness scale, not here.
+HEADLINE = [
+    "cdc_final_state",
+    "cdc_corrupt_events",
+    "cdc_route_stats",
+    "iidr_ts_normalize",
+    "type_coercion",
+    "envelope_unwrap",
+    "q1_pricing_summary",
+    "top_customers",
+    "events_hourly",
+    "dedup_exact",
+    "dedup_normalized",
+    "token_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "similarity_topk",
+    "ann_blocked_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kafka-dbsync-bench")
+
+    # warm-up: JVM + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: forces full evaluation of every output column
+        # (count() would let Catalyst prune the projections entirely)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,9 +63,10 @@ def stopword_count(c: Column | str, stopwords=QUALITY_STOPWORDS) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_scores(c: Column | str) -> dict[str, Column]:
-    """Per-language stopword-hit counts (the lang-id heuristic)."""
-    toks = tokens(c)
+def lang_scores(c: Column | str, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the lang-id heuristic). Pass a
+    materialized token column via ``toks`` to tokenize once per row."""
+    toks = tokens(c) if toks is None else toks
     out = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -73,21 +74,22 @@ def lang_scores(c: Column | str) -> dict[str, Column]:
     return out
 
 
-def detect_language(c: Column | str) -> Column:
+def detect_language(c: Column | str, toks: Column | None = None) -> Column:
     """argmax over lang_scores with declaration-order tie-break; 'und' if
-    no stopword hits at all."""
-    scores = lang_scores(c)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # iterate reversed so earlier languages win ties
-    for lang in reversed(list(scores)):
-        s = scores[lang]
-        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(s >= best_score, s).otherwise(best_score)
-    zero = F.lit(True)
-    for s in scores.values():
-        zero = zero & (s == 0)
-    return F.when(zero, F.lit("und")).otherwise(best_lang)
+    no stopword hits at all.
+
+    Implemented as array_max over (score, -declaration_index, lang)
+    structs — each score expression appears exactly once in the plan (a
+    when-chain would duplicate them exponentially)."""
+    scores = lang_scores(c, toks)
+    entries = [
+        F.struct(
+            s.alias("s"), F.lit(-idx).alias("prio"), F.lit(lang).alias("lang")
+        )
+        for idx, (lang, s) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] == 0, F.lit("und")).otherwise(best["lang"])
 
 
 def rolling_fingerprint(c: Column | str) -> Column:

@@ -91,8 +91,19 @@ def normalize_iidr_timestamp(
 
 def iso8601_with_offset(c: Column | str, zone: str = "UTC") -> Column:
     """Format a UTC timestamp as ISO-8601 with explicit offset in ``zone``
-    (TimestampConverter.java:117-120 emits ISO_OFFSET_DATE_TIME)."""
+    (TimestampConverter.java:117-120 emits ISO_OFFSET_DATE_TIME).
+
+    ``convert_timezone`` yields a zone-less local time, so the offset is
+    derived per-row (DST-correct) as local − instant and appended."""
     c = _col(c)
-    return F.date_format(
-        F.convert_timezone(F.lit("UTC"), F.lit(zone), c), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+    local = F.convert_timezone(F.lit("UTC"), F.lit(zone), c)
+    offset_min = (
+        (F.unix_timestamp(local.cast("timestamp")) - F.unix_timestamp(c)) / 60
+    ).cast("long")
+    sign = F.when(offset_min < 0, F.lit("-")).otherwise(F.lit("+"))
+    mag = F.abs(offset_min)
+    hh = F.lpad((mag / 60).cast("long").cast("string"), 2, "0")
+    mm = F.lpad((mag % 60).cast("string"), 2, "0")
+    return F.concat(
+        F.date_format(local, "yyyy-MM-dd'T'HH:mm:ss.SSS"), sign, hh, F.lit(":"), mm
     )

@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no dedup — SURVEY.md §2.7), these
+are the first-class 100 TB operators: exact dedup, normalized dedup,
+MinHash+LSH near-dup detection, SimHash, and n-gram Jaccard verification.
+
+Scale design:
+
+- exact/normalized dedup = hash-groupBy: one shuffle on the digest, which
+  is uniformly distributed ⇒ no skew; map-side partial aggregation
+  applies.
+- MinHash+LSH: signatures are computed per-row (narrow, codegen'd,
+  md5-based so they're engine-reproducible); candidate generation is a
+  self-equi-join on (band_index, band_value) — the classic trick that
+  replaces the O(n²) pair space with buckets. At 100 TB the band join is
+  the only shuffle and its key space is huge (hash values) ⇒ uniform.
+- Jaccard verification runs only on LSH candidates (tiny fraction), not
+  all pairs.
+- SimHash: token-level explode + 16-bit sign aggregation; one shuffle on
+  doc_id (already the table's natural key).
+
+No Python UDFs anywhere — md5/array built-ins only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.functions.text import normalize_text, tokens
+
+_RN = "__rn"
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def dedup_exact(
+    df: DataFrame,
+    on: Column | str,
+    order_cols: Sequence[str],
+    digest_col: str = "dedup_hash",
+) -> DataFrame:
+    """Keep the first row (by ``order_cols`` ascending) per digest of
+    ``on``. The digest column is kept in the output for auditability."""
+    on_col = F.col(on) if isinstance(on, str) else on
+    out = df.withColumn(digest_col, F.md5(on_col))
+    w = Window.partitionBy(digest_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        out.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
+    )
+
+
+def dedup_normalized(
+    df: DataFrame, text_col: str, order_cols: Sequence[str]
+) -> DataFrame:
+    """Exact dedup after text normalization (lower/strip punctuation/
+    collapse whitespace) — catches trivially-reformatted duplicates."""
+    return dedup_exact(df, normalize_text(text_col), order_cols)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles of the normalized text; documents shorter than
+    k tokens contribute their whole text as one shingle.
+
+    PERFORMANCE NOTE: each ``element_at`` inside the transform lambda
+    re-evaluates the token expression per element (Spark does no
+    common-subexpression elimination inside higher-order-function
+    lambdas). Only use this on an already-materialized token column via
+    ``with_shingles`` for anything beyond tiny inputs.
+    """
+    toks = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Add a word-k-gram shingle column, materializing tokens in a
+    separate projection so tokenization runs once per row (not once per
+    shingle element — CollapseProject keeps multi-referenced non-cheap
+    aliases in their own projection)."""
+    d = df.withColumn("__toks", tokens(text_col))
+    return d.withColumn(out, word_shingles(F.col("__toks"), k)).drop("__toks")
+
+
+def minhash_signature(
+    shingles_col: Column | str, num_hashes: int = 8
+) -> list[Column]:
+    """MinHash signature as ``num_hashes`` md5-min columns over a
+    (materialized — see with_shingles) shingle array column.
+
+    Hash family i = md5(f"{i}:{shingle}") — deterministic and
+    engine-portable (any SQL engine with md5 reproduces it bit-for-bit,
+    which is how the DuckDB oracle validates this operator). Min is taken
+    lexicographically over the hex digest, equivalent to min over a
+    128-bit integer hash.
+    """
+    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+
+    # NB: the lambda must be unary — pyspark treats a two-arg lambda as an
+    # (element, index) transform lambda
+    def family(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return [
+        F.array_min(F.transform(sh, family(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 2) -> Column:
+    """Group signature columns into bands: array of band values (each the
+    concat of ``rows_per_band`` signature entries)."""
+    bands = []
+    for b in range(0, len(sig_cols), rows_per_band):
+        bands.append(F.concat(*[F.col(c) for c in sig_cols[b : b + rows_per_band]]))
+    return F.array(*bands)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns distinct (id_a < id_b) pairs sharing ≥1 band. The self-join is
+    an equi-join on (band_index, band_value); Catalyst shuffles both sides
+    on that composite key — uniform by construction.
+    """
+    sig = with_shingles(df, text_col, k).select(
+        F.col(id_col), *minhash_signature("shingles", num_hashes)
+    )
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    banded = sig.select(
+        id_col, F.posexplode(lsh_bands(sig_cols, rows_per_band)).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over candidate pairs only.
+
+    jaccard = |distinct(A) ∩ distinct(B)| / |distinct(A) ∪ distinct(B)|
+    computed with array built-ins; the candidate set is small so both
+    joins broadcast-or-shuffle cheaply.
+    """
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col), F.array_distinct(F.col("shingles")).alias("sh")
+    )
+    sh_a = sh.select(F.col(id_col).alias("__ida"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("__idb"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(sh_a, F.col("id_a") == F.col("__ida")).join(
+        sh_b, F.col("id_b") == F.col("__idb")
+    )
+    inter = F.size(F.filter("sh_a", lambda x: F.array_contains("sh_b", x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # integer basis points: exact arithmetic, engine-portable (no
+    # round-half ambiguity at p/q boundaries)
+    jac_bp = F.floor(inter * 10000 / union)
+    return (
+        joined.withColumn("jaccard_bp", jac_bp)
+        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+        .select("id_a", "id_b", "jaccard_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _hex16_to_int(c: Column) -> Column:
+    """Parse a 4-hex-char string to int via an explicit digit fold — the
+    digit-map keeps the DuckDB oracle bit-identical (no engine-specific
+    hex-cast semantics)."""
+    acc = F.lit(0)
+    for i in range(1, 5):
+        acc = acc * 16 + (F.instr(F.lit(HEX_DIGITS), F.substring(c, i, 1)) - 1)
+    return acc
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document over its (multiset of) tokens.
+
+    token hash = first 4 hex chars of md5(token) as a 16-bit int; bit j of
+    the simhash is 1 iff the sum over tokens of ±1 (bit set / unset) is
+    positive.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = _hex16_to_int(F.substring(F.md5(F.col("tok")), 1, 4))
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0)
+    for j in range(16):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline. The query
+  vectors are broadcast (they're tiny); the scan side streams through a
+  single narrow projection, so the only wide operation is the final
+  top-k, which Spark executes as per-partition partial top-k + a
+  single-reduce merge (TakeOrderedAndProject) — no full sort, no shuffle
+  of the scores.
+- ``cosine_topk_blocked``: IVF-flavored scale path — restrict the scan to
+  rows in the same coarse partition (here: a precomputed ``block`` column,
+  e.g. a cluster/label id) before scoring. At 100 TB the block column
+  should be a partition column of the table so partition pruning skips
+  non-candidate files entirely.
+- ``neardup_pairs_blocked``: all embedding pairs above a cosine threshold
+  within blocks (blocked O(n²/B) instead of global O(n²)).
+
+All scoring uses built-in higher-order functions (functions/vectors.py) —
+JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact top-k rows of ``embeddings`` by cosine similarity to the
+    single-row ``query`` DataFrame (column ``vec_col``). Deterministic
+    order: rounded score desc, then id."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
+    scored = embeddings.crossJoin(q).withColumn(
+        "cos_sim", F.round(cosine(vec_col, "__qv"), score_decimals)
+    )
+    return (
+        scored.drop("__qv", vec_col)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_blocked(
+    embeddings: DataFrame,
+    query: DataFrame,
+    block_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: score only rows whose ``block_col`` matches the
+    query row's block (the coarse quantization cell). With ``block_col``
+    as a table partition column this prunes the scan to 1/B of the data."""
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("__qv"), F.col(block_col).alias("__qb"))
+    )
+    scored = (
+        embeddings.join(q, F.col(block_col) == F.col("__qb"))
+        .withColumn("cos_sim", F.round(cosine(vec_col, "__qv"), score_decimals))
+    )
+    return (
+        scored.drop("__qv", "__qb", vec_col)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def neardup_pairs_blocked(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) within blocks.
+
+    The self-join equi-keys on ``block_col``; at scale pair this with
+    salting if one block dominates (or run per-block via partition
+    pruning)."""
+    e = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
+    )
+    a = e.alias("a")
+    b = (
+        e.withColumnRenamed(id_col, f"{id_col}_b")
+        .withColumnRenamed("__v", "__vb")
+        .alias("b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"{id_col}_b")),
+    )
+    sim = cosine("__v", "__vb")
+    return (
+        pairs.filter(sim >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            F.col("a.__blk").alias(block_col),
+            F.round(sim, score_decimals).alias("cos_sim"),
+        )
+    )

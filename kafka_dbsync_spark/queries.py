@@ -1,0 +1,757 @@
+"""Query registry: every implemented operator exposed as a (Spark
+callable, DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Conventions (driver compare is column-name-sorted + value-hashed):
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates go through exact decimal sums, then cast to double,
+  or are rounded identically on both sides;
+- timestamps are emitted as formatted strings (Spark is micros + session
+  UTC; DuckDB is naive ns — strings remove the representation gap).
+
+The deterministic events→IIDR mapping lives in
+sources/iidr.py::events_as_iidr_stream; its SQL mirror is `_SQL_OPS` here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_dbsync_spark.functions.entrytype import map_entry_type
+from kafka_dbsync_spark.functions.text import (
+    detect_language,
+    punct_count,
+    quality_score,
+    rolling_fingerprint,
+    stopword_count,
+    token_count,
+    word_regex_count,
+    QUALITY_STOPWORDS,
+    LANG_STOPWORDS,
+)
+from kafka_dbsync_spark.functions.timestamps import normalize_iidr_timestamp
+from kafka_dbsync_spark.operators.dedup import (
+    dedup_exact,
+    dedup_normalized,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash16,
+    with_shingles,
+)
+from kafka_dbsync_spark.operators.merge import apply_changes
+from kafka_dbsync_spark.operators.multimodal import extract_media_meta
+from kafka_dbsync_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_blocked,
+    neardup_pairs_blocked,
+)
+from kafka_dbsync_spark.operators.transforms import (
+    split_corrupt,
+    unwrap_envelope,
+    validate_iidr,
+    with_operation,
+    with_target_table,
+    coerce_fields,
+)
+from kafka_dbsync_spark.sources.debezium import debezium_envelope_schema
+from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
+from kafka_dbsync_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# SQL mirror of events_as_iidr_stream's op mapping (keep in sync!)
+_SQL_OPS = (
+    "CASE WHEN event_type = 'error' AND event_id % 10 = 0 THEN 'corrupt' "
+    "WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END"
+)
+
+# SQL mirror of functions.text.normalize_text
+_SQL_NORM = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+# ===========================================================================
+# CDC replication core (reference parity: SURVEY.md §2.3/§2.4)
+# ===========================================================================
+@query(
+    "cdc_final_state",
+    oracle=f"""
+    WITH mapped AS (
+      SELECT event_id, user_id, event_type, value, props, {_SQL_OPS} AS op
+      FROM events
+    ), valid AS (
+      SELECT * FROM mapped WHERE op <> 'corrupt'
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM valid
+    )
+    SELECT user_id, event_id AS last_event_id, event_type, value, props
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: apply the events change stream as a keyed CDC merge
+    (decode → op-map → validate → last-write-wins → drop deleted keys).
+    Parity target: the reference's end state after an IIDR replay
+    (IidrCdcSinkTask.put + JdbcWriter.write)."""
+    ev = load_table(spark, sf_dir, "events")
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    valid, _ = split_corrupt(iidr)
+    changes = valid.select("user_id", "event_type", "value", "props", "op", "offset")
+    state = apply_changes(changes, ["user_id"], ["offset"])
+    return state.select(
+        "user_id",
+        F.col("offset").alias("last_event_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@query(
+    "cdc_corrupt_events",
+    oracle="""
+    SELECT 'iidr.CDC.USER_STATE' AS topic,
+           user_id % 4 AS kafka_partition,
+           event_id AS kafka_offset,
+           '{"user_id":' || user_id || '}' AS record_key,
+           CAST(NULL AS VARCHAR) AS record_value,
+           'unknown entry type: XX' AS error_reason,
+           'USER_STATE' AS table_name,
+           'XX' AS entry_type
+    FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+    """,
+)
+def cdc_corrupt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter branch: invalid records with error_reason, shaped like
+    the reference's corrupt-events table (CorruptEventWriter.java:42-58)."""
+    ev = load_table(spark, sf_dir, "events")
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    _, corrupt = split_corrupt(iidr)
+    return corrupt.select(
+        "topic",
+        F.col("kafka_partition").cast("long").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        "record_key",
+        "record_value",
+        "error_reason",
+        "table_name",
+        "entry_type",
+    )
+
+
+@query(
+    "cdc_op_counts",
+    oracle=f"""
+    SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_keys
+    FROM (SELECT user_id, {_SQL_OPS} AS op FROM events) GROUP BY op
+    """,
+)
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-type → operation mapping statistics (T4/A2 grouping)."""
+    ev = load_table(spark, sf_dir, "events")
+    iidr = with_operation(events_as_iidr_stream(ev))
+    return iidr.groupBy("op").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("n_keys")
+    )
+
+
+@query(
+    "cdc_route_stats",
+    oracle="""
+    SELECT 'stg_' || event_type AS target_table,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_route_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-based routing + per-table grouping (T3/T7/A1): route each
+    record to a target table resolved from a template, lower-cased."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "table_name", F.upper("event_type")
+    )
+    routed = with_target_table(ev, "STG_${TableName}", case="lower")
+    return routed.groupBy("target_table").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "iidr_ts_normalize",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '000000' AS a_timstamp,
+           strftime(ts - INTERVAL 8 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS utc_ts
+    FROM events
+    """,
+)
+def iidr_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A_TIMSTAMP normalization (T10): 12-fraction-digit zone-less string
+    interpreted at +08:00 → UTC instant, fraction truncated to micros."""
+    ev = load_table(spark, sf_dir, "events")
+    iidr = events_as_iidr_stream(ev)
+    return iidr.select(
+        "event_id",
+        "a_timstamp",
+        F.date_format(
+            normalize_iidr_timestamp("a_timstamp", "+08:00"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("utc_ts"),
+    )
+
+
+@query(
+    "type_coercion",
+    oracle="""
+    SELECT event_id,
+           CASE event_id % 3
+             WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || '.000'
+             WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S.%g')
+             ELSE NULL END AS parsed,
+           (event_id % 3 = 2) AS parse_error
+    FROM events
+    """,
+)
+def type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field.type.overrides multi-pattern coercion (T9): mixed-format
+    strings parsed with the ordered pattern list; unparseable → error flag
+    (reference throws DataException → DLQ)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+        .otherwise(F.date_format("ts", "yyyy/MM/dd"))
+    )
+    coerced = coerce_fields(ev.withColumn("raw", raw), {"raw": "timestamp"})
+    return coerced.select(
+        "event_id",
+        F.date_format("raw", "yyyy-MM-dd HH:mm:ss.SSS").alias("parsed"),
+        F.col("raw__parse_error").alias("parse_error"),
+    )
+
+
+@query(
+    "envelope_unwrap",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           (o_orderkey % 7 = 0) AS __deleted,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'd'
+                WHEN o_orderkey % 3 = 0 THEN 'u' ELSE 'c' END AS __op,
+           'ORDERS' AS __table
+    FROM orders
+    """,
+)
+def envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope unwrap in rewrite mode (T1): build typed
+    envelopes over `orders`, project the row image + __deleted +
+    add.fields metadata."""
+    od = load_table(spark, sf_dir, "orders")
+    row = F.struct(
+        F.col("o_orderkey"), F.col("o_totalprice"), F.col("o_orderstatus")
+    )
+    op = (
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("d"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    env = F.struct(
+        F.when(op == "d", row).alias("before"),
+        F.when(op != "d", row).alias("after"),
+        op.alias("op"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("ts_ms"),
+        F.struct(
+            F.lit("ORDERS").alias("table"),
+            F.lit("public").alias("schema"),
+            F.col("o_orderkey").cast("string").alias("lsn"),
+            F.lit("test").alias("connector"),
+        ).alias("source"),
+    )
+    enveloped = od.select(env.alias("envelope"))
+    return unwrap_envelope(
+        enveloped, "envelope", mode="rewrite", add_fields=("op", "table")
+    )
+
+
+# ===========================================================================
+# Analytics (engine-internal operator exercise: agg / join / window / top-k)
+# ===========================================================================
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    -- decimal sums are exact; the VARCHAR hop makes the →DOUBLE cast a
+    -- single correct rounding (DuckDB's direct decimal→double cast rounds
+    -- twice: int128→double, then ÷10^scale — off Spark's by 1 ulp)
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Decimal-exact sums (then cast to
+    double) keep the result bit-identical across engines; the filter and
+    the two grouping columns push down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # cast inputs to decimal BEFORE multiplying: the products stay exact,
+    # so the sums are bit-identical across engines (a double product cast
+    # to decimal would round differently per engine)
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = price * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + aggregation + deterministic top-k (the dimension
+    side is broadcast — no shuffle of the fact table for the join)."""
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) aggregation over the event stream — the
+    batch shape of the streaming windowed agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ===========================================================================
+# Training-data pipeline: dedup / similarity / text analysis / multimodal
+# ===========================================================================
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS dedup_hash
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", ["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars", "dedup_hash"
+    )
+
+
+@query(
+    "dedup_normalized",
+    oracle=f"""
+    SELECT doc_id, lang, source, md5({_SQL_NORM.format(c='text')}) AS dedup_hash
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5({_SQL_NORM.format(c='text')}) ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_normalized(docs, "text", ["doc_id"]).select(
+        "doc_id", "lang", "source", "dedup_hash"
+    )
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, text, {_SQL_NORM.format(c='text')} AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_units,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           len(list_filter(string_split(t, ' '),
+               x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS n_stopwords
+    FROM n
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex units +
+    punctuation + stopword hits — all codegen'd regex/array built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        word_regex_count("text").alias("n_units"),
+        punct_count("text").alias("n_punct"),
+        stopword_count("text").alias("n_stopwords"),
+    )
+
+
+def _sql_lang_id() -> str:
+    toks = f"string_split({_SQL_NORM.format(c='text')}, ' ')"
+    scores = {
+        lang: f"len(list_filter({toks}, x -> x IN {tuple(words)!r:s}))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = " ".join(
+        f"WHEN s_{lang} >= {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN {greatest} = 0 THEN 'und' {chain} END AS lang_pred
+    FROM s
+    """
+
+
+@query("lang_id", oracle=_sql_lang_id())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax, declaration-order
+    tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from kafka_dbsync_spark.functions.text import tokens
+
+    return docs.withColumn("__toks", tokens("text")).select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        detect_language("text", F.col("__toks")).alias("lang_pred"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, text, {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split(t, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS DOUBLE) AS n_stop,
+             n_char
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(floor((least(n_tok, 100.0) / 100.0 * 0.4
+                 + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+                 + least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3)
+                 * 10000) AS BIGINT) AS quality_bp
+    FROM m
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring, emitted as floor-scaled basis points — floor on
+    bit-identical doubles is engine-portable where round-half isn't."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.floor(quality_score("text") * 10000).alias("quality_bp")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(t) + 1),
+                              i -> CAST(unicode(t[i]) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM n
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
+def _sql_minhash(num_hashes: int = 8) -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM t
+    )
+    SELECT doc_id, {sigs} FROM s
+    """
+
+
+@query("minhash_signatures", oracle=_sql_minhash())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5 hash families over word 3-gram shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_shingles(docs, "text", 3).select(
+        "doc_id", *minhash_signature("shingles", 8)
+    )
+
+
+# Planted near-duplicates: documents ∪ (every 5th doc with one extra
+# token). Used by the LSH/Jaccard queries so near-dup detection has real
+# positives to find (the synthetic corpus itself has none).
+_SQL_PLANTED = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' zzextra' AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def _sql_lsh_pairs(num_hashes: int = 8) -> str:
+    base = _sql_minhash(num_hashes).replace("FROM documents", f"FROM ({_SQL_PLANTED})")
+    bands = "[sig_0 || sig_1, sig_2 || sig_3, sig_4 || sig_5, sig_6 || sig_7]"
+    return f"""
+    WITH sig AS ({base}),
+    bands AS (
+      SELECT doc_id, i.band_idx, ({bands})[i.band_idx] AS band_val
+      FROM sig, (SELECT unnest(range(1, 5)) AS band_idx) i
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_sql_lsh_pairs())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs over the planted-dup corpus
+    (8 hashes, 4 bands × 2 rows)."""
+    return minhash_lsh_candidates(
+        _planted_docs(spark, sf_dir), "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    shingle_docs = f"""
+      WITH t AS (
+        SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+        FROM ({_SQL_PLANTED})
+      )
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM t
+    """
+    return f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    sh AS ({shingle_docs}),
+    j AS (
+      SELECT cand.id_a, cand.id_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+             len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS uni
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, CAST(floor(inter * 10000 / uni) AS BIGINT) AS jaccard_bp
+    FROM j WHERE floor(inter * 10000 / uni) >= 5000
+    """
+
+
+@query("ngram_jaccard_dedup", oracle=_sql_ngram_jaccard())
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact n-gram Jaccard
+    verification ≥ 0.5 (runs only on the candidate pairs)."""
+    docs = _planted_docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", 8, 2)
+    return jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.5)
+
+
+@query("simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (rows-only check: the bit-level hex
+    fold is validated in unit tests instead of SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id, label,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (a,b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (a,b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (a,b) -> a + b))),
+               4) AS cos_sim
+      FROM e, q
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against the vec_id=0 query vector
+    (broadcast query; per-partition partial top-k, no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "ann_blocked_topk",
+    oracle="""
+    WITH q AS (
+      SELECT label AS qlabel, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT vec_id, label,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (a,b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (a,b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (a,b) -> a + b))),
+               4) AS cos_sim
+      FROM e, q WHERE e.label = q.qlabel
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_ann_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked ANN: search only the query's coarse block (label
+    = stand-in centroid assignment; at scale this is a partition column →
+    partition pruning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(emb, emb.filter(F.col("vec_id") == 0), "label", k=10)
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x,y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> a.v[i] * a.v[i])), (x,y) -> x + y))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> b.v[i] * b.v[i])), (x,y) -> x + y))) AS cs
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, label, round(cs, 4) AS cos_sim
+    FROM pairs WHERE cs >= 0.3
+    """,
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs within label blocks (cosine ≥ 0.3 —
+    threshold chosen so the synthetic corpus yields non-trivial pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs_blocked(emb, "label", 0.3)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_md5,
+           substr(hex(encode(text)), 1, 8) AS magic
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column → metadata via
+    vectorized mapInPandas (decode step stubbed; see operators/
+    multimodal.py). The blob here is the utf-8 document text so the
+    oracle can reproduce digests."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    meta = extract_media_meta(blobs, "doc_id", "blob")
+    return meta.select(
+        "doc_id", "byte_len", "content_md5", F.upper(F.col("magic")).alias("magic")
+    )

@@ -120,7 +120,7 @@ def events_as_iidr_stream(events_df: DataFrame) -> DataFrame:
         .withColumn("entry_type", enttyp)
         .withColumn(
             "a_timstamp",
-            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS000000"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS'000000'"),
         )
         .withColumn("topic", F.lit("iidr.CDC.USER_STATE"))
         .withColumn("kafka_partition", (F.col("user_id") % 4).cast("int"))

@@ -42,7 +42,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     94-112, one step further to Spark's micros)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div — float division loses precision on epoch-nanos (>2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

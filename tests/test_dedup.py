@@ -1,0 +1,82 @@
+"""Dedup operator behavior on planted duplicates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_dbsync_spark.operators.dedup import (
+    dedup_exact,
+    dedup_normalized,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    simhash16,
+    with_shingles,
+)
+
+
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base.upper() + "!!!"),  # dup after normalization
+            (4, base + " extra"),  # near-dup (one extra token)
+            (5, "completely different content about spark query engines here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(docs_df(spark), "text", ["doc_id"])
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5}
+
+
+def test_dedup_normalized(spark):
+    out = dedup_normalized(docs_df(spark), "text", ["doc_id"])
+    assert {r["doc_id"] for r in out.collect()} == {1, 4, 5}
+
+
+def test_minhash_identical_signatures(spark):
+    sig = with_shingles(docs_df(spark), "text").select(
+        "doc_id", *minhash_signature("shingles", 8)
+    )
+    rows = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[2] == rows[3]
+    # near-dup shares most (not necessarily all) minima
+    shared = sum(a == b for a, b in zip(rows[1], rows[4]))
+    assert shared >= 5
+    assert rows[1] != rows[5]
+
+
+def test_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs_df(spark), "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_jaccard_verification(spark):
+    docs = docs_df(spark)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    verified = jaccard_pairs(docs, cand, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard_bp"] for r in verified.collect()}
+    assert got[(1, 2)] == 10000  # identical → jaccard 1.0
+    assert got[(1, 3)] == 10000  # identical after normalization
+    assert 5000 <= got[(1, 4)] < 10000  # near-dup
+
+
+def test_simhash_proximity(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash16(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == out[2] == out[3]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[4]) <= 4
+    assert hamming(out[1], out[5]) >= 4
+    assert all(0 <= v < 2**16 for v in out.values())

@@ -1,0 +1,120 @@
+"""Scalar function surface: charset recovery (byte-exact BIG5 vectors),
+IIDR timestamp normalization, text primitives."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_dbsync_spark.functions.charset import _recover_one, recover_legacy_charset
+from kafka_dbsync_spark.functions.text import (
+    detect_language,
+    normalize_text,
+    rolling_fingerprint,
+    token_count,
+)
+from kafka_dbsync_spark.functions.timestamps import (
+    iso8601_with_offset,
+    normalize_iidr_timestamp,
+)
+
+# Golden vectors from the reference's big5-tests.sh:216-293 /
+# LegacyCharsetTransform/README.md:149-153: BIG5 bytes ≥0x80 surface as
+# U+FF00+byte halfwidth codepoints.
+BIG5_VECTORS = [
+    ("測試中文", "big5"),
+    ("你好世界", "big5"),
+    ("台北市", "big5"),
+    ("ㄅㄆㄇㄈ", "big5"),
+    ("ＡＢＣＤ１２３４", "big5"),
+    ("、。「」【】", "big5"),
+    ("Customer-台北", "big5"),
+]
+
+
+def garble(s: str, charset: str) -> str:
+    """Reproduce the US7ASCII corruption: each raw byte ≥0x80 becomes the
+    halfwidth codepoint 0xFF00+byte."""
+    out = []
+    for b in s.encode(charset):
+        out.append(chr(0xFF00 + b) if b >= 0x80 else chr(b))
+    return "".join(out)
+
+
+def test_recover_one_vectors():
+    for clean, cs in BIG5_VECTORS:
+        assert _recover_one(garble(clean, cs), cs) == clean
+
+
+def test_recover_passthrough():
+    # pure ASCII and already-clean multibyte text must pass through
+    assert _recover_one("hello world", "big5") == "hello world"
+    assert _recover_one("already 測試 clean", "big5") == "already 測試 clean"
+    assert _recover_one(None, "big5") is None
+
+
+def test_recover_udf(spark):
+    rows = [(garble(c, cs),) for c, cs in BIG5_VECTORS]
+    df = spark.createDataFrame(rows, "garbled string")
+    out = df.select(recover_legacy_charset("garbled", "big5").alias("clean")).collect()
+    assert [r["clean"] for r in out] == [c for c, _ in BIG5_VECTORS]
+
+
+def test_gbk_recovery(spark):
+    clean = "数据同步"
+    assert _recover_one(garble(clean, "gbk"), "gbk") == clean
+
+
+def test_normalize_iidr_timestamp_fraction_and_zone(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-03-01 10:00:00.123456789012",),
+            ("2024-03-01 10:00:00",),
+            ("2024-03-01 10:00:00.5",),
+        ],
+        "ts string",
+    )
+    out = df.select(
+        F.date_format(
+            normalize_iidr_timestamp("ts", "Asia/Taipei"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("utc")
+    ).collect()
+    # Taipei is UTC+8; fraction truncated 12→6, short fractions padded
+    assert out[0]["utc"] == "2024-03-01 02:00:00.123456"
+    assert out[1]["utc"] == "2024-03-01 02:00:00.000000"
+    assert out[2]["utc"] == "2024-03-01 02:00:00.500000"
+
+
+def test_normalize_iidr_timestamp_offset_zone(spark):
+    df = spark.createDataFrame([("2024-03-01 10:00:00.000000000000",)], "ts string")
+    out = df.select(
+        F.date_format(
+            normalize_iidr_timestamp("ts", "+08:00"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("utc")
+    ).head()
+    assert out["utc"] == "2024-03-01 02:00:00"
+
+
+def test_iso8601_with_offset(spark):
+    df = spark.createDataFrame([("2024-03-01 02:00:00",)], "s string")
+    out = df.select(
+        iso8601_with_offset(F.col("s").cast("timestamp"), "Asia/Taipei").alias("iso")
+    ).head()
+    assert out["iso"] == "2024-03-01T10:00:00.000+08:00"
+
+
+def test_text_primitives(spark):
+    df = spark.createDataFrame(
+        [("Hello,  World! 123",), ("",), ("!!!",), ("the the the",)], "text string"
+    )
+    rows = df.select(
+        normalize_text("text").alias("norm"),
+        token_count("text").alias("n"),
+        rolling_fingerprint("text").alias("fp"),
+        detect_language("text").alias("lang"),
+    ).collect()
+    assert rows[0]["norm"] == "hello world 123" and rows[0]["n"] == 3
+    assert rows[1]["norm"] == "" and rows[1]["n"] == 0
+    assert rows[2]["norm"] == "" and rows[2]["n"] == 0
+    assert rows[3]["lang"] == "en"
+    assert rows[1]["fp"] == rows[2]["fp"]  # both normalize to empty
+    assert rows[0]["fp"] != rows[3]["fp"]
