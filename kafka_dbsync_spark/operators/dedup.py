@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import normalize_text, tokens
+from kafka_dbsync_spark.utils import ensure_parallelism
 
 _RN = "__rn"
 
@@ -91,7 +92,7 @@ def with_shingles(
     separate projection so tokenization runs once per row (not once per
     shingle element — CollapseProject keeps multi-referenced non-cheap
     aliases in their own projection)."""
-    d = df.withColumn("__toks", tokens(text_col))
+    d = ensure_parallelism(df).withColumn("__toks", tokens(text_col))
     return d.withColumn(out, word_shingles(F.col("__toks"), k)).drop("__toks")
 
 
@@ -150,17 +151,30 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.posexplode(lsh_bands(sig_cols, rows_per_band)).alias("band_idx", "band_val")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # single-pass bucket expansion instead of a self-join: a self-join
+    # would evaluate the (expensive) signature pipeline twice; grouping by
+    # band and expanding in-bucket pairs computes signatures once and
+    # shuffles only (band, doc_id) rows. Bucket sizes are near-constant
+    # (hash buckets), so the in-bucket pair expansion is O(bucket²)=O(1).
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a: F.transform(
+                        F.filter(F.col("ids"), lambda b: a < b),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 def jaccard_pairs(
@@ -217,7 +231,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the simhash is 1 iff the sum over tokens of ±1 (bit set / unset) is
     positive.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = _hex16_to_int(F.substring(F.md5(F.col("tok")), 1, 4))
     tok = tok.withColumn("h", h)
     aggs = [

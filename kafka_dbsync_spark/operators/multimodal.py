@@ -23,6 +23,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from kafka_dbsync_spark.utils import ensure_parallelism
+
 
 def decode_stub(blob: bytes) -> dict:
     """Placeholder for a real image/audio decoder. Raises — callers that
@@ -72,4 +74,6 @@ def extract_media_meta(
                 out["duration"] = decoded.map(lambda d: d.get("duration"))
             yield out
 
-    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+    return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
+        run, schema=schema
+    )

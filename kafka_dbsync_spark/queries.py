@@ -389,6 +389,184 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + running
+    sum — the batch shape of session_window(ts, gap) in streaming."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey % 20 AS user_id, o_orderdate,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
+    ), l AS (
+      SELECT event_id, user_id, ts - INTERVAL 30 YEAR AS t FROM events
+    )
+    SELECT l.event_id, r.o_orderkey AS asof_orderkey
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.o_orderdate <= l.t
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each event, the most
+    recent order of its user at or before the event time.
+
+    Implemented with the scalable union+window trick — tag both sides,
+    union, and carry the last non-null right-side value forward within
+    each key ordered by (time, tag). One shuffle on the key, no range
+    join, no per-group Python."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    od = load_table(spark, sf_dir, "orders")
+    # right side deduped to one row per (key, time): ties would make the
+    # as-of pick engine-dependent
+    right = (
+        od.groupBy(
+            (F.col("o_custkey") % 20).alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumn("tag", F.lit(0))
+        .withColumn("event_id", F.lit(None).cast("long"))
+    )
+    left = ev.select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 YEARS")).alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    unioned = right.select("user_id", "t", "tag", "event_id", "o_orderkey").unionByName(
+        left
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("tag") == 1).select("event_id", "asof_orderkey")
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregation (status → priority → grand total)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no large (>400k) order. The
+    filter lands on the build side before the join — pushdown keeps the
+    anti-join input small."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "pivot_daily_events",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS clicks,
+           count(*) FILTER (WHERE event_type = 'view') AS views,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           count(*) FILTER (WHERE event_type = 'signup') AS signups,
+           count(*) FILTER (WHERE event_type = 'error') AS errors
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event-type counts as columns (conditional
+    aggregation keeps the output schema fixed — a dynamic pivot would
+    need two passes)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(name)
+        for t, name in [
+            ("click", "clicks"),
+            ("view", "views"),
+            ("purchase", "purchases"),
+            ("signup", "signups"),
+            ("error", "errors"),
+        ]
+    ]
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(*aggs)
+
+
 # ===========================================================================
 # Training-data pipeline: dedup / similarity / text analysis / multimodal
 # ===========================================================================
