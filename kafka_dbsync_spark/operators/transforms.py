@@ -191,7 +191,77 @@ def coerce_fields(df: DataFrame, overrides: dict[str, str]) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# T8 — permissive row-image decoding (schemaless mode)
+# T8 — schema inference from runtime values (schemaless mode)
+# ---------------------------------------------------------------------------
+_INT32_MIN, _INT32_MAX = -(2**31), 2**31 - 1
+
+
+def _infer_one(v) -> T.DataType | None:
+    # mirrors IidrToJdbcSinkTransform.java:299-320 (Jackson gives Integer
+    # for 32-bit ints, Long beyond, Double for any float, Boolean, String;
+    # anything else falls back to String)
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.IntegerType() if _INT32_MIN <= v <= _INT32_MAX else T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    return T.StringType()
+
+
+_WIDEN = {
+    (T.IntegerType(), T.LongType()): T.LongType(),
+    (T.IntegerType(), T.DoubleType()): T.DoubleType(),
+    (T.LongType(), T.DoubleType()): T.DoubleType(),
+}
+
+
+def _merge_types(a: T.DataType | None, b: T.DataType | None) -> T.DataType | None:
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    return _WIDEN.get((a, b)) or _WIDEN.get((b, a)) or T.StringType()
+
+
+def infer_row_schema(
+    df: DataFrame, value_col: str = "record_value", sample_size: int = 1000
+) -> T.StructType:
+    """Infer a row schema from a bounded sample of JSON row images.
+
+    The reference infers per record at apply time
+    (IidrToJdbcSinkTransform.java:226-238,299-320); a vectorized engine
+    infers once from a sample and pins the schema for the whole stream —
+    same value-class rules (String/Int32/Int64/Float64/Boolean, every
+    field optional, fallback String), conflicting observations widened
+    (int→long→double, anything vs string → string).
+    """
+    import json
+
+    fields: dict[str, T.DataType | None] = {}
+    for row in df.select(value_col).filter(F.col(value_col).isNotNull()).limit(
+        sample_size
+    ).collect():
+        try:
+            obj = json.loads(row[0])
+        except (TypeError, ValueError):
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for k, v in obj.items():
+            fields[k] = _merge_types(fields.get(k), _infer_one(v))
+    return T.StructType(
+        [
+            T.StructField(name, dt if dt is not None else T.StringType(), True)
+            for name, dt in fields.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8b — permissive row-image decoding (schemaless mode)
 # ---------------------------------------------------------------------------
 def decode_row_image(
     df: DataFrame,

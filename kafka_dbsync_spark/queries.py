@@ -823,10 +823,118 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.5)
 
 
-@query("simhash")
+@query(
+    "vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n FROM toks
+    WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top 50.
+    Explode → groupBy(token) gets map-side partial aggregation; the final
+    top-k is TakeOrdered, not a global sort."""
+    from kafka_dbsync_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "ngram_bigrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split({_SQL_NORM.format(c='text')}, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT bigram, count(*) AS n FROM grams
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
+    """,
+)
+def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency analysis (shared machinery with the shingle
+    path; token array materialized once per row)."""
+    from kafka_dbsync_spark.operators.dedup import with_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", k=2)
+    return (
+        sh.filter(F.size(F.split(F.col("shingles")[0], " ")) >= 2)
+        .select(F.explode("shingles").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(30)
+    )
+
+
+@query(
+    "ivf_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, i.dim, embedding[i.dim] AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) i
+    )
+    SELECT label, dim,
+           round(CAST(CAST(sum(CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                 / count(*), 6) AS centroid
+    FROM comp GROUP BY label, dim
+    """,
+)
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build step: per-cluster (label) elementwise centroid in
+    long format (label, dim, value). Decimal-exact component sums keep the
+    result engine-portable; one shuffle on (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    return comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid")
+    )
+
+
+@query(
+    "simhash",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+    h AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 5),
+                     i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) AS hv
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, j.j,
+             sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 16)) AS j) j
+      GROUP BY doc_id, j.j
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (rows-only check: the bit-level hex
-    fold is validated in unit tests instead of SQL)."""
+    """16-bit SimHash per document (token md5 → explicit hex-digit fold,
+    so the oracle reproduces the bits exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs, "doc_id", "text")
 
