@@ -46,6 +46,10 @@ HEADLINE = [
     "simhash",
     "similarity_topk",
     "ann_blocked_topk",
+    "vector_lsh_buckets",
+    "events_sessionize",
+    "asof_join",
+    "vocab_topk",
     "multimodal_meta",
 ]
 
@@ -79,6 +83,11 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # throughput anchors vs BASELINE.md: the reference's only rate figure
+    # is 1K events/s through its sink; our CDC path applies the full
+    # events table per run
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    cdc_secs = per_query.get("cdc_final_state", 0) or 1e-9
     print(
         json.dumps(
             {
@@ -87,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_events_per_sec": round(n_events / cdc_secs),
             }
         )
     )

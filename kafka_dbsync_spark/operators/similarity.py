@@ -23,7 +23,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_dbsync_spark.functions.vectors import cosine
+import hashlib
+
+from kafka_dbsync_spark.functions.vectors import cosine, dot
+
+
+def random_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 — reproducible on any
+    engine/run without a seed exchange (component (j,d) = parity of the
+    first hex digit of md5(f"{j}:{d}"))."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for d in range(dim):
+            digit = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16)
+            row.append(1.0 if digit % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    vec_col: str,
+    num_planes: int = 16,
+    dim: int = 64,
+):
+    """Random-hyperplane LSH bucket id (sign-of-dot bits → int).
+
+    The scale path for ANN over 100 TB of embeddings: bucket becomes the
+    table's partition column; a query probes only its own bucket (and
+    optionally neighbors at Hamming distance 1) instead of scanning
+    everything. All JVM-side arithmetic — the hyperplanes are plan
+    literals."""
+    from pyspark.sql import functions as F
+
+    planes = random_hyperplanes(num_planes, dim)
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, h) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
 
 
 def cosine_topk(

@@ -1022,6 +1022,42 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_blocked(emb, "label", 0.3)
 
 
+def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
+    from kafka_dbsync_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(num_planes, dim)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
+            f" i -> v[i] * ({lit})[i])), (a, b) -> a + b) >= 0 THEN {2**j} ELSE 0 END"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST({bucket} AS BIGINT) AS bucket
+    FROM e
+    """
+
+
+@query("vector_lsh_buckets", oracle=_sql_vector_lsh())
+def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment for embeddings — the
+    ANN scale path (bucket = partition/pruning key at 100 TB). The
+    hyperplanes are md5-derived literals, so the oracle uses the exact
+    same planes."""
+    from kafka_dbsync_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", lsh_bucket("embedding", 16, 64).alias("bucket")
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""

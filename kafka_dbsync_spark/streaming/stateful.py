@@ -1,0 +1,113 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference needs no cross-batch state for parity (its only state is
+Kafka offsets); these are the engine's extensions for pipelines whose
+sinks are NOT idempotent:
+
+- ``running_totals``: per-key running aggregates maintained in the state
+  store across micro-batches (count / sum / last-seen offset), emitted
+  once per key per batch.
+- ``exactly_once_ids``: cross-batch id dedup — drops records whose id
+  was already seen for the key. State is the max-contiguous watermark id
+  plus a bounded overflow set, so state size stays O(out-of-orderness),
+  not O(stream length).
+
+Both use GroupState with Arrow-batched pandas — the state store is
+checkpointed with the query, so a restart resumes exactly. NOTE: restart
+recovery requires a fault-tolerant sink (foreachBatch / file); the memory
+sink rejects checkpoint recovery outright ("This query does not support
+recovering from checkpoint location").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Streaming per-key running (count, sum, max_offset) across batches."""
+
+    output_schema = f"{key_col} long, n long, total double, max_offset long"
+    state_schema = "n long, total double, max_offset long"
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, max_off = state.get if state.exists else (0, 0.0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            max_off = max(max_off, int(pdf[offset_col].max()))
+        state.update((n, total, max_off))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total], "max_offset": [max_off]}
+        )
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def exactly_once_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_overflow: int = 10_000,
+) -> DataFrame:
+    """Cross-batch dedup by id: emit each (key, id) at most once ever.
+
+    State per key = (watermark, overflow): every id ≤ watermark has been
+    seen; overflow holds seen ids above the watermark (bounded — ids
+    arriving more than ``max_overflow`` out of order would be dropped as
+    duplicates, the documented trade-off)."""
+
+    out_fields = df.schema.fields
+    output_schema = df.schema
+    state_schema = "watermark long, overflow array<long>"
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        watermark, overflow = state.get if state.exists else (-1, [])
+        seen = set(overflow or [])
+        for pdf in pdfs:
+            fresh_mask = []
+            for i in pdf[id_col]:
+                i = int(i)
+                if i <= watermark or i in seen:
+                    fresh_mask.append(False)
+                else:
+                    fresh_mask.append(True)
+                    seen.add(i)
+            out = pdf[pd.Series(fresh_mask, index=pdf.index)]
+            if len(out):
+                yield out
+        # advance the contiguous watermark and compact the overflow set
+        while (watermark + 1) in seen:
+            watermark += 1
+            seen.discard(watermark)
+        state.update((watermark, sorted(seen)[-max_overflow:]))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: for every registry query, count shuffles
+(Exchange), flag missing pushdown, and check join strategies against an
+expected-shuffle budget. A regression guard for the scale properties the
+engine promises (README "Designed for 100 TB").
+
+Usage: python3 tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# expected shuffle counts (Exchange operators in the physical plan).
+# Anything above its budget fails the audit. Budgets document WHY the
+# shuffles exist; a new shuffle appearing is a regression to explain.
+SHUFFLE_BUDGET = {
+    "cdc_final_state": 1,        # the keyed last-write-wins window
+    "cdc_corrupt_events": 0,     # pure narrow chain
+    "cdc_op_counts": 2,          # agg + countDistinct expand
+    "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)
+    "iidr_ts_normalize": 0,
+    "type_coercion": 0,
+    "envelope_unwrap": 0,
+    "q1_pricing_summary": 1,     # one agg exchange; filter pushed to scan
+    "top_customers": 1,          # dims broadcast; one agg exchange
+    "events_hourly": 1,
+    "events_sessionize": 1,      # agg reuses the window's partitioning
+    "asof_join": 2,              # both union sides partition by key
+    "rollup_revenue": 1,
+    "customers_without_orders": 0,  # broadcast anti join, no shuffle at all
+    "pivot_daily_events": 1,
+    "dedup_exact": 1,            # window on digest
+    "dedup_normalized": 1,
+    "token_stats": 0,            # fully narrow
+    "lang_id": 0,
+    "quality_scores": 0,
+    "doc_fingerprint": 0,
+    "vocab_topk": 1,             # agg; topk is TakeOrdered (no sort shuffle)
+    "ngram_bigrams": 2,          # parallelism repartition + agg
+    "minhash_signatures": 1,     # parallelism repartition
+    "minhash_lsh_pairs": 3,      # repartition + band groupBy + distinct
+    "ngram_jaccard_dedup": 5,    # candidate pipeline + broadcast shingle joins
+    "simhash": 2,                # repartition + groupBy(doc)
+    "similarity_topk": 0,        # broadcast query vector; TakeOrdered topk
+    "ann_blocked_topk": 0,
+    "embedding_neardup_pairs": 0,  # block join broadcasts at this size
+    "ivf_centroids": 1,
+    "vector_lsh_buckets": 0,     # fully narrow
+    "multimodal_meta": 1,        # parallelism repartition
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from kafka_dbsync_spark import get_spark
+    from kafka_dbsync_spark.queries import QUERIES
+
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    failures = []
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        n_exchange = len(re.findall(r"\bExchange \(", plan))
+        n_bhj = plan.count("BroadcastHashJoin")
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        budget = SHUFFLE_BUDGET.get(name)
+        status = "ok"
+        if budget is not None and n_exchange > budget:
+            status = f"OVER BUDGET ({budget})"
+            failures.append(name)
+        print(
+            f"{name:28s} exchanges={n_exchange} broadcast_joins={n_bhj} "
+            f"pushed_filter_scans={pushed}  {status}"
+        )
+    if failures:
+        print(f"\nAUDIT FAIL: {failures}")
+        return 1
+    print("\nAUDIT OK: every query within its shuffle budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
