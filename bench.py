@@ -88,6 +88,7 @@ def main() -> None:
     # events table per run
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     cdc_secs = per_query.get("cdc_final_state", 0) or 1e-9
+    apply_rate = _bench_full_apply_path(spark, sf_dir, n_events)
     print(
         json.dumps(
             {
@@ -97,9 +98,43 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": round(n_events / cdc_secs),
+                "cdc_apply_events_per_sec": apply_rate,
             }
         )
     )
+
+
+def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
+    """End-to-end apply rate: decode → validate → dedup → merge → DB write
+    (the path BASELINE.md's 1K events/s anchor measures on the reference).
+    Target is a throwaway sqlite file — single-writer, like the
+    reference's single sink task."""
+    import sqlite3
+    import tempfile
+
+    from kafka_dbsync_spark.operators.transforms import split_corrupt, validate_iidr, with_operation
+    from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
+    from kafka_dbsync_spark.sources.tables import load_table
+    from kafka_dbsync_spark.streaming.apply import CdcApplyEngine
+    from kafka_dbsync_spark.streaming.dialects import SqliteDialect
+
+    db = tempfile.mktemp(suffix=".db")
+    engine = CdcApplyEngine(
+        connection_factory=lambda: sqlite3.connect(db),
+        dialect=SqliteDialect(),
+        pk_fields=["user_id"],
+        value_cols=["event_type", "value", "props"],
+        table_col="table_name",
+        order_cols=["offset"],
+        errors_tolerance="all",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    t0 = time.perf_counter()
+    engine.apply_batch(batch)
+    dt = time.perf_counter() - t0
+    print(f"# full_apply_path: {dt:.3f}s ({n_events} events)", file=sys.stderr)
+    return round(n_events / dt)
 
 
 if __name__ == "__main__":
