@@ -88,7 +88,11 @@ def main() -> None:
     # events table per run
     n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     cdc_secs = per_query.get("cdc_final_state", 0) or 1e-9
-    apply_rate = _bench_full_apply_path(spark, sf_dir, n_events)
+    try:
+        apply_rate = _bench_full_apply_path(spark, sf_dir, n_events)
+    except Exception as e:  # noqa: BLE001 — never lose the suite JSON
+        print(f"# full_apply_path failed: {e}", file=sys.stderr)
+        apply_rate = None
     print(
         json.dumps(
             {
@@ -105,36 +109,60 @@ def main() -> None:
 
 
 def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
-    """End-to-end apply rate: decode → validate → dedup → merge → DB write
-    (the path BASELINE.md's 1K events/s anchor measures on the reference).
-    Target is a throwaway sqlite file — single-writer, like the
-    reference's single sink task."""
+    """End-to-end apply rate: JSON row-image decode → validate → dedup →
+    merge → DB write, dead-letter included (the path BASELINE.md's 1K
+    events/s anchor measures on the reference). Target is a throwaway
+    sqlite file — single-writer, like the reference's single sink task."""
     import sqlite3
     import tempfile
 
-    from kafka_dbsync_spark.operators.transforms import split_corrupt, validate_iidr, with_operation
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.operators.transforms import validate_iidr, with_operation
     from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
     from kafka_dbsync_spark.sources.tables import load_table
     from kafka_dbsync_spark.streaming.apply import CdcApplyEngine
     from kafka_dbsync_spark.streaming.dialects import SqliteDialect
 
-    db = tempfile.mktemp(suffix=".db")
-    engine = CdcApplyEngine(
-        connection_factory=lambda: sqlite3.connect(db),
-        dialect=SqliteDialect(),
-        pk_fields=["user_id"],
-        value_cols=["event_type", "value", "props"],
-        table_col="table_name",
-        order_cols=["offset"],
-        errors_tolerance="all",
-    )
-    ev = load_table(spark, sf_dir, "events")
-    batch = validate_iidr(with_operation(events_as_iidr_stream(ev)))
-    t0 = time.perf_counter()
-    engine.apply_batch(batch)
-    dt = time.perf_counter() - t0
-    print(f"# full_apply_path: {dt:.3f}s ({n_events} events)", file=sys.stderr)
-    return round(n_events / dt)
+    with tempfile.TemporaryDirectory() as tmp:
+        db = os.path.join(tmp, "apply.db")
+        engine = CdcApplyEngine(
+            connection_factory=lambda: sqlite3.connect(db),
+            dialect=SqliteDialect(),
+            pk_fields=["user_id"],
+            value_cols=["event_type", "value", "props"],
+            table_col="table_name",
+            order_cols=["offset"],
+            errors_tolerance="all",
+            corrupt_table="corrupt_events",
+        )
+        ev = load_table(spark, sf_dir, "events")
+        iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+        # the real sink path decodes the JSON row image, not parquet columns
+        row = F.from_json(
+            "record_value", "user_id long, event_type string, value double, props string"
+        )
+        batch = iidr.select(
+            F.coalesce(row["user_id"], F.from_json("record_key", "user_id long")["user_id"]).alias("user_id"),
+            row["event_type"].alias("event_type"),
+            row["value"].alias("value"),
+            row["props"].alias("props"),
+            "table_name",
+            "entry_type",
+            "topic",
+            "kafka_partition",
+            F.col("offset").alias("kafka_offset"),
+            "offset",
+            "record_key",
+            "record_value",
+            "op",
+            "error_reason",
+        )
+        t0 = time.perf_counter()
+        engine.apply_batch(batch)
+        dt = time.perf_counter() - t0
+        print(f"# full_apply_path: {dt:.3f}s ({n_events} events)", file=sys.stderr)
+        return round(n_events / dt)
 
 
 if __name__ == "__main__":

@@ -101,29 +101,39 @@ class CdcApplyEngine:
         Expects columns: pk fields, value columns, op, target_table,
         order columns, and (optionally) error_reason + dead-letter fields.
         """
-        has_errors = "error_reason" in batch_df.columns
-        if has_errors:
-            corrupt = batch_df.filter(F.col("error_reason").isNotNull())
-            valid = batch_df.filter(F.col("error_reason").isNull())
-            self._handle_corrupt(corrupt)
-        else:
-            valid = batch_df
+        # the corrupt branch, the distinct-tables probe, and the per-table
+        # applies are separate actions — cache the decoded batch so the
+        # upstream decode/validate plan runs once, like the reference's
+        # single pass over the poll batch
+        batch_df = batch_df.persist()
+        try:
+            has_errors = "error_reason" in batch_df.columns
+            if has_errors:
+                corrupt = batch_df.filter(F.col("error_reason").isNotNull())
+                valid = batch_df.filter(F.col("error_reason").isNull())
+                self._handle_corrupt(corrupt)
+            else:
+                valid = batch_df
 
-        # A3: last write wins per (table, key) — before any set-based apply
-        deduped = latest_by_key(
-            valid, [self.table_col, *self.pk_fields], self.order_cols
-        )
+            # A3: last write wins per (table, key) — before set-based apply
+            deduped = latest_by_key(
+                valid, [self.table_col, *self.pk_fields], self.order_cols
+            )
 
-        out_cols = [*self.pk_fields, *self.value_cols, self.op_col]
-        per_table = deduped.select(self.table_col, *out_cols)
+            out_cols = [*self.pk_fields, *self.value_cols, self.op_col]
+            per_table = deduped.select(self.table_col, *out_cols)
 
-        if self.distribute:
-            self._apply_distributed(per_table)
-        else:
-            self._apply_driver_side(per_table)
+            if self.distribute:
+                self._apply_distributed(per_table)
+            else:
+                self._apply_driver_side(per_table)
+        finally:
+            batch_df.unpersist()
 
     # -- corrupt branch (K9/K10) ---------------------------------------------
     def _handle_corrupt(self, corrupt: DataFrame) -> None:
+        if not self.corrupt_table and self.errors_tolerance == "all":
+            return  # silent-skip mode with no DLQ: nothing to evaluate
         rows = corrupt.limit(100_000).collect() if self.corrupt_table else None
         n = len(rows) if rows is not None else corrupt.count()
         if n == 0:
