@@ -44,12 +44,20 @@ def dedup_exact(
     digest_col: str = "dedup_hash",
 ) -> DataFrame:
     """Keep the first row (by ``order_cols`` ascending) per digest of
-    ``on``. The digest column is kept in the output for auditability."""
+    ``on``. The digest column is kept in the output for auditability.
+
+    min_by aggregation rather than a ranking window: map-side partial
+    aggregation collapses duplicates before the shuffle — at 100 TB a
+    pathological duplicate cluster (the exact thing dedup exists for)
+    would otherwise all hash to one window task."""
     on_col = F.col(on) if isinstance(on, str) else on
     out = df.withColumn(digest_col, F.md5(on_col))
-    w = Window.partitionBy(digest_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    row = F.struct(*[F.col(c) for c in out.columns])
+    order = F.struct(*[F.col(c) for c in order_cols])
     return (
-        out.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) == 1).drop(_RN)
+        out.groupBy(digest_col)
+        .agg(F.min_by(row, order).alias("__row"))
+        .select("__row.*")
     )
 
 

@@ -39,16 +39,43 @@ def latest_by_key(
     df: DataFrame,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep the last record per key, ordered by ``order_cols`` ascending
     (later = winner). Ties broken by the full order column list — callers
-    must pass a total order (e.g. Kafka (partition, offset))."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
-        df.withColumn(_RANK, F.row_number().over(w))
-        .filter(F.col(_RANK) == 1)
-        .drop(_RANK)
+    must pass a total order (e.g. Kafka (partition, offset)).
+
+    Strategies:
+
+    - ``agg`` (default): ``groupBy(keys).agg(max_by(row, order))``.
+      max is associative, so Spark applies **map-side partial
+      aggregation** before the shuffle: each task forwards one candidate
+      per key instead of every record, which both shrinks the shuffle
+      and makes hot keys a non-issue (a skewed key's records collapse to
+      one row per upstream partition before they ever meet). This is the
+      skew-safe form of the engine's one core shuffle.
+    - ``window``: row_number over a per-key window — needs a full sort of
+      each key group on one task; kept for callers that also want ranks.
+
+    Both require order values to be non-null on change rows (struct
+    comparison short-circuits on the first differing field).
+    """
+    if strategy == "window":
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn(_RANK, F.row_number().over(w))
+            .filter(F.col(_RANK) == 1)
+            .drop(_RANK)
+        )
+    row = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    winner = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max_by(row, order).alias("__row"))
     )
+    return winner.select("__row.*")
 
 
 def apply_changes(

@@ -171,18 +171,30 @@ _COERCERS = {
     "time": coerce_time,
 }
 
+_DECIMAL_RE = r"decimal\((\d+),\s*(\d+)\)"
+
 
 def coerce_fields(df: DataFrame, overrides: dict[str, str]) -> DataFrame:
-    """Apply ``{"col": "timestamp|date|time"}`` overrides with the
-    reference's multi-pattern parse (IidrToJdbcSinkTransform.java:258-294).
+    """Apply ``{"col": "timestamp|date|time|decimal(p,s)"}`` overrides
+    with the reference's multi-pattern parse
+    (IidrToJdbcSinkTransform.java:258-294). ``decimal(p,s)`` covers the
+    source-side ``decimal.handling.mode=string`` wire format (numerics
+    shipped as strings, hack/source-debezium/oracle-datatype-test.json).
     Unparseable non-null values are surfaced per-column as
     ``<col>__parse_error`` so callers can route them to the corrupt branch
     (the reference throws DataException → DLQ)."""
+    import re
+
     out = df
     for col_name, kind in overrides.items():
-        if kind not in _COERCERS:
+        m = re.fullmatch(_DECIMAL_RE, kind)
+        if m:
+            p, s = int(m.group(1)), int(m.group(2))
+            parsed = F.expr(f"try_cast(`{col_name}` AS DECIMAL({p},{s}))")
+        elif kind in _COERCERS:
+            parsed = _COERCERS[kind](col_name)
+        else:
             raise ValueError(f"unsupported override type: {kind}")
-        parsed = _COERCERS[kind](col_name)
         out = out.withColumn(
             f"{col_name}__parse_error",
             F.col(col_name).isNotNull() & parsed.isNull(),

@@ -248,6 +248,44 @@ def type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_backfill_then_stream",
+    oracle=f"""
+    WITH mapped AS (
+      SELECT event_id, user_id, event_type, value, {_SQL_OPS} AS op
+      FROM events
+    ), valid AS (
+      SELECT * FROM mapped WHERE op <> 'corrupt'
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM valid
+    )
+    SELECT user_id, event_id AS last_event_id, event_type, value
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def cdc_backfill_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 snapshot-then-stream invariant: applying the first half of the
+    stream as a backfilled base table, then the second half as incremental
+    changes over it, must equal one continuous replay (which is what the
+    oracle computes). Exercises the base-merge arm of apply_changes."""
+    ev = load_table(spark, sf_dir, "events")
+    n_half = ev.count() // 2
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    valid, _ = split_corrupt(iidr)
+    changes = valid.select("user_id", "event_type", "value", "op", "offset")
+    base = apply_changes(changes.filter(F.col("offset") < n_half), ["user_id"], ["offset"])
+    final = apply_changes(
+        changes.filter(F.col("offset") >= n_half),
+        ["user_id"],
+        ["offset"],
+        base=base,
+    )
+    return final.select(
+        "user_id", F.col("offset").alias("last_event_id"), "event_type", "value"
+    )
+
+
+@query(
     "envelope_unwrap",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderstatus,

@@ -21,7 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Anything above its budget fails the audit. Budgets document WHY the
 # shuffles exist; a new shuffle appearing is a regression to explain.
 SHUFFLE_BUDGET = {
-    "cdc_final_state": 1,        # the keyed last-write-wins window
+    "cdc_final_state": 1,        # the keyed last-write-wins shuffle
+    "cdc_backfill_then_stream": 3,  # phase-1 merge + phase-2 merge-with-base
     "cdc_corrupt_events": 0,     # pure narrow chain
     "cdc_op_counts": 2,          # agg + countDistinct expand
     "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)
