@@ -605,6 +605,78 @@ def pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(*aggs)
 
 
+@query(
+    "segment_order_overlap",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def segment_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT): BUILDING-segment customers who also
+    placed a large order."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    a = cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). The approximate variant
+    (approx_percentile/t-digest) is the 100 TB path; exact keeps the
+    oracle checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(regr_slope(value, epoch(ts)) * 100000) AS BIGINT) AS slope_scaled,
+           count(*) AS n
+    FROM events GROUP BY user_id HAVING count(*) > 1
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear regression per key (regr_slope) — floor-scaled to
+    absorb float summation-order noise across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.floor(
+                F.regr_slope(F.col("value"), F.col("ts").cast("double")) * 100000
+            ).cast("long").alias("slope_scaled"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
 # ===========================================================================
 # Training-data pipeline: dedup / similarity / text analysis / multimodal
 # ===========================================================================

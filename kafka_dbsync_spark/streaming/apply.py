@@ -45,6 +45,7 @@ CORRUPT_TABLE_SCHEMA = (
     "error_reason",
     "table_name",
     "entry_type",
+    "created_at",
 )
 
 
@@ -110,6 +111,15 @@ class CdcApplyEngine:
             has_errors = "error_reason" in batch_df.columns
             if has_errors:
                 corrupt = batch_df.filter(F.col("error_reason").isNotNull())
+                if "created_at" not in corrupt.columns:
+                    # dead-letter insertion timestamp (CorruptEventWriter
+                    # populates created_at with now())
+                    corrupt = corrupt.withColumn(
+                        "created_at",
+                        F.date_format(
+                            F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"
+                        ),
+                    )
                 valid = batch_df.filter(F.col("error_reason").isNull())
                 self._handle_corrupt(corrupt)
             else:

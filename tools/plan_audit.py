@@ -22,7 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # shuffles exist; a new shuffle appearing is a regression to explain.
 SHUFFLE_BUDGET = {
     "cdc_final_state": 1,        # the keyed last-write-wins shuffle
-    "cdc_backfill_then_stream": 3,  # phase-1 merge + phase-2 merge-with-base
+    "cdc_backfill_then_stream": 2,  # phase-1 merge + phase-2 merge-with-base
+    "segment_order_overlap": 1,     # broadcast intersect + distinct agg
+    "value_percentiles": 1,         # one agg exchange
+    "user_value_trend": 1,          # one agg exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
     "cdc_op_counts": 2,          # agg + countDistinct expand
     "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)
