@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Scale probe: run the hot paths on N× replicated data to show how the
+engine's throughput scales (the 100 TB question, answered at the scale
+the container allows).
+
+Replication shifts offsets/ids so keys stay realistic: events get
+disjoint offset ranges per copy (like reading N partitions of a longer
+stream); documents get disjoint doc_id ranges (corpus N× the size, same
+duplicate structure).
+
+Usage: python3 tools/scale_probe.py [factor] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+
+def replicate(df, factor: int, id_col: str, stride: int):
+    copies = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * stride)) for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if factor < 1:
+        sys.exit(f"factor must be >= 1 (got {factor})")
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from kafka_dbsync_spark import get_spark
+    from kafka_dbsync_spark.operators.dedup import minhash_lsh_candidates
+    from kafka_dbsync_spark.operators.merge import apply_changes
+    from kafka_dbsync_spark.operators.transforms import split_corrupt, validate_iidr, with_operation
+    from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
+    from kafka_dbsync_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-probe")
+
+    ev = load_table(spark, sf_dir, "events")
+    n0 = ev.count()
+    big = replicate(ev, factor, "event_id", n0).withColumn(
+        "user_id", F.col("event_id") % 1500  # widen the key space with volume
+    )
+    n = n0 * factor
+
+    # warm
+    big.write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(big)))
+    valid, _ = split_corrupt(iidr)
+    state = apply_changes(
+        valid.select("user_id", "event_type", "value", "props", "op", "offset"),
+        ["user_id"],
+        ["offset"],
+    )
+    state.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"cdc_merge: {n} events in {dt:.2f}s = {n/dt:,.0f} events/s")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d0 = docs.count()
+    bigdocs = replicate(docs, factor, "doc_id", 1_000_000)
+    t0 = time.perf_counter()
+    cand = minhash_lsh_candidates(bigdocs, "doc_id", "text", 8, 2)
+    n_pairs = cand.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"minhash_lsh: {d0 * factor} docs in {dt:.2f}s = "
+        f"{d0 * factor / dt:,.0f} docs/s ({n_pairs} candidate pairs)"
+    )
+
+
+if __name__ == "__main__":
+    main()
