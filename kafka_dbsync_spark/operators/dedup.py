@@ -52,13 +52,18 @@ def dedup_exact(
     would otherwise all hash to one window task."""
     on_col = F.col(on) if isinstance(on, str) else on
     out = df.withColumn(digest_col, F.md5(on_col))
+    # NULL inputs digest to NULL — they are missing data, not duplicates
+    # of each other, so they pass through undeduplicated
+    nulls = out.filter(F.col(digest_col).isNull())
+    nonnull = out.filter(F.col(digest_col).isNotNull())
     row = F.struct(*[F.col(c) for c in out.columns])
     order = F.struct(*[F.col(c) for c in order_cols])
-    return (
-        out.groupBy(digest_col)
+    deduped = (
+        nonnull.groupBy(digest_col)
         .agg(F.min_by(row, order).alias("__row"))
         .select("__row.*")
     )
+    return deduped.unionByName(nulls)
 
 
 def dedup_normalized(

@@ -62,8 +62,10 @@ def extract_media_meta(
                     "content_md5": blobs.map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
+                    # `is not None`, not truthiness: an empty blob is an
+                    # empty file (magic=''), not a missing one (NULL)
                     "magic": blobs.map(
-                        lambda b: bytes(b[:4]).hex() if b else None
+                        lambda b: bytes(b[:4]).hex() if b is not None else None
                     ),
                 }
             )

@@ -92,10 +92,15 @@ def with_target_table(
     (IidrCdcSinkTask.java:222-227) and table.name.case conversion
     (IidrToJdbcSinkTransform.java:55-58).
     """
+    def literal(c: Column) -> Column:
+        # escape regex-replacement metacharacters ($ group refs, \)
+        # — Oracle identifiers like ORDERS$1 are legal table names
+        return F.regexp_replace(F.coalesce(c, F.lit("")), r"([\\$])", r"\\$1")
+
     expr = F.lit(table_format)
-    expr = F.regexp_replace(expr, r"\$\{TableName\}", F.coalesce(F.col(table_col), F.lit("")))
+    expr = F.regexp_replace(expr, r"\$\{TableName\}", literal(F.col(table_col)))
     if topic_col in df.columns:
-        expr = F.regexp_replace(expr, r"\$\{topic\}", F.coalesce(F.col(topic_col), F.lit("")))
+        expr = F.regexp_replace(expr, r"\$\{topic\}", literal(F.col(topic_col)))
     if case == "lower":
         expr = F.lower(expr)
     elif case == "upper":

@@ -53,8 +53,9 @@ def decode_iidr_records(kafka_df: DataFrame) -> DataFrame:
     (map<string,string>), table_name, entry_type, a_timstamp.
 
     Parity: header extraction + UTF-8 decode = HeaderExtractor.java:26-48;
-    last-with-name semantics are reproduced because ``map_from_entries``
-    keeps the last value for duplicate keys.
+    last-with-name semantics for duplicate header names rely on
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by session.get_spark —
+    the default EXCEPTION policy would kill the query instead).
     """
     with_map = (
         kafka_df.withColumn("record_key", F.col("key").cast("string"))

@@ -56,6 +56,12 @@ class CdcApplyEngine:
     ``pk_fields`` (pk.fields), ``errors_tolerance`` ∈ {none, log, all}
     (iidr.errors.tolerance), ``auto_create`` / ``auto_evolve``,
     ``corrupt_table`` (corrupt.events.table).
+
+    ``order_cols`` defaults to ``("offset",)`` — valid for any
+    kafka-shaped batch since a key lives in one Kafka partition (keys are
+    hash-partitioned), so per-key order ≡ per-partition offset order.
+    Pass ``("partition", "offset")`` style pairs explicitly when keys can
+    span partitions.
     """
 
     def __init__(
@@ -66,7 +72,7 @@ class CdcApplyEngine:
         value_cols: Sequence[str],
         table_col: str = "target_table",
         op_col: str = "op",
-        order_cols: Sequence[str] = ("kafka_partition", "offset"),
+        order_cols: Sequence[str] = ("offset",),
         errors_tolerance: str = "none",
         auto_create: bool = True,
         auto_evolve: bool = True,
@@ -144,40 +150,60 @@ class CdcApplyEngine:
     def _handle_corrupt(self, corrupt: DataFrame) -> None:
         if not self.corrupt_table and self.errors_tolerance == "all":
             return  # silent-skip mode with no DLQ: nothing to evaluate
-        rows = corrupt.limit(100_000).collect() if self.corrupt_table else None
-        n = len(rows) if rows is not None else corrupt.count()
-        if n == 0:
-            return
-        if self.corrupt_table and rows:
+        n = 0
+        if self.corrupt_table:
             conn = self.connection_factory()
             try:
                 cur = conn.cursor()
                 cols = [c for c in CORRUPT_TABLE_SCHEMA if c in corrupt.columns]
-                if self.auto_create and self.corrupt_table not in self._known_tables:
-                    # auto-create the dead-letter table from the record shape
-                    # (the reference does too, IidrCdcSinkTask.java:72-80)
-                    from pyspark.sql import types as T
+                created = False
+                # stream every dead-letter row in bounded chunks — never
+                # cap (losing DLQ records defeats the DLQ)
+                chunk: list[tuple] = []
+                for r in corrupt.toLocalIterator():
+                    if not created:
+                        if (
+                            self.auto_create
+                            and self.corrupt_table not in self._known_tables
+                        ):
+                            # auto-create the dead-letter table from the
+                            # record shape (IidrCdcSinkTask.java:72-80)
+                            from pyspark.sql import types as T
 
-                    schema = T.StructType(
-                        [f for f in corrupt.schema.fields if f.name in cols]
-                    )
-                    cur.execute(
-                        self.dialect.create_table_sql(self.corrupt_table, schema, ())
-                    )
-                    self._known_tables.add(self.corrupt_table)
-                sql = self.dialect.insert_sql(self.corrupt_table, cols)
-                payload = []
-                for r in rows:
-                    payload.append(
+                            schema = T.StructType(
+                                [f for f in corrupt.schema.fields if f.name in cols]
+                            )
+                            cur.execute(
+                                self.dialect.create_table_sql(
+                                    self.corrupt_table, schema, ()
+                                )
+                            )
+                            self._known_tables.add(self.corrupt_table)
+                        created = True
+                    chunk.append(
                         tuple(
                             self._truncate_reason(r[c]) if c == "error_reason" else r[c]
                             for c in cols
                         )
                     )
-                cur.executemany(sql, payload)
+                    if len(chunk) >= 10_000:
+                        cur.executemany(
+                            self.dialect.insert_sql(self.corrupt_table, cols), chunk
+                        )
+                        n += len(chunk)
+                        chunk = []
+                if chunk:
+                    cur.executemany(
+                        self.dialect.insert_sql(self.corrupt_table, cols), chunk
+                    )
+                    n += len(chunk)
                 conn.commit()
             finally:
                 conn.close()
+        else:
+            n = corrupt.count()
+        if n == 0:
+            return
         if self.errors_tolerance == "none":
             raise ValueError(f"{n} corrupt record(s) in batch and errors.tolerance=none")
         if self.errors_tolerance == "log":
@@ -220,6 +246,22 @@ class CdcApplyEngine:
         value_cols = self.value_cols
         op_col = self.op_col
         table_col = self.table_col
+
+        # DDL runs driver-side up front (one connection) so executor
+        # partitions only ever issue DML — same auto_create/auto_evolve
+        # semantics as the driver-side path
+        if self.auto_create or self.auto_evolve:
+            tables = [
+                r[0] for r in per_table.select(table_col).distinct().collect()
+            ]
+            for table in sorted(tables):
+                tdf = per_table.filter(F.col(table_col) == table).drop(table_col)
+                conn = self.connection_factory()
+                try:
+                    self._ensure_table(conn, table, tdf)
+                    conn.commit()
+                finally:
+                    conn.close()
 
         def apply_partition(rows) -> None:
             rows = list(rows)
@@ -274,13 +316,13 @@ class CdcApplyEngine:
                     if f.name.lower() not in existing:
                         cur.execute(self.dialect.add_column_sql(table, f))
 
-    @staticmethod
-    def _existing_columns(conn, table: str) -> set[str] | None:
-        """Column metadata; sqlite + DB-API best effort (the reference uses
-        DatabaseMetaData.getColumns, JdbcWriter.java:346-372)."""
+    def _existing_columns(self, conn, table: str) -> set[str] | None:
+        """Column metadata via a zero-row probe with dialect quoting (the
+        reference uses DatabaseMetaData.getColumns,
+        JdbcWriter.java:346-372)."""
         try:
             cur = conn.cursor()
-            cur.execute(f"SELECT * FROM \"{table}\" LIMIT 0")
+            cur.execute(f"SELECT * FROM {self.dialect.quote(table)} LIMIT 0")
             return {d[0].lower() for d in cur.description}
         except Exception:  # noqa: BLE001
             return None

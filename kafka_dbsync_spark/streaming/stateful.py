@@ -102,7 +102,19 @@ def exactly_once_ids(
         while (watermark + 1) in seen:
             watermark += 1
             seen.discard(watermark)
-        state.update((watermark, sorted(seen)[-max_overflow:]))
+        if len(seen) > max_overflow:
+            # bound state by FORGETTING the smallest ids — but raise the
+            # watermark over them so a redelivery is still rejected.
+            # The cost is the documented trade-off: a legitimately-new id
+            # below the new watermark (> max_overflow out of order) is
+            # dropped as a duplicate; duplicates are never re-emitted.
+            kept = sorted(seen)[-max_overflow:]
+            watermark = max(watermark, kept[0] - 1)
+            seen = {i for i in kept if i > watermark}
+            while (watermark + 1) in seen:
+                watermark += 1
+                seen.discard(watermark)
+        state.update((watermark, sorted(seen)))
 
     return df.groupBy(key_col).applyInPandasWithState(
         update,
