@@ -26,13 +26,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import normalize_text, tokens
 from kafka_dbsync_spark.utils import ensure_parallelism
-
-_RN = "__rn"
 
 HEX_DIGITS = "0123456789abcdef"
 

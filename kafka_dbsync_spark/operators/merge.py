@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_dbsync_spark.functions.entrytype import OP_DELETE, OP_UPSERT
+from kafka_dbsync_spark.functions.entrytype import OP_UPSERT
 
 #: name of the synthetic ordering column used when merging base + changes
 _SEQ = "__seq"

@@ -16,13 +16,12 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from kafka_dbsync_spark.functions.entrytype import map_entry_type
 from kafka_dbsync_spark.functions.text import (
     detect_language,
+    tokens,
     punct_count,
     quality_score,
     rolling_fingerprint,
@@ -57,7 +56,6 @@ from kafka_dbsync_spark.operators.transforms import (
     with_target_table,
     coerce_fields,
 )
-from kafka_dbsync_spark.sources.debezium import debezium_envelope_schema
 from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
 from kafka_dbsync_spark.sources.tables import load_table
 
@@ -451,8 +449,6 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user via lag + running
     sum — the batch shape of session_window(ts, gap) in streaming."""
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond gap — a seconds cast would truncate and disagree with
@@ -492,8 +488,6 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, and carry the last non-null right-side value forward within
     each key ordered by (time, tag). One shuffle on the key, no range
     join, no per-group Python."""
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     od = load_table(spark, sf_dir, "orders")
     # right side deduped to one row per (key, time): ties would make the
@@ -952,8 +946,6 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: corpus-wide token frequencies, top 50.
     Explode → groupBy(token) gets map-side partial aggregation; the final
     top-k is TakeOrdered, not a global sort."""
-    from kafka_dbsync_spark.functions.text import tokens
-
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens("text")).alias("token"))
@@ -981,8 +973,6 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequency analysis (shared machinery with the shingle
     path; token array materialized once per row)."""
-    from kafka_dbsync_spark.operators.dedup import with_shingles
-
     docs = load_table(spark, sf_dir, "documents")
     sh = with_shingles(docs, "text", k=2)
     return (
