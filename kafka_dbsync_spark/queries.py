@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import (
     detect_language,
+    normalize_text,
     tokens,
     punct_count,
     quality_score,
@@ -1158,6 +1159,110 @@ def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id", "label", lsh_bucket("embedding", 16, 64).alias("bucket")
+    )
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): the filtered probe side broadcasts; no
+    duplicate-producing inner join + distinct."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative aggregate per key (the window-frame operator
+    class; decimal-exact running sums for engine parity)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, source,
+             {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS n_stop,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END AS n_tok,
+             md5({_SQL_NORM.format(c='text')}) AS dh
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             least(CAST(n_tok AS DOUBLE), 100.0) / 100.0 * 0.4
+             + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+             + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3
+               AS q
+      FROM m
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE floor(q * 10000) >= 5000 AND n_tok >= 10
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, lang, source, CAST(floor(q * 10000) AS BIGINT) AS quality_bp
+    FROM kept
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow: quality filter →
+    length filter → normalized dedup — the shape a 100 TB corpus actually
+    runs, as one Catalyst plan (filters evaluate before the dedup
+    shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", quality_score("text")).withColumn(
+        "n_tok", token_count("text")
+    )
+    kept = scored.filter(
+        (F.floor(F.col("q") * 10000) >= 5000) & (F.col("n_tok") >= 10)
+    )
+    deduped = dedup_exact(
+        kept, normalize_text("text"), ["doc_id"]
+    )
+    return deduped.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("q") * 10000).cast("long").alias("quality_bp"),
     )
 
 

@@ -24,6 +24,9 @@ SHUFFLE_BUDGET = {
     "cdc_final_state": 1,        # the keyed last-write-wins shuffle
     "cdc_backfill_then_stream": 2,  # phase-1 merge + phase-2 merge-with-base
     "segment_order_overlap": 1,     # broadcast intersect + distinct agg
+    "customers_with_urgent_orders": 0,  # broadcast semi join
+    "running_revenue": 1,           # per-key window sort
+    "curation_pipeline": 1,         # dedup shuffle after narrow filters
     "value_percentiles": 1,         # one agg exchange
     "user_value_trend": 1,          # one agg exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
