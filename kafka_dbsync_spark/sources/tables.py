@@ -40,6 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType here (truncation, same rule as the
     reference's 12→9-digit fraction truncate in TimestampConverter.java:
     94-112, one step further to Spark's micros)."""
+    # the caller may hand us a session built outside get_spark (the
+    # driver's harness does); both configs are runtime-settable and
+    # load-bearing — nanos parquet reads throw without the first, and
+    # duplicate Kafka headers throw without the second
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    except Exception:  # noqa: BLE001 — read-only conf backends
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div — float division loses precision on epoch-nanos (>2^53)
