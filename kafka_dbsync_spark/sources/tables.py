@@ -47,6 +47,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # formatted-timestamp outputs (and the DuckDB oracles) assume UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — read-only conf backends
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
