@@ -72,6 +72,29 @@ def dedup_normalized(
     return dedup_exact(df, normalize_text(text_col), order_cols)
 
 
+def streaming_dedup_exact(
+    stream: DataFrame,
+    on: Column | str,
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+    digest_col: str = "dedup_hash",
+) -> DataFrame:
+    """Cross-batch exact dedup on a streaming DataFrame.
+
+    Spark's stateful ``dropDuplicates`` keeps one state entry per digest;
+    with an event-time watermark the state is bounded (digests older than
+    the watermark are evicted — duplicates farther apart than the
+    watermark pass through, the standard streaming-dedup trade-off).
+    Without ``event_time_col`` the state grows unboundedly: only for
+    bounded/test streams."""
+    on_col = F.col(on) if isinstance(on, str) else on
+    out = stream.withColumn(digest_col, F.md5(on_col))
+    if event_time_col:
+        out = out.withWatermark(event_time_col, watermark)
+        return out.dropDuplicates([digest_col, event_time_col])
+    return out.dropDuplicates([digest_col])
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,33 @@
+"""Cross-batch streaming content-dedup (stateful dropDuplicates)."""
+
+from __future__ import annotations
+
+from kafka_dbsync_spark.operators.dedup import streaming_dedup_exact
+
+
+def test_streaming_dedup_across_batches(tmp_path, spark):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    SCH = "doc_id long, text string"
+
+    def emit(rows):
+        spark.createDataFrame(rows, SCH).coalesce(1).write.mode("append").parquet(src)
+
+    emit([(1, "alpha"), (2, "beta"), (3, "alpha")])  # in-batch dup
+    stream = spark.readStream.schema(SCH).parquet(src)
+    deduped = streaming_dedup_exact(stream, "text")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: cross-batch dup of "alpha" + new content
+    emit([(4, "alpha"), (5, "gamma")])
+    q.processAllAvailable()
+    q.stop()
+
+    texts = sorted(r["text"] for r in spark.sql("SELECT * FROM sdedup").collect())
+    assert texts == ["alpha", "beta", "gamma"]  # each content exactly once
