@@ -51,17 +51,19 @@ def dedup_exact(
     on_col = F.col(on) if isinstance(on, str) else on
     out = df.withColumn(digest_col, F.md5(on_col))
     # NULL inputs digest to NULL — they are missing data, not duplicates
-    # of each other, so they pass through undeduplicated
-    nulls = out.filter(F.col(digest_col).isNull())
-    nonnull = out.filter(F.col(digest_col).isNotNull())
+    # of each other. A per-row synthetic group key for NULL digests keeps
+    # them undeduplicated in the SAME single pass (a filter/union split
+    # would scan the upstream plan twice).
+    group_key = F.coalesce(
+        F.col(digest_col), F.concat(F.lit("\0null:"), F.monotonically_increasing_id().cast("string"))
+    )
     row = F.struct(*[F.col(c) for c in out.columns])
     order = F.struct(*[F.col(c) for c in order_cols])
-    deduped = (
-        nonnull.groupBy(digest_col)
+    return (
+        out.groupBy(group_key.alias("__grp"))
         .agg(F.min_by(row, order).alias("__row"))
         .select("__row.*")
     )
-    return deduped.unionByName(nulls)
 
 
 def dedup_normalized(
@@ -90,8 +92,11 @@ def streaming_dedup_exact(
     on_col = F.col(on) if isinstance(on, str) else on
     out = stream.withColumn(digest_col, F.md5(on_col))
     if event_time_col:
+        # dedup on the digest ALONE within the watermark window —
+        # including the event time in the key would only drop rows with
+        # identical timestamps, i.e. not dedup content at all
         out = out.withWatermark(event_time_col, watermark)
-        return out.dropDuplicates([digest_col, event_time_col])
+        return out.dropDuplicatesWithinWatermark([digest_col])
     return out.dropDuplicates([digest_col])
 
 

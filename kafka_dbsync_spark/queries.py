@@ -683,7 +683,8 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, source, n_chars, md5(text) AS dedup_hash
     FROM documents
-    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    QUALIFY text IS NULL
+         OR row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,7 +699,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang, source, md5({_SQL_NORM.format(c='text')}) AS dedup_hash
     FROM documents
-    QUALIFY row_number() OVER (PARTITION BY md5({_SQL_NORM.format(c='text')}) ORDER BY doc_id) = 1
+    QUALIFY text IS NULL
+         OR row_number() OVER (PARTITION BY md5({_SQL_NORM.format(c='text')}) ORDER BY doc_id) = 1
     """,
 )
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,7 +1239,7 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM scored
       WHERE floor(q * 10000) >= 5000 AND n_tok >= 10
-      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY doc_id) = 1
+      QUALIFY t IS NULL OR row_number() OVER (PARTITION BY dh ORDER BY doc_id) = 1
     )
     SELECT doc_id, lang, source, CAST(floor(q * 10000) AS BIGINT) AS quality_bp
     FROM kept

@@ -44,13 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's harness does); both configs are runtime-settable and
     # load-bearing — nanos parquet reads throw without the first, and
     # duplicate Kafka headers throw without the second
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
         # formatted-timestamp outputs (and the DuckDB oracles) assume UTC
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # noqa: BLE001 — read-only conf backends
-        pass
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception as e:  # noqa: BLE001 — read-only conf backends
+            import logging
+
+            logging.getLogger(__name__).warning("could not set %s: %s", key, e)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div — float division loses precision on epoch-nanos (>2^53)

@@ -57,11 +57,10 @@ class CdcApplyEngine:
     (iidr.errors.tolerance), ``auto_create`` / ``auto_evolve``,
     ``corrupt_table`` (corrupt.events.table).
 
-    ``order_cols`` defaults to ``("offset",)`` — valid for any
-    kafka-shaped batch since a key lives in one Kafka partition (keys are
-    hash-partitioned), so per-key order ≡ per-partition offset order.
-    Pass ``("partition", "offset")`` style pairs explicitly when keys can
-    span partitions.
+    ``order_cols=None`` (default) resolves per batch to
+    ``(partition-ish column if present, offset)`` — a deterministic total
+    order even when a key's records span Kafka partitions (e.g. after a
+    partition-count increase). Pass explicit columns to override.
     """
 
     def __init__(
@@ -72,7 +71,7 @@ class CdcApplyEngine:
         value_cols: Sequence[str],
         table_col: str = "target_table",
         op_col: str = "op",
-        order_cols: Sequence[str] = ("offset",),
+        order_cols: Sequence[str] | None = None,
         errors_tolerance: str = "none",
         auto_create: bool = True,
         auto_evolve: bool = True,
@@ -85,7 +84,7 @@ class CdcApplyEngine:
         self.value_cols = list(value_cols)
         self.table_col = table_col
         self.op_col = op_col
-        self.order_cols = list(order_cols)
+        self.order_cols = list(order_cols) if order_cols is not None else None
         self.errors_tolerance = errors_tolerance
         self.auto_create = auto_create
         self.auto_evolve = auto_evolve
@@ -132,8 +131,14 @@ class CdcApplyEngine:
                 valid = batch_df
 
             # A3: last write wins per (table, key) — before set-based apply
+            order_cols = self.order_cols
+            if order_cols is None:
+                part = [
+                    c for c in ("partition", "kafka_partition") if c in valid.columns
+                ][:1]
+                order_cols = [*part, "offset"]
             deduped = latest_by_key(
-                valid, [self.table_col, *self.pk_fields], self.order_cols
+                valid, [self.table_col, *self.pk_fields], order_cols
             )
 
             out_cols = [*self.pk_fields, *self.value_cols, self.op_col]
@@ -150,6 +155,10 @@ class CdcApplyEngine:
     def _handle_corrupt(self, corrupt: DataFrame) -> None:
         if not self.corrupt_table and self.errors_tolerance == "all":
             return  # silent-skip mode with no DLQ: nothing to evaluate
+        # cheap emptiness probe on the cached batch — the common clean
+        # batch must not open a DLQ connection (or depend on DLQ health)
+        if corrupt.isEmpty():
+            return
         n = 0
         if self.corrupt_table:
             conn = self.connection_factory()
@@ -247,21 +256,22 @@ class CdcApplyEngine:
         op_col = self.op_col
         table_col = self.table_col
 
-        # DDL runs driver-side up front (one connection) so executor
-        # partitions only ever issue DML — same auto_create/auto_evolve
-        # semantics as the driver-side path
+        # DDL runs driver-side up front (one connection for all tables) so
+        # executor partitions only ever issue DML — same auto_create/
+        # auto_evolve semantics as the driver-side path. Every table
+        # shares the batch schema, so no per-table filtering is needed.
         if self.auto_create or self.auto_evolve:
             tables = [
                 r[0] for r in per_table.select(table_col).distinct().collect()
             ]
-            for table in sorted(tables):
-                tdf = per_table.filter(F.col(table_col) == table).drop(table_col)
-                conn = self.connection_factory()
-                try:
-                    self._ensure_table(conn, table, tdf)
-                    conn.commit()
-                finally:
-                    conn.close()
+            schema_df = per_table.drop(table_col)
+            conn = self.connection_factory()
+            try:
+                for table in sorted(tables):
+                    self._ensure_table(conn, table, schema_df)
+                conn.commit()
+            finally:
+                conn.close()
 
         def apply_partition(rows) -> None:
             rows = list(rows)

@@ -31,3 +31,37 @@ def test_streaming_dedup_across_batches(tmp_path, spark):
 
     texts = sorted(r["text"] for r in spark.sql("SELECT * FROM sdedup").collect())
     assert texts == ["alpha", "beta", "gamma"]  # each content exactly once
+
+
+def test_streaming_dedup_watermarked(tmp_path, spark):
+    """The watermarked (bounded-state) path must dedup content with
+    DIFFERENT event times inside the window."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    SCH = "doc_id long, text string, ts timestamp"
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, "alpha", at(0)),
+        (2, "alpha", at(5)),   # same content, different event time → dup
+        (3, "beta", at(6)),
+    ]
+    spark.createDataFrame(rows, SCH).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCH).parquet(src)
+    deduped = streaming_dedup_exact(stream, "text", event_time_col="ts")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_wm")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    texts = sorted(r["text"] for r in spark.sql("SELECT * FROM sdedup_wm").collect())
+    assert texts == ["alpha", "beta"]
