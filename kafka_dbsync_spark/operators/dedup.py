@@ -176,13 +176,34 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     k: int = 3,
+    max_bucket_size: int = 32,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    Returns distinct (id_a < id_b) pairs sharing ≥1 band. The self-join is
-    an equi-join on (band_index, band_value); Catalyst shuffles both sides
-    on that composite key — uniform by construction.
+    Returns distinct (id_a < id_b) pairs sharing ≥1 band.
+
+    Skew bound: hash buckets are uniform for *distinct* content, but the
+    dedup target input is duplicate-heavy — every copy of identical
+    content lands in ONE bucket per band, so the hot-bucket size is
+    unbounded by construction.  Pair generation is therefore hybrid:
+
+    - buckets with ≤ ``max_bucket_size`` members expand all in-bucket
+      pairs (complete pair info for downstream Jaccard verification);
+    - larger buckets emit *star* pairs only — every member paired with
+      the bucket's min id.  O(bucket) rows instead of O(bucket²), and no
+      per-bucket array is ever materialized on the large path.  For
+      connected-component dedup this loses nothing: all members stay
+      transitively connected through the representative.
+
+    Memory safety at 100 TB: bucket size/min come from a window over
+    (band_idx, band_val) — Spark's WindowExec buffers partitions in a
+    spillable row array (disk-backed), so a 10M-member bucket is a slow
+    task, not an OOM.  The small path's collect_list is bounded by
+    ``max_bucket_size``.  Both branches read the same exchange
+    (ReusedExchange), so the signature pipeline is computed once.
     """
+    from pyspark.sql.window import Window
+
     sig = with_shingles(df, text_col, k).select(
         F.col(id_col), *minhash_signature("shingles", num_hashes)
     )
@@ -190,17 +211,22 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.posexplode(lsh_bands(sig_cols, rows_per_band)).alias("band_idx", "band_val")
     )
-    # single-pass bucket expansion instead of a self-join: a self-join
-    # would evaluate the (expensive) signature pipeline twice; grouping by
-    # band and expanding in-bucket pairs computes signatures once and
-    # shuffles only (band, doc_id) rows. Bucket sizes are near-constant
-    # (hash buckets), so the in-bucket pair expansion is O(bucket²)=O(1).
-    buckets = (
-        banded.groupBy("band_idx", "band_val")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
+    w = Window.partitionBy("band_idx", "band_val")
+    sized = banded.select(
+        F.col(id_col),
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.count("*").over(w).alias("__n"),
+        F.min(id_col).over(w).alias("__mn"),
     )
-    pairs = buckets.select(
+    # Small buckets: single-pass bounded expansion (computes signatures
+    # once, shuffles only (band, doc_id) rows, list size ≤ max_bucket_size).
+    small_buckets = (
+        sized.filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+        .groupBy("band_idx", "band_val")
+        .agg(F.collect_list(id_col).alias("ids"))
+    )
+    small_pairs = small_buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -212,8 +238,13 @@ def minhash_lsh_candidates(
                 )
             )
         ).alias("p")
-    )
-    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
+    ).select(F.col("p.id_a"), F.col("p.id_b"))
+    # Large buckets: star pairs to the representative — narrow projection,
+    # no aggregation state at all.
+    large_pairs = sized.filter(
+        (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__mn"))
+    ).select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
+    return small_pairs.unionByName(large_pairs).distinct()
 
 
 def jaccard_pairs(

@@ -442,7 +442,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM g
     )
-    SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+    SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id
     """,
@@ -870,7 +870,10 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-def _sql_lsh_pairs(num_hashes: int = 8) -> str:
+def _sql_lsh_pairs(num_hashes: int = 8, max_bucket_size: int = 32) -> str:
+    # Mirrors minhash_lsh_candidates' hybrid pair generation: all pairs
+    # for buckets ≤ max_bucket_size, star pairs (to the bucket min id)
+    # above — see operators/dedup.py:minhash_lsh_candidates.
     base = _sql_minhash(num_hashes).replace("FROM documents", f"FROM ({_SQL_PLANTED})")
     bands = "[sig_0 || sig_1, sig_2 || sig_3, sig_4 || sig_5, sig_6 || sig_7]"
     return f"""
@@ -878,11 +881,23 @@ def _sql_lsh_pairs(num_hashes: int = 8) -> str:
     bands AS (
       SELECT doc_id, i.band_idx, ({bands})[i.band_idx] AS band_val
       FROM sig, (SELECT unnest(range(1, 5)) AS band_idx) i
+    ),
+    sized AS (
+      SELECT doc_id, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sized a JOIN sized b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE a.n <= {max_bucket_size}
+      UNION ALL
+      SELECT mn AS id_a, doc_id AS id_b
+      FROM sized WHERE n > {max_bucket_size} AND doc_id <> mn
+    )
     """
 
 

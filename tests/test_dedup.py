@@ -60,6 +60,33 @@ def test_lsh_finds_near_dups(spark):
     assert not any(5 in p for p in pairs)
 
 
+def test_lsh_hot_bucket_star_pairs(spark):
+    """Adversarial duplicate-heavy corpus: every copy of identical
+    content shares ALL bands, so one bucket holds the whole corpus.
+    Above max_bucket_size the operator must emit O(n) star pairs to the
+    min-id representative — not O(n²) all-pairs — keeping every member
+    transitively connected."""
+    n = 500
+    docs = spark.range(1, n + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same document body repeated verbatim across the corpus").alias("text"),
+    )
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", max_bucket_size=32
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exactly n-1 star pairs, all anchored at the min id
+    assert got == {(1, b) for b in range(2, n + 1)}
+
+
+def test_lsh_small_buckets_unchanged_by_cap(spark):
+    """Buckets under the cap produce identical all-pairs output for any
+    cap value (the hybrid only changes behavior above the threshold)."""
+    base = minhash_lsh_candidates(docs_df(spark), "doc_id", "text", max_bucket_size=32)
+    hi = minhash_lsh_candidates(docs_df(spark), "doc_id", "text", max_bucket_size=1000)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, hi.collect()))
+
+
 def test_jaccard_verification(spark):
     docs = docs_df(spark)
     cand = minhash_lsh_candidates(docs, "doc_id", "text")

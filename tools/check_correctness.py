@@ -26,23 +26,30 @@ TABLES = (
 
 
 def canon_cell(v):
+    # Unwrap numpy scalars so int64 stays int, bool_ stays bool, etc.
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "\0NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
 def canon_rows(df) -> list[tuple]:
+    # Per-COLUMN canonicalization, deliberately not iterrows(): iterrows()
+    # upcasts each row to a common dtype, which masks int-vs-float drift
+    # between Spark and the oracle (the exact class of mismatch the
+    # driver's per-column hash catches).
     cols = sorted(df.columns)
-    rows = [tuple(canon_cell(r[c]) for c in cols) for _, r in df[cols].iterrows()]
-    return sorted(rows)
+    col_values = [[canon_cell(v) for v in df[c].tolist()] for c in cols]
+    return sorted(zip(*col_values))
 
 
 def main() -> int:

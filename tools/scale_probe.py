@@ -81,6 +81,23 @@ def main() -> None:
         f"{d0 * factor / dt:,.0f} docs/s ({n_pairs} candidate pairs)"
     )
 
+    # Adversarial hot bucket: the ENTIRE corpus identical, so every band
+    # funnels all ids into one bucket. Pre-cap this was an O(n²)
+    # single-task blowup; post-cap it must emit exactly n-1 star pairs.
+    n_adv = d0 * factor
+    adv = spark.range(1, n_adv + 1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical corpus body for the adversarial hot bucket probe").alias("text"),
+    )
+    t0 = time.perf_counter()
+    n_star = minhash_lsh_candidates(adv, "doc_id", "text", 8, 2).count()
+    dt = time.perf_counter() - t0
+    assert n_star == n_adv - 1, f"expected {n_adv - 1} star pairs, got {n_star}"
+    print(
+        f"minhash_lsh adversarial (all-identical): {n_adv} docs in {dt:.2f}s "
+        f"= {n_adv / dt:,.0f} docs/s ({n_star} star pairs)"
+    )
+
 
 if __name__ == "__main__":
     main()
