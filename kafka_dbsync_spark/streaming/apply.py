@@ -77,6 +77,7 @@ class CdcApplyEngine:
         auto_evolve: bool = True,
         corrupt_table: str | None = None,
         distribute: bool = False,
+        num_partitions: int | None = None,
     ) -> None:
         self.connection_factory = connection_factory
         self.dialect = dialect
@@ -90,6 +91,10 @@ class CdcApplyEngine:
         self.auto_evolve = auto_evolve
         self.corrupt_table = corrupt_table
         self.distribute = distribute
+        # the reference's tasks.max: pins the number of concurrent sink
+        # connections; None lets AQE size the exchange (it will coalesce
+        # small batches down to few connections, which is usually right)
+        self.num_partitions = num_partitions
         self._known_tables: set[str] = set()
 
     # -- public entry points ------------------------------------------------
@@ -228,15 +233,19 @@ class CdcApplyEngine:
     # -- apply paths ----------------------------------------------------------
     def _apply_driver_side(self, per_table: DataFrame) -> None:
         """One connection, one transaction per table (the reference's
-        shape: a single sink task with a JDBC connection)."""
+        shape: a single sink task with a JDBC connection).
+
+        Rows stream through the driver via ``toLocalIterator`` in bounded
+        chunks (same discipline as the DLQ path) — driver memory stays
+        O(chunk) no matter how large the batch (e.g. a backfill replay),
+        while the transaction still spans the whole table."""
         tables = [r[0] for r in per_table.select(self.table_col).distinct().collect()]
         for table in sorted(tables):
             tdf = per_table.filter(F.col(self.table_col) == table).drop(self.table_col)
-            rows = tdf.collect()
             conn = self.connection_factory()
             try:
                 self._ensure_table(conn, table, tdf)
-                self._write_rows(conn, table, rows)
+                self._write_stream(conn, table, tdf.toLocalIterator())
                 conn.commit()
             except Exception:
                 conn.rollback()
@@ -305,7 +314,12 @@ class CdcApplyEngine:
             finally:
                 conn.close()
 
-        per_table.repartition(*([table_col] + pk)).foreachPartition(apply_partition)
+        keys = [table_col] + pk
+        if self.num_partitions is not None:
+            shaped = per_table.repartition(self.num_partitions, *keys)
+        else:
+            shaped = per_table.repartition(*keys)
+        shaped.foreachPartition(apply_partition)
 
     # -- DDL (K6/K7) -----------------------------------------------------------
     def _ensure_table(self, conn, table: str, tdf: DataFrame) -> None:
@@ -338,17 +352,28 @@ class CdcApplyEngine:
             return None
 
     # -- DML -------------------------------------------------------------------
-    def _write_rows(self, conn, table: str, rows) -> None:
+    def _write_stream(self, conn, table: str, rows, chunk_size: int = 10_000) -> None:
+        """Batched upserts + deletes from a row iterator, flushed every
+        ``chunk_size``. Keys are unique after last-write-wins dedup, so
+        flush order between the upsert and delete statements is free."""
         cols = [*self.pk_fields, *self.value_cols]
         upsert = self.dialect.upsert_sql(table, cols, self.pk_fields)
         delete = self.dialect.delete_sql(table, self.pk_fields)
         cur = conn.cursor()
-        ups = [tuple(r[c] for c in cols) for r in rows if r[self.op_col] == OP_UPSERT]
-        dels = [
-            tuple(r[c] for c in self.pk_fields)
-            for r in rows
-            if r[self.op_col] == OP_DELETE
-        ]
+        ups: list[tuple] = []
+        dels: list[tuple] = []
+        for r in rows:
+            op = r[self.op_col]
+            if op == OP_UPSERT:
+                ups.append(tuple(r[c] for c in cols))
+                if len(ups) >= chunk_size:
+                    cur.executemany(upsert, ups)
+                    ups = []
+            elif op == OP_DELETE:
+                dels.append(tuple(r[c] for c in self.pk_fields))
+                if len(dels) >= chunk_size:
+                    cur.executemany(delete, dels)
+                    dels = []
         if ups:
             cur.executemany(upsert, ups)
         if dels:
