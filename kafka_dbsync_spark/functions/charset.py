@@ -12,7 +12,7 @@ U+FF00+byte (halfwidth/fullwidth-forms area). Recovery is:
     then bytes.decode(target_charset)
 
 Deterministic and byte-exact, validated against the reference's BIG5 test
-vectors (big5-tests.sh:216-293) in tests/test_charset.py.
+vectors (big5-tests.sh:216-293) in tests/test_functions.py.
 
 This is the one operator in the engine that genuinely needs Python — it is
 a vectorized Arrow-batched pandas UDF, not a row-at-a-time UDF, so the hot

@@ -51,19 +51,27 @@ def dedup_exact(
     on_col = F.col(on) if isinstance(on, str) else on
     out = df.withColumn(digest_col, F.md5(on_col))
     # NULL inputs digest to NULL — they are missing data, not duplicates
-    # of each other. A per-row synthetic group key for NULL digests keeps
-    # them undeduplicated in the SAME single pass (a filter/union split
-    # would scan the upstream plan twice).
-    group_key = F.coalesce(
-        F.col(digest_col), F.concat(F.lit("\0null:"), F.monotonically_increasing_id().cast("string"))
-    )
+    # of each other. They still flow through the SAME single-pass
+    # aggregation (a filter/union split would scan the upstream twice),
+    # keyed by a DETERMINISTIC hash of the full row content — a
+    # nondeterministic per-row id here could re-key rows between partial
+    # and final aggregation on stage retry, duplicating or losing them.
+    # Byte-identical NULL-content rows share a key, so their multiplicity
+    # is restored afterwards from the group count.
     row = F.struct(*[F.col(c) for c in out.columns])
-    order = F.struct(*[F.col(c) for c in order_cols])
-    return (
-        out.groupBy(group_key.alias("__grp"))
-        .agg(F.min_by(row, order).alias("__row"))
-        .select("__row.*")
+    group_key = F.coalesce(
+        F.col(digest_col), F.concat(F.lit("\0null:"), F.md5(F.to_json(row)))
     )
+    order = F.struct(*[F.col(c) for c in order_cols])
+    grouped = out.groupBy(group_key.alias("__grp")).agg(
+        F.min_by(row, order).alias("__row"), F.count(F.lit(1)).alias("__n")
+    )
+    copies = F.when(
+        F.col("__grp").startswith("\0null:"), F.col("__n")
+    ).otherwise(F.lit(1))
+    return grouped.select(
+        F.explode(F.sequence(F.lit(1), copies.cast("int"))).alias("__i"), "__row"
+    ).select("__row.*")
 
 
 def dedup_normalized(

@@ -1283,6 +1283,30 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kafka_dbsync_spark.functions import datatypes as _dt  # noqa: E402
+
+
+@query("datatype_matrix", oracle=_dt.datatype_oracle_sql())
+def q_datatype_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.2 M5: the reference's 33-column Oracle datatype fixture
+    (hack/sql/oracle-datatype-test.sql:17-50, expected results
+    docs/debezium-datatype-comparison-results.md:31-96) pushed through the
+    Debezium wire decode — every NUMBER precision incl. 38, IEEE floats,
+    CHAR padding, DATE/TIMESTAMP(3/6/9)/TZ/LTZ, INTERVAL YM/DS,
+    LOB/RAW, ''≡NULL, EMPTY_BLOB, boolean-as-NUMBER(1), and all three
+    decimal.handling.modes. Spark side is pure Catalyst expressions
+    (functions/datatypes.py); the oracle is an independent pure-Python
+    decode rendered as a typed VALUES table."""
+    from kafka_dbsync_spark.sources.tables import pin_session_confs
+
+    pin_session_confs(spark)  # formatted timestamps assume session UTC
+    wire = spark.createDataFrame(
+        [tuple(r[name] for name, _ in _dt._WIRE_COLUMNS) for r in _dt.datatype_wire_rows()],
+        _dt.DATATYPE_WIRE_SCHEMA,
+    )
+    return _dt.decode_wire(wire)
+
+
 @query(
     "multimodal_meta",
     oracle="""

@@ -32,22 +32,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Path layout: {sf_dir}/{name}.parquet.
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable session configs correctness depends on.
 
-    `events.ts` is stored as TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
-    microsecond TimestampType here (truncation, same rule as the
-    reference's 12→9-digit fraction truncate in TimestampConverter.java:
-    94-112, one step further to Spark's micros)."""
-    # the caller may hand us a session built outside get_spark (the
-    # driver's harness does); both configs are runtime-settable and
-    # load-bearing — nanos parquet reads throw without the first, and
-    # duplicate Kafka headers throw without the second
+    The caller may hand us a session built outside get_spark (the driver's
+    harness does); all three are load-bearing — nanos parquet reads throw
+    without the first, duplicate Kafka headers throw without the second,
+    and formatted-timestamp outputs (plus the DuckDB oracles) assume UTC."""
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
-        # formatted-timestamp outputs (and the DuckDB oracles) assume UTC
         ("spark.sql.session.timeZone", "UTC"),
     ):
         try:
@@ -56,6 +50,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             import logging
 
             logging.getLogger(__name__).warning("could not set %s: %s", key, e)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Path layout: {sf_dir}/{name}.parquet.
+
+    `events.ts` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
+    microsecond TimestampType here (truncation, same rule as the
+    reference's 12→9-digit fraction truncate in TimestampConverter.java:
+    94-112, one step further to Spark's micros)."""
+    pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div — float division loses precision on epoch-nanos (>2^53)

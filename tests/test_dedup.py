@@ -34,6 +34,23 @@ def test_dedup_exact(spark):
     assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5}
 
 
+def test_dedup_exact_preserves_null_rows(spark):
+    """NULL content is missing data, not a duplicate: every NULL row
+    survives — including byte-identical ones, whose multiplicity is
+    restored from the group count (the group key is a deterministic
+    full-row hash, safe under stage retry)."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    ) . union(
+        spark.createDataFrame([(3, None)], "doc_id long, text string")
+    )  # doc_id 3 appears twice with identical bytes
+    out = dedup_exact(df, "text", ["doc_id"]).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 3, 4, 5]
+    assert all(r["dedup_hash"] is None for r in out if r["text"] is None)
+
+
 def test_dedup_normalized(spark):
     out = dedup_normalized(docs_df(spark), "text", ["doc_id"])
     assert {r["doc_id"] for r in out.collect()} == {1, 4, 5}
