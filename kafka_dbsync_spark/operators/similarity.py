@@ -113,6 +113,128 @@ def cosine_topk_blocked(
     )
 
 
+def centroid_arrays(
+    centroids_long: DataFrame,
+    cell_col: str = "label",
+    dim_col: str = "dim",
+    val_col: str = "centroid",
+) -> list[tuple[int, list[float]]]:
+    """Collect long-format centroids (cell, dim, value) into
+    driver-side (cell_id, vector) pairs, cells and dims sorted.
+
+    Centroids are index METADATA, not data: B×dim doubles — a few MB even
+    at B=64k cells × dim=1024, the same object a FAISS coarse quantizer
+    keeps in RAM. Collecting them is the IVF design, not a scale leak."""
+    cells: dict = {}
+    for r in centroids_long.select(cell_col, dim_col, val_col).collect():
+        cells.setdefault(r[cell_col], {})[r[dim_col]] = float(r[val_col])
+    return [
+        (cid, [cells[cid][d] for d in sorted(cells[cid])]) for cid in sorted(cells)
+    ]
+
+
+def _sq_l2(vec_col, centroid: list[float], decimals: int):
+    """Squared L2 distance to a literal centroid — left-fold sum in index
+    order (the oracle mirrors the same order; float sums are
+    order-sensitive), rounded so argmin tie-breaks are engine-portable."""
+    c = F.array(*[F.lit(x) for x in centroid])
+    d2 = F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.round(d2, decimals)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid_id",
+    dist_decimals: int = 6,
+    keep_cols: tuple = ("label",),
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2 argmin,
+    ties to the lowest cell id) — the step that closes the IVF loop
+    between ``ivf_centroids`` (build) and ``ivf_search`` (probe).
+
+    The centroids are inlined as plan literals, which makes assignment a
+    MAP-ONLY operator: no join, no shuffle, linear in the table size at
+    any scale. At 100 TB this is the index-build pass whose ``cell_col``
+    output becomes the table's partition column, so searches prune to
+    nprobe/B of the files."""
+    cents = centroid_arrays(centroids_long)
+    # materialize the double-cast once per row: it is referenced by every
+    # per-centroid distance term, and Spark does no CSE inside HOF lambdas
+    withv = embeddings.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    entries = [
+        F.struct(
+            _sq_l2(F.col("__v"), vec, dist_decimals).alias("dist"),
+            F.lit(cid).alias(cell_col),
+        )
+        for cid, vec in cents
+    ]
+    best = F.array_min(F.array(*entries))  # struct compare: (dist, cell id)
+    out = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    if keep_vec:
+        out.append(F.col(vec_col))
+    out += [F.col(f"__b.{cell_col}").alias(cell_col), F.col("__b.dist").alias("dist")]
+    return withv.withColumn("__b", best).select(*out)
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """IVF ANN search: probe the ``nprobe`` cells nearest to the query,
+    exact cosine re-rank inside them.
+
+    Probe selection runs on the driver over the collected centroid
+    metadata (a B-element loop — the FAISS coarse-quantizer step); the
+    candidate filter + re-rank is a map-only scan of the probed cells.
+    Rounding rules match ``ivf_assign``/the DuckDB oracle so the probe
+    set is engine-portable."""
+    import decimal
+
+    cents = centroid_arrays(centroids_long)
+    q = [float(x) for x in query_vec]
+
+    def round_half_up(v: float, nd: int) -> decimal.Decimal:
+        return decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+
+    ranked = sorted(
+        (round_half_up(sum((x - y) * (x - y) for x, y in zip(vec, q)), 6), cid)
+        for cid, vec in cents
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    assigned = ivf_assign(
+        embeddings, centroids_long, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    qlit = F.array(*[F.lit(x) for x in q])
+    cand = assigned.filter(F.col("centroid_id").isin(probe))
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(vec_col, qlit), score_decimals)
+    )
+    return (
+        scored.drop(vec_col, "dist")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def neardup_pairs_blocked(
     embeddings: DataFrame,
     block_col: str,

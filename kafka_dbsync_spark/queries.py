@@ -1031,6 +1031,91 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared CTE prefix: centroids (mirrors the ivf_centroids oracle), centroid
+# vectors per cell, and double-cast embeddings. Distance folds sum in index
+# order and round to 6 decimals — same rule as operators.similarity._sq_l2 —
+# so the argmin tie-break is engine-portable.
+_SQL_IVF_PREFIX = """
+    WITH comp AS (
+      SELECT label, i.dim, embedding[i.dim] AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) i
+    ), cent AS (
+      SELECT label, dim,
+             round(CAST(CAST(sum(CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS centroid
+      FROM comp GROUP BY label, dim
+    ), cvec AS (
+      SELECT label AS cid, list(centroid ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ), e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, label, cid AS centroid_id, dist FROM (
+        SELECT e.vec_id, e.label, cv.cid,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65), i -> (v[i] - cv.c[i]) * (v[i] - cv.c[i]))),
+                   (a, b) -> a + b), 6) AS dist
+        FROM e CROSS JOIN cvec cv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    )
+"""
+
+
+@query(
+    "ivf_assign",
+    oracle=_SQL_IVF_PREFIX + "SELECT vec_id, label, centroid_id, dist FROM assigned",
+)
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build, step 2: assign every vector to its nearest
+    centroid (squared-L2 argmin over the ivf_centroids output). Map-only —
+    the centroids are plan literals, so there is no join and no shuffle;
+    at 100 TB the centroid_id output is the partition column searches
+    prune on."""
+    from kafka_dbsync_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, q_ivf_centroids(spark, sf_dir))
+
+
+@query(
+    "ivf_search",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    , q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT cid FROM cvec CROSS JOIN q
+      ORDER BY round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i -> (qv[i] - c[i]) * (qv[i] - c[i]))),
+                 (a, b) -> a + b), 6), cid
+      LIMIT 2
+    ), scored AS (
+      SELECT a.vec_id, a.label, a.centroid_id,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (x,y) -> x + y))),
+               4) AS cos_sim
+      FROM assigned a JOIN e USING (vec_id) CROSS JOIN q
+      WHERE a.centroid_id IN (SELECT cid FROM probe)
+    )
+    SELECT vec_id, label, centroid_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search: probe the 2 cells nearest the vec_id=0 query,
+    exact cosine re-rank within them — the complete
+    build→assign→search loop (vs ann_blocked_topk's label stand-in)."""
+    from kafka_dbsync_spark.operators.similarity import ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_search(emb, q_ivf_centroids(spark, sf_dir), qv, nprobe=2, k=10)
+
+
 @query(
     "simhash",
     oracle=f"""

@@ -10,8 +10,20 @@ from kafka_dbsync_spark.functions.vectors import cosine, dot, norm
 from kafka_dbsync_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_blocked,
+    ivf_assign,
+    ivf_search,
     neardup_pairs_blocked,
 )
+
+
+def centroids_df(spark):
+    # two 4-dim cells in long format: cell 0 at e1, cell 1 at e2
+    rows = [
+        (0, d, 1.0 if d == 1 else 0.0) for d in range(1, 5)
+    ] + [
+        (1, d, 1.0 if d == 2 else 0.0) for d in range(1, 5)
+    ]
+    return spark.createDataFrame(rows, "label int, dim int, centroid double")
 
 
 def emb_df(spark):
@@ -49,6 +61,42 @@ def test_cosine_topk_blocked_prunes_other_blocks(spark):
     df = emb_df(spark)
     out = cosine_topk_blocked(df, df.filter(F.col("vec_id") == 0), "label", k=10).collect()
     assert {r["vec_id"] for r in out} == {0, 1, 2, 4}  # label-1 row excluded
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    out = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in ivf_assign(emb_df(spark), centroids_df(spark)).collect()
+    }
+    # e1-ish vectors land in cell 0, the e2 vector in cell 1
+    assert out[0][0] == 0 and out[1][0] == 0 and out[2][0] == 0
+    assert out[3][0] == 1
+    assert out[0][1] == 0.0 and out[3][1] == 0.0
+    assert out[4] == (1, 2.0)  # (-1,0,0,0): d²(c0)=4.0 > d²(c1)=2.0
+
+
+def test_ivf_assign_is_map_only(spark):
+    """The assignment introduces no join and no extra shuffle — the plan
+    must contain zero Exchange operators beyond the input's own."""
+    plan = ivf_assign(
+        emb_df(spark).coalesce(1), centroids_df(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivf_search_probes_nearest_cells(spark):
+    # query = e1: nearest cell is 0; nprobe=1 restricts candidates to cell 0
+    out = ivf_search(
+        emb_df(spark), centroids_df(spark), [1.0, 0.0, 0.0, 0.0], nprobe=1, k=10
+    ).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [0, 1, 2]  # vecs 3 and 4 live in cell 1, outside the probe
+    assert all(r["centroid_id"] == 0 for r in out)
+    # nprobe=2 widens the probe to both cells
+    wide = ivf_search(
+        emb_df(spark), centroids_df(spark), [1.0, 0.0, 0.0, 0.0], nprobe=2, k=10
+    ).collect()
+    assert {r["vec_id"] for r in wide} == {0, 1, 2, 3, 4}
 
 
 def test_neardup_pairs_blocked(spark):

@@ -59,6 +59,9 @@ SHUFFLE_BUDGET = {
     "ann_blocked_topk": 0,
     "embedding_neardup_pairs": 0,  # block join broadcasts at this size
     "ivf_centroids": 1,
+    "ivf_assign": 1,             # parallelism repartition; assignment itself is map-only
+    "ivf_search": 1,             # assignment map-only; TakeOrdered topk
+    "datatype_matrix": 0,        # 4-row literal fixture, fully narrow
     "vector_lsh_buckets": 0,     # fully narrow
     "multimodal_meta": 1,        # parallelism repartition
 }
@@ -70,6 +73,12 @@ def main() -> int:
     from kafka_dbsync_spark.queries import QUERIES
 
     spark = get_spark(cpus=8, shuffle_partitions=8)
+    # Audit with AQE off: the static ReuseExchange rule then shows shared
+    # subplans as ReusedExchange nodes (the regex below deliberately does
+    # not match them), so the count reflects exchanges that actually
+    # materialize. With AQE on, reuse happens at runtime but the static
+    # explain pessimistically shows each consumer's full pipeline.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     failures = []
     for name, fn in QUERIES.items():
         buf = io.StringIO()
