@@ -242,12 +242,19 @@ def neardup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 4,
+    salt: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) within blocks.
 
-    The self-join equi-keys on ``block_col``; at scale pair this with
-    salting if one block dominates (or run per-block via partition
-    pruning)."""
+    The self-join equi-keys on ``block_col`` — O(n²/B) instead of global
+    O(n²). A dominant block is quadratic in ONE task; ``salt=S`` spreads
+    it over an S×S grid: each row gets a stable salt cell
+    ``hash(id) % S``, side A is replicated across grid columns and side B
+    across grid rows, so every in-block pair meets in exactly one of S²
+    cells and the largest task shrinks from (n_max)² to (n_max/S)²
+    comparisons. Output is identical for any ``salt`` (the oracle doesn't
+    change); replication costs S× shuffle volume — use S ≈
+    ceil(n_max/target_rows_per_task), not a large constant."""
     e = embeddings.select(
         F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col).alias("__v")
     )
@@ -257,11 +264,20 @@ def neardup_pairs_blocked(
         .withColumnRenamed("__v", "__vb")
         .alias("b")
     )
-    pairs = a.join(
-        b,
-        (F.col("a.__blk") == F.col("b.__blk"))
-        & (F.col(f"a.{id_col}") < F.col(f"{id_col}_b")),
+    cond = (F.col("a.__blk") == F.col("b.__blk")) & (
+        F.col(f"a.{id_col}") < F.col(f"{id_col}_b")
     )
+    if salt > 1:
+        grid = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        a = a.withColumn("__sa", F.pmod(F.xxhash64(F.col(f"a.{id_col}")), F.lit(salt))).withColumn(
+            "__ga", grid
+        )
+        b = b.withColumn("__sb", F.pmod(F.xxhash64(F.col(f"{id_col}_b")), F.lit(salt))).withColumn(
+            "__gb", grid
+        )
+        # pair (x, y) meets exactly once: in grid cell (salt(x), salt(y))
+        cond = cond & (F.col("__sa") == F.col("__gb")) & (F.col("__ga") == F.col("__sb"))
+    pairs = a.join(b, cond)
     sim = cosine("__v", "__vb")
     return (
         pairs.filter(sim >= threshold)

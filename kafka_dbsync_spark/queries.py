@@ -1223,9 +1223,11 @@ def q_ann_blocked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs within label blocks (cosine ≥ 0.3 —
-    threshold chosen so the synthetic corpus yields non-trivial pairs)."""
+    threshold chosen so the synthetic corpus yields non-trivial pairs).
+    salt=2 exercises the skew-grid path (output is salt-invariant, so the
+    oracle is unchanged)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs_blocked(emb, "label", 0.3)
+    return neardup_pairs_blocked(emb, "label", 0.3, salt=2)
 
 
 def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:

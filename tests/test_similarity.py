@@ -105,3 +105,62 @@ def test_neardup_pairs_blocked(spark):
     assert pairs[(0, 1)] == 1.0
     assert all(a < b for a, b in pairs)
     assert not any(3 in p for p in pairs)  # other block never compared
+
+
+def test_neardup_salting_same_output_bounded_tasks(spark):
+    """One dominant block: salt=4 must produce the identical pair set
+    while spreading the quadratic expansion over the salt grid instead of
+    one task."""
+    n = 200
+    dom = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        # not F.lit(0): a foldable block would constant-fold the equi-join
+        # condition away and plan a cartesian product
+        (F.col("id") % 1).cast("int").alias("label"),
+        F.array(F.lit(1.0), (F.col("id") % 7).cast("double") / 1000.0).alias("embedding"),
+    )
+    plain = neardup_pairs_blocked(dom, "label", 0.99)
+    salted = neardup_pairs_blocked(dom, "label", 0.99, salt=4)
+    p = sorted(map(tuple, plain.collect()))
+    s = sorted(map(tuple, salted.collect()))
+    assert p == s and len(p) > 1000
+
+    # per-task bound: with a real shuffle join (broadcast disabled — at
+    # scale the sides are too big to broadcast, which is when salting
+    # matters), the pre-threshold pair stream must be spread across the
+    # grid: no task holds more than a few grid cells' worth of the n²/2
+    # pairs, vs 100% in one task unsalted.
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE's skew-join split also mitigates the hot block at runtime (with
+    # build-side read amplification); turn it off to assert the *plan*
+    # property salting provides.
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        raw = neardup_pairs_blocked(dom, "label", -1.0, salt=4)
+        counts = [
+            r["c"]
+            for r in raw.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        unsalted = [
+            r["c"]
+            for r in neardup_pairs_blocked(dom, "label", -1.0)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+    total = sum(counts)
+    assert total == n * (n - 1) // 2
+    assert max(unsalted) == total  # one block ⇒ unsalted is one task
+    # 16 grid cells hash onto 8 shuffle partitions: cell-to-partition
+    # collisions mean a task can carry a few cells, but never the whole
+    # block (deterministic xxhash64 ⇒ stable run to run; observed ≈32%)
+    assert max(counts) <= total // 2
+    assert sum(1 for c in counts if c > 0) >= 5
