@@ -25,7 +25,49 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization — the `session_window(ts, gap)` twin of
+    the batch ``events_sessionize`` query (lag + running sum shape).
+
+    Built-in session windows keep per-(key, open-session) state in the
+    checkpointed state store and MERGE windows as late events arrive;
+    with the event-time watermark, a session is finalized (emitted in
+    append mode, exactly once) when the watermark passes its close, and
+    its state is evicted — so state is bounded by the number of sessions
+    open within the watermark horizon, not by stream length.
+
+    Boundary note: two events exactly ``gap`` apart are the SAME session
+    in the batch query (strict `>` test) but DIFFERENT sessions here —
+    `session_window`'s [ts, ts+gap) windows don't overlap at exactly-gap
+    spacing. Same trade Flink's session windows make; avoid exact-gap
+    fixtures when comparing the two.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 def running_totals(

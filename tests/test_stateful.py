@@ -3,9 +3,16 @@ micro-batches and survive checkpointed restarts."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
+from datetime import datetime, timedelta
 
-from kafka_dbsync_spark.streaming.stateful import exactly_once_ids, running_totals
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+from kafka_dbsync_spark.streaming.stateful import (
+    exactly_once_ids,
+    running_totals,
+    sessionize_stream,
+)
 
 
 def _write(spark, path, rows):
@@ -67,3 +74,96 @@ def test_exactly_once_ids_cross_batch(tmp_path, spark):
         r["offset"] for r in spark.sql("SELECT * FROM dedup_out").collect()
     )
     assert offsets == [0, 1, 2]  # each id emitted exactly once, ever
+
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+SESS_SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _sess_events():
+    # ordered by event time: the stream delivers the first three in run 1
+    # and the rest in run 2, so no event is behind the watermark on arrival
+    m = timedelta(minutes=1)
+    return [
+        # sessions: user 1 → (t0, t0+10m), (t0+50m); user 2 → (t0), (t0+45m, t0+46m)
+        (1, T0, 1.0),
+        (1, T0 + 10 * m, 2.0),
+        (2, T0, 8.0),
+        (2, T0 + 45 * m, 16.0),
+        (2, T0 + 46 * m, 32.0),
+        (1, T0 + 50 * m, 4.0),
+    ]
+
+
+def test_sessionize_stream_matches_batch_across_restart(tmp_path, spark):
+    """session_window sessions with watermark must (a) survive a
+    checkpointed restart mid-stream and (b) agree with the batch
+    lag/running-sum sessionization on the same bounded data."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    events = _sess_events()
+
+    def write(rows):
+        spark.createDataFrame(rows, SESS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_until_drained():
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(SESS_SCHEMA).option(
+                    "maxFilesPerTrigger", "1"
+                ).parquet(src),
+                gap="30 minutes",
+                watermark="10 minutes",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write(events[:3])
+    run_until_drained()  # first run: only user-1 data
+    # second run resumes from the checkpoint; the sentinel (user 99, far
+    # future) advances the watermark past every real session's close so
+    # append mode finalizes them all
+    write(events[3:])
+    write([(99, T0 + timedelta(days=1), 0.0)])
+    run_until_drained()
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") != 99)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    got_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+
+    # batch twin on the same data (events_sessionize shape)
+    ev = spark.createDataFrame(events, SESS_SCHEMA)
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    batch = sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    batch_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got_rows == batch_rows == {1: (2, 3, 7.0), 2: (2, 3, 56.0)}
