@@ -1,0 +1,160 @@
+"""Frozen Kafka-source DataFrame contract (no broker in this container).
+
+Freezes the exact record shape the spark-sql-kafka source produces with
+``includeHeaders=true`` — binary key/value, headers as
+array<struct<key:string,value:binary>> with DUPLICATE names allowed,
+topic/partition/offset/timestamp/timestampType — as a parquet fixture,
+then drives ``decode_iidr_records`` and the full transform chain over it.
+
+Parity targets:
+- HeaderExtractor.java:26-48 (sink util): ``headers.lastWithName(name)``
+  + ``new String(bytes, UTF_8)``; null headers / null header value → null.
+- IidrToJdbcSinkTransform.java:323 uses the same lastWithName rule.
+The Spark twin is map_from_entries under mapKeyDedupPolicy=LAST_WIN.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from kafka_dbsync_spark.operators.merge import apply_changes
+from kafka_dbsync_spark.operators.transforms import (
+    split_corrupt,
+    validate_iidr,
+    with_operation,
+    with_target_table,
+)
+from kafka_dbsync_spark.sources.iidr import IIDR_HEADERS_TYPE, decode_iidr_records
+
+# the exact source schema of spark-sql-kafka with includeHeaders=true
+KAFKA_CONTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+        T.StructField("headers", IIDR_HEADERS_TYPE),
+    ]
+)
+
+TS = datetime(2025, 6, 1, 12, 0, 0)
+TOPIC = "iidr.CDC.CONTRACT"
+
+
+def rec(partition, offset, key, value, headers):
+    """headers: list[(name, bytes|None)] — duplicates allowed, or None."""
+    return (
+        json.dumps(key).encode() if key is not None else None,
+        json.dumps(value).encode() if value is not None else None,
+        TOPIC,
+        partition,
+        offset,
+        TS,
+        0,  # TimestampType.CREATE_TIME
+        headers,
+    )
+
+
+def h(name: str, value: str | None):
+    return (name, value.encode("utf-8") if value is not None else None)
+
+
+FIXTURE = [
+    # multi-partition upsert flow for key 1..3 (PT,PT,PT,UP,DL shape)
+    rec(0, 0, {"ID": 1}, {"ID": 1, "V": "one"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "PT"),
+         h("A_TIMSTAMP", "2025-06-01 12:00:00.000000000000")]),
+    rec(1, 0, {"ID": 2}, {"ID": 2, "V": "two"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+    rec(0, 1, {"ID": 3}, {"ID": 3, "V": "three"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+    # duplicate A_ENTTYP: first PT, last UP — lastWithName must win
+    rec(1, 1, {"ID": 2}, {"ID": 2, "V": "two-v2"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "PT"), h("A_ENTTYP", "UP")]),
+    # duplicate TableName with multi-byte UTF-8 in the winning (last) value
+    rec(0, 2, {"ID": 3}, None,
+        [h("TableName", "IGNORED"), h("TableName", "ÖRDERS_Ü"),
+         h("A_ENTTYP", "DL")]),
+    # corrupt ladder: headers missing entirely (null array)
+    rec(1, 2, {"ID": 9}, {"ID": 9}, None),
+    # null header VALUE (present name, null bytes) → extractor yields null
+    rec(0, 3, {"ID": 9}, {"ID": 9},
+        [h("TableName", None), h("A_ENTTYP", "PT")]),
+    # unknown op code
+    rec(1, 3, {"ID": 9}, {"ID": 9},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "XX")]),
+]
+
+
+@pytest.fixture(scope="module")
+def contract_df(spark, tmp_path_factory):
+    # round-trip through parquet: the fixture IS the frozen contract
+    path = str(tmp_path_factory.mktemp("kafka_contract") / "records.parquet")
+    spark.createDataFrame(FIXTURE, KAFKA_CONTRACT_SCHEMA).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.schema == KAFKA_CONTRACT_SCHEMA
+    return df
+
+
+def test_last_with_name_and_utf8_byte_parity(contract_df):
+    decoded = {
+        (r["partition"], r["offset"]): r
+        for r in decode_iidr_records(contract_df).collect()
+    }
+    # duplicate A_ENTTYP → last wins (PT then UP ⇒ UP)
+    assert decoded[(1, 1)]["entry_type"] == "UP"
+    # duplicate TableName → last wins, multi-byte UTF-8 decoded byte-exact
+    assert decoded[(0, 2)]["table_name"] == "ÖRDERS_Ü"
+    assert decoded[(0, 2)]["table_name"].encode("utf-8") == "ÖRDERS_Ü".encode("utf-8")
+    # tombstone: null kafka value stays null through the binary→string cast
+    assert decoded[(0, 2)]["record_value"] is None
+    # null headers array → every extracted header is null
+    assert decoded[(1, 2)]["table_name"] is None
+    assert decoded[(1, 2)]["entry_type"] is None
+    # header present with null value → null (HeaderExtractor value==null)
+    assert decoded[(0, 3)]["table_name"] is None
+    assert decoded[(0, 3)]["entry_type"] == "PT"
+    # A_TIMSTAMP optional: present on (0,0) only
+    assert decoded[(0, 0)]["a_timstamp"] == "2025-06-01 12:00:00.000000000000"
+    assert decoded[(1, 0)]["a_timstamp"] is None
+    # key bytes decode to the exact producer JSON
+    assert decoded[(0, 0)]["record_key"] == json.dumps({"ID": 1})
+
+
+def test_full_chain_over_contract_fixture(contract_df):
+    """decode → route → op-map → validate → split → keyed merge, straight
+    off the frozen Kafka shape (the reference's PT,PT,PT,UP,DL scenario
+    plus its corrupt ladder)."""
+    chained = validate_iidr(
+        with_operation(with_target_table(decode_iidr_records(contract_df)))
+    )
+    valid, corrupt = split_corrupt(chained)
+
+    reasons = {
+        (r["partition"], r["offset"]): r["error_reason"] for r in corrupt.collect()
+    }
+    assert reasons == {
+        (1, 2): "missing required header: TableName",
+        (0, 3): "missing required header: TableName",
+        (1, 3): "unknown entry type: XX",
+    }
+
+    row = F.from_json("record_value", "ID LONG, V STRING")
+    changes = valid.select(
+        F.from_json("record_key", "ID LONG")["ID"].alias("ID"),
+        row["V"].alias("V"),
+        "op",
+        # global order: offsets are per-partition in Kafka; within a key
+        # they are totally ordered because a key lives in one partition
+        (F.col("offset") * 10 + F.col("partition")).alias("seq"),
+    )
+    state = {r["ID"]: r["V"] for r in apply_changes(changes, ["ID"], ["seq"]).collect()}
+    assert state == {1: "one", 2: "two-v2"}  # 3 deleted, 2 updated by UP
