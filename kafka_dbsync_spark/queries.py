@@ -155,6 +155,51 @@ def cdc_corrupt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dlq_records",
+    oracle="""
+    SELECT '{"user_id":' || user_id || '}' AS record_key,
+           CAST(NULL AS VARCHAR) AS record_value,
+           'iidr.CDC.USER_STATE.dlq' AS dlq_topic,
+           'iidr.CDC.USER_STATE' AS src_topic,
+           CAST(user_id % 4 AS VARCHAR) AS src_partition,
+           CAST(event_id AS VARCHAR) AS src_offset,
+           'unknown entry type: XX' AS error_reason
+    FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+    """,
+)
+def q_dlq_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ-topic dead-lettering (the SMT errors.tolerance=all pattern,
+    smt/IidrToJdbcSinkTransform/README.md:180-184): corrupt records
+    re-addressed to the DLQ topic in the exact Kafka-sink record shape
+    with __connect.errors.* context headers, then decoded BACK to strings
+    here so the oracle verifies the header round-trip byte-for-byte."""
+    from kafka_dbsync_spark.streaming.sinks import dead_letter_records
+
+    ev = load_table(spark, sf_dir, "events")
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    _, corrupt = split_corrupt(iidr)
+    dlq = dead_letter_records(
+        corrupt,
+        "iidr.CDC.USER_STATE.dlq",
+        key_col="record_key",
+        value_col="record_value",
+        partition_col="kafka_partition",
+    )
+    hmap = F.map_from_entries(
+        F.expr("transform(headers, h -> struct(h.key, decode(h.value, 'UTF-8')))")
+    )
+    return dlq.select(
+        F.col("key").cast("string").alias("record_key"),
+        F.col("value").cast("string").alias("record_value"),
+        F.col("topic").alias("dlq_topic"),
+        hmap["__connect.errors.topic"].alias("src_topic"),
+        hmap["__connect.errors.partition"].alias("src_partition"),
+        hmap["__connect.errors.offset"].alias("src_offset"),
+        hmap["__connect.errors.exception.message"].alias("error_reason"),
+    )
+
+
+@query(
     "cdc_op_counts",
     oracle=f"""
     SELECT op, count(*) AS n, count(DISTINCT user_id) AS n_keys

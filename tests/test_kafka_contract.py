@@ -158,3 +158,53 @@ def test_full_chain_over_contract_fixture(contract_df):
     )
     state = {r["ID"]: r["V"] for r in apply_changes(changes, ["ID"], ["seq"]).collect()}
     assert state == {1: "one", 2: "two-v2"}  # 3 deleted, 2 updated by UP
+
+
+def test_dead_letter_records_kafka_shape(contract_df):
+    """DLQ projection must produce the exact Kafka-sink contract: original
+    bytes re-addressed to the DLQ topic, original headers preserved,
+    __connect.errors.* context appended (DeadLetterQueueReporter shape)."""
+    from kafka_dbsync_spark.streaming.sinks import dead_letter_records
+
+    chained = validate_iidr(
+        with_operation(with_target_table(decode_iidr_records(contract_df)))
+    )
+    _, corrupt = split_corrupt(chained)
+    dlq = dead_letter_records(corrupt, "dlq.topic")
+
+    assert [f.name for f in dlq.schema.fields] == ["key", "value", "topic", "headers"]
+    assert isinstance(dlq.schema["key"].dataType, T.BinaryType)
+    assert isinstance(dlq.schema["value"].dataType, T.BinaryType)
+
+    rows = dlq.collect()
+    assert len(rows) == 3 and all(r["topic"] == "dlq.topic" for r in rows)
+    # 3 corrupt records share key {"ID": 9}; pick the unknown-code one
+    unknown = next(
+        r
+        for r in rows
+        if any(
+            h["key"] == "__connect.errors.exception.message"
+            and bytes(h["value"]) == b"unknown entry type: XX"
+            for h in r["headers"]
+        )
+    )
+    hdrs = [(h["key"], bytes(h["value"]) if h["value"] is not None else None)
+            for h in unknown["headers"]]
+    # original headers come first, byte-identical
+    assert hdrs[:2] == [("TableName", b"ORDERS"), ("A_ENTTYP", b"XX")]
+    # then the four context headers with the source coordinates
+    assert dict(hdrs[2:]) == {
+        "__connect.errors.topic": TOPIC.encode(),
+        "__connect.errors.partition": b"1",
+        "__connect.errors.offset": b"3",
+        "__connect.errors.exception.message": b"unknown entry type: XX",
+    }
+    # original payload bytes unchanged
+    assert bytes(unknown["value"]) == json.dumps({"ID": 9}).encode()
+    # the record whose headers array was null carries ONLY the context
+    # block (no originals to preserve)
+    null_hdr = next(r for r in rows if len(r["headers"]) == 4)
+    ctx = {h["key"]: bytes(h["value"]) for h in null_hdr["headers"]}
+    assert ctx["__connect.errors.partition"] == b"1"
+    assert ctx["__connect.errors.offset"] == b"2"
+    assert ctx["__connect.errors.exception.message"] == b"missing required header: TableName"
