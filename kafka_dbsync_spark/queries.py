@@ -313,13 +313,23 @@ def cdc_backfill_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes over it, must equal one continuous replay (which is what the
     oracle computes). Exercises the base-merge arm of apply_changes."""
     ev = load_table(spark, sf_dir, "events")
-    n_half = ev.count() // 2
+    # split point as a broadcast scalar agg, not a driver-side count()
+    # action: the final state is split-invariant (the oracle replays
+    # continuously), so max/2 is as good as count/2 and keeps the whole
+    # query one declarative plan with a single narrow-column pre-pass
+    half = F.broadcast(ev.agg((F.max("event_id") / 2).cast("long").alias("__half")))
     iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
     valid, _ = split_corrupt(iidr)
-    changes = valid.select("user_id", "event_type", "value", "op", "offset")
-    base = apply_changes(changes.filter(F.col("offset") < n_half), ["user_id"], ["offset"])
+    changes = valid.select("user_id", "event_type", "value", "op", "offset").crossJoin(
+        half
+    )
+    base = apply_changes(
+        changes.filter(F.col("offset") < F.col("__half")).drop("__half"),
+        ["user_id"],
+        ["offset"],
+    )
     final = apply_changes(
-        changes.filter(F.col("offset") >= n_half),
+        changes.filter(F.col("offset") >= F.col("__half")).drop("__half"),
         ["user_id"],
         ["offset"],
         base=base,

@@ -22,7 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # shuffles exist; a new shuffle appearing is a regression to explain.
 SHUFFLE_BUDGET = {
     "cdc_final_state": 1,        # the keyed last-write-wins shuffle
-    "cdc_backfill_then_stream": 2,  # phase-1 merge + phase-2 merge-with-base
+    "cdc_backfill_then_stream": 3,  # split-point scalar agg (narrow 1-col
+    # pre-pass, SinglePartition) + phase-1 merge + phase-2 merge-with-base;
+    # the agg replaced a driver-side count() the audit never saw
     "segment_order_overlap": 1,     # broadcast intersect + distinct agg
     "customers_with_urgent_orders": 0,  # broadcast semi join
     "running_revenue": 1,           # per-key window sort
