@@ -70,18 +70,30 @@ def main() -> None:
     ).mode("overwrite").save()
 
     per_query: dict[str, float] = {}
+    per_query_warm: dict[str, float] = {}
     total = 0.0
+    total_warm = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: forces full evaluation of every output column
-        # (count() would let Catalyst prune the projections entirely)
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        # run twice: the first pays one-time whole-stage-codegen compile
+        # (1-3 s on HOF-heavy queries); the second is the steady-state
+        # per-batch cost — the number that scales to a long-running job.
+        # `value` stays the cold total for round-over-round comparability.
+        for attempt, book, agg in ((0, per_query, "cold"), (1, per_query_warm, "warm")):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: forces full evaluation of every output column
+            # (count() would let Catalyst prune the projections entirely)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            book[name] = round(dt, 3)
+        total += per_query[name]
+        total_warm += per_query_warm[name]
+        print(
+            f"# {name}: {per_query[name]:.3f}s cold / "
+            f"{per_query_warm[name]:.3f}s warm",
+            file=sys.stderr,
+        )
 
     # throughput anchors vs BASELINE.md: the reference's only rate figure
     # is 1K events/s through its sink; our CDC path applies the full
@@ -100,6 +112,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "queries_warm": per_query_warm,
+                "warm_suite_wall_seconds": round(total_warm, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": round(n_events / cdc_secs),
                 "cdc_apply_events_per_sec": apply_rate,
