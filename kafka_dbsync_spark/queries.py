@@ -1086,6 +1086,61 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hash_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 5),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                          AS BIGINT))),
+                 (a, b) -> a * 16 + b) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM h WHERE hv % 10 = 0
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: first 16 bits of md5(doc_id)
+    mod 10. Unlike rand()-based sampling this is reproducible across
+    engines, runs, and partitionings (the property a training-data
+    pipeline needs for holdout/eval splits) — and it's a narrow filter,
+    pushable ahead of any downstream shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return docs.filter(hv % 10 == 0).select("doc_id", "lang", "source")
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM q WHERE rk <= 5
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (5 longest docs per language) — the curation
+    primitive for per-domain/per-language quotas. One shuffle on the
+    group key; rank + filter prunes inside each partition (Spark pushes
+    the rk<=5 limit into the window sort as a TopK per group)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # shared CTE prefix: centroids (mirrors the ivf_centroids oracle), centroid
 # vectors per cell, and double-cast embeddings. Distance folds sum in index
 # order and round to 6 decimals — same rule as operators.similarity._sq_l2 —

@@ -64,6 +64,9 @@ SHUFFLE_BUDGET = {
     "ivf_assign": 1,             # parallelism repartition; assignment itself is map-only
     "ivf_search": 1,             # assignment map-only; TakeOrdered topk
     "datatype_matrix": 0,        # 4-row literal fixture, fully narrow
+    "dlq_records": 0,            # narrow projection + header round-trip
+    "hash_sample": 0,            # narrow deterministic filter
+    "topk_per_group": 1,         # one shuffle on the group key (window)
     "vector_lsh_buckets": 0,     # fully narrow
     "multimodal_meta": 1,        # parallelism repartition
 }

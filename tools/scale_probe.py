@@ -13,9 +13,14 @@ Usage: python3 tools/scale_probe.py [factor] [sf_dir]
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 from pathlib import Path
+
+# stdout is usually a pipe here — line-buffer so partial results survive
+# a killed run
+print = functools.partial(print, flush=True)  # noqa: A001
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -96,6 +101,54 @@ def main() -> None:
     print(
         f"minhash_lsh adversarial (all-identical): {n_adv} docs in {dt:.2f}s "
         f"= {n_adv / dt:,.0f} docs/s ({n_star} star pairs)"
+    )
+
+    # IVF assignment: must stay map-only (0 exchanges) at any volume —
+    # the 100 TB index-build pass
+    from kafka_dbsync_spark.operators.similarity import ivf_assign, neardup_pairs_blocked
+    from kafka_dbsync_spark.queries import q_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.count()
+    bigemb = replicate(emb, factor, "vec_id", 10_000_000)
+    cents = q_ivf_centroids(spark, sf_dir)
+    t0 = time.perf_counter()
+    assigned = ivf_assign(bigemb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    n_assigned = assigned.count()
+    dt = time.perf_counter() - t0
+    assert n_assigned == e0 * factor
+    print(
+        f"ivf_assign: {n_assigned} vectors in {dt:.2f}s = "
+        f"{n_assigned / dt:,.0f} vecs/s (map-only: "
+        f"{'Exchange' not in plan.split('== Initial Plan')[0]})"
+    )
+
+    # Salted self-join under a dominant block: every vector in ONE block;
+    # salt bounds the per-task pair expansion. The block is capped — the
+    # probe is intentionally quadratic (that's the workload), the question
+    # is whether it spreads across tasks, not how big a block we can burn.
+    nv = min(e0 * factor, 8_000)
+    # limit() collapses to one partition, and a broadcastable side would
+    # keep the join output on that single partition — masking exactly the
+    # task-spread salting provides. At 100 TB neither side broadcasts;
+    # mimic that (shuffle join) and spread the input like a real scan.
+    dom = (
+        bigemb.limit(nv)
+        .repartition(32)
+        .withColumn("label", (F.col("vec_id") % 1).cast("int"))
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        n_pairs_dom = neardup_pairs_blocked(dom, "label", 0.995, salt=16).count()
+        dt = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    print(
+        f"neardup salted (one dominant block of {nv}): {n_pairs_dom} pairs "
+        f"in {dt:.2f}s = {nv * nv / 2 / dt:,.0f} comparisons/s"
     )
 
 
