@@ -579,6 +579,57 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_active_orders",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             datediff('day', DATE '1970-01-01',
+                      CAST(ts - INTERVAL 29 YEAR AS DATE)) AS d
+      FROM events
+    ), r AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1970-01-01', o_orderdate) AS s,
+             datediff('day', DATE '1970-01-01', o_orderdate)
+               + o_orderkey % 30 + 1 AS en
+      FROM orders
+    )
+    SELECT e.event_id, count(*) AS n_active, max(r.o_orderkey) AS max_orderkey
+    FROM e JOIN r ON e.d >= r.s AND e.d < r.en
+    GROUP BY e.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: for each event, the orders whose
+    [orderdate, orderdate + 1..30 days) validity window covers the event
+    day. Spark would plan the raw inequality predicate as
+    BroadcastNestedLoop (O(|L|·|R|)); range_join_bucketed turns it into
+    a bucket equi-join + residual filter (operators/joins.py)."""
+    from kafka_dbsync_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.datediff(
+            (F.col("ts") - F.expr("INTERVAL 29 YEARS")).cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias("s"),
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            + F.col("o_orderkey") % 30
+            + 1
+        ).alias("en"),
+    )
+    joined = range_join_bucketed(ev, od, "d", "s", "en", bucket_width=16)
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+@query(
     "rollup_revenue",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

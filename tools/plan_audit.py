@@ -67,6 +67,8 @@ SHUFFLE_BUDGET = {
     "dlq_records": 0,            # narrow projection + header round-trip
     "hash_sample": 0,            # narrow deterministic filter
     "topk_per_group": 1,         # one shuffle on the group key (window)
+    "range_join_active_orders": 3,  # bucket equi-join (2 sides) + final agg;
+    # the raw inequality predicate would be a nested-loop scale killer
     "vector_lsh_buckets": 0,     # fully narrow
     "multimodal_meta": 1,        # parallelism repartition
 }
