@@ -48,6 +48,45 @@ def token_count(c: Column | str) -> Column:
     return F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard context-window prep for LLM training/embedding pipelines.
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the last chunk is short rather than
+    padded. Fully narrow (sequence + slice on a materialized token
+    array): no shuffle, no Python, scales linearly. Documents whose
+    normalized text is empty yield no chunks."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    d = df.withColumn("__toks", tokens(text_col)).withColumn(
+        "__n",
+        F.when(normalize_text(text_col) == "", F.lit(0)).otherwise(
+            F.size(F.col("__toks"))
+        ),
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    chunked = d.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(F.when(F.col("__n") > 0, starts)).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def word_regex_count(c: Column | str) -> Column:
     """BPE-ish unit count: letter runs, single digits, single punctuation."""
     return F.regexp_count(_col(c), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))

@@ -1138,6 +1138,42 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_SQL_NORM.format(c='text')} AS norm FROM documents
+    ), t AS (
+      SELECT doc_id, string_split(norm, ' ') AS w FROM n WHERE norm <> ''
+    ), c AS (
+      SELECT doc_id,
+             list_transform(range(0, len(w), 48), s -> struct_pack(
+                 chunk_idx := s // 48,
+                 n_tokens := CAST(least(s + 64, len(w)) - s AS BIGINT),
+                 chunk_text := array_to_string(
+                     list_slice(w, s + 1, least(s + 64, len(w))), ' ')
+             )) AS chunks
+      FROM t
+    )
+    SELECT doc_id, unnest(chunks, recursive := true) FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (64-token chunks, 16 overlap) —
+    the context-window prep step of an LLM training pipeline. Narrow
+    sequence+slice, no shuffle."""
+    from kafka_dbsync_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+@query(
     "hash_sample",
     oracle="""
     WITH h AS (

@@ -118,3 +118,37 @@ def test_text_primitives(spark):
     assert rows[3]["lang"] == "en"
     assert rows[1]["fp"] == rows[2]["fp"]  # both normalize to empty
     assert rows[0]["fp"] != rows[3]["fp"]
+
+
+def test_chunk_documents(spark):
+    from kafka_dbsync_spark.functions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, "!!!")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)  # step 3
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    # doc 1: starts 0,3,6,9 — last chunk short, not padded
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),  # 1-token overlap with the previous
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (1, 3, 1, "w9"),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "short doc")]
+    # empty / punctuation-only docs produce no chunks
+    assert not [r for r in rows if r[0] in (3, 4)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from kafka_dbsync_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -66,6 +66,7 @@ SHUFFLE_BUDGET = {
     "datatype_matrix": 0,        # 4-row literal fixture, fully narrow
     "dlq_records": 0,            # narrow projection + header round-trip
     "hash_sample": 0,            # narrow deterministic filter
+    "doc_chunks": 1,             # parallelism repartition; chunking is narrow
     "topk_per_group": 1,         # one shuffle on the group key (window)
     "range_join_active_orders": 3,  # bucket equi-join (2 sides) + final agg;
     # the raw inequality predicate would be a nested-loop scale killer
