@@ -1138,6 +1138,42 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, v,
+             list_aggregate(v, 'min') AS qmin, list_aggregate(v, 'max') AS qmax
+      FROM e
+    )
+    SELECT vec_id, label, round(qmin, 6) AS qmin_r, round(qmax, 6) AS qmax_r,
+           array_to_string(list_transform(v, x ->
+               CASE WHEN qmax = qmin THEN 0
+                    ELSE CAST(round((x - qmin) * 255 / (qmax - qmin), 0) AS BIGINT)
+               END), ',') AS qcsv
+    FROM s
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 min-max scalar quantization of the embedding column (the 4×
+    storage reduction path for a 100 TB embedding table). Codes are
+    emitted CSV-joined so the value hash is array-format-agnostic."""
+    from kafka_dbsync_spark.functions.vectors import with_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_quantized(emb, "embedding", levels=255)
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("qmin", 6).alias("qmin_r"),
+        F.round("qmax", 6).alias("qmax_r"),
+        F.array_join(F.col("qcodes"), ",").alias("qcsv"),
+    )
+
+
+@query(
     "doc_chunks",
     oracle=f"""
     WITH n AS (

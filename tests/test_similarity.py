@@ -164,3 +164,22 @@ def test_neardup_salting_same_output_bounded_tasks(spark):
     # block (deterministic xxhash64 ⇒ stable run to run; observed ≈32%)
     assert max(counts) <= total // 2
     assert sum(1 for c in counts if c > 0) >= 5
+
+
+def test_quantize_minmax_roundtrip(spark):
+    from kafka_dbsync_spark.functions.vectors import with_quantized
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.5, 1.0]), (1, [-2.0, 0.0, 2.0]), (2, [3.0, 3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in with_quantized(df, "embedding").collect()}
+    assert rows[0]["qcodes"] == [0, 128, 255]  # round(0.5*255)=127.5→128
+    assert rows[1]["qcodes"] == [0, 128, 255]
+    assert (rows[2]["qmin"], rows[2]["qmax"]) == (3.0, 3.0)
+    assert rows[2]["qcodes"] == [0, 0, 0]  # constant vector, no div-by-zero
+    # dequant error bound: half a quantization step
+    r = rows[1]
+    step = (r["qmax"] - r["qmin"]) / 255
+    for orig, code in zip([-2.0, 0.0, 2.0], r["qcodes"]):
+        assert abs(r["qmin"] + code * step - orig) <= step / 2 + 1e-12

@@ -67,6 +67,7 @@ SHUFFLE_BUDGET = {
     "dlq_records": 0,            # narrow projection + header round-trip
     "hash_sample": 0,            # narrow deterministic filter
     "doc_chunks": 1,             # parallelism repartition; chunking is narrow
+    "quantize_embeddings": 0,    # fully narrow per-vector transform
     "topk_per_group": 1,         # one shuffle on the group key (window)
     "range_join_active_orders": 3,  # bucket equi-join (2 sides) + final agg;
     # the raw inequality predicate would be a nested-loop scale killer
