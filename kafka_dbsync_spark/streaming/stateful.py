@@ -29,6 +29,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def windowed_counts_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    the batch ``events_hourly`` query. Append mode emits each
+    (window, key) exactly once when the watermark passes the window end;
+    state is bounded by windows open within the watermark horizon."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     key_col: str = "user_id",

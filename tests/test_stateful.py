@@ -12,6 +12,7 @@ from kafka_dbsync_spark.streaming.stateful import (
     exactly_once_ids,
     running_totals,
     sessionize_stream,
+    windowed_counts_stream,
 )
 
 
@@ -167,3 +168,49 @@ def test_sessionize_stream_matches_batch_across_restart(tmp_path, spark):
         for r in batch.collect()
     }
     assert got_rows == batch_rows == {1: (2, 3, 7.0), 2: (2, 3, 56.0)}
+
+
+def test_windowed_counts_stream_matches_batch(tmp_path, spark):
+    """Tumbling hourly windows with a watermark: late-but-in-horizon
+    events still count; finalized windows match the batch groupBy."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("wsrc", "wckpt", "wout"))
+    h = timedelta(hours=1)
+    rows = [
+        (1, T0, 1.0, "click"),
+        (2, T0 + timedelta(minutes=20), 2.0, "click"),
+        (3, T0 + timedelta(minutes=40), 4.0, "view"),
+        (4, T0 + h, 8.0, "click"),           # next window
+        (5, T0 + timedelta(minutes=50), 16.0, "click"),  # late, within watermark
+        (6, T0 + 30 * h, 0.0, "flush"),      # advances watermark, closes all
+    ]
+    schema = "event_id long, ts timestamp, value double, event_type string"
+
+    def write(batch):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+
+    write(rows[:4])
+    q = (
+        windowed_counts_stream(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    write(rows[4:])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] != "flush"
+    }
+    assert got == {
+        (T0, "click"): (3, 19.0),   # includes the late event 5
+        (T0, "view"): (1, 4.0),
+        (T0 + h, "click"): (1, 8.0),
+    }
