@@ -69,6 +69,8 @@ SHUFFLE_BUDGET = {
     "doc_chunks": 1,             # parallelism repartition; chunking is narrow
     "quantize_embeddings": 0,    # fully narrow per-vector transform
     "topk_per_group": 1,         # one shuffle on the group key (window)
+    "local_supplier_revenue": 1,  # all dims broadcast; one agg exchange
+    # (at 100 TB the lineitem⋈orders arm becomes one more keyed shuffle)
     "range_join_active_orders": 3,  # bucket equi-join (2 sides) + final agg;
     # the raw inequality predicate would be a nested-loop scale killer
     "vector_lsh_buckets": 0,     # fully narrow
