@@ -96,16 +96,29 @@ def streaming_dedup_exact(
     the watermark are evicted — duplicates farther apart than the
     watermark pass through, the standard streaming-dedup trade-off).
     Without ``event_time_col`` the state grows unboundedly: only for
-    bounded/test streams."""
+    bounded/test streams.
+
+    NULL content digests to NULL, and Spark's stateful dropDuplicates
+    treats NULL keys as equal — which would silently collapse all
+    null-content records into one. Matching batch ``dedup_exact``
+    semantics (NULLs are missing data, not duplicates of each other),
+    null-digest rows bypass the dedup state entirely and pass through
+    unchanged."""
     on_col = F.col(on) if isinstance(on, str) else on
     out = stream.withColumn(digest_col, F.md5(on_col))
+    nulls = out.filter(F.col(digest_col).isNull())
+    nonnull = out.filter(F.col(digest_col).isNotNull())
     if event_time_col:
         # dedup on the digest ALONE within the watermark window —
         # including the event time in the key would only drop rows with
         # identical timestamps, i.e. not dedup content at all
-        out = out.withWatermark(event_time_col, watermark)
-        return out.dropDuplicatesWithinWatermark([digest_col])
-    return out.dropDuplicates([digest_col])
+        nonnull = nonnull.withWatermark(event_time_col, watermark)
+        deduped = nonnull.dropDuplicatesWithinWatermark([digest_col])
+    else:
+        deduped = nonnull.dropDuplicates([digest_col])
+    # the NULL branch is stateless — union after dedup so it never enters
+    # (or grows) the dedup state store
+    return deduped.unionByName(nulls)
 
 
 # ---------------------------------------------------------------------------
