@@ -156,29 +156,46 @@ def with_shingles(
     return d.withColumn(out, word_shingles(F.col("__toks"), k)).drop("__toks")
 
 
-def minhash_signature(
-    shingles_col: Column | str, num_hashes: int = 8
-) -> list[Column]:
-    """MinHash signature as ``num_hashes`` md5-min columns over a
-    (materialized — see with_shingles) shingle array column.
+def _digest_family(j: int):
+    # NB: the lambdas here must be unary — pyspark treats a two-arg lambda
+    # as an (element, index) transform lambda
+    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
 
-    Hash family i = md5(f"{i}:{shingle}") — deterministic and
-    engine-portable (any SQL engine with md5 reproduces it bit-for-bit,
-    which is how the DuckDB oracle validates this operator). Min is taken
-    lexicographically over the hex digest, equivalent to min over a
-    128-bit integer hash.
+
+def _sub_family(off: int):
+    return lambda h: F.substring(h, off * 8 + 1, 8)
+
+
+def with_minhash_signatures(
+    df: DataFrame, text_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Add ``sig_0..sig_{n-1}`` MinHash signature columns over word
+    k-gram shingles of ``text_col``.
+
+    Hash family: each shingle is md5-hashed once per GROUP of 4 families
+    (digest j = md5(f"{j}:{shingle}")), and family i = 8-hex-char slice
+    ``[8*(i%4), 8*(i%4)+8)`` of digest i//4 — four independent 32-bit
+    hashes per 128-bit digest, so the md5 work per shingle is num_hashes/4
+    instead of num_hashes.  Deterministic and engine-portable (the DuckDB
+    oracle reproduces it bit-for-bit with md5+substr).  Min is taken
+    lexicographically over fixed-width lowercase hex = min over the
+    32-bit integer hash.  32 bits keeps min-tie probability negligible
+    (~n/2^32 per doc pair) while halving shuffle width vs full digests.
+
+    The digest arrays are materialized in their own projections before
+    the per-family min-fold — Spark does no CSE inside higher-order-
+    function lambdas, so folding over the raw md5 expression would
+    recompute every md5 once per family (the with_shingles trap).
     """
-    sh = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
-
-    # NB: the lambda must be unary — pyspark treats a two-arg lambda as an
-    # (element, index) transform lambda
-    def family(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    return [
-        F.array_min(F.transform(sh, family(i))).alias(f"sig_{i}")
+    d = with_shingles(df, text_col, k)
+    n_digests = (num_hashes + 3) // 4
+    for j in range(n_digests):
+        d = d.withColumn(f"__h{j}", F.transform("shingles", _digest_family(j)))
+    sigs = [
+        F.array_min(F.transform(f"__h{i // 4}", _sub_family(i % 4))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
+    return d.select(*df.columns, *sigs)
 
 
 def lsh_bands(sig_cols: Sequence[str], rows_per_band: int = 2) -> Column:
@@ -216,56 +233,56 @@ def minhash_lsh_candidates(
       connected-component dedup this loses nothing: all members stay
       transitively connected through the representative.
 
-    Memory safety at 100 TB: bucket size/min come from a window over
-    (band_idx, band_val) — Spark's WindowExec buffers partitions in a
-    spillable row array (disk-backed), so a 10M-member bucket is a slow
-    task, not an OOM.  The small path's collect_list is bounded by
-    ``max_bucket_size``.  Both branches read the same exchange
-    (ReusedExchange), so the signature pipeline is computed once.
+    Memory safety at 100 TB: everything after banding is ONE window pass
+    over (band_idx, band_val) ORDER BY id — Spark's WindowExec buffers
+    partitions in a spillable row array (disk-backed), so a 10M-member
+    bucket is a slow task, not an OOM.  Each row sees only its ≤
+    ``max_bucket_size`` *preceding* bucket members via a bounded window
+    frame, so per-row state is capped by construction (no unbounded
+    collect_list anywhere).  Small-bucket pairs and large-bucket star
+    pairs are emitted from the same per-row CASE — a single consumer of
+    the signature pipeline, so signatures are computed (and the band
+    shuffle paid) exactly once; the earlier two-branch union evaluated
+    the whole upstream twice because column pruning broke exchange reuse.
     """
     from pyspark.sql.window import Window
 
-    sig = with_shingles(df, text_col, k).select(
-        F.col(id_col), *minhash_signature("shingles", num_hashes)
-    )
     sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    sig = with_minhash_signatures(df, text_col, num_hashes, k).select(
+        F.col(id_col), *sig_cols
+    )
     banded = sig.select(
         id_col, F.posexplode(lsh_bands(sig_cols, rows_per_band)).alias("band_idx", "band_val")
     )
-    w = Window.partitionBy("band_idx", "band_val")
+    ordered = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    preceding = ordered.rowsBetween(-max_bucket_size, -1)
     sized = banded.select(
         F.col(id_col),
-        F.col("band_idx"),
-        F.col("band_val"),
-        F.count("*").over(w).alias("__n"),
-        F.min(id_col).over(w).alias("__mn"),
+        F.count("*").over(full).alias("__n"),
+        F.min(id_col).over(full).alias("__mn"),
+        F.collect_list(id_col).over(preceding).alias("__prev"),
     )
-    # Small buckets: single-pass bounded expansion (computes signatures
-    # once, shuffles only (band, doc_id) rows, list size ≤ max_bucket_size).
-    small_buckets = (
-        sized.filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-        .groupBy("band_idx", "band_val")
-        .agg(F.collect_list(id_col).alias("ids"))
+    # Per-row pair emission (each pair materializes once, at its larger
+    # endpoint): complete in-bucket pairs when the bucket is small, a
+    # single star pair to the bucket representative when it is large.
+    own = F.col(id_col)
+    pair_array = F.when(
+        F.col("__n") <= max_bucket_size,
+        F.transform("__prev", lambda b: F.struct(b.alias("id_a"), own.alias("id_b"))),
+    ).otherwise(
+        # star pair (mn, own), or nothing when this row IS the
+        # representative — filter on a 1-element array keeps the branch
+        # type identical to the transform branch
+        F.filter(
+            F.array(F.struct(F.col("__mn").alias("id_a"), own.alias("id_b"))),
+            lambda p: p["id_a"] != p["id_b"],
+        )
     )
-    small_pairs = small_buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda a: F.transform(
-                        F.filter(F.col("ids"), lambda b: a < b),
-                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(F.col("p.id_a"), F.col("p.id_b"))
-    # Large buckets: star pairs to the representative — narrow projection,
-    # no aggregation state at all.
-    large_pairs = sized.filter(
-        (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__mn"))
-    ).select(F.col("__mn").alias("id_a"), F.col(id_col).alias("id_b"))
-    return small_pairs.unionByName(large_pairs).distinct()
+    pairs = sized.select(F.explode(pair_array).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
+    return pairs.distinct()
 
 
 def jaccard_pairs(

@@ -38,7 +38,7 @@ from kafka_dbsync_spark.operators.dedup import (
     dedup_normalized,
     jaccard_pairs,
     minhash_lsh_candidates,
-    minhash_signature,
+    with_minhash_signatures,
     simhash16,
     with_shingles,
 )
@@ -978,8 +978,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash(num_hashes: int = 8) -> str:
+    # family i = 8-hex slice of md5 digest i//4 at offset 8*(i%4) — see
+    # operators/dedup.py::with_minhash_signatures
     sigs = ", ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}:' || x))) AS sig_{i}"
+        f"list_min(list_transform(sh, x -> substr(md5('{i // 4}:' || x), "
+        f"{(i % 4) * 8 + 1}, 8))) AS sig_{i}"
         for i in range(num_hashes)
     )
     return f"""
@@ -999,10 +1002,11 @@ def _sql_minhash(num_hashes: int = 8) -> str:
 
 @query("minhash_signatures", oracle=_sql_minhash())
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 md5 hash families over word 3-gram shingles)."""
+    """MinHash signatures (8 32-bit md5-slice families over word 3-gram
+    shingles — one md5 per shingle per 4 families)."""
     docs = load_table(spark, sf_dir, "documents")
-    return with_shingles(docs, "text", 3).select(
-        "doc_id", *minhash_signature("shingles", 8)
+    return with_minhash_signatures(docs, "text", 8, 3).select(
+        "doc_id", *[f"sig_{i}" for i in range(8)]
     )
 
 

@@ -9,7 +9,7 @@ from kafka_dbsync_spark.operators.dedup import (
     dedup_normalized,
     jaccard_pairs,
     minhash_lsh_candidates,
-    minhash_signature,
+    with_minhash_signatures,
     simhash16,
     with_shingles,
 )
@@ -57,8 +57,8 @@ def test_dedup_normalized(spark):
 
 
 def test_minhash_identical_signatures(spark):
-    sig = with_shingles(docs_df(spark), "text").select(
-        "doc_id", *minhash_signature("shingles", 8)
+    sig = with_minhash_signatures(docs_df(spark), "text", 8).select(
+        "doc_id", *[f"sig_{i}" for i in range(8)]
     )
     rows = {r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(8)) for r in sig.collect()}
     assert rows[1] == rows[2] == rows[3]
