@@ -332,26 +332,37 @@ def _hex16_to_int(c: Column) -> Column:
     return acc
 
 
+def _bit_set(j: int):
+    # unary-lambda factory (two-arg lambdas become (element, index))
+    return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document over its (multiset of) tokens.
 
     token hash = first 4 hex chars of md5(token) as a 16-bit int; bit j of
     the simhash is 1 iff the sum over tokens of ±1 (bit set / unset) is
-    positive.
+    positive — equivalently iff tokens-with-bit-set outnumber half the
+    tokens (2·set > n; a tie is 0, matching the sum>0 form).
+
+    Fully narrow: the per-token hashes are materialized once as an array
+    column (own projection — no CSE inside HOF lambdas), then each bit is
+    a counted array_filter pass over that in-memory array. No explode, no
+    shuffle — the earlier explode+groupBy form shuffled one row per token
+    (O(corpus token count) exchange traffic); this is embarrassingly
+    parallel and scales with input splits only. Documents with no tokens
+    are dropped, mirroring explode semantics.
     """
-    tok = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    d = ensure_parallelism(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    d = d.withColumn(
+        "__hs",
+        F.transform(
+            "__toks", lambda t: _hex16_to_int(F.substring(F.md5(t), 1, 4))
+        ),
     )
-    h = _hex16_to_int(F.substring(F.md5(F.col("tok")), 1, 4))
-    tok = tok.withColumn("h", h)
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(16)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*aggs)
+    n = F.size("__hs")
     sim = F.lit(0)
     for j in range(16):
-        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+        set_count = F.size(F.filter("__hs", _bit_set(j)))
+        sim = sim + F.when(set_count * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
+    return d.filter(n > 0).select(F.col(id_col), sim.cast("long").alias("simhash"))
