@@ -16,8 +16,8 @@ Scale design:
   the only shuffle and its key space is huge (hash values) ⇒ uniform.
 - Jaccard verification runs only on LSH candidates (tiny fraction), not
   all pairs.
-- SimHash: token-level explode + 16-bit sign aggregation; one shuffle on
-  doc_id (already the table's natural key).
+- SimHash: fully narrow — per-doc token-hash arrays with one counted
+  array pass per bit; no explode, no shuffle.
 
 No Python UDFs anywhere — md5/array built-ins only.
 """

@@ -42,6 +42,7 @@ from kafka_dbsync_spark.operators.dedup import (
     simhash16,
     with_shingles,
 )
+from kafka_dbsync_spark.operators.graph import connected_components
 from kafka_dbsync_spark.operators.merge import apply_changes
 from kafka_dbsync_spark.operators.multimodal import extract_media_meta
 from kafka_dbsync_spark.operators.similarity import (
@@ -1067,6 +1068,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 hashes, 4 bands × 2 rows)."""
     return minhash_lsh_candidates(
         _planted_docs(spark, sf_dir), "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({_sql_lsh_pairs()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH candidate
+    pairs — cluster id = min doc id in the component (the representative
+    a dedup pass would keep). The oracle is a transitive-closure
+    recursive CTE; Spark runs distributed min-label propagation
+    (operators/graph.py)."""
+    pairs = minhash_lsh_candidates(
+        _planted_docs(spark, sf_dir), "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 

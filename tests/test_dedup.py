@@ -124,3 +124,30 @@ def test_simhash_proximity(spark):
     assert hamming(out[1], out[4]) <= 4
     assert hamming(out[1], out[5]) >= 4
     assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_connected_components(spark):
+    from kafka_dbsync_spark.operators.graph import connected_components
+
+    # two components: {1,2,3,4} (chain + cross edge) and {7,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (7, 9)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7)}
+
+
+def test_connected_components_path_graph(spark):
+    """A path graph needs O(diameter) rounds - verify a 12-node chain
+    converges and labels everything with the min node."""
+    from kafka_dbsync_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 12
+    assert {r["component"] for r in rows} == {1}
