@@ -254,6 +254,19 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.posexplode(lsh_bands(sig_cols, rows_per_band)).alias("band_idx", "band_val")
     )
+    return banded_pairs(banded, id_col, max_bucket_size)
+
+
+def banded_pairs(
+    banded: DataFrame, id_col: str, max_bucket_size: int = 32
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a (band_idx, band_val)
+    bucket — the bounded hybrid emission shared by MinHash-LSH and
+    SimHash banding (see minhash_lsh_candidates for the design notes:
+    all pairs for buckets ≤ max_bucket_size, star pairs above, one
+    spillable window pass, no unbounded arrays)."""
+    from pyspark.sql.window import Window
+
     ordered = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
     full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     preceding = ordered.rowsBetween(-max_bucket_size, -1)
@@ -366,3 +379,113 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         set_count = F.size(F.filter("__hs", _bit_set(j)))
         sim = sim + F.when(set_count * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
     return d.filter(n > 0).select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """``bits``-wide SimHash per document (≤ 60 so every intermediate
+    fits a signed long), as one narrow aggregate fold.
+
+    token hash = first bits/4 hex chars of md5(token); per-token bit
+    vectors are summed into a ``bits``-long count array with a single
+    ``aggregate``+``zip_with`` fold (MSB first), then Horner-folded into
+    the final hash (bit j set iff tokens-with-bit-set outnumber half —
+    same tie rule as simhash16). No explode, no shuffle, and the codegen
+    stays small because the per-bit work is array loops, not ``bits``
+    unrolled expressions."""
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    hex_chars = bits // 4
+    d = ensure_parallelism(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    d = d.withColumn(
+        "__hs",
+        F.transform(
+            "__toks",
+            lambda t: _hex_to_long(F.substring(F.md5(t), 1, hex_chars), hex_chars),
+        ),
+    )
+    # MSB-first powers so the count array Horner-folds directly
+    pows = F.array(*[F.lit(2**j).cast("long") for j in range(bits - 1, -1, -1)])
+    counts = F.aggregate(
+        "__hs",
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                pows,
+                lambda p: F.when((h % (p * 2)) >= p, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    n = F.size("__hs")
+    sim = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 2
+        + F.when(c * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return d.filter(n > 0).select(F.col(id_col), sim.alias("simhash"))
+
+
+def _hex_to_long(c: Column, width: int) -> Column:
+    """Parse ``width`` lowercase hex chars to a long with the same
+    explicit digit fold as _hex16_to_int (engine-portable)."""
+    acc = F.lit(0).cast("long")
+    for i in range(1, width + 1):
+        acc = acc * 16 + (F.instr(F.lit(HEX_DIGITS), F.substring(c, i, 1)) - 1)
+    return acc
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Near-duplicate (id_a < id_b, hamming) pairs via banded SimHash.
+
+    The ``bits``-wide simhash is cut into ``bands`` equal slices; by
+    pigeonhole, two hashes within hamming distance < ``bands`` share at
+    least one exact band — so candidate generation is the same bounded
+    bucket-join as MinHash-LSH (banded_pairs), and only candidates pay
+    the exact hamming check (bit_count of xor). One aggregation pass for
+    signatures, one spillable window for candidates, one join back for
+    verification — every shuffle keyed on uniform hashes or doc ids.
+
+    Note hamming_max ≥ bands is supported but loses the pigeonhole
+    guarantee (standard multi-table SimHash trade-off); the default
+    (3 < 4 bands) is exact.
+    """
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sims = simhash_bits(df, id_col, text_col, bits)
+    banded = sims.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cand = banded_pairs(banded, id_col, max_bucket_size)
+    sa = sims.select(F.col(id_col).alias("__ia"), F.col("simhash").alias("__sa"))
+    sb = sims.select(F.col(id_col).alias("__ib"), F.col("simhash").alias("__sb"))
+    joined = cand.join(sa, F.col("id_a") == F.col("__ia")).join(
+        sb, F.col("id_b") == F.col("__ib")
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        joined.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -34,6 +34,7 @@ from kafka_dbsync_spark.functions.text import (
 )
 from kafka_dbsync_spark.functions.timestamps import normalize_iidr_timestamp
 from kafka_dbsync_spark.operators.dedup import (
+    simhash_neardup_pairs,
     dedup_exact,
     dedup_normalized,
     jaccard_pairs,
@@ -1463,6 +1464,63 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle reproduces the bits exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs, "doc_id", "text")
+
+
+def _sql_simhash_pairs(bits: int = 60, bands: int = 4, hamming_max: int = 3) -> str:
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    hex_chars = bits // 4
+    return f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM ({_SQL_PLANTED})),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM n),
+    h AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, {hex_chars + 1}),
+                     i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) AS hv
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, j.j,
+             sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, {bits})) AS j) j
+      GROUP BY doc_id, j.j
+    ), sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx, (sh >> ({band_bits} * b.b)) & {mask} AS band_val
+      FROM sim, (SELECT unnest(range(0, {bands})) AS b) b
+    ), sized AS (
+      SELECT doc_id, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= 32
+        UNION ALL
+        SELECT mn AS id_a, doc_id AS id_b
+        FROM sized WHERE n > 32 AND doc_id <> mn
+      )
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM cand JOIN sim a ON cand.id_a = a.doc_id JOIN sim b ON cand.id_b = b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {hamming_max}
+    """
+
+
+@query("simhash_neardup_pairs", oracle=_sql_simhash_pairs())
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 60-bit SimHash near-dup pairs (4×15-bit bands; pigeonhole-
+    exact for hamming ≤ 3) with exact hamming verification over the
+    planted-dup corpus."""
+    return simhash_neardup_pairs(_planted_docs(spark, sf_dir), "doc_id", "text")
 
 
 @query(

@@ -151,3 +151,24 @@ def test_connected_components_path_graph(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 12
     assert {r["component"] for r in rows} == {1}
+
+
+def test_simhash_bits_and_neardup_pairs(spark):
+    from kafka_dbsync_spark.operators.dedup import simhash_bits, simhash_neardup_pairs
+
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_bits(docs_df(spark), "doc_id", "text").collect()
+    }
+    assert sims[1] == sims[2]  # identical docs, identical hash
+    assert all(0 <= v < 2**60 for v in sims.values())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs_df(spark), "doc_id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0  # normalization-equal
+    # one extra token on a 13-token doc flips 7 of 60 bits - correctly
+    # OUTSIDE the default hamming<=3 near-dup radius (short docs drift
+    # fast; the sf corpora's ~200-token docs stay within it)
+    assert (1, 4) not in pairs
+    assert not any(5 in p for p in pairs)
