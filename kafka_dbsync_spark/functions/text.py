@@ -160,3 +160,81 @@ def quality_score(c: Column | str) -> Column:
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
     )
+
+
+def top_bigram(toks_col: Column) -> tuple[Column, Column]:
+    """(count, gram) of the most frequent word 2-gram in a MATERIALIZED
+    token array column (ties broken toward the lexicographically largest
+    gram, so the result is deterministic and engine-portable).
+
+    Single O(n log n) pass: sort the gram array, then fold it counting
+    runs with a struct accumulator — no per-distinct-gram rescan (the
+    naive transform(distinct, g -> count) is O(n²) per doc) and no
+    explode/shuffle.
+    """
+    grams = F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks_col, (i + 1).cast("int")),
+                F.element_at(toks_col, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, g):
+        new_run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        upd = (new_run > acc["best"]) | ((new_run == acc["best"]) & (g > acc["bg"]))
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(upd, new_run).otherwise(acc["best"]).alias("best"),
+            F.when(upd, g).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    r = F.aggregate(F.array_sort(grams), init, step)
+    return r["best"], r["bg"]
+
+
+def repetition_metrics(toks_col: Column, text_col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals over a MATERIALIZED token array:
+
+    - ``dup_token_bp``: fraction of tokens that repeat an earlier token
+      (1 - distinct/total; 0 for empty docs), in floor basis points
+    - ``top2_count``: occurrences of the most frequent word 2-gram
+    - ``top2_bp``: fraction of the normalized text's characters covered
+      by occurrences of that 2-gram (count·len(gram)/chars — the Gopher
+      "fraction of characters in most common n-gram" signal), in floor
+      basis points
+
+    All narrow array expressions; ratios are floor-scaled basis points —
+    floor on bit-identical doubles is engine-portable where round-half
+    isn't (same convention as quality_score).
+    """
+    n = F.size(toks_col)
+    dup_bp = F.when(
+        n > 0,
+        F.floor(
+            (F.lit(1.0) - F.size(F.array_distinct(toks_col)) / n.cast("double"))
+            * 10000
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    best, bg = top_bigram(toks_col)
+    chars = F.greatest(F.length(normalize_text(text_col)), F.lit(1)).cast("double")
+    top2_bp = F.floor(best * F.length(bg).cast("double") / chars * 10000)
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_token_bp": dup_bp,
+        "top2_count": best,
+        "top2_bp": top2_bp,
+    }

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import (
+    repetition_metrics,
     detect_language,
     normalize_text,
     tokens,
@@ -958,6 +959,46 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.floor(quality_score("text") * 10000).alias("quality_bp")
     )
+
+
+@query(
+    "repetition_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_NORM.format(c='text')} AS nt FROM documents
+    ), base AS (
+      SELECT doc_id, nt, string_split(nt, ' ') AS w FROM t
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM base WHERE len(w) >= 2
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), b AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    )
+    SELECT base.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(w) > 0
+                THEN floor((1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * 10000)
+                ELSE 0 END AS BIGINT) AS dup_token_bp,
+           CAST(coalesce(b.cnt, 0) AS BIGINT) AS top2_count,
+           CAST(floor(coalesce(b.cnt, 0) * CAST(coalesce(strlen(b.gram), 0) AS DOUBLE)
+                / greatest(strlen(nt), 1) * 10000) AS BIGINT) AS top2_bp
+    FROM base LEFT JOIN b ON base.doc_id = b.doc_id
+    """,
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    most-common-2-gram character coverage, floor basis points. Narrow
+    per-doc array passes (functions/text.py::repetition_metrics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text").withColumn("__toks", tokens("text"))
+    m = repetition_metrics(F.col("__toks"), "text")
+    return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
 
 
 @query(

@@ -152,3 +152,32 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_repetition_metrics(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_dbsync_spark.functions.text import repetition_metrics, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # one token repeated
+            (2, "all tokens here are distinct"),   # no repetition
+            (3, ""),                               # empty
+            (4, "x y x y x y"),                    # dominant 2-gram "x y"
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.withColumn("__toks", tokens("text"))
+    m = repetition_metrics(F.col("__toks"), "text")
+    rows = {
+        r["doc_id"]: r
+        for r in d.select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()
+    }
+    assert rows[1]["dup_token_bp"] == 7500  # 1 - 1/4
+    assert rows[1]["top2_count"] == 3 and rows[1]["top2_count"] == 3
+    assert rows[2]["dup_token_bp"] == 0
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top2_count"] == 0  # split('')==['']
+    # "x y": 3 occurrences of 3 chars over 11 chars
+    assert rows[4]["top2_count"] == 3
+    assert rows[4]["top2_bp"] == int(3 * 3 / 11 * 10000)
