@@ -238,3 +238,45 @@ def repetition_metrics(toks_col: Column, text_col: Column | str) -> dict[str, Co
         "top2_count": best,
         "top2_bp": top2_bp,
     }
+
+
+# PII patterns: RE2-safe subset (no lookaround/backrefs) so the Java
+# regex engine (Spark) and RE2 (DuckDB oracle) match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"(\+?[0-9]{1,3}[ -])?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def with_pii_scrubbed(df, text_col: str):
+    """Count and redact emails / URLs / phone numbers.
+
+    Adds ``n_urls`` / ``n_emails`` / ``n_phones`` and ``scrubbed``
+    (matches replaced by ``<URL>`` / ``<EMAIL>`` / ``<PHONE>``).
+    Scrubbing is staged URL → email → phone and each count is taken on
+    the previous stage's output, so an address embedded in a URL is
+    counted once, as a URL. The stages are materialized as their own
+    columns — each regexp_replace runs once per row even though two
+    downstream expressions reference it (a single-projection expression
+    chain would re-evaluate the whole prefix per output column). All
+    regexes run in the codegen'd JVM regexp functions — no UDFs.
+    """
+    col = _col(text_col)
+    d = df.withColumn("__no_url", F.regexp_replace(col, URL_RE, "<URL>"))
+    d = d.withColumn(
+        "__no_email", F.regexp_replace(F.col("__no_url"), EMAIL_RE, "<EMAIL>")
+    )
+    return (
+        d.withColumn("n_urls", F.regexp_count(col, F.lit(URL_RE)).cast("long"))
+        .withColumn(
+            "n_emails",
+            F.regexp_count(F.col("__no_url"), F.lit(EMAIL_RE)).cast("long"),
+        )
+        .withColumn(
+            "n_phones",
+            F.regexp_count(F.col("__no_email"), F.lit(PHONE_RE)).cast("long"),
+        )
+        .withColumn(
+            "scrubbed", F.regexp_replace(F.col("__no_email"), PHONE_RE, "<PHONE>")
+        )
+        .drop("__no_url", "__no_email")
+    )

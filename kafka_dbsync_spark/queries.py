@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    URL_RE,
     repetition_metrics,
+    with_pii_scrubbed,
     detect_language,
     normalize_text,
     tokens,
@@ -999,6 +1003,72 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", "text").withColumn("__toks", tokens("text"))
     m = repetition_metrics(F.col("__toks"), "text")
     return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
+
+
+# The synthetic corpus contains no PII, so the scrub query plants a
+# deterministic PII suffix on every 7th document (kept in lockstep with
+# the SQL below).
+_PII_SUFFIX = (
+    " contact user{id}@example.com or +1 555-123-4567 via https://example.com/d/{id}"
+)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-123-4567 via https://example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+_SQL_PII_DOCS = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or +1 555-123-4567 via https://example.com/d/'
+                     || CAST(doc_id AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH d AS ({_SQL_PII_DOCS}),
+    s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{URL_RE}', '<URL>', 'g') AS no_url
+      FROM d
+    ), s2 AS (
+      SELECT doc_id, text, no_url,
+             regexp_replace(no_url, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(no_url, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM s2
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the planted-PII corpus: staged URL → email →
+    phone counts + scrubbed text (functions/text.py::with_pii_scrubbed;
+    RE2-safe patterns so Spark's Java regex and the DuckDB oracle's RE2
+    agree)."""
+    return with_pii_scrubbed(_pii_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_urls", "n_emails", "n_phones", "scrubbed"
+    )
 
 
 @query(

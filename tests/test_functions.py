@@ -181,3 +181,24 @@ def test_repetition_metrics(spark):
     # "x y": 3 occurrences of 3 chars over 11 chars
     assert rows[4]["top2_count"] == 3
     assert rows[4]["top2_bp"] == int(3 * 3 / 11 * 10000)
+
+
+def test_pii_scrub(spark):
+    from kafka_dbsync_spark.functions.text import with_pii_scrubbed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and see https://x.io/a@b.io now"),
+            (2, "call 555-123-4567 or +44 201-555-0199"),
+            (3, "clean text only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii_scrubbed(docs, "text").collect()}
+    # the email inside the URL is counted/replaced as URL, not email
+    assert rows[1]["n_urls"] == 1 and rows[1]["n_emails"] == 1
+    assert rows[1]["scrubbed"] == "mail <EMAIL> and see <URL> now"
+    assert rows[2]["n_phones"] == 2
+    assert rows[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert rows[3]["scrubbed"] == "clean text only"
+    assert rows[3]["n_urls"] == rows[3]["n_emails"] == rows[3]["n_phones"] == 0
