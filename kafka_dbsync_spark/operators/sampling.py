@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for training-data curation.
+
+Beyond the reference's surface (SURVEY.md §2.7): reproducible sampling
+is what a data pipeline needs for holdout splits and corpus rebalancing
+— rand()-based sampling changes under retries, partitioning, and engine,
+so everything here keys off md5 of the row's id instead.
+
+Scale design: the per-row decision is a narrow hash-threshold filter
+(pushable, codegen'd); per-stratum rates arrive via a BROADCAST join of
+a tiny aggregate, so the big table is never shuffled — a window over the
+strata column would instead sort the whole corpus into one task per
+stratum (catastrophic for low-cardinality strata like language).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash32(c: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit long — the deterministic
+    uniform variate behind every sampler here (engine-portable: any SQL
+    engine reproduces it from md5 + hex parse)."""
+    h = F.substring(F.md5(c), 1, 8)
+    return F.conv(h, 16, 10).cast("long")
+
+
+def hash_fraction_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically: hash32(salt:id) <
+    fraction·2³². Different ``salt`` values give independent samples
+    (e.g. train/eval splits)."""
+    hv = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return df.filter(hv < int(fraction * (1 << 32)))
+
+
+def balanced_sample(
+    df: DataFrame, strata_col: str, id_col: str, salt: str = ""
+) -> DataFrame:
+    """Downsample every stratum to ~the size of the smallest one
+    (deterministic corpus rebalancing, e.g. equalizing languages).
+
+    Keep row ⟺ hash32(salt:id) · stratum_count < min_count · 2³² —
+    exact integer arithmetic (no float threshold drift between engines).
+    The stratum counts are a tiny aggregate broadcast back onto the
+    table; the table itself stays un-shuffled.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.crossJoin(counts.agg(F.min("__cnt").alias("__min_cnt")))
+    hv = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(hv * F.col("__cnt") < F.col("__min_cnt") * F.lit(1 << 32))
+        .select(*df.columns)
+    )

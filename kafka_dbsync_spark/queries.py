@@ -50,6 +50,7 @@ from kafka_dbsync_spark.operators.dedup import (
 )
 from kafka_dbsync_spark.operators.graph import connected_components
 from kafka_dbsync_spark.operators.merge import apply_changes
+from kafka_dbsync_spark.operators.sampling import balanced_sample
 from kafka_dbsync_spark.operators.multimodal import extract_media_meta
 from kafka_dbsync_spark.operators.similarity import (
     cosine_topk,
@@ -1435,6 +1436,34 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return docs.filter(hv % 10 == 0).select("doc_id", "lang", "source")
+
+
+@query(
+    "balanced_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) AS hv
+      FROM documents
+    ), c AS (
+      SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    ), m AS (SELECT min(cnt) AS mc FROM c)
+    SELECT h.doc_id, h.lang, h.source
+    FROM h JOIN c USING (lang), m
+    WHERE hv * cnt < mc * 4294967296
+    """,
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sample: every language downsampled to
+    ~the smallest language's size via a deterministic integer hash
+    threshold; stratum rates broadcast, big table never shuffled
+    (operators/sampling.py::balanced_sample)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return balanced_sample(docs, "lang", "doc_id")
 
 
 @query(

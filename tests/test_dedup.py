@@ -172,3 +172,39 @@ def test_simhash_bits_and_neardup_pairs(spark):
     # fast; the sf corpora's ~200-token docs stay within it)
     assert (1, 4) not in pairs
     assert not any(5 in p for p in pairs)
+
+
+def test_hash_fraction_sample_deterministic(spark):
+    from kafka_dbsync_spark.operators.sampling import hash_fraction_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_fraction_sample(df, "doc_id", 0.25).collect()}
+    b = {r["doc_id"] for r in hash_fraction_sample(df, "doc_id", 0.25).collect()}
+    assert a == b  # reproducible across runs
+    assert 0.18 < len(a) / 2000 < 0.32
+    c = {r["doc_id"] for r in hash_fraction_sample(df, "doc_id", 0.25, salt="v2").collect()}
+    assert c != a  # different salt, different (independent) sample
+
+
+def test_balanced_sample_equalizes_strata(spark):
+    import pyspark.sql.functions as F
+
+    from kafka_dbsync_spark.operators.sampling import balanced_sample
+
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "grp",
+            F.when(F.col("doc_id") < 2400, "big")
+            .when(F.col("doc_id") < 2900, "mid")
+            .otherwise("small"),
+        )
+    )
+    out = balanced_sample(df, "grp", "doc_id")
+    sizes = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # every stratum lands near the smallest stratum's size (100)
+    assert all(60 <= n <= 140 for n in sizes.values()), sizes
+    assert set(sizes) == {"big", "mid", "small"}
+    # no helper columns leak
+    assert out.columns == ["doc_id", "grp"]
