@@ -152,7 +152,15 @@ class CdcApplyEngine:
             if self.distribute:
                 self._apply_distributed(per_table)
             else:
-                self._apply_driver_side(per_table)
+                # materialize the deduped batch with ONE parallel job —
+                # the per-table toLocalIterator fetches then stream cached
+                # partitions instead of each triggering serial recompute
+                per_table = per_table.persist()
+                try:
+                    per_table.count()
+                    self._apply_driver_side(per_table)
+                finally:
+                    per_table.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -245,7 +253,9 @@ class CdcApplyEngine:
             conn = self.connection_factory()
             try:
                 self._ensure_table(conn, table, tdf)
-                self._write_stream(conn, table, tdf.toLocalIterator())
+                self._write_stream(
+                    conn, table, tdf.toLocalIterator(prefetchPartitions=True)
+                )
                 conn.commit()
             except Exception:
                 conn.rollback()
