@@ -152,15 +152,29 @@ class CdcApplyEngine:
             if self.distribute:
                 self._apply_distributed(per_table)
             else:
-                # materialize the deduped batch with ONE parallel job —
-                # the per-table toLocalIterator fetches then stream cached
-                # partitions instead of each triggering serial recompute
-                per_table = per_table.persist()
-                try:
-                    per_table.count()
-                    self._apply_driver_side(per_table)
-                finally:
-                    per_table.unpersist()
+                # distinct-tables probe on the CACHED pre-dedup batch (a
+                # one-column partial-agg shuffle) — probing per_table
+                # instead would run the expensive dedup shuffle just to
+                # list tables. Dedup never drops a table, so the sets match.
+                tables = sorted(
+                    r[0]
+                    for r in valid.select(self.table_col).distinct().collect()
+                )
+                if len(tables) > 1:
+                    # fan-out: materialize the deduped batch once with ONE
+                    # parallel job so the N per-table passes read cache
+                    # instead of each re-running the dedup shuffle
+                    per_table = per_table.persist()
+                    try:
+                        per_table.count()
+                        self._apply_driver_side(per_table, tables)
+                    finally:
+                        per_table.unpersist()
+                else:
+                    # single-table batch (one topic → one table, the common
+                    # deployment): stream straight through — persisting
+                    # would only add a materialization pass
+                    self._apply_driver_side(per_table, tables)
         finally:
             batch_df.unpersist()
 
@@ -239,7 +253,9 @@ class CdcApplyEngine:
         return reason[: limit - 3] + "..."
 
     # -- apply paths ----------------------------------------------------------
-    def _apply_driver_side(self, per_table: DataFrame) -> None:
+    def _apply_driver_side(
+        self, per_table: DataFrame, tables: list[str] | None = None
+    ) -> None:
         """One connection, one transaction per table (the reference's
         shape: a single sink task with a JDBC connection).
 
@@ -247,7 +263,10 @@ class CdcApplyEngine:
         chunks (same discipline as the DLQ path) — driver memory stays
         O(chunk) no matter how large the batch (e.g. a backfill replay),
         while the transaction still spans the whole table."""
-        tables = [r[0] for r in per_table.select(self.table_col).distinct().collect()]
+        if tables is None:
+            tables = [
+                r[0] for r in per_table.select(self.table_col).distinct().collect()
+            ]
         for table in sorted(tables):
             tdf = per_table.filter(F.col(self.table_col) == table).drop(self.table_col)
             conn = self.connection_factory()
