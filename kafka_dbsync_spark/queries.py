@@ -348,6 +348,54 @@ def cdc_backfill_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_history",
+    oracle=f"""
+    WITH mapped AS (
+      SELECT user_id, event_id, event_type, value, props, {_SQL_OPS} AS op
+      FROM events
+    ), valid AS (SELECT * FROM mapped WHERE op <> 'corrupt'),
+    closed AS (
+      SELECT *, lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS valid_to
+      FROM valid
+    )
+    SELECT user_id, event_id AS valid_from, valid_to,
+           valid_to IS NULL AS is_current, event_type, value, props
+    FROM closed WHERE op = 'upsert'
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 companion to cdc_final_state: the same validated change
+    stream kept as full version history with validity intervals — every
+    upsert opens a version, the next change on the key closes it, deletes
+    close without emitting. One shuffle (per-key window), same key
+    partitioning as the merge path."""
+    from kafka_dbsync_spark.operators.history import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
+    valid, _ = split_corrupt(iidr)
+    changes = valid.select(
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        "op",
+        F.col("offset").alias("event_id"),
+    )
+    hist = scd2_history(changes, ["user_id"], "event_id")
+    return hist.select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@query(
     "envelope_unwrap",
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderstatus,
