@@ -347,6 +347,36 @@ def cdc_backfill_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_profile_col(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_v,
+           CAST(max({c}) AS DOUBLE) AS max_v,
+           round(CAST(CAST(sum(CAST({c} AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
+                 / count({c}), 6) AS avg_r
+    FROM lineitem
+    """
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(_sql_profile_col(c) for c in _PROFILE_COLS),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for lineitem in ONE scan (the
+    oracle needs a scan per column) — null counts, exact cardinality,
+    range, decimal-exact mean. See operators/profile.py for the plan."""
+    from kafka_dbsync_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS)
+
+
 @query(
     "scd2_history",
     oracle=f"""
