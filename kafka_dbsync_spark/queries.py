@@ -1333,6 +1333,109 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_topterms",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * ((SELECT count(*) FROM documents) + 1.0)
+                   / (dfreq.df + 1.0), 6) AS score_r
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, rank, term, tf, df, score_r FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_r DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per doc by tf·(N+1)/(df+1) — rational IDF
+    keeps scores engine-exact (monotone with log-IDF, so same ranking).
+    See operators/corpus.py for the shuffle budget."""
+    from kafka_dbsync_spark.operators.corpus import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+def _sql_shingles8(src: str = "documents") -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(8)).replace(
+        "w[i+0]", "w[i]"
+    )
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len(w) >= 8
+                  THEN list_transform(range(1, len(w) - 6), i -> {joined})
+                  ELSE [array_to_string(w, ' ')] END AS sh
+      FROM (SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+            FROM {src})
+    """
+
+
+@query(
+    "decontaminate",
+    oracle=f"""
+    WITH s AS ({_sql_shingles8(f"({_SQL_PLANTED})")}),
+    x AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+    b AS (SELECT DISTINCT g FROM x WHERE doc_id >= 1000000)
+    SELECT x.doc_id, count(*) AS n_shared
+    FROM x JOIN b USING (g) WHERE x.doc_id < 1000000
+    GROUP BY x.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-token shingle
+    with the benchmark set (stand-in: the planted-dup variants, so the
+    overlap is non-trivial). The benchmark shingle set is broadcast —
+    zero shuffle of the corpus side."""
+    from kafka_dbsync_spark.operators.corpus import contaminated_docs
+
+    docs = _planted_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") >= 1000000)
+    corpus = docs.filter(F.col("doc_id") < 1000000)
+    return contaminated_docs(corpus, bench, "doc_id", "text", k=8)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END
+             AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                  AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, bucket, n_tokens, cum - n_tokens AS start_off,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS start_bin,
+           CAST(greatest(cum - 1, cum - n_tokens) // 256 AS BIGINT) AS end_bin
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing plan: token spans concatenated in id order
+    within 8 hash buckets, split into 256-token windows; each doc reports
+    the window span it occupies. Integer-exact; one bucket shuffle."""
+    from kafka_dbsync_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", ctx_len=256, buckets=8)
+
+
+@query(
     "vocab_topk",
     oracle=f"""
     WITH toks AS (

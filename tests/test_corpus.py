@@ -1,0 +1,78 @@
+"""Corpus-level operators (operators/corpus.py)."""
+
+from kafka_dbsync_spark.operators.corpus import (
+    contaminated_docs,
+    pack_sequences,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common word apple apple apple"),
+            (2, "common word banana"),
+            (3, "common word cherry"),
+        ],
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # the doc-unique term beats terms appearing in every doc
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    docs = _docs(spark, [(1, "a b c d e")])
+    ranks = sorted(
+        r["rank"] for r in tfidf_top_terms(docs, k=3).collect()
+    )
+    assert ranks == [1, 2, 3]
+
+
+def test_contaminated_docs_flags_shingle_overlap(spark):
+    text = "one two three four five six seven eight nine ten"
+    corpus = _docs(
+        spark,
+        [
+            (1, text),  # contains the benchmark 8-gram
+            (2, "totally different words with no overlap at all here"),
+        ],
+    )
+    bench = _docs(spark, [(100, text + " extra tail words")])
+    out = {r["doc_id"]: r["n_shared"] for r in
+           contaminated_docs(corpus, bench, k=8).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+
+
+def test_pack_sequences_spans_and_spill(spark):
+    # single bucket (buckets=1): docs pack head-to-tail in id order
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(["w"] * 100)),  # tokens 0..99    -> bin 0
+            (2, " ".join(["w"] * 100)),  # tokens 100..199 -> bin 0
+            (3, " ".join(["w"] * 100)),  # tokens 200..299 -> bins 0-1 (spill)
+        ],
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, ctx_len=256, buckets=1).collect()}
+    assert (out[1]["start_bin"], out[1]["end_bin"]) == (0, 0)
+    assert (out[2]["start_bin"], out[2]["end_bin"]) == (0, 0)
+    assert (out[3]["start_bin"], out[3]["end_bin"]) == (0, 1)
+    assert out[3]["start_off"] == 200
+
+
+def test_pack_sequences_empty_doc_zero_span(spark):
+    docs = _docs(spark, [(1, " ".join(["w"] * 10)), (2, "")])
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, ctx_len=8, buckets=1).collect()}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["start_bin"] == out[2]["end_bin"]
