@@ -235,6 +235,48 @@ def ivf_search(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = ("label",),
+    salt: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    IVF cell, drop any vector whose cosine to a LOWER-id vector in the
+    same cell is ≥ ``threshold`` (keep-min representative). Returns the
+    surviving rows (id, keep_cols, centroid_id).
+
+    This is the embedding analogue of LSH text dedup: the cell assignment
+    bounds the pair space to O(n²/B) and at 100 TB the cell id is the
+    partition column, so each cell's pair scan is partition-local. The
+    pair generation reuses ``neardup_pairs_blocked`` (salt-grid available
+    for a skewed cell); the final anti-join keys on the id — a uniform
+    key with map-side partial distinct on the dominated side."""
+    assigned = ivf_assign(
+        embeddings,
+        centroids_long,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=keep_cols,
+        keep_vec=True,
+    )
+    pairs = neardup_pairs_blocked(
+        assigned.select(id_col, "centroid_id", vec_col),
+        "centroid_id",
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        salt=salt,
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dominated, id_col, "left_anti").select(
+        id_col, *keep_cols, "centroid_id"
+    )
+
+
 def neardup_pairs_blocked(
     embeddings: DataFrame,
     block_col: str,

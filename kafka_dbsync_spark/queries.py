@@ -1759,6 +1759,35 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    , p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])), (x,y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])), (x,y) -> x + y))
+              * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> eb.v[i] * eb.v[i])), (x,y) -> x + y))) AS cs
+      FROM assigned a
+      JOIN assigned b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ), dom AS (SELECT DISTINCT id_b FROM p WHERE cs >= 0.3)
+    SELECT vec_id, label, centroid_id FROM assigned
+    WHERE vec_id NOT IN (SELECT id_b FROM dom)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cell-blocked cosine dedup of the embedding table —
+    survivors after dropping any vector ≥0.3 cosine to a lower-id vector
+    in its cell. Composes the IVF build/assign path with the blocked
+    pair scan; keep-min matches the text-dedup convention."""
+    from kafka_dbsync_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, q_ivf_centroids(spark, sf_dir), 0.3)
+
+
+@query(
     "simhash",
     oracle=f"""
     WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents),

@@ -183,3 +183,24 @@ def test_quantize_minmax_roundtrip(spark):
     step = (r["qmax"] - r["qmin"]) / 255
     for orig, code in zip([-2.0, 0.0, 2.0], r["qcodes"]):
         assert abs(r["qmin"] + code * step - orig) <= step / 2 + 1e-12
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    from kafka_dbsync_spark.operators.similarity import semantic_dedup
+
+    # two tight clusters (identical vectors) + one singleton
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # dup of 1 -> dropped
+        (3, [0.0, 1.0], 1),
+        (4, [0.0, 1.0], 1),   # dup of 3 -> dropped
+        (5, [0.7, 0.7], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = emb.selectExpr(
+        "label", "posexplode(embedding) as (dim0, v)"
+    ).selectExpr("label", "dim0 + 1 as dim", "CAST(v AS DOUBLE) as centroid").groupBy(
+        "label", "dim"
+    ).agg(F.round(F.avg("centroid"), 6).alias("centroid"))
+    out = semantic_dedup(emb, cents, 0.99)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 3, 5]
