@@ -75,6 +75,14 @@ SHUFFLE_BUDGET = {
     # the raw inequality predicate would be a nested-loop scale killer
     "vector_lsh_buckets": 0,     # fully narrow
     "multimodal_meta": 1,        # parallelism repartition
+    "table_profile": 2,          # multi-distinct Expand: partial + final agg
+    "scd2_history": 1,           # the per-key window (same key as merge)
+    "tfidf_topterms": 5,         # tf agg + df agg + term join (2) + doc window
+    "decontaminate": 4,          # shingle explode repartitions + benchmark
+    # distinct; corpus side joins broadcast (0 corpus shuffle)
+    "pack_sequences": 1,         # the bucket window
+    "semantic_dedup": 2,         # cell pair scan is broadcast at this size;
+    # assign map-only; centroid agg + dominated distinct
 }
 
 
