@@ -151,6 +151,39 @@ def main() -> None:
         f"in {dt:.2f}s = {nv * nv / 2 / dt:,.0f} comparisons/s"
     )
 
+    # Corpus operators: tfidf (two-level agg + term join), packing (bucket
+    # window), SCD2 (per-key lead window) — the round-2 additions' hot
+    # paths at volume
+    from kafka_dbsync_spark.operators.corpus import pack_sequences, tfidf_top_terms
+    from kafka_dbsync_spark.operators.history import scd2_history
+
+    t0 = time.perf_counter()
+    n_terms = tfidf_top_terms(bigdocs, "doc_id", "text", k=3).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"tfidf_top_terms: {d0 * factor} docs in {dt:.2f}s = "
+        f"{d0 * factor / dt:,.0f} docs/s ({n_terms} term rows)"
+    )
+
+    t0 = time.perf_counter()
+    n_packed = pack_sequences(bigdocs, "doc_id", "text", 256, 64).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"pack_sequences: {n_packed} docs in {dt:.2f}s = "
+        f"{n_packed / dt:,.0f} docs/s"
+    )
+
+    t0 = time.perf_counter()
+    changes = valid.select(
+        "user_id", "event_type", "value", "op", F.col("offset").alias("seq")
+    )
+    n_vers = scd2_history(changes, ["user_id"], "seq").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"scd2_history: {n} changes in {dt:.2f}s = {n / dt:,.0f} changes/s "
+        f"({n_vers} versions)"
+    )
+
 
 if __name__ == "__main__":
     main()
