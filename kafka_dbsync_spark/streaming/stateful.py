@@ -100,6 +100,49 @@ def sessionize_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    watermark: str = "1 hour",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: a right row matches a
+    left row with the same key when
+    ``right_ts ∈ [left_ts + lower, left_ts + upper]``.
+
+    Both sides carry watermarks, and the join condition bounds event time
+    in BOTH directions — the two requirements for Spark to know when a
+    buffered row can never match again and evict it, keeping join state
+    bounded by (watermark + interval width) × arrival rate instead of the
+    stream length. Left/right outer variants emit the unmatched row once
+    that horizon passes.
+
+    Column naming: the right side's ts column must differ from the
+    left's (rename upstream); key columns are equi-joined and emitted
+    once."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key_col] == r_wm[key_col])
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    joined = l_wm.join(r_wm, cond, how)
+    # emit the key once (both sides carry it after the equi-join)
+    return joined.drop(r_wm[key_col])
+
+
 def running_totals(
     df: DataFrame,
     key_col: str = "user_id",

@@ -1,0 +1,65 @@
+"""Watermarked stream-stream interval join (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_dbsync_spark.sources.tables import load_table
+from kafka_dbsync_spark.streaming.stateful import interval_join_streams
+
+from tests.conftest import SF_SMOKE
+
+
+def test_interval_join_streams_matches_batch(tmp_path, spark):
+    """Signup events joined to same-user purchases within 2 hours — the
+    streaming result equals the equivalent batch interval join."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("ts_r"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    signups.write.parquet(lsrc)
+    purchases.write.parquet(rsrc)
+
+    ls = spark.readStream.schema(signups.schema).parquet(lsrc)
+    rs = spark.readStream.schema(purchases.schema).parquet(rsrc)
+    joined = interval_join_streams(
+        ls, rs, "user_id", "ts", "ts_r", watermark="1 hour", upper="2 hours"
+    ).select("user_id", "signup_id", "purchase_id")
+
+    # both sides must carry event-time watermarks — the state-eviction
+    # precondition that keeps join state bounded
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") >= 2
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM sj_out").collect()
+    }
+
+    want = {
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in signups.join(
+            purchases,
+            (signups["user_id"] == purchases["user_id"])
+            & (F.col("ts_r") >= F.col("ts"))
+            & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 2 hours")),
+        )
+        .select(signups["user_id"], "signup_id", "purchase_id")
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
