@@ -66,3 +66,34 @@ def range_join_bucketed(
         )
         .drop("__bkt")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key_cols: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table.
+
+    The 100 TB co-location play: two tables bucketed on the same key with
+    the same bucket count join WITHOUT any Exchange — each bucket pair is
+    sort-merge-joined in place (and the sortBy removes the runtime sort
+    too). For a continuously-maintained CDC target this is the base-table
+    layout that lets every micro-batch merge reuse the bucketing instead
+    of re-shuffling the (large) base — see operators/merge.py.
+
+    Bucketing metadata only exists in the catalog, so this writes a
+    TABLE (``saveAsTable``), not bare files; pass ``path`` to control the
+    storage location.
+    """
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *key_cols)
+        .sortBy(*key_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
