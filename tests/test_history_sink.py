@@ -98,3 +98,66 @@ def test_scd2_sink_multi_table_fanout(tmp_path, spark):
     assert con.execute('SELECT count(*) FROM "t1"').fetchone()[0] == 1
     assert con.execute('SELECT count(*) FROM "t2"').fetchone()[0] == 1
     con.close()
+
+
+def test_scd2_sink_streaming_with_restart(tmp_path, spark, kafka_schema):
+    """File-source stream → transform chain → foreachBatch history sink;
+    checkpoint restart re-applies nothing."""
+    from kafka_dbsync_spark.operators.transforms import (
+        validate_iidr,
+        with_operation,
+        with_target_table,
+    )
+    from tests.test_streaming import canonical, extract, write_batch
+
+    src = str(tmp_path / "events")
+    db = str(tmp_path / "h.db")
+    ckpt = str(tmp_path / "ckpt")
+    write_batch(spark, kafka_schema, src, canonical())
+
+    def start():
+        stream = spark.readStream.schema(kafka_schema).parquet(src)
+        prep = validate_iidr(
+            with_operation(with_target_table(extract(stream), case="lower"))
+        )
+        engine = Scd2ApplyEngine(
+            connection_factory=lambda: sqlite3.connect(db),
+            dialect=SqliteDialect(),
+            pk_fields=["ID"],
+            value_cols=["ORDER_NAME", "STATUS"],
+            order_cols=["offset"],
+            errors_tolerance="log",
+        )
+        return (
+            prep.writeStream.foreachBatch(engine.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    def history():
+        con = sqlite3.connect(db)
+        rows = con.execute(
+            'SELECT "ID", "ORDER_NAME", "valid_from", "valid_to", "is_current" '
+            'FROM "test_orders" ORDER BY "ID", "valid_from"'
+        ).fetchall()
+        con.close()
+        return rows
+
+    # canonical() = PT(1)@0 PT(2)@1 PT(3)@2 UP(2)@3 DL(3)@4
+    expect = [
+        (1, "A", 0, None, 1),
+        (2, "B", 1, 3, 0),
+        (2, "B2", 3, None, 1),
+        (3, "C", 2, 4, 0),
+    ]
+    assert history() == expect
+
+    # restart from the same checkpoint: no replays, history unchanged
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert history() == expect
