@@ -62,9 +62,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     94-112, one step further to Spark's micros)."""
     pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer div — float division loses precision on epoch-nanos (>2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div — float division loses precision on epoch-nanos
+            # (>2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # parquet timestamp[us] without isAdjustedToUTC reads as NTZ;
+            # normalize to TIMESTAMP so epoch math (unix_micros), numeric
+            # casts and watermarks all resolve. Session tz is pinned UTC,
+            # so the wall-clock value — and every DuckDB oracle — is
+            # unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

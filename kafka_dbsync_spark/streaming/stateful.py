@@ -26,7 +26,19 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet written without UTC
+    adjustment reads back as TIMESTAMP_NTZ (the driver's `events.ts` is
+    one). Cast NTZ → LTZ here — with the session timezone pinned to UTC
+    (pin_session_confs) the wall-clock value is unchanged, so batch and
+    streaming twins of the same query agree."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_counts_stream(
@@ -42,7 +54,8 @@ def windowed_counts_stream(
     (window, key) exactly once when the watermark passes the window end;
     state is bounded by windows open within the watermark horizon."""
     return (
-        stream.withWatermark(ts_col, watermark)
+        _as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -84,7 +97,8 @@ def sessionize_stream(
     fixtures when comparing the two.
     """
     return (
-        stream.withWatermark(ts_col, watermark)
+        _as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -125,8 +139,8 @@ def interval_join_streams(
     Column naming: the right side's ts column must differ from the
     left's (rename upstream); key columns are equi-joined and emitted
     once."""
-    l_wm = left.withWatermark(left_ts, watermark)
-    r_wm = right.withWatermark(right_ts, watermark)
+    l_wm = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r_wm = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (l_wm[key_col] == r_wm[key_col])
         & (
