@@ -2141,3 +2141,82 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select(
         "doc_id", "byte_len", "content_md5", F.upper(F.col("magic")).alias("magic")
     )
+
+
+# ===========================================================================
+# Skew-safe joins + incremental view maintenance
+# ===========================================================================
+@query(
+    "salted_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join (lineitem ⋈ orders) through the salted-join
+    operator: each orderkey's probe rows spread across `salt` reducer
+    tasks, bounding the straggler a hot key creates at scale. Salting
+    must not change results — the oracle is the PLAIN join."""
+    from kafka_dbsync_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    left = li.select(F.col("l_orderkey").alias("orderkey"), disc.alias("disc_price"))
+    right = od.select(
+        F.col("o_orderkey").alias("orderkey"), F.col("o_orderpriority")
+    )
+    return (
+        salted_join(left, right, ["orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "incremental_hourly",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    built from an 80% "already synced" base plus a 20% "new batch"
+    delta, merged with merge_agg_state — work proportional to the batch,
+    never a recompute of history. The oracle is the FULL recompute: the
+    merged view must be indistinguishable from it. Partial sums stay
+    decimal until after the merge so cross-batch addition is exact."""
+    from kafka_dbsync_spark.operators.incremental import merge_agg_state
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def hourly_state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    base = hourly_state(ev.filter(F.pmod(F.col("event_id"), F.lit(5)) < 4))
+    delta = hourly_state(ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 4))
+    merged = merge_agg_state(
+        base, delta, ["hour", "event_type"], sum_cols=["n", "sum_value"]
+    )
+    return merged.select(
+        "hour", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )

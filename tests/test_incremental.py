@@ -1,0 +1,132 @@
+"""Salted skew join + incremental aggregate-view maintenance."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from kafka_dbsync_spark.operators.incremental import (
+    merge_agg_state,
+    refresh_affected,
+)
+from kafka_dbsync_spark.operators.joins import salted_join
+
+
+def _skewed_frames(spark):
+    # one hot key (k=1) with 2000 rows, a long uniform tail
+    left_rows = [(1, i) for i in range(2000)] + [(k, k * 10) for k in range(2, 202)]
+    right_rows = [(k, f"dim{k}") for k in range(0, 202)]  # k=0 unmatched
+    left = spark.createDataFrame(left_rows, "k long, v long")
+    right = spark.createDataFrame(right_rows, "k long, name string")
+    return left, right
+
+
+def test_salted_join_matches_plain_join(spark):
+    left, right = _skewed_frames(spark)
+    plain = {(r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right, ["k"], salt=8).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 2000 + 200
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+    right = spark.createDataFrame([(1, "a")], "k long, name string")
+    got = {
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(left, right, ["k"], salt=4, how="left").collect()
+    }
+    assert got == {(1, 10, "a"), (99, 20, None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of salting: the hot key's probe rows must not collapse
+    onto a single (key, salt) reducer group."""
+    left, right = _skewed_frames(spark)
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(8))
+    )
+    n_salts = (
+        lsalted.filter(F.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert n_salts == 8  # 2000 distinct rows hash into all 8 salt slots
+
+
+def test_salted_join_rejects_bad_salt(spark):
+    left, right = _skewed_frames(spark)
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(left, right, ["k"], salt=0)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _raw(spark):
+    rows = [
+        # key, batch, x
+        ("a", 0, 10.0),
+        ("a", 0, 5.0),
+        ("b", 0, 7.0),
+        ("a", 1, 1.0),
+        ("c", 1, 99.0),
+    ]
+    return spark.createDataFrame(rows, "k string, batch int, x double")
+
+
+def _agg(df):
+    return df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+
+
+def test_merge_agg_state_equals_full_recompute(spark):
+    raw = _raw(spark)
+    base = _agg(raw.filter(F.col("batch") == 0))
+    delta = _agg(raw.filter(F.col("batch") == 1))
+    merged = merge_agg_state(
+        base, delta, ["k"], sum_cols=["n", "sx"], min_cols=["mn"], max_cols=["mx"]
+    )
+    want = {
+        (r["k"], r["n"], r["sx"], r["mn"], r["mx"]) for r in _agg(raw).collect()
+    }
+    got = {(r["k"], r["n"], r["sx"], r["mn"], r["mx"]) for r in merged.collect()}
+    assert got == want  # incl. keys only in base (b) and only in delta (c)
+
+
+def test_merge_agg_state_requires_aggregates(spark):
+    base = _agg(_raw(spark))
+    with pytest.raises(ValueError, match="no aggregate"):
+        merge_agg_state(base, base, ["k"])
+
+
+def test_refresh_affected_handles_updates_and_deletes(spark):
+    """Keys touched by a change batch are recomputed from table state;
+    a fully-deleted key's view row disappears; untouched keys keep
+    their (possibly stale-expensive-to-recompute) view rows verbatim."""
+    table_before = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 9.0)], "k string, x double"
+    )
+    view = _agg(table_before)
+
+    # batch updates a (one row now), deletes c entirely; b untouched
+    table_after = spark.createDataFrame(
+        [("a", 42.0), ("b", 5.0)], "k string, x double"
+    )
+    change_keys = spark.createDataFrame([("a",), ("c",)], "k string")
+
+    refreshed = refresh_affected(view, table_after, change_keys, ["k"], _agg)
+    got = {
+        (r["k"], r["n"], r["sx"], r["mn"], r["mx"]) for r in refreshed.collect()
+    }
+    want = {
+        (r["k"], r["n"], r["sx"], r["mn"], r["mx"])
+        for r in _agg(table_after).collect()
+    }
+    assert got == want
+    assert {r["k"] for r in refreshed.collect()} == {"a", "b"}

@@ -31,6 +31,10 @@ SHUFFLE_BUDGET = {
     "curation_pipeline": 1,         # dedup shuffle after narrow filters
     "value_percentiles": 1,         # one agg exchange
     "user_value_trend": 1,          # one agg exchange
+    "salted_priority_revenue": 1,   # final agg; join broadcasts at test SF
+    # (shuffles on (key, salt) at scale — that spread is the operator's point)
+    "incremental_hourly": 2,        # base agg + delta agg; merge reuses the
+    # branch partitioning (union of compatible hash partitionings)
     "cdc_corrupt_events": 0,     # pure narrow chain
     "cdc_op_counts": 2,          # agg + countDistinct expand
     "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)
