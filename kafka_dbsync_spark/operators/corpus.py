@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kafka_dbsync_spark.functions.text import token_count, tokens
+from kafka_dbsync_spark.functions.text import normalize_text, token_count, tokens
 from kafka_dbsync_spark.operators.dedup import with_shingles
 
 
@@ -63,6 +63,97 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", "score_r")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents for a fixed bag of query terms.
+
+    Scale shape — NO corpus-wide shuffle: the query terms are plan
+    literals, so per-document term frequencies come from array filters
+    inside one narrow projection (not an explode + groupBy over every
+    token); the only wide operations are one scalar aggregate for corpus
+    stats (N, Σdl, per-term df — broadcast back) and the final
+    TakeOrdered top-k. Ranking a 100 TB corpus costs one scan.
+
+    Scores are rounded to 4 decimals (``score_r``) with doc-id
+    tie-breaks, making the ranking reproducible across engines; docs
+    matching no query term never surface. Output: (rank, id, score_r).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = tokens(text_col)
+
+    def eq_term(term: str):
+        # single-arg lambda: a 2-arg one would receive (element, INDEX)
+        return lambda x: x == F.lit(term)
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.when(normalize_text(text_col) == "", F.lit(0))
+        .otherwise(F.size(tok))
+        .alias("dl"),
+        *[
+            F.size(F.filter(tok, eq_term(t))).alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("__n"),
+        F.sum("dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    # literal folding happens in Python so the oracle can embed the same
+    # IEEE doubles: k1+1, 1-b are exact for the default 1.2/0.75
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfc = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            (F.col("__n").cast("double") - dfc + F.lit(0.5))
+            / (dfc + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        term_score = (
+            idf
+            * (tf * F.lit(k1p1))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(one_minus_b)
+                    + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+                )
+            )
+        )
+        score = term_score if score is None else score + term_score
+    any_match = sum(
+        (F.col(f"__tf{i}") for i in range(1, len(query_terms))),
+        start=F.col("__tf0"),
+    )
+    top = (
+        scored.filter(any_match > 0)
+        .select(F.col(id_col), F.round(score, 4).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, "score_r"
     )
 
 

@@ -2220,3 +2220,65 @@ def incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "hour", "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+_BM25_TERMS = ("hash", "join", "merge")
+
+
+def _bm25_term_sql(i: int) -> str:
+    """One BM25 term's score with the EXACT operator order of the Spark
+    expression in operators/corpus.py::bm25_topk (left-assoc products and
+    divisions — IEEE doubles make evaluation order part of the result)."""
+    return (
+        f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END AS dl,
+             {', '.join(
+                 f"len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '), x -> x = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS)
+             )}
+      FROM documents
+    ), st AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl,
+             {', '.join(
+                 f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(_BM25_TERMS))
+             )}
+      FROM per
+    ), sc AS (
+      SELECT doc_id,
+             round({' + '.join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 4) AS score_r
+      FROM per, st
+      WHERE tf0 + tf1 + tf2 > 0
+    ), top AS (
+      SELECT doc_id, score_r FROM sc ORDER BY score_r DESC, doc_id LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score_r
+    FROM top
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: Okapi BM25 top-10 for a fixed term
+    bag, computed in one corpus scan (term frequencies are narrow array
+    filters over plan-literal terms; only corpus stats and the top-k
+    cross the wire). See operators/corpus.py::bm25_topk."""
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, list(_BM25_TERMS), k=10)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )

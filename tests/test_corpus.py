@@ -76,3 +76,69 @@ def test_pack_sequences_empty_doc_zero_span(spark):
            pack_sequences(docs, ctx_len=8, buckets=1).collect()}
     assert out[2]["n_tokens"] == 0
     assert out[2]["start_bin"] == out[2]["end_bin"]
+
+
+def test_bm25_matches_brute_force(spark):
+    import math
+
+    import pytest
+
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    rows = [
+        (1, "spark shuffle join join join"),
+        (2, "join once in a longer document about many other things entirely"),
+        (3, "nothing relevant here at all"),
+        (4, "shuffle shuffle"),
+        (5, ""),
+    ]
+    docs = _docs(spark, rows)
+    terms = ["join", "shuffle"]
+    got = [(r["rank"], r["doc_id"], r["score_r"]) for r in
+           bm25_topk(docs, terms, k=3).collect()]
+
+    # brute force over the same tokenizer
+    toks = {i: t.split() if t else [] for i, t in rows}
+    n = len(rows)
+    sumdl = sum(len(v) for v in toks.values())
+    avgdl = sumdl / n
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        s = 0.0
+        for t in terms:
+            tf = toks[doc].count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (len(toks[doc]) / avgdl)))
+        return round(s, 4)
+
+    want = sorted(
+        ((score(i), i) for i, t in rows if any(w in toks[i] for w in terms)),
+        key=lambda p: (-p[0], p[1]),
+    )[:3]
+    assert got == [(r + 1, i, s) for r, (s, i) in enumerate(want)]
+    assert all(i != 3 and i != 5 for _, i, _s in got)  # no-match docs excluded
+
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(docs, [])
+
+
+def test_bm25_plan_has_no_corpus_shuffle(spark):
+    """The whole ranking is narrow + one scalar-stats agg + TakeOrdered:
+    no hash-partitioned exchange over per-token or per-doc keys."""
+    import re
+
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    docs = _docs(spark, [(i, "join shuffle data") for i in range(100)])
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = docs.sparkSession._jvm.PythonSQLUtils.explainString(
+            bm25_topk(docs, ["join", "shuffle"], k=5)._jdf.queryExecution(),
+            "formatted",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert not hash_exchanges, plan
