@@ -2282,3 +2282,52 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
     )
+
+
+# z-order: fixed literal domains (stats-pass values at ingest time); the
+# query's z math must be bit-identical to operators/layout.py::zvalue
+_Z_BITS = 16
+_Z_DIMS = (("o_custkey", 0.0, 100000.0), ("o_totalprice", 0.0, 600000.0))
+
+
+def _z_sql_q(col: str, lo: float, hi: float, bits: int) -> str:
+    """SQL mirror of layout.quantized — same literal scale double, same
+    floor/clamp/null order."""
+    cells = (1 << bits) - 1
+    scale = cells / (hi - lo)
+    return (
+        f"coalesce(least(greatest(CAST(floor((CAST({col} AS DOUBLE)"
+        f" - {float(lo)!r}) * {scale!r}) AS BIGINT), 0), {cells}), 0)"
+    )
+
+
+@query(
+    "zorder_values",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderkey,
+             {', '.join(
+                 f"{_z_sql_q(c, lo, hi, _Z_BITS)} AS q{d}"
+                 for d, (c, lo, hi) in enumerate(_Z_DIMS)
+             )}
+      FROM orders
+    )
+    SELECT o_orderkey,
+           {' | '.join(
+               f"(((q{d} >> {b}) & 1) << {b * len(_Z_DIMS) + d})"
+               for d in range(len(_Z_DIMS))
+               for b in range(_Z_BITS)
+           )} AS zval
+    FROM q
+    """,
+)
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values for the orders fact over (custkey, totalprice) —
+    the clustering key zorder_layout sorts files by so min/max stats
+    prune on BOTH dimensions. Pure codegen'd bit arithmetic; see
+    operators/layout.py."""
+    from kafka_dbsync_spark.operators.layout import zvalue
+
+    od = load_table(spark, sf_dir, "orders")
+    specs = [(F.col(c), lo, hi) for c, lo, hi in _Z_DIMS]
+    return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))

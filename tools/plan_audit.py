@@ -35,6 +35,7 @@ SHUFFLE_BUDGET = {
     # (shuffles on (key, salt) at scale — that spread is the operator's point)
     "incremental_hourly": 2,        # base agg + delta agg; merge reuses the
     # branch partitioning (union of compatible hash partitionings)
+    "zorder_values": 0,             # pure narrow bit arithmetic
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
     # narrow array math, top-k is TakeOrdered — no corpus-keyed exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
