@@ -130,3 +130,63 @@ def test_refresh_affected_handles_updates_and_deletes(spark):
     }
     assert got == want
     assert {r["k"] for r in refreshed.collect()} == {"a", "b"}
+
+
+def test_streaming_view_maintenance_with_restart(spark, tmp_path):
+    """The production shape incremental maintenance exists for: a
+    foreachBatch loop merges each micro-batch's partial aggregate into a
+    versioned view — work per batch O(batch), never a recompute — and a
+    checkpointed restart replays idempotently (version files are keyed
+    by batch_id, so a replayed batch overwrites its own output)."""
+    import os
+
+    src, ckpt, vbase = (str(tmp_path / d) for d in ("src", "ck", "view"))
+    os.makedirs(vbase)
+
+    def write_events(rows):
+        spark.createDataFrame(rows, "k string, x double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("x").alias("sx")
+        )
+
+    def latest_version():
+        vs = sorted(int(d[1:]) for d in os.listdir(vbase) if d.startswith("v"))
+        return vs[-1] if vs else None
+
+    def maintain(batch_df, batch_id):
+        delta = agg(batch_df)
+        prev = latest_version()
+        if prev is None or prev >= batch_id:  # replay: rebuild from scratch of v{batch_id-1}
+            prev = batch_id - 1 if batch_id > 0 else None
+        if prev is not None and os.path.exists(f"{vbase}/v{prev}"):
+            base = batch_df.sparkSession.read.parquet(f"{vbase}/v{prev}")
+            merged = merge_agg_state(base, delta, ["k"], sum_cols=["n", "sx"])
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{vbase}/v{batch_id}")
+
+    def run():
+        q = (
+            spark.readStream.schema("k string, x double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_events([("a", 1.0), ("b", 2.0)])
+    run()
+    write_events([("a", 10.0), ("c", 5.0)])
+    write_events([("b", 0.5)])
+    run()  # restart from checkpoint picks up the two new files
+
+    view = spark.read.parquet(f"{vbase}/v{latest_version()}")
+    got = {(r["k"], r["n"], r["sx"]) for r in view.collect()}
+    assert got == {("a", 2, 11.0), ("b", 2, 2.5), ("c", 1, 5.0)}

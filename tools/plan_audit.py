@@ -36,6 +36,8 @@ SHUFFLE_BUDGET = {
     "incremental_hourly": 2,        # base agg + delta agg; merge reuses the
     # branch partitioning (union of compatible hash partitionings)
     "zorder_values": 0,             # pure narrow bit arithmetic
+    "cube_revenue": 1,              # single Expand + partial agg — all four
+    # grouping sets in one scan, one exchange
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
     # narrow array math, top-k is TakeOrdered — no corpus-keyed exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
