@@ -184,6 +184,90 @@ def main() -> None:
         f"({n_vers} versions)"
     )
 
+    # Salted join under adversarial skew: a single hot key owning 20% of
+    # the probe side. Unsalted, that key is one straggler task; salted it
+    # must spread. Measured as a shuffle join (no broadcast) like 100 TB.
+    from kafka_dbsync_spark.operators.joins import salted_join
+
+    probe_n = n  # reuse the replicated event volume
+    hot = big.select(
+        F.when(F.col("event_id") % 5 == 0, F.lit(1))
+        .otherwise(F.col("event_id"))
+        .alias("k"),
+        F.col("value").alias("v"),
+    )
+    dim = spark.range(1, probe_n + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.perf_counter()
+        n_joined = salted_join(hot, dim, ["k"], salt=16).count()
+        dt = time.perf_counter() - t0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    print(
+        f"salted_join (hot key = 20% of {probe_n} rows): {n_joined} rows "
+        f"in {dt:.2f}s = {n_joined / dt:,.0f} rows/s"
+    )
+
+    # Incremental view maintenance: merging a 1x delta into a (factor-1)x
+    # base state must cost ~one delta agg, not a history recompute
+    from kafka_dbsync_spark.operators.incremental import merge_agg_state
+
+    def hourly_state(df):
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    base_state = hourly_state(big.filter(F.col("event_id") % factor != 0))
+    base_state.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    delta_state = hourly_state(big.filter(F.col("event_id") % factor == 0))
+    merged = merge_agg_state(
+        base_state, delta_state, ["hour", "event_type"], sum_cols=["cnt", "sv"]
+    )
+    n_view = merged.count()
+    dt = time.perf_counter() - t0
+    print(
+        f"incremental merge ({n // factor} delta into {n} history): "
+        f"{n_view} view rows in {dt:.2f}s"
+    )
+
+    # BM25: one corpus scan, no corpus-keyed exchange, at volume
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    t0 = time.perf_counter()
+    bm25_topk(bigdocs, ["hash", "join", "merge"], k=10).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"bm25: {d0 * factor} docs ranked in {dt:.2f}s = "
+        f"{d0 * factor / dt:,.0f} docs/s"
+    )
+
+    # Z-order layout: the re-cluster shuffle at volume (range partition +
+    # in-partition sort on the interleaved key)
+    from kafka_dbsync_spark.operators.layout import zorder_layout
+
+    od = load_table(spark, sf_dir, "orders")
+    o0 = od.count()
+    bigorders = replicate(od, factor, "o_orderkey", 10_000_000)
+    t0 = time.perf_counter()
+    zorder_layout(
+        bigorders,
+        [(F.col("o_custkey"), 0.0, 100000.0), (F.col("o_totalprice"), 0.0, 600000.0)],
+        num_files=64,
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(
+        f"zorder_layout: {o0 * factor} orders re-clustered in {dt:.2f}s = "
+        f"{o0 * factor / dt:,.0f} rows/s"
+    )
+
 
 if __name__ == "__main__":
     main()
