@@ -2333,6 +2333,69 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))
 
 
+_DIFF_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+    WITH replica AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 89 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 83 = 0
+    ), j AS (
+      SELECT coalesce(s.o_orderkey, r.o_orderkey) AS o_orderkey,
+             s.o_orderkey IS NOT NULL AS in_s,
+             r.o_orderkey IS NOT NULL AS in_r,
+             list_sort(list_filter([
+               {', '.join(
+                   f"CASE WHEN s.{c} IS DISTINCT FROM r.{c} THEN '{c}' END"
+                   for c in _DIFF_COLS
+               )}
+             ], x -> x IS NOT NULL)) AS cl
+      FROM orders s FULL OUTER JOIN replica r ON s.o_orderkey = r.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_s THEN 'added'
+                WHEN NOT in_r THEN 'removed'
+                ELSE 'changed' END AS status,
+           CASE WHEN in_s AND in_r THEN cl ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+    FROM j
+    WHERE NOT in_s OR NOT in_r OR len(cl) > 0
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica verification: distributed diff of the source table vs a
+    deterministically drifted replica (keys %89 missing downstream, %97
+    with a changed totalprice, %83 with spurious extra rows). Output is
+    proportional to the drift, never the table. See
+    operators/reconcile.py::snapshot_diff."""
+    from kafka_dbsync_spark.operators.reconcile import snapshot_diff
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", *_DIFF_COLS)
+    replica = (
+        od.filter(F.col("o_orderkey") % 89 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 83 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    return snapshot_diff(od, replica, ["o_orderkey"], list(_DIFF_COLS))
+
+
 @query(
     "cube_revenue",
     oracle="""

@@ -26,6 +26,12 @@ TABLES = (
 
 
 def canon_cell(v):
+    # Array cells: DuckDB's .df() yields numpy object arrays where Spark's
+    # toPandas() yields Python lists — canonicalize both element-wise
+    if type(v).__name__ == "ndarray":
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
     # Unwrap numpy scalars so int64 stays int, bool_ stays bool, etc.
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         v = v.item()

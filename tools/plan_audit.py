@@ -38,6 +38,8 @@ SHUFFLE_BUDGET = {
     "zorder_values": 0,             # pure narrow bit arithmetic
     "cube_revenue": 1,              # single Expand + partial agg — all four
     # grouping sets in one scan, one exchange
+    "snapshot_diff": 2,             # full-outer sort-merge: one hash
+    # exchange per side (zero if both snapshots are bucketed on the key)
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
     # narrow array math, top-k is TakeOrdered — no corpus-keyed exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
