@@ -2333,6 +2333,95 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))
 
 
+@query(
+    "cdc_state_at",
+    oracle=f"""
+    WITH cut AS (SELECT (max(event_id) * 3) // 5 AS k FROM events),
+    mapped AS (
+      SELECT event_id, user_id, event_type, value, props, {_SQL_OPS} AS op
+      FROM events, cut WHERE event_id <= k
+    ), valid AS (
+      SELECT * FROM mapped WHERE op <> 'corrupt'
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM valid
+    )
+    SELECT user_id, event_id AS last_event_id, event_type, value, props
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def cdc_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reconstruction: the replica state as of an offset
+    watermark (here 60% of the stream) — the audit/debug question "what
+    did the table look like when offset K committed?", answered by
+    bounded replay. The cut point is a broadcast scalar aggregate, not a
+    driver-side count."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        ((F.max("event_id") * F.lit(3)) / F.lit(5)).cast("long").alias("__k")
+    )
+    bounded = ev.join(F.broadcast(cut)).filter(
+        F.col("event_id") <= F.col("__k")
+    ).drop("__k")
+    iidr = validate_iidr(with_operation(events_as_iidr_stream(bounded)))
+    valid, _ = split_corrupt(iidr)
+    changes = valid.select("user_id", "event_type", "value", "props", "op", "offset")
+    state = apply_changes(changes, ["user_id"], ["offset"])
+    return state.select(
+        "user_id",
+        F.col("offset").alias("last_event_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    ranked AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM t
+    ), capped AS (
+      SELECT term, list_sort(list(doc_id)) AS postings
+      FROM ranked WHERE rn <= 10 GROUP BY term
+    ), freq AS (
+      SELECT term, count(*) AS df FROM t GROUP BY term
+    )
+    SELECT f.term, f.df, c.postings
+    FROM freq f JOIN capped c ON f.term = c.term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the artifact BM25 serving would persist):
+    per term, document frequency plus a CAPPED posting sample (first 10
+    doc ids). The cap is applied with a per-term window BEFORE any
+    collect_list, so no task ever materializes a hot term's full
+    posting list — the same bounded-bucket rule the LSH operator follows
+    (VERDICT round 1). Window and aggs share one term-hash shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    capped = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    return freq.join(capped, "term").select("term", "df", "postings")
+
+
 _DIFF_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
 
 

@@ -40,6 +40,9 @@ SHUFFLE_BUDGET = {
     # grouping sets in one scan, one exchange
     "snapshot_diff": 2,             # full-outer sort-merge: one hash
     # exchange per side (zero if both snapshots are bucketed on the key)
+    "cdc_state_at": 2,              # cut-point scalar agg + keyed merge
+    "inverted_index": 2,            # one term-hash shuffle shared by the
+    # cap window + df agg, plus the capped-postings agg side
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
     # narrow array math, top-k is TakeOrdered — no corpus-keyed exchange
     "cdc_corrupt_events": 0,     # pure narrow chain
