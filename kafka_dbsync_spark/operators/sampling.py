@@ -36,6 +36,68 @@ def hash_fraction_sample(
     return df.filter(hv < int(fraction * (1 << 32)))
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    target_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Resample strata toward a target MIXTURE (pretraining domain
+    reweighting): stratum ``s`` keeps ``min(1, w_s·T / n_s)`` of its
+    rows, so the sample approaches ``target_total`` rows distributed by
+    the normalized ``weights``. Strata missing from ``weights`` are
+    dropped; a stratum smaller than its quota is kept whole (the sampler
+    never upsamples).
+
+    Exactness: weights become integer millionths, and each stratum's
+    keep threshold is ``floor(wᵢ·T·2³² / (Σw·n_s))`` computed in
+    decimal — no float thresholds to drift between engines or retries.
+    The thresholds ride a broadcast of the tiny per-stratum count
+    aggregate; the corpus itself is never shuffled (same design as
+    balanced_sample).
+    """
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    if target_total <= 0:
+        raise ValueError(f"target_total must be positive (got {target_total})")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    wbp = {s: round(w * 1_000_000) for s, w in weights.items()}
+    wsum = sum(wbp.values())
+    if wsum == 0:
+        raise ValueError("weights sum to zero")
+    spark = df.sparkSession
+    # numerator w_s·T·2³² is a per-stratum Python int — exact, shipped as
+    # a decimal literal column (can exceed int64 at large T)
+    wdf = spark.createDataFrame(
+        [(s, Decimal(n * target_total * (1 << 32))) for s, n in wbp.items()],
+        T.StructType(
+            [
+                T.StructField(strata_col, T.StringType()),
+                T.StructField("__num", T.DecimalType(38, 0)),
+            ]
+        ),
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rates = counts.join(wdf, strata_col).withColumn(
+        "__thr",
+        F.least(
+            F.floor(F.col("__num") / (F.lit(wsum) * F.col("__cnt"))),
+            F.lit(Decimal(1 << 32)),
+        ).cast("long"),
+    )
+    hv = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "__thr")), strata_col)
+        .filter(hv < F.col("__thr"))
+        .select(*df.columns)
+    )
+
+
 def balanced_sample(
     df: DataFrame, strata_col: str, id_col: str, salt: str = ""
 ) -> DataFrame:

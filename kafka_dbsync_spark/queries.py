@@ -2333,6 +2333,77 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))
 
 
+_MIX_WEIGHTS = {"en": 0.4, "fr": 0.15, "de": 0.15, "es": 0.15, "zh": 0.15}
+_MIX_TARGET = 300
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH w(lang, num) AS (VALUES {', '.join(
+        f"('{s}', {round(v * 1_000_000) * _MIX_TARGET * (1 << 32)})"
+        for s, v in _MIX_WEIGHTS.items()
+    )}),
+    cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (
+      SELECT c.lang, CAST(least(w.num // (1000000 * c.n), 4294967296) AS BIGINT) AS thr
+      FROM cnt c JOIN w ON c.lang = w.lang
+    ),
+    h AS (
+      SELECT doc_id, lang, source,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                          AS BIGINT))),
+                 (a, b) -> a * 16 + b) AS hv
+      FROM documents
+    )
+    SELECT h.doc_id, h.lang, h.source
+    FROM h JOIN r ON h.lang = r.lang WHERE h.hv < r.thr
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining domain reweighting: deterministically resample the
+    corpus toward a target language mixture (40% en, 15% each other).
+    Thresholds are exact integer arithmetic on a broadcast per-stratum
+    count — no rand(), no corpus shuffle. See
+    operators/sampling.py::mixture_sample."""
+    from kafka_dbsync_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return mixture_sample(docs, "lang", "doc_id", _MIX_WEIGHTS, _MIX_TARGET)
+
+
+@query(
+    "duplicate_ngram_spans",
+    oracle=f"""
+    WITH s AS ({_sql_shingles8()}),
+    x AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s)
+    SELECT g AS span, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM x GROUP BY g HAVING count(*) >= 2
+    ORDER BY n_docs DESC, span LIMIT 20
+    """,
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring signal (the Lee et al. "Deduplicating
+    Training Data" shape): 8-token spans appearing in ≥2 documents,
+    ranked by spread. Explode + partial-agg on uniform shingle keys,
+    TakeOrdered top-k — no full sort."""
+    sh = with_shingles(
+        load_table(spark, sf_dir, "documents"), "text", k=8
+    ).select("doc_id", F.explode(F.array_distinct("shingles")).alias("span"))
+    return (
+        sh.groupBy("span")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(20)
+    )
+
+
 @query(
     "cdc_state_at",
     oracle=f"""

@@ -190,3 +190,43 @@ def test_streaming_view_maintenance_with_restart(spark, tmp_path):
     view = spark.read.parquet(f"{vbase}/v{latest_version()}")
     got = {(r["k"], r["n"], r["sx"]) for r in view.collect()}
     assert got == {("a", 2, 11.0), ("b", 2, 2.5), ("c", 1, 5.0)}
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from kafka_dbsync_spark.operators.sampling import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(4000)]
+        + [(i + 10_000, "books") for i in range(1000)]
+        + [(i + 20_000, "code") for i in range(50)]  # under quota -> kept whole
+        + [(i + 30_000, "junk") for i in range(500)]  # no weight -> dropped
+    )
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = mixture_sample(
+        df, "src", "id", {"web": 0.5, "books": 0.3, "code": 0.2}, 1000
+    )
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in counts
+    assert counts["code"] == 50  # never upsampled
+    assert abs(counts["web"] - 500) < 100  # ~hash-uniform around quota
+    assert abs(counts["books"] - 300) < 80
+    # deterministic: rerun identical
+    again = mixture_sample(
+        df, "src", "id", {"web": 0.5, "books": 0.3, "code": 0.2}, 1000
+    )
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_validates_inputs(spark):
+    from kafka_dbsync_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "id long, src string")
+    with pytest.raises(ValueError, match="target_total"):
+        mixture_sample(df, "src", "id", {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(df, "src", "id", {"a": -0.1}, 10)
+    with pytest.raises(ValueError, match="sum to zero"):
+        mixture_sample(df, "src", "id", {"a": 0.0}, 10)

@@ -41,6 +41,9 @@ SHUFFLE_BUDGET = {
     "snapshot_diff": 2,             # full-outer sort-merge: one hash
     # exchange per side (zero if both snapshots are bucketed on the key)
     "cdc_state_at": 2,              # cut-point scalar agg + keyed merge
+    "mixture_sample": 1,            # per-stratum count agg (broadcast back);
+    # the corpus side is a narrow hash-threshold filter
+    "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
     "inverted_index": 2,            # one term-hash shuffle shared by the
     # cap window + df agg, plus the capped-postings agg side
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
