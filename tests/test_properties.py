@@ -1,0 +1,133 @@
+"""Property-based invariants (hypothesis): the algebraic contracts the
+scale tricks rely on. Each property is the statement that an
+optimization is SAFE — salting must not change join results, state
+merging must equal recomputation, replay must be idempotent — checked
+over randomized inputs instead of hand-picked fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+import pyspark.sql.functions as F
+
+from kafka_dbsync_spark.operators.incremental import merge_agg_state
+from kafka_dbsync_spark.operators.joins import salted_join
+from kafka_dbsync_spark.operators.layout import zvalue
+from kafka_dbsync_spark.operators.merge import apply_changes
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=6)  # few keys → collisions likely
+vals = st.integers(min_value=-100, max_value=100)
+
+
+@given(
+    left=st.lists(st.tuples(keys, vals), min_size=1, max_size=25),
+    right=st.lists(st.tuples(keys, vals), min_size=1, max_size=10),
+    salt=st.sampled_from([1, 2, 5]),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_salting_never_changes_join_results(spark, left, right, salt, how):
+    ldf = spark.createDataFrame(left, "k long, v long")
+    rdf = spark.createDataFrame(right, "k long, w long")
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in ldf.join(rdf, "k", how).collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(ldf, rdf, ["k"], salt=salt, how=how).collect()
+    )
+    assert salted == plain
+
+
+@given(
+    rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=30),
+    cut=st.integers(min_value=0, max_value=30),
+)
+@SETTINGS
+def test_state_merge_equals_recompute(spark, rows, cut):
+    cut = min(cut, len(rows))
+    df = spark.createDataFrame(rows, "k long, x long")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+
+    a = spark.createDataFrame(rows[:cut] or [], "k long, x long")
+    b = spark.createDataFrame(rows[cut:] or [], "k long, x long")
+    merged = merge_agg_state(
+        agg(a), agg(b), ["k"], sum_cols=["n", "sx"], min_cols=["mn"], max_cols=["mx"]
+    )
+    want = sorted(map(tuple, agg(df).collect()))
+    got = sorted(map(tuple, merged.collect()))
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_zvalue_matches_brute_interleave_and_is_injective(spark, pts):
+    bits = 8
+    df = spark.createDataFrame(pts, "x long, y long")
+    out = df.select(
+        "x", "y",
+        zvalue(
+            [(F.col("x"), 0.0, 255.0), (F.col("y"), 0.0, 255.0)], bits
+        ).alias("z"),
+    ).collect()
+
+    def brute(x, y):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    zs = set()
+    for r in out:
+        assert r["z"] == brute(r["x"], r["y"])
+        zs.add(r["z"])
+    assert len(zs) == len(pts)  # injective on the grid
+
+
+ops = st.sampled_from(["upsert", "delete"])
+
+
+@given(
+    changes=st.lists(st.tuples(keys, ops, vals), min_size=1, max_size=30),
+)
+@SETTINGS
+def test_apply_changes_matches_sequential_fold(spark, changes):
+    """Distributed last-write-wins == applying the log one row at a time
+    in sequence order (the reference's single-threaded sink semantics)."""
+    rows = [(k, op, v, i) for i, (k, op, v) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "k long, op string, v long, seq long")
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(df, ["k"], ["seq"]).select("k", "v").collect()
+    }
+    state: dict[int, int] = {}
+    for k, op, v in changes:
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
