@@ -79,3 +79,108 @@ def extract_media_meta(
     return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def resize_raw_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    in_w: int = 8,
+    in_h: int = 8,
+    out_w: int = 4,
+    out_h: int = 4,
+    decoder: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor resize over RAW 8-bit single-channel frames —
+    real pixel math (numpy stride indexing per Arrow batch), no codec
+    needed: a blob is ``in_h × in_w`` bytes row-major. Compressed
+    formats plug in via ``decoder(blob) → ndarray``; without one, a blob
+    whose length isn't ``in_w·in_h`` yields NULL (malformed, not a
+    crash — the dead-letter philosophy of the CDC side).
+
+    Output: id, width, height, blob (resized). Memory per task is one
+    Arrow batch of blobs, never the partition."""
+    import numpy as np
+
+    schema = f"{id_col} long, width int, height int, blob binary"
+    # sample grid: out pixel (r, c) ← in pixel (r·in_h÷out_h, c·in_w÷out_w)
+    yi = (np.arange(out_h) * in_h) // out_h
+    xi = (np.arange(out_w) * in_w) // out_w
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rz(b):
+            if b is None:
+                return None
+            if decoder is not None:
+                a = np.asarray(decoder(bytes(b)), dtype=np.uint8)
+            else:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                if raw.size != in_w * in_h:
+                    return None
+                a = raw.reshape(in_h, in_w)
+            return a[np.ix_(yi, xi)].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": out_w,
+                    "height": out_h,
+                    "blob": pdf[blob_col].map(rz),
+                }
+            )
+
+    return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    max_frames: int | None = None,
+    extractor: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Frame sampling: one media row fans out to every ``every_n``-th
+    frame as its own row — the batch-shape that matters for video at
+    scale (downstream work parallelizes per FRAME, and per-task memory
+    stays one Arrow batch of inputs plus its sampled frames, capped by
+    ``max_frames``).
+
+    The built-in frame model is a raw fixed-size-frame container
+    (``frame_bytes`` per frame, trailing partial frame dropped) — real
+    byte plumbing; codec containers plug in via
+    ``extractor(blob) → list[bytes]``."""
+    if every_n <= 0 or frame_bytes <= 0:
+        raise ValueError("every_n and frame_bytes must be positive")
+    schema = f"{id_col} long, frame_idx long, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if extractor is not None:
+                    all_frames = extractor(raw)
+                else:
+                    all_frames = [
+                        raw[o : o + frame_bytes]
+                        for o in range(0, len(raw) - frame_bytes + 1, frame_bytes)
+                    ]
+                picked = all_frames[::every_n]
+                if max_frames is not None:
+                    picked = picked[:max_frames]
+                for j, fr in enumerate(picked):
+                    ids.append(rid)
+                    idxs.append(j * every_n)
+                    frames.append(fr)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
+        run, schema=schema
+    )

@@ -2333,6 +2333,69 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))
 
 
+# 8x8 raw "image" per doc: 64 deterministic ascii bytes (md5 hex doubled)
+_RAW_IMG_SQL = "md5(text) || md5(text)"
+_RESIZE_PIX = " || ".join(
+    f"substr(s, {(r * 2) * 8 + c * 2 + 1}, 1)" for r in range(4) for c in range(4)
+)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_RAW_IMG_SQL} AS s FROM documents)
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           {_RESIZE_PIX} AS pixels
+    FROM m
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-frame image resize through the multimodal plumbing: each doc
+    carries a synthetic 8x8 single-channel frame (64 deterministic
+    bytes); nearest-neighbor 8x8→4x4 runs as real numpy stride math per
+    Arrow batch (operators/multimodal.py::resize_raw_images). The
+    oracle recomputes the sampled pixel grid with byte arithmetic."""
+    from kafka_dbsync_spark.operators.multimodal import resize_raw_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.md5("text"), F.md5("text")), "utf-8").alias("blob"),
+    )
+    out = resize_raw_images(blobs, "doc_id", "blob", 8, 8, 4, 4)
+    return out.select(
+        "doc_id", "width", "height", F.decode("blob", "utf-8").alias("pixels")
+    )
+
+
+@query(
+    "multimodal_frames",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_RAW_IMG_SQL} AS s FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           substr(s, f * 16 + 1, 16) AS frame_s
+    FROM m CROSS JOIN unnest([0, 2]) AS t(f)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the multimodal plumbing: the
+    64-byte synthetic container holds four 16-byte frames; every 2nd
+    frame fans out to its own row (operators/multimodal.py::
+    sample_frames) — the per-frame parallelism shape video pipelines
+    need. NULL media rows drop (no frames, not a crash)."""
+    from kafka_dbsync_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.md5("text"), F.md5("text")), "utf-8").alias("blob"),
+    )
+    out = sample_frames(blobs, "doc_id", "blob", frame_bytes=16, every_n=2)
+    return out.select(
+        "doc_id", "frame_idx", F.decode("frame", "utf-8").alias("frame_s")
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.4, "fr": 0.15, "de": 0.15, "es": 0.15, "zh": 0.15}
 _MIX_TARGET = 300
 

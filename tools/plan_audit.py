@@ -44,6 +44,8 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "multimodal_resize": 1,         # parallelism repartition only (mapInPandas)
+    "multimodal_frames": 1,         # parallelism repartition only (mapInPandas)
     "inverted_index": 2,            # one term-hash shuffle shared by the
     # cap window + df agg, plus the capped-postings agg side
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
