@@ -2333,6 +2333,91 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select("o_orderkey", zvalue(specs, _Z_BITS).alias("zval"))
 
 
+@query(
+    "rolling_1h_value",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS roll_1h
+    FROM events
+    """,
+)
+def q_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the trailing-1-hour value sum
+    at each event — the batch shape of a sliding-window stream metric.
+    Spark lacks interval RANGE frames directly; the equivalent is a
+    rangeBetween over epoch seconds (same frame semantics, and ties on
+    ts are correctly included by RANGE regardless of event order —
+    decimal sums keep it engine-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_1h"),
+    )
+
+
+@query(
+    "nation_pair_flows",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           count(*) AS n_items,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def q_nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: the 6-table join where only
+    the two fact tables are large — every dimension (customer at test
+    SF; nation/supplier always) broadcasts, so the single wide shuffle
+    is lineitem ⋈ orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(cn), cu.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), su.s_nationkey == F.col("s_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc).cast("double").alias("volume"),
+        )
+    )
+
+
 # 8x8 raw "image" per doc: 64 deterministic ascii bytes (md5 hex doubled)
 _RAW_IMG_SQL = "md5(text) || md5(text)"
 _RESIZE_PIX = " || ".join(

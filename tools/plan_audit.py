@@ -44,6 +44,9 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "rolling_1h_value": 1,          # per-user window sort
+    "nation_pair_flows": 1,         # lineitem⋈orders is the only wide
+    # shuffle; all five dimension joins broadcast
     "multimodal_resize": 1,         # parallelism repartition only (mapInPandas)
     "multimodal_frames": 1,         # parallelism repartition only (mapInPandas)
     "inverted_index": 2,            # one term-hash shuffle shared by the
