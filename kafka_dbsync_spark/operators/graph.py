@@ -75,3 +75,65 @@ def connected_components(
         f"connected_components did not converge in {max_iter} iterations; "
         "raise max_iter for high-diameter graphs"
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected graph in INTEGER
+    fixed-point (ranks scaled by ``scale``): every step is integer
+    floor-division and bigint sums, so the result is bit-identical on
+    any engine and any partitioning — no float summation order to
+    drift. Output: (node, pr) after ``iters`` rounds from a uniform
+    start; ranks are comparable, not normalized to 1.
+
+    Scale shape per iteration: one contributions join (edges ⋈ ranks,
+    keyed by node id) + one partial-aggregated sum — O(edges) traffic,
+    same as connected_components. Fixed ``iters`` (TextRank-style usage
+    converges in a handful) keeps the plan finite; lineage is truncated
+    per round."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1 (got {iters})")
+    a, b = F.col(src), F.col(dst)
+    fwd = edges.select(a.alias("e_src"), b.alias("e_dst")).filter(
+        F.col("e_src") != F.col("e_dst")  # drop self-loops BEFORE symmetrizing
+    )
+    und = (
+        fwd.unionByName(
+            fwd.select(F.col("e_dst").alias("e_src"), F.col("e_src").alias("e_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("e_src").alias("node"), "deg")
+    base = ((100 - damping_pct) * scale) // 100
+    pr = nodes.select("node", "deg", F.lit(scale).alias("pr"))
+    for _ in range(iters):
+        contrib = und.join(
+            pr, und["e_src"] == pr["node"]
+        ).select(
+            F.col("e_dst").alias("to_node"),
+            # `div`, not `/`: exact bigint floor-division (a double quotient
+            # cast back to long can round across an integer boundary)
+            F.expr("pr div deg").alias("c"),
+        )
+        summed = contrib.groupBy("to_node").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(summed, nodes["node"] == summed["to_node"], "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", "pr")

@@ -2418,6 +2418,75 @@ def q_nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled fixed-point PageRank round (mirror of
+    operators/graph.py::pagerank_fixedpoint: bigint floor-divisions)."""
+    return f"""
+    {out} AS (
+      SELECT n.node, n.deg,
+             CAST(150000000000 + (85 * coalesce(x.sum_c, 0)) // 100 AS BIGINT) AS pr
+      FROM deg n LEFT JOIN (
+        SELECT u.d AS node, sum(p.pr // p.deg) AS sum_c
+        FROM und u JOIN {prev} p ON u.s = p.node GROUP BY u.d
+      ) x ON n.node = x.node
+    )"""
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split({_SQL_NORM.format(c='text')}, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM t WHERE len(w) >= 2
+    ), e0 AS (
+      SELECT string_split(bg, ' ')[1] AS s, string_split(bg, ' ')[2] AS d FROM grams
+    ), und AS (
+      SELECT s, d FROM e0 WHERE s <> d
+      UNION
+      SELECT d, s FROM e0 WHERE s <> d
+    ), deg AS (
+      SELECT s AS node, count(*) AS deg FROM und GROUP BY s
+    ), pr0 AS (
+      SELECT node, deg, CAST(1000000000000 AS BIGINT) AS pr FROM deg
+    ),{_textrank_iter_sql('pr0', 'pr1')},{_textrank_iter_sql('pr1', 'pr2')},{_textrank_iter_sql('pr2', 'pr3')},
+    top AS (
+      SELECT node AS term, pr FROM pr3 ORDER BY pr DESC, term LIMIT 20
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pr DESC, term) AS BIGINT) AS rank,
+           term, pr
+    FROM top
+    """,
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: integer fixed-point PageRank (3
+    rounds) over the corpus token co-occurrence graph — every step
+    bigint floor-division, so distributed summation order can't drift
+    the ranks. See operators/graph.py::pagerank_fixedpoint."""
+    from kafka_dbsync_spark.operators.graph import pagerank_fixedpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "text", k=2)
+    edges = (
+        sh.filter(F.size(F.split(F.col("shingles")[0], " ")) >= 2)
+        .select(F.explode("shingles").alias("bg"))
+        .distinct()
+        .select(
+            F.split("bg", " ")[0].alias("src"), F.split("bg", " ")[1].alias("dst")
+        )
+    )
+    pr = pagerank_fixedpoint(edges, iters=3)
+    top = pr.orderBy(F.col("pr").desc(), "node").limit(20)
+    w = W.orderBy(F.col("pr").desc(), "node")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("node").alias("term"),
+        "pr",
+    )
+
+
 # 8x8 raw "image" per doc: 64 deterministic ascii bytes (md5 hex doubled)
 _RAW_IMG_SQL = "md5(text) || md5(text)"
 _RESIZE_PIX = " || ".join(

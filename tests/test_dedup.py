@@ -208,3 +208,42 @@ def test_balanced_sample_equalizes_strata(spark):
     assert set(sizes) == {"big", "mid", "small"}
     # no helper columns leak
     assert out.columns == ["doc_id", "grp"]
+
+
+def test_pagerank_fixedpoint_matches_brute_force(spark):
+    """Integer fixed-point PageRank equals a sequential Python fold of
+    the same arithmetic, and the star center outranks leaves."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from kafka_dbsync_spark.operators.graph import pagerank_fixedpoint
+
+    # star: 0 hub with leaves 1..4, plus an off-cluster edge 5-6,
+    # a self-loop (dropped) and a duplicate edge (deduped)
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (2, 2), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank_fixedpoint(df, iters=3).collect()}
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    deg = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: 10**12 for n in deg}
+    for _ in range(3):
+        contrib = {}
+        for s, d in und:
+            contrib[d] = contrib.get(d, 0) + pr[s] // deg[s]
+        pr = {
+            n: 150_000_000_000 + (85 * contrib.get(n, 0)) // 100 for n in deg
+        }
+    assert got == pr
+    assert got[0] > got[1]  # hub outranks leaf
+    assert got[1] == got[2] == got[3] == got[4]  # symmetric leaves tie
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        pagerank_fixedpoint(df, iters=0)

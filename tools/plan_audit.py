@@ -44,6 +44,8 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "textrank_keywords": 3,         # per-round contributions join + agg
+    # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
     "nation_pair_flows": 1,         # lineitem⋈orders is the only wide
     # shuffle; all five dimension joins broadcast
