@@ -230,3 +230,98 @@ def test_mixture_sample_validates_inputs(spark):
         mixture_sample(df, "src", "id", {"a": -0.1}, 10)
     with pytest.raises(ValueError, match="sum to zero"):
         mixture_sample(df, "src", "id", {"a": 0.0}, 10)
+
+
+def test_streaming_delete_aware_view_refresh(spark, tmp_path):
+    """CDC stream -> keyed table state -> aggregate view, all maintained
+    incrementally per micro-batch: apply_changes merges the batch into
+    the keyed state, then refresh_affected rebuilds ONLY the view rows
+    whose keys the batch touched (deletes included). The final view must
+    equal a from-scratch aggregate of the final table state."""
+    import os
+
+    from kafka_dbsync_spark.operators.merge import apply_changes
+
+    src, ckpt, base = (str(tmp_path / d) for d in ("src", "ck", "st"))
+    os.makedirs(base)
+    state_dir, view_dir = f"{base}/state", f"{base}/view"
+
+    schema = "k long, grp string, v double, op string, seq long"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def agg(df):
+        return df.groupBy("grp").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+
+    def maintain(batch_df, batch_id):
+        s = batch_df.sparkSession
+        prev_state = (
+            s.read.parquet(state_dir) if os.path.exists(state_dir) else None
+        )
+        merged = apply_changes(batch_df, ["k"], ["seq"], base=prev_state)
+        merged.write.mode("overwrite").parquet(state_dir + ".tmp")
+        new_state = s.read.parquet(state_dir + ".tmp")
+
+        prev_view = (
+            s.read.parquet(view_dir)
+            if os.path.exists(view_dir)
+            else agg(new_state.limit(0))
+        )
+        # group can change on update: refresh every group the batch's
+        # keys belonged to, before OR after the merge
+        batch_keys = batch_df.select("k").distinct()
+        touched = (
+            new_state.join(batch_keys, "k", "left_semi").select("grp")
+            if prev_state is None
+            else prev_state.join(batch_keys, "k", "left_semi")
+            .select("grp")
+            .unionByName(
+                new_state.join(batch_keys, "k", "left_semi").select("grp")
+            )
+        )
+        refreshed = refresh_affected(prev_view, new_state, touched, ["grp"], agg)
+        refreshed.write.mode("overwrite").parquet(view_dir + ".tmp")
+        # promote tmp dirs (replayed batches just rewrite the same output)
+        for d in (state_dir, view_dir):
+            s.read.parquet(d + ".tmp").write.mode("overwrite").parquet(d)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_batch(
+        [(1, "a", 1.0, "upsert", 1), (2, "a", 2.0, "upsert", 2), (3, "b", 3.0, "upsert", 3)]
+    )
+    run()
+    write_batch(
+        [
+            (2, "b", 9.0, "upsert", 4),   # key 2 moves group a -> b
+            (3, "b", 0.0, "delete", 5),   # key 3 deleted
+            (4, "c", 7.0, "upsert", 6),   # new group appears
+        ]
+    )
+    run()
+
+    got = {
+        (r["grp"], r["n"], r["sv"])
+        for r in spark.read.parquet(view_dir).collect()
+    }
+    want = {
+        (r["grp"], r["n"], r["sv"])
+        for r in agg(spark.read.parquet(state_dir)).collect()
+    }
+    assert got == want
+    assert got == {("a", 1, 1.0), ("b", 1, 9.0), ("c", 1, 7.0)}
