@@ -157,6 +157,27 @@ def interval_join_streams(
     return joined.drop(r_wm[key_col])
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    change stream (the CDC pattern: events carry a key, the warehouse
+    dim carries the description). The static side is broadcast — each
+    micro-batch joins map-side with NO stream shuffle and no state
+    store; the dim is re-resolved per batch, so a batch-refreshed
+    dimension table is picked up automatically (Spark re-plans the
+    static side every trigger).
+
+    ``how`` is left/inner: stream-static joins cannot be right/full
+    (the unmatched static side would need end-of-stream semantics)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static join must be left or inner (got {how})")
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def running_totals(
     df: DataFrame,
     key_col: str = "user_id",

@@ -113,3 +113,26 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
         spark.read.parquet(z_dir).orderBy("id").collect()
         == df.orderBy("id").collect()
     )
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """Hive-partitioned writes + a partition-column predicate must prune
+    at PLAN time (PartitionFilters on the scan), reading only matching
+    directories — the first line of defense before row-group skipping."""
+    path = str(tmp_path / "by_day")
+    df = spark.createDataFrame(
+        [(i, f"2026-01-{(i % 9) + 1:02d}", float(i)) for i in range(1000)],
+        "id long, day string, v double",
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("day") == "2026-01-03")
+    assert q.count() == len([i for i in range(1000) if i % 9 == 2])
+
+    plan = q.sparkSession._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan[:1500]

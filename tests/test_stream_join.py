@@ -63,3 +63,38 @@ def test_interval_join_streams_matches_batch(tmp_path, spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_static_enrichment(tmp_path, spark):
+    """Stream-static join: per micro-batch map-side broadcast, no state;
+    unmatched stream rows survive a left join with NULL attributes."""
+    from kafka_dbsync_spark.streaming.stateful import enrich_stream
+
+    import pytest
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (99, 30.0)], "user_id long, v double"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, v double").parquet(src)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["v"], r["tier"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == {(1, 10.0, "gold"), (2, 20.0, "silver"), (99, 30.0, None)}
+
+    with pytest.raises(ValueError, match="left or inner"):
+        enrich_stream(stream, dim, ["user_id"], how="full")
