@@ -2418,6 +2418,115 @@ def q_nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(CAST(value AS DECIMAL(18,2)) / 10) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type — the profiling
+    companion to exact percentiles: one narrow bin projection + one
+    partial-agg shuffle, the same cost profile at any scale. Decimal
+    binning avoids float-boundary drift at bin edges."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value").cast("decimal(18,2)") / 10)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL
+                    AND first_purchase > first_signup
+                    AND first_purchase <= first_signup + INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1d
+    FROM per_user
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (signup → later purchase, with a 1-day-window
+    variant): one conditional-min aggregation per user, then a scalar
+    rollup — no joins, no windows, two partial-agg shuffles total."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("fs"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    signed = F.col("fs").isNotNull()
+    conv = signed & (F.col("fp") > F.col("fs"))
+    conv1d = conv & (F.col("fp") <= F.col("fs") + F.expr("INTERVAL 1 DAY"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(signed.cast("long")).alias("n_signed_up"),
+        F.sum(conv.cast("long")).alias("n_converted"),
+        F.sum(conv1d.cast("long")).alias("n_converted_1d"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+           count(*) AS active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, counted as
+    active at each day offset since. The firsts aggregate shuffles on
+    user_id — the SAME key the activity join needs, so Catalyst reuses
+    the partitioning instead of adding an exchange; the day_offset
+    distinct + count is a second uniform-key agg."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count("*").alias("active_users"))
+
+
 def _textrank_iter_sql(prev: str, out: str) -> str:
     """One unrolled fixed-point PageRank round (mirror of
     operators/graph.py::pagerank_fixedpoint: bigint floor-divisions)."""

@@ -44,6 +44,9 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "value_histogram": 1,           # one partial-agg exchange
+    "funnel_conversion": 2,         # per-user conditional-min agg + scalar rollup
+    "retention_cohorts": 3,         # firsts agg + distinct + cohort agg
     "textrank_keywords": 3,         # per-round contributions join + agg
     # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
