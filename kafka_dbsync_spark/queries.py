@@ -2419,6 +2419,39 @@ def q_nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture_report",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = '' THEN 0
+                      ELSE len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens * 10000) // t AS BIGINT) AS token_share_bp
+    FROM per, tot
+    """,
+)
+def q_corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture diagnostic run BEFORE mixture_sample: per source, doc
+    and token counts plus exact basis-point token share (integer floor —
+    no float shares to drift). One partial-agg shuffle + a broadcast
+    scalar total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__t"))
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * 10000) div __t").alias("token_share_bp"),
+    )
+
+
+@query(
     "value_histogram",
     oracle="""
     SELECT event_type,

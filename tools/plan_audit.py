@@ -44,6 +44,7 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "corpus_mixture_report": 2,     # per-source agg + scalar total (broadcast)
     "value_histogram": 1,           # one partial-agg exchange
     "funnel_conversion": 2,         # per-user conditional-min agg + scalar rollup
     "retention_cohorts": 3,         # firsts agg + distinct + cohort agg
