@@ -131,3 +131,87 @@ def test_apply_changes_matches_sequential_fold(spark, changes):
         else:
             state[k] = v
     assert got == state
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.tuples(st.integers(min_value=0, max_value=3), vals),
+        min_size=1,
+        max_size=15,
+    ),
+    removed=st.sets(st.integers(min_value=0, max_value=20), max_size=5),
+    changed=st.sets(st.integers(min_value=0, max_value=20), max_size=5),
+    added=st.sets(st.integers(min_value=21, max_value=30), max_size=5),
+)
+@SETTINGS
+def test_snapshot_diff_reports_exactly_the_drift(
+    spark, base, removed, changed, added
+):
+    source = [(k, s, float(v)) for k, (s, v) in base.items()]
+    replica = [
+        (k, s, float(v + 1) if k in changed else float(v))
+        for k, (s, v) in base.items()
+        if k not in removed
+    ] + [(k, 0, 0.0) for k in added]
+    sdf = spark.createDataFrame(source, "k long, s long, v double")
+    rdf = spark.createDataFrame(replica, "k long, s long, v double")
+
+    from kafka_dbsync_spark.operators.reconcile import snapshot_diff
+
+    got = {
+        r["k"]: (r["status"], list(r["changed_cols"]))
+        for r in snapshot_diff(sdf, rdf, ["k"]).collect()
+    }
+    want = {}
+    for k in base:
+        if k in removed:
+            want[k] = ("removed", [])
+        elif k in changed:
+            want[k] = ("changed", ["v"])
+    for k in added:
+        want[k] = ("added", [])
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.integers(min_value=1, max_value=50),
+)
+@SETTINGS
+def test_mixture_sample_matches_exact_threshold_math(spark, rows, target):
+    """The engine's sampled id set equals a from-scratch Python
+    evaluation of the same md5-threshold arithmetic — determinism and
+    exactness in one assertion."""
+    import hashlib
+
+    from kafka_dbsync_spark.operators.sampling import mixture_sample
+
+    weights = {"a": 0.5, "b": 0.5}  # stratum c carries no weight
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = sorted(
+        r["id"] for r in mixture_sample(df, "src", "id", weights, target).collect()
+    )
+
+    wbp = {s: round(w * 1_000_000) for s, w in weights.items()}
+    wsum = sum(wbp.values())
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    want = []
+    for i, s in rows:
+        if s not in wbp:
+            continue
+        thr = min((wbp[s] * target * (1 << 32)) // (wsum * counts[s]), 1 << 32)
+        hv = int(hashlib.md5(f":{i}".encode()).hexdigest()[:8], 16)
+        if hv < thr:
+            want.append(i)
+    assert got == sorted(want)

@@ -44,7 +44,10 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
-    "corpus_mixture_report": 2,     # per-source agg + scalar total (broadcast)
+    "corpus_mixture_report": 3,     # per-source agg + its pruned re-derivation
+    # feeding the scalar total + the total's SinglePartition exchange (AQE
+    # reuses the common agg at runtime; the static plan can't — same
+    # pattern as cdc_backfill_then_stream's split-point agg)
     "value_histogram": 1,           # one partial-agg exchange
     "funnel_conversion": 2,         # per-user conditional-min agg + scalar rollup
     "retention_cohorts": 3,         # firsts agg + distinct + cohort agg
