@@ -2419,6 +2419,35 @@ def q_nation_pair_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hot_key_report",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(*) AS n_keys FROM cnt)
+    SELECT key, n, CAST((n * 1000000) // t AS BIGINT) AS share_ppm
+    FROM cnt, tot
+    ORDER BY n DESC, key LIMIT 20
+    """,
+)
+def q_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew diagnostic that decides whether a join needs salting:
+    top-20 join keys by row count with exact parts-per-million share.
+    Partial-agg count (hot keys collapse map-side, so the report itself
+    never skews) + broadcast scalar total + TakeOrdered."""
+    od = load_table(spark, sf_dir, "orders")
+    cnt = od.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("__t"), F.count("*").alias("__k"))
+    return (
+        cnt.join(F.broadcast(tot))
+        .select("key", "n", F.expr("(n * 1000000) div __t").alias("share_ppm"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
+
+
+@query(
     "corpus_mixture_report",
     oracle="""
     WITH per AS (

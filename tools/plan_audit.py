@@ -44,6 +44,9 @@ SHUFFLE_BUDGET = {
     "mixture_sample": 1,            # per-stratum count agg (broadcast back);
     # the corpus side is a narrow hash-threshold filter
     "duplicate_ngram_spans": 2,     # shingle partial agg + TakeOrdered
+    "hot_key_report": 3,            # key-count agg + scalar total + TakeOrdered
+    # (static plan re-derives the agg for the total branch, like the
+    # mixture report; AQE reuses at runtime)
     "corpus_mixture_report": 3,     # per-source agg + its pruned re-derivation
     # feeding the scalar total + the total's SinglePartition exchange (AQE
     # reuses the common agg at runtime; the static plan can't — same
