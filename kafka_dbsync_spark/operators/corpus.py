@@ -90,7 +90,15 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    tok = tokens(text_col)
+    # NULL text guard: normalize_text(NULL) is NULL, which would fall
+    # through to F.size(NULL) = -1 and corrupt sumdl/avgdl for the whole
+    # corpus (the oracle's CASE yields NULL dl which sum() skips).
+    # Coalescing tokens to an empty array makes every downstream size()
+    # and filter() a clean 0 for NULL/empty documents.
+    norm = normalize_text(text_col)
+    tok = F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
 
     def eq_term(term: str):
         # single-arg lambda: a 2-arg one would receive (element, INDEX)
@@ -98,9 +106,7 @@ def bm25_topk(
 
     per_doc = docs.select(
         F.col(id_col),
-        F.when(normalize_text(text_col) == "", F.lit(0))
-        .otherwise(F.size(tok))
-        .alias("dl"),
+        F.size(tok).alias("dl"),
         *[
             F.size(F.filter(tok, eq_term(t))).alias(f"__tf{i}")
             for i, t in enumerate(query_terms)

@@ -102,6 +102,18 @@ def salted_join(
     """
     if salt <= 0:
         raise ValueError(f"salt must be positive (got {salt})")
+    # The right side is replicated once per salt value, so join modes
+    # that emit UNMATCHED RIGHT rows would emit each of them `salt`
+    # times. Only probe-side-preserving modes are correct here.
+    allowed = {"inner", "cross", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti",
+               "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only (got "
+            f"{how!r}): right/full outer would duplicate unmatched right "
+            f"rows once per salt value"
+        )
     lsalted = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.struct(*left.columns)), F.lit(salt)),

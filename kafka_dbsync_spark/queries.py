@@ -2348,14 +2348,17 @@ def q_rolling_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per user, the trailing-1-hour value sum
     at each event — the batch shape of a sliding-window stream metric.
     Spark lacks interval RANGE frames directly; the equivalent is a
-    rangeBetween over epoch seconds (same frame semantics, and ties on
-    ts are correctly included by RANGE regardless of event order —
-    decimal sums keep it engine-exact)."""
+    rangeBetween over epoch MICROseconds (full timestamp precision, so
+    the frame matches the oracle's RANGE INTERVAL 1 HOUR even when two
+    events of a user share a second or sit exactly 1h apart — epoch
+    seconds would truncate and silently widen sub-second frames), and
+    ties on ts are correctly included by RANGE regardless of event
+    order — decimal sums keep it engine-exact."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "user_id",

@@ -71,3 +71,29 @@ def test_plans_a_hash_join_not_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    from kafka_dbsync_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], salt=4, how=how)
+    # left join stays supported and does not duplicate unmatched rows
+    out = salted_join(left, right, ["k"], salt=4, how="left").collect()
+    assert len(out) == 1
+
+
+def test_bm25_null_text_does_not_corrupt_corpus_stats(spark):
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, ""), (4, "alpha")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["alpha"], k=10).collect()
+    # NULL/empty docs never surface; dl for them is 0 (not -1). Doc 4
+    # (tf=1, dl=1) outranks doc 1 (tf=2, dl=3) via length normalization.
+    assert sorted(r.doc_id for r in out) == [1, 4]
+    assert all(r.score_r > 0 for r in out)
