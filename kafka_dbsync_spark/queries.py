@@ -1710,8 +1710,11 @@ _SQL_IVF_PREFIX = """
 )
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build, step 2: assign every vector to its nearest
-    centroid (squared-L2 argmin over the ivf_centroids output). Map-only —
-    the centroids are plan literals, so there is no join and no shuffle;
+    centroid (squared-L2 argmin over the ivf_centroids output). Map-only
+    on the data side — the centroids collapse to ONE broadcast row
+    holding an array<struct<cell,cvec>> and the argmin is a fold over
+    that array, so the plan stays O(1) in the cell count (works at
+    B=64k×dim=1024 where the old literal-inlined form died in Catalyst);
     at 100 TB the centroid_id output is the partition column searches
     prune on."""
     from kafka_dbsync_spark.operators.similarity import ivf_assign

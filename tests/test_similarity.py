@@ -76,12 +76,24 @@ def test_ivf_assign_nearest_centroid(spark):
 
 
 def test_ivf_assign_is_map_only(spark):
-    """The assignment introduces no join and no extra shuffle — the plan
-    must contain zero Exchange operators beyond the input's own."""
+    """The assignment shuffles no DATA: the embeddings side crosses only a
+    single-row broadcast (the centroid array), so the plan may contain the
+    centroid-side metadata exchanges (SinglePartition collect + broadcast)
+    but no hash-partitioned exchange and no shuffle join."""
     plan = ivf_assign(
         emb_df(spark).coalesce(1), centroids_df(spark)
     )._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the STREAMED (embeddings) side of the broadcast join — the ":"-prefixed
+    # left subtree in the plan string — must contain no Exchange; the
+    # centroid side may shuffle its B*dim metadata rows freely
+    lines = plan.splitlines()
+    join_at = next(i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln)
+    streamed = [ln for ln in lines[join_at + 1:] if ln.lstrip().startswith(":")]
+    assert streamed, plan
+    assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
 
 
 def test_ivf_search_probes_nearest_cells(spark):
@@ -204,3 +216,47 @@ def test_semantic_dedup_keeps_min_id_per_cluster(spark):
     ).agg(F.round(F.avg("centroid"), 6).alias("centroid"))
     out = semantic_dedup(emb, cents, 0.99)
     assert sorted(r["vec_id"] for r in out.collect()) == [1, 3, 5]
+
+
+def test_ivf_assign_scales_to_4k_cells_256_dims(spark):
+    """VERDICT r2 #2 probe: the broadcast-array form must plan AND run at
+    B=4096 cells x dim=256 (the literal-inlined r1/r2 form blew up
+    Catalyst with O(B*dim) expression nodes at this size)."""
+    from kafka_dbsync_spark.operators.similarity import ivf_assign
+
+    B, DIM, N = 4096, 256, 32
+    # centroid value pattern depends only on label % 17, so dist=0 ties
+    # across cells and argmin must pick the LOWEST matching cell id
+    cents = (
+        spark.range(B)
+        .select(
+            F.col("id").alias("label"),
+            F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("dim"),
+        )
+        .withColumn(
+            "centroid", (F.col("label") % 17 + F.col("dim") % 5).cast("double")
+        )
+    )
+    emb = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("vec_id"),
+            ((F.col("id") * 123) % B).alias("label"),
+        )
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda d: (F.col("label") % 17 + d % 5).cast("double"),
+            ),
+        )
+    )
+    out = ivf_assign(emb, cents)
+    # plan must stay O(1) in B: no 4096-way literal array in the tree
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    rows = out.collect()
+    assert len(rows) == N
+    for r in rows:
+        assert r["centroid_id"] == r["label"] % 17, r
+        assert r["dist"] == 0.0, r
