@@ -2984,3 +2984,88 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ===========================================================================
+# Round 3: embedded Connect schema decode (schemas.enable=true — SURVEY §1.2
+# mode 1; reference default config hack/sink-jdbc/cdc_oracle_mariadb-demo.json)
+# ===========================================================================
+_CONNECT_VALUE_SCHEMA = (
+    '{"type":"struct","name":"events.Value","optional":false,"fields":['
+    '{"field":"event_id","type":"int64","optional":false},'
+    '{"field":"user_id","type":"int32","optional":true},'
+    '{"field":"event_type","type":"string","optional":true},'
+    '{"field":"value","type":"double","optional":true},'
+    '{"field":"flag","type":"boolean","optional":true},'
+    '{"field":"props","type":"string","optional":true},'
+    '{"field":"ts","type":"int64","optional":true,'
+    '"name":"org.apache.kafka.connect.data.Timestamp","version":1},'
+    '{"field":"d","type":"int32","optional":true,'
+    '"name":"org.apache.kafka.connect.data.Date","version":1},'
+    '{"field":"t","type":"int32","optional":true,'
+    '"name":"org.apache.kafka.connect.data.Time","version":1}]}'
+)
+
+
+@query(
+    "schema_embedded_decode",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS INTEGER) AS user_id,
+           event_type,
+           value,
+           value > 50 AS flag,
+           props,
+           epoch_us(ts) // 1000 AS ts_ms,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS d_str,
+           strftime(ts, '%H:%M:%S') AS t_str
+    FROM events
+    """,
+)
+def q_schema_embedded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schemas.enable=true round trip: wrap every event as the Connect
+    JsonConverter envelope {"schema": {...}, "payload": {...}} (declared
+    int8..int64/double/boolean/string types plus the Date/Time/Timestamp
+    logical types on their int carriers), then decode it back via
+    strip_embedded_schema → declared-schema from_json → logical
+    conversion. The declared types supersede inference: user_id comes
+    back int32 even though bare-JSON inference would widen it to long.
+    Wrapper parity: hack/sink-jdbc/cdc_oracle_mariadb-demo.json:17-20;
+    type ladder: GenericDialect.java:199-221."""
+    from kafka_dbsync_spark.operators.transforms import decode_connect_value
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            (F.col("value") > 50).alias("flag"),
+            F.col("props"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000").alias("ts"),
+            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS INT)").alias("d"),
+            F.expr(
+                "CAST((unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000) div 1000 AS INT)"
+            ).alias("t"),
+        )
+    )
+    wrapped = ev.select(
+        F.concat(
+            F.lit('{"schema":' + _CONNECT_VALUE_SCHEMA + ',"payload":'),
+            payload,
+            F.lit("}"),
+        ).alias("record_value")
+    )
+    dec = decode_connect_value(wrapped, schema_json=None)  # exercises sampling
+    return dec.select(
+        F.col("row_image.event_id").alias("event_id"),
+        F.col("row_image.user_id").alias("user_id"),
+        F.col("row_image.event_type").alias("event_type"),
+        F.col("row_image.value").alias("value"),
+        F.col("row_image.flag").alias("flag"),
+        F.col("row_image.props").alias("props"),
+        F.unix_millis(F.col("row_image.ts")).alias("ts_ms"),
+        F.col("row_image.d").cast("string").alias("d_str"),
+        F.col("row_image.t").alias("t_str"),
+    )
