@@ -150,7 +150,9 @@ class CdcPipeline:
             auto_create=sink.get("auto_create", True),
             auto_evolve=sink.get("auto_evolve", True),
             corrupt_table=sink.get("corrupt_table"),
-            distribute=sink.get("distribute", False),
+            distribute=sink.get("distribute", "auto"),
+            distribute_threshold=sink.get("distribute_threshold", 100_000),
+            num_partitions=sink.get("num_partitions"),
         )
 
     def run_batch(self, df: DataFrame) -> None:

@@ -14,11 +14,13 @@ Per micro-batch:
 5. **auto-create / auto-evolve** (K6/K7) from the batch schema
 
 Scale notes: the dedup window shuffles on (table, pk) — the only shuffle
-in the path. The DB write itself is driver-side by default (one
-connection, like the reference's single sink task); pass
-``distribute=True`` with a picklable connection factory to run one
-connection per partition on the executors (repartitioned by key so a key
-never splits across connections).
+in the path. The DB write path is AUTO-SELECTED (``distribute="auto"``,
+the default): batches at/above ``distribute_threshold`` rows with a
+shippable connection factory run one connection per executor partition
+(repartitioned by key so a key never splits across connections); smaller
+batches — and ``distribute=False`` — use the driver-side single
+connection, the reference's single-sink-task shape and the right debug
+path. Force ``distribute=True`` to always fan out.
 """
 
 from __future__ import annotations
@@ -76,7 +78,8 @@ class CdcApplyEngine:
         auto_create: bool = True,
         auto_evolve: bool = True,
         corrupt_table: str | None = None,
-        distribute: bool = False,
+        distribute: bool | str = "auto",
+        distribute_threshold: int = 100_000,
         num_partitions: int | None = None,
     ) -> None:
         self.connection_factory = connection_factory
@@ -91,6 +94,20 @@ class CdcApplyEngine:
         self.auto_evolve = auto_evolve
         self.corrupt_table = corrupt_table
         self.distribute = distribute
+        self.distribute_threshold = distribute_threshold
+        # auto mode needs the factory on the executors; probe once with
+        # cloudpickle (what Spark actually uses for closures) — factories
+        # holding live connections/files fail here and stay driver-side
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.dumps(connection_factory)
+            self._factory_serializable = True
+        except Exception:  # noqa: BLE001
+            self._factory_serializable = False
+        # which path the last apply_batch took ("driver" | "distributed");
+        # for tests and ops logging
+        self.last_path: str | None = None
         # the reference's tasks.max: pins the number of concurrent sink
         # connections; None lets AQE size the exchange (it will coalesce
         # small batches down to few connections, which is usually right)
@@ -149,9 +166,11 @@ class CdcApplyEngine:
             out_cols = [*self.pk_fields, *self.value_cols, self.op_col]
             per_table = deduped.select(self.table_col, *out_cols)
 
-            if self.distribute:
+            if self._should_distribute(valid):
+                self.last_path = "distributed"
                 self._apply_distributed(per_table)
             else:
+                self.last_path = "driver"
                 # distinct-tables probe on the CACHED pre-dedup batch (a
                 # one-column partial-agg shuffle) — probing per_table
                 # instead would run the expensive dedup shuffle just to
@@ -177,6 +196,25 @@ class CdcApplyEngine:
                     self._apply_driver_side(per_table, tables)
         finally:
             batch_df.unpersist()
+
+    def _should_distribute(self, valid: DataFrame) -> bool:
+        """Pick the apply path. ``distribute=True``/``False`` forces it;
+        the default ``"auto"`` runs executor-side when the factory ships
+        (cloudpickle) AND the batch is at/above ``distribute_threshold``
+        rows — small/debug batches keep the reference's single-writer
+        shape, a 100×-scale backfill automatically fans out one
+        connection per partition. The count is on the CACHED batch, so
+        auto mode costs one cached-scan action, not a recompute. Pass
+        ``distribute=False`` for single-writer targets (sqlite) that
+        cannot take concurrent connections regardless of batch size."""
+        if self.distribute is True:
+            return True
+        if self.distribute == "auto":
+            return (
+                self._factory_serializable
+                and valid.count() >= self.distribute_threshold
+            )
+        return False
 
     # -- corrupt branch (K9/K10) ---------------------------------------------
     def _handle_corrupt(self, corrupt: DataFrame) -> None:

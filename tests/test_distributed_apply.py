@@ -207,3 +207,151 @@ def test_distributed_partition_failure_rolls_back(spark, tmp_path):
     assert fragile == {1: (1, "x", "OK")}
     orders, _ = read_partition_files(str(tmp_path), "orders")
     assert set(orders) == set(range(2, 30))
+
+
+def test_auto_mode_selects_path_by_batch_size(spark, tmp_path):
+    """distribute='auto' (the default) fans out at/above the threshold and
+    stays driver-side below it — VERDICT r2 #4."""
+    eng = CdcApplyEngine(
+        connection_factory=partition_file_factory(str(tmp_path)),
+        dialect=SqliteDialect(),
+        pk_fields=["ID"],
+        value_cols=["ORDER_NAME", "STATUS"],
+        order_cols=["offset"],
+        auto_create=False,
+        auto_evolve=False,
+        distribute_threshold=20,  # sample_batch has 48 rows
+        num_partitions=4,
+    )
+    assert eng.distribute == "auto"
+    eng.apply_batch(sample_batch(spark))
+    assert eng.last_path == "distributed"
+    orders, _ = read_partition_files(str(tmp_path), "orders")
+    assert orders[2] == (2, "B2", "SHIPPED")
+
+    small_dir = tmp_path / "small"
+    small_dir.mkdir()
+    eng2 = CdcApplyEngine(
+        connection_factory=partition_file_factory(str(small_dir)),
+        dialect=SqliteDialect(),
+        pk_fields=["ID"],
+        value_cols=["ORDER_NAME", "STATUS"],
+        order_cols=["offset"],
+        auto_create=False,
+        auto_evolve=False,
+        distribute_threshold=1000,
+        num_partitions=4,
+    )
+    eng2.apply_batch(sample_batch(spark))
+    assert eng2.last_path == "driver"
+
+
+def test_auto_mode_falls_back_when_factory_cannot_ship(spark, tmp_path):
+    """A factory that cannot serialize (here: closing over a live
+    connection) must keep auto mode on the driver path regardless of
+    batch size."""
+    db = str(tmp_path / "single.sqlite")
+    live = sqlite3.connect(db)
+    for stmt in DDL:
+        live.execute(stmt)
+    live.commit()
+
+    eng = CdcApplyEngine(
+        connection_factory=lambda: sqlite3.connect(db),
+        dialect=SqliteDialect(),
+        pk_fields=["ID"],
+        value_cols=["ORDER_NAME", "STATUS"],
+        order_cols=["offset"],
+        auto_create=False,
+        auto_evolve=False,
+        distribute_threshold=1,
+    )
+    # a plain lambda DOES cloudpickle; force the unshippable case
+    eng._factory_serializable = False
+    eng.apply_batch(sample_batch(spark))
+    assert eng.last_path == "driver"
+    rows = dict(
+        (r[0], r)
+        for r in live.execute('SELECT "ID","ORDER_NAME","STATUS" FROM "orders"')
+    )
+    live.close()
+    assert rows[2] == (2, "B2", "SHIPPED")
+    assert 3 not in rows
+
+
+def test_streaming_e2e_distributed_by_default(spark, kafka_schema, tmp_path):
+    """Full streaming E2E (file source → transform chain → foreachBatch)
+    on the DEFAULT distribute='auto' config: with the threshold at the
+    batch size, the micro-batch fans out executor-side and the merged
+    per-partition state matches the canonical final state."""
+    import pyspark.sql.functions as F
+
+    from kafka_dbsync_spark.plans.pipeline import CdcPipeline
+    from kafka_dbsync_spark.sources.iidr import decode_iidr_records
+    from tests.conftest import kafka_record
+
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    events = [
+        kafka_record(0, {"ID": 1}, {"ID": 1, "ORDER_NAME": "A", "STATUS": "NEW"},
+                     TableName="orders", A_ENTTYP="PT"),
+        kafka_record(1, {"ID": 2}, {"ID": 2, "ORDER_NAME": "B", "STATUS": "NEW"},
+                     TableName="orders", A_ENTTYP="PT"),
+        kafka_record(2, {"ID": 3}, {"ID": 3, "ORDER_NAME": "C", "STATUS": "NEW"},
+                     TableName="orders", A_ENTTYP="PT"),
+        kafka_record(3, {"ID": 2}, {"ID": 2, "ORDER_NAME": "B2", "STATUS": "SHIPPED"},
+                     TableName="orders", A_ENTTYP="UP"),
+        kafka_record(4, {"ID": 3}, None, TableName="orders", A_ENTTYP="DL"),
+    ] + [
+        kafka_record(10 + i, {"ID": 100 + i},
+                     {"ID": 100 + i, "ORDER_NAME": f"bulk-{i}", "STATUS": "NEW"},
+                     TableName="orders", A_ENTTYP="PT")
+        for i in range(40)
+    ]
+    spark.createDataFrame(events, kafka_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def extract(df):
+        decoded = decode_iidr_records(df)
+        row = F.from_json("record_value", "ID LONG, ORDER_NAME STRING, STATUS STRING")
+        return decoded.select(
+            F.coalesce(
+                row["ID"], F.from_json("record_key", "ID LONG")["ID"]
+            ).alias("ID"),
+            row["ORDER_NAME"].alias("ORDER_NAME"),
+            row["STATUS"].alias("STATUS"),
+            "table_name", "entry_type", "topic", "offset",
+            "record_key", "record_value",
+        )
+
+    pipeline = CdcPipeline(
+        {
+            "transforms": [
+                {"op": "route", "table_format": "${TableName}"},
+                {"op": "map_operation"},
+                {"op": "validate"},
+            ],
+            "sink": {
+                "dialect": "sqlite",
+                "pk_fields": ["ID"],
+                "value_cols": ["ORDER_NAME", "STATUS"],
+                "order_cols": ["offset"],
+                "auto_create": False,
+                "auto_evolve": False,
+                "distribute_threshold": 10,  # batch has 45 valid rows
+                "num_partitions": 4,
+            },
+        },
+        connection_factory=partition_file_factory(str(tmp_path)),
+    )
+    stream = spark.readStream.schema(kafka_schema).parquet(src)
+    q = pipeline.start(extract(stream), ckpt, availableNow=True)
+    q.awaitTermination(120)
+    assert pipeline.engine.distribute == "auto"
+    assert pipeline.engine.last_path == "distributed"
+    orders, _ = read_partition_files(str(tmp_path), "orders")
+    assert orders[1] == (1, "A", "NEW")
+    assert orders[2] == (2, "B2", "SHIPPED")
+    assert 3 not in orders
+    assert {k for k in orders if k >= 100} == {100 + i for i in range(40)}
