@@ -1,12 +1,15 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media are opaque ``binary`` columns + typed metadata. The Spark-side
-plumbing — schema, Arrow batch shape, partitioning — is real and tested;
-the actual codec work (image decode, resampling, frame extraction) is
-STUBBED because the codec libraries are not in this container: pass a
-``decoder`` callable to plug one in, or get the deterministic built-in
-metadata extraction (byte length, md5 digest, magic bytes) that needs no
-codec.
+plumbing — schema, Arrow batch shape, partitioning — is real and tested.
+For codecs, ``functions/media.py`` SHIPS a pure-numpy BMP/PNM decoder
+(``decode_image`` for metadata, ``decode_image_array`` for pixels) that
+plugs into the ``decoder=`` hook; compressed formats (JPEG/PNG/video)
+need codec libraries not present in this container — pass your own
+``decoder`` for those, or get the deterministic built-in metadata
+extraction (byte length, md5 digest, magic bytes) that needs no codec.
+``decode_stub`` remains the explicit raise-if-you-needed-a-codec
+fallback.
 
 ``extract_media_meta`` runs as ``mapInPandas`` so each Arrow batch is
 processed vectorized without materializing all blobs per executor at

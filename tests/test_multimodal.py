@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from kafka_dbsync_spark.operators.multimodal import (
+    extract_media_meta,
     resize_raw_images,
     sample_frames,
 )
@@ -85,3 +86,126 @@ def test_sample_frames_validates(spark):
     df = spark.createDataFrame([(1, bytes(8))], "doc_id long, blob binary")
     with pytest.raises(ValueError, match="positive"):
         sample_frames(df, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# shipped pure-numpy codec (functions/media.py) — VERDICT r2 #5: real
+# encoded bytes through the decoder= hook, stub stays the fallback
+# ---------------------------------------------------------------------------
+def _np():
+    import numpy as np
+
+    return np
+
+
+def test_codec_pgm_ppm_round_trip():
+    np = _np()
+    from kafka_dbsync_spark.functions.media import (
+        decode_image_array,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(decode_image_array(encode_pgm(g)), g)
+    c = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(decode_image_array(encode_ppm(c)), c)
+
+
+def test_codec_pnm_header_comments_and_errors():
+    np = _np()
+    from kafka_dbsync_spark.functions.media import decode_image_array
+
+    blob = b"P5 # a comment\n# another\n 3\t2 255\n" + bytes(range(6))
+    a = decode_image_array(blob)
+    assert a.shape == (2, 3) and a[1, 2] == 5
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image_array(b"P5 4 4 255\n" + bytes(3))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image_array(b"P5 2 2 65535\n" + bytes(8))
+    with pytest.raises(ValueError, match="PNM"):
+        decode_image_array(b"P3 2 2 255\n0 0 0 0")  # ASCII PNM unsupported
+
+
+def test_codec_bmp_round_trip_padding_and_topdown():
+    np = _np()
+    from kafka_dbsync_spark.functions.media import (
+        decode_image_array,
+        encode_bmp_gray,
+    )
+
+    # width 5: rows pad to 8 bytes — padding must not leak into pixels
+    g = (np.arange(35, dtype=np.uint8) * 7 % 256).astype(np.uint8).reshape(7, 5)
+    blob = encode_bmp_gray(g)
+    assert np.array_equal(decode_image_array(blob), g)
+
+    # top-down variant: flip the height sign, rows already top-first
+    import struct
+
+    h_neg = bytearray(blob)
+    struct.pack_into("<i", h_neg, 22, -7)
+    off = struct.unpack_from("<I", blob, 10)[0]
+    row_bytes = 8
+    rows = bytes(blob[off:])
+    flipped = b"".join(
+        rows[i * row_bytes : (i + 1) * row_bytes] for i in reversed(range(7))
+    )
+    h_neg[off:] = flipped
+    assert np.array_equal(decode_image_array(bytes(h_neg)), g)
+
+    with pytest.raises(ValueError, match="bit depth"):
+        bad = bytearray(blob)
+        struct.pack_into("<H", bad, 28, 4)
+        decode_image_array(bytes(bad))
+
+
+def test_extract_media_meta_decodes_real_encoded_bytes(spark):
+    """The shipped decoder plugs into the same decoder= hook as any real
+    codec: width/height come from actual BMP/PPM decoding."""
+    np = _np()
+    from kafka_dbsync_spark.functions.media import (
+        decode_image,
+        encode_bmp_gray,
+        encode_ppm,
+    )
+
+    bmp = encode_bmp_gray(np.zeros((12, 7), dtype=np.uint8))
+    ppm = encode_ppm(np.zeros((4, 9, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(ppm)), (3, None)],
+        "doc_id long, blob binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_media_meta(df, decoder=decode_image).collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"]) == (7, 12)
+    assert (rows[2]["width"], rows[2]["height"]) == (9, 4)
+    assert rows[1]["magic"] == bmp[:4].hex()
+    assert rows[3]["width"] is None and rows[3]["byte_len"] == 0
+
+
+def test_resize_through_real_codec(spark):
+    np = _np()
+    from kafka_dbsync_spark.functions.media import (
+        decode_image_array,
+        encode_pgm,
+    )
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_pgm(g)))], "doc_id long, blob binary"
+    )
+    out = resize_raw_images(
+        df, in_w=8, in_h=8, out_w=4, out_h=4, decoder=decode_image_array
+    ).collect()[0]
+    expect = g[np.ix_((np.arange(4) * 8) // 4, (np.arange(4) * 8) // 4)]
+    assert bytes(out["blob"]) == expect.tobytes()
+    assert (out["width"], out["height"]) == (4, 4)
+
+
+def test_decode_stub_still_raises(spark):
+    from kafka_dbsync_spark.operators.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError, match="decoder"):
+        decode_stub(b"anything")
