@@ -48,6 +48,13 @@ class Dialect:
     def quote(self, ident: str) -> str:
         return f'"{ident}"'
 
+    def normalize_identifier(self, ident: str | None) -> str | None:
+        """How the target DB stores unquoted identifiers in its metadata
+        catalogs — the reference's normalizeIdentifierForMetadata
+        (GenericDialect: unchanged; PostgreSqlDialect.java:95-98:
+        lowercase)."""
+        return ident
+
     def sql_type(self, dt: T.DataType) -> str:
         if isinstance(dt, T.DecimalType):
             return f"DECIMAL({dt.precision},{dt.scale})"
@@ -100,6 +107,30 @@ class MySqlDialect(Dialect):
     def quote(self, ident: str) -> str:
         return f"`{ident}`"
 
+    def sql_type(self, dt: T.DataType) -> str:
+        """Per-type mapping mirroring MySqlDialect.java:34-60 (TINYINT for
+        int8, VARCHAR(255) strings, VARBINARY(255) bytes, TEXT default)."""
+        overrides: list[tuple[type, str]] = [
+            (T.ByteType, "TINYINT"),
+            (T.ShortType, "SMALLINT"),
+            (T.IntegerType, "INT"),
+            (T.LongType, "BIGINT"),
+            (T.FloatType, "FLOAT"),
+            (T.DoubleType, "DOUBLE"),
+            (T.BooleanType, "BOOLEAN"),
+            (T.StringType, "VARCHAR(255)"),
+            (T.BinaryType, "VARBINARY(255)"),
+        ]
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        for py_t, sql_t in overrides:
+            if isinstance(dt, py_t):
+                return sql_t
+        for py_t, sql_t in _COMMON_TYPES:
+            if isinstance(dt, py_t):
+                return sql_t
+        return "TEXT"
+
     def upsert_sql(self, table: str, cols: Sequence[str], pk: Sequence[str]) -> str:
         insert = self.insert_sql(table, cols)
         non_pk = [c for c in cols if c not in pk]
@@ -113,6 +144,36 @@ class PostgreSqlDialect(Dialect):
     name = "postgresql"
     placeholder = "%s"
     supports_upsert = True
+
+    def normalize_identifier(self, ident: str | None) -> str | None:
+        # PostgreSQL stores unquoted identifiers lowercase in its catalogs
+        # (PostgreSqlDialect.java:95-98)
+        return ident.lower() if ident is not None else None
+
+    def sql_type(self, dt: T.DataType) -> str:
+        """Per-type mapping mirroring PostgreSqlDialect.java:43-70
+        (SMALLINT for int8/16, REAL/DOUBLE PRECISION floats, VARCHAR(255)
+        strings, BYTEA bytes, TEXT default)."""
+        overrides: list[tuple[type, str]] = [
+            (T.ByteType, "SMALLINT"),
+            (T.ShortType, "SMALLINT"),
+            (T.IntegerType, "INT"),
+            (T.LongType, "BIGINT"),
+            (T.FloatType, "REAL"),
+            (T.DoubleType, "DOUBLE PRECISION"),
+            (T.BooleanType, "BOOLEAN"),
+            (T.StringType, "VARCHAR(255)"),
+            (T.BinaryType, "BYTEA"),
+        ]
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        for py_t, sql_t in overrides:
+            if isinstance(dt, py_t):
+                return sql_t
+        for py_t, sql_t in _COMMON_TYPES:
+            if isinstance(dt, py_t):
+                return sql_t
+        return "TEXT"
 
     def upsert_sql(self, table: str, cols: Sequence[str], pk: Sequence[str]) -> str:
         insert = self.insert_sql(table, cols)
@@ -131,6 +192,13 @@ class SqliteDialect(PostgreSqlDialect):
 
     name = "sqlite"
     placeholder = "?"
+
+    def normalize_identifier(self, ident: str | None) -> str | None:
+        return ident  # sqlite metadata keeps the declared case
+
+    # sqlite's type-affinity rules make the generic map (TEXT/BLOB/…) the
+    # correct DDL; PG's VARCHAR(255)/BYTEA would land in NUMERIC affinity
+    sql_type = Dialect.sql_type
 
 
 def dialect_for(name_or_url: str) -> Dialect:
