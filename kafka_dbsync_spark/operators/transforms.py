@@ -301,6 +301,24 @@ def decode_row_image(
 
 
 # ---------------------------------------------------------------------------
+# T13b — compacted-topic bare tombstones
+# ---------------------------------------------------------------------------
+def filter_bare_tombstones(
+    df: DataFrame,
+    value_col: str = "record_value",
+    entry_type_col: str = "entry_type",
+) -> DataFrame:
+    """Drop BROKER-era compaction tombstones: null value AND no op header
+    (the broker wrote them during log compaction; the connector never
+    attached IIDR headers). DL-headed deletes — null value but
+    ``entry_type`` present — pass through untouched, unlike the plain
+    tombstone filter (T13) which drops every null-value record."""
+    return df.filter(
+        F.col(value_col).isNotNull() | F.col(entry_type_col).isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
 # T15 — embedded Connect schema (schemas.enable=true) decode
 # ---------------------------------------------------------------------------
 # Connect JsonConverter with schemas.enable=true wraps every key/value as

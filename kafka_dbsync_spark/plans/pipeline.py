@@ -100,6 +100,17 @@ def _t_tombstone_filter(cfg) -> Transform:
     return lambda df: df.filter(F.col(cfg.get("value_col", "record_value")).isNotNull())
 
 
+def _t_bare_tombstone_filter(cfg) -> Transform:
+    # drop compaction tombstones only (null value AND no op header, T13b)
+    from kafka_dbsync_spark.operators.transforms import filter_bare_tombstones
+
+    return lambda df: filter_bare_tombstones(
+        df,
+        value_col=cfg.get("value_col", "record_value"),
+        entry_type_col=cfg.get("entry_type_col", "entry_type"),
+    )
+
+
 _TRANSFORMS: dict[str, Callable[[dict], Transform]] = {
     "route": _t_route,
     "map_operation": _t_map_operation,
@@ -110,6 +121,7 @@ _TRANSFORMS: dict[str, Callable[[dict], Transform]] = {
     "charset": _t_charset,
     "select": _t_select,
     "tombstone_filter": _t_tombstone_filter,
+    "bare_tombstone_filter": _t_bare_tombstone_filter,
 }
 
 

@@ -208,3 +208,169 @@ def test_dead_letter_records_kafka_shape(contract_df):
     assert ctx["__connect.errors.partition"] == b"1"
     assert ctx["__connect.errors.offset"] == b"2"
     assert ctx["__connect.errors.exception.message"] == b"missing required header: TableName"
+
+
+# ---------------------------------------------------------------------------
+# Compacted-topic shape: log compaction keeps only the last record per key
+# (offset GAPS where older images were purged) plus tombstones that survive
+# until retention removes them. The reader contract: offsets are sparse,
+# tombstones are DL-headed or bare null values, and the final state equals
+# replaying just the surviving records.
+# ---------------------------------------------------------------------------
+COMPACTED_FIXTURE = [
+    # key 1: only the latest image survived compaction (offsets 0-6 purged)
+    rec(0, 7, {"ID": 1}, {"ID": 1, "V": "one-final"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "UP")]),
+    # key 2: upsert then a surviving tombstone at a later, gapped offset
+    rec(0, 11, {"ID": 2}, {"ID": 2, "V": "two"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+    rec(0, 40, {"ID": 2}, None,
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "DL")]),
+    # key 3: tombstone only — the pre-image was compacted away entirely;
+    # the delete must be a no-op against a key the sink never saw
+    rec(0, 55, {"ID": 3}, None,
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "DL")]),
+    # key 4: the compaction SURVIVOR is an older op code (FI refresh)
+    rec(1, 3, {"ID": 4}, {"ID": 4, "V": "four"},
+        [h("TableName", "ORDERS"), h("A_ENTTYP", "FI")]),
+]
+
+
+@pytest.fixture(scope="module")
+def compacted_df(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kafka_compacted") / "records.parquet")
+    spark.createDataFrame(COMPACTED_FIXTURE, KAFKA_CONTRACT_SCHEMA).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_compacted_topic_converges_from_survivors(compacted_df):
+    """Replaying a compacted topic (sparse offsets, surviving tombstones,
+    deletes of never-seen keys) must converge to the live-topic state."""
+    chained = validate_iidr(
+        with_operation(with_target_table(decode_iidr_records(compacted_df)))
+    )
+    valid, corrupt = split_corrupt(chained)
+    assert corrupt.count() == 0
+
+    row = F.from_json("record_value", "ID LONG, V STRING")
+    changes = valid.select(
+        F.from_json("record_key", "ID LONG")["ID"].alias("ID"),
+        row["V"].alias("V"),
+        "op",
+        (F.col("offset") * 10 + F.col("partition")).alias("seq"),
+    )
+    state = {r["ID"]: r["V"] for r in apply_changes(changes, ["ID"], ["seq"]).collect()}
+    # 2 tombstoned, 3's delete is a no-op (pre-image compacted away)
+    assert state == {1: "one-final", 4: "four"}
+
+
+def test_compacted_bare_tombstone_is_filtered_not_corrupt(spark):
+    """A compaction-era tombstone can arrive with NO headers at all (the
+    broker wrote it; the connector never saw it). filter_bare_tombstones
+    must drop it BEFORE validation would dead-letter it — while a
+    DL-headed tombstone (a real delete) passes through."""
+    from kafka_dbsync_spark.operators.transforms import filter_bare_tombstones
+
+    records = [
+        rec(0, 1, {"ID": 5}, {"ID": 5, "V": "five"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+        rec(0, 90, {"ID": 6}, None, None),  # bare compaction tombstone
+        rec(0, 95, {"ID": 5}, None,          # real delete, must survive
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "DL")]),
+    ]
+    df = spark.createDataFrame(records, KAFKA_CONTRACT_SCHEMA)
+    decoded = decode_iidr_records(df)
+    kept = filter_bare_tombstones(decoded)
+    assert kept.count() == 2
+    chained = validate_iidr(with_operation(with_target_table(kept)))
+    valid, corrupt = split_corrupt(chained)
+    assert corrupt.count() == 0
+    assert {r["op"] for r in valid.select("op").collect()} == {"upsert", "delete"}
+
+
+# ---------------------------------------------------------------------------
+# Partition-rebalance shapes: (a) at-least-once redelivery — after a
+# consumer-group rebalance a partition replays from the last committed
+# offset, so a SUFFIX of records is delivered twice; (b) partition-count
+# increase — a key starts hashing to a new partition, so its records span
+# partitions and per-partition offsets alone no longer order them.
+# ---------------------------------------------------------------------------
+def _apply(df):
+    chained = validate_iidr(
+        with_operation(with_target_table(decode_iidr_records(df)))
+    )
+    valid, _ = split_corrupt(chained)
+    row = F.from_json("record_value", "ID LONG, V STRING")
+    return valid.select(
+        F.from_json("record_key", "ID LONG")["ID"].alias("ID"),
+        row["V"].alias("V"),
+        "op",
+        (F.col("offset") * 10 + F.col("partition")).alias("seq"),
+    )
+
+
+def test_rebalance_redelivery_is_idempotent(spark):
+    """Batch 2 re-delivers the tail of batch 1 (offsets 2-3) after a
+    rebalance: the union must converge to the same state as exactly-once
+    delivery — the keyed LWW merge absorbs the duplicates."""
+    first = [
+        rec(0, 0, {"ID": 1}, {"ID": 1, "V": "a"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+        rec(0, 1, {"ID": 2}, {"ID": 2, "V": "b"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+        rec(0, 2, {"ID": 1}, {"ID": 1, "V": "a2"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "UP")]),
+        rec(0, 3, {"ID": 2}, None,
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "DL")]),
+    ]
+    redelivered = first[2:] + [
+        rec(0, 4, {"ID": 3}, {"ID": 3, "V": "c"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+    ]
+    once = spark.createDataFrame(first + redelivered[2:], KAFKA_CONTRACT_SCHEMA)
+    twice = spark.createDataFrame(first + redelivered, KAFKA_CONTRACT_SCHEMA)
+    s_once = {r["ID"]: r["V"]
+              for r in apply_changes(_apply(once), ["ID"], ["seq"]).collect()}
+    s_twice = {r["ID"]: r["V"]
+               for r in apply_changes(_apply(twice), ["ID"], ["seq"]).collect()}
+    assert s_once == s_twice == {1: "a2", 3: "c"}
+
+
+def test_partition_count_increase_key_spans_partitions(spark):
+    """After a partition-count increase, key 7's records land in BOTH
+    partition 0 (old hash) and partition 2 (new hash). Kafka's offsets are
+    per-partition, so cross-partition order needs the producer-side
+    sequence (here: A_TIMSTAMP-backed offsets encoded in seq); the merge
+    must still pick the globally last write."""
+    records = [
+        rec(0, 100, {"ID": 7}, {"ID": 7, "V": "old-partition"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "PT")]),
+        # new partition, lower raw offset but LATER in producer order
+        rec(2, 0, {"ID": 7}, {"ID": 7, "V": "new-partition"},
+            [h("TableName", "ORDERS"), h("A_ENTTYP", "UP")]),
+    ]
+    df = spark.createDataFrame(records, KAFKA_CONTRACT_SCHEMA)
+    chained = validate_iidr(
+        with_operation(with_target_table(decode_iidr_records(df)))
+    )
+    valid, _ = split_corrupt(chained)
+    row = F.from_json("record_value", "ID LONG, V STRING")
+    changes = valid.select(
+        F.from_json("record_key", "ID LONG")["ID"].alias("ID"),
+        row["V"].alias("V"),
+        "op",
+        # producer order: the rebalanced write is the later one; with raw
+        # per-partition offsets alone the OLD partition would wrongly win
+        F.when(F.col("partition") == 2, F.lit(1000) + F.col("offset"))
+        .otherwise(F.col("offset"))
+        .alias("seq"),
+    )
+    state = {r["ID"]: r["V"] for r in apply_changes(changes, ["ID"], ["seq"]).collect()}
+    assert state == {7: "new-partition"}
+    # counter-check: ordering by raw offset alone picks the stale image —
+    # the contract test documents WHY cross-partition order needs a seq
+    stale = {r["ID"]: r["V"]
+             for r in apply_changes(
+                 changes.withColumn("seq", F.col("seq") % 1000), ["ID"], ["seq"]
+             ).collect()}
+    assert stale == {7: "old-partition"}
