@@ -70,33 +70,35 @@ def main() -> None:
     ).mode("overwrite").save()
 
     per_query: dict[str, float] = {}
+    per_query_best: dict[str, float] = {}
     per_query_first: dict[str, float] = {}
-    total = 0.0
-    total_first = 0.0
+    total = total_best = total_first = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        # Each query runs twice and reports the BEST time. The first run
-        # pays one-time JVM JIT + whole-stage-codegen compile (1-3 s on
-        # HOF-heavy queries) — real cost once per executor lifetime, noise
-        # for a long-running job at scale. min-of-N is also the standard
-        # defense against VM scheduler jitter (this host's parallel CPU
-        # allocation swings 5-8x between runs); the first-run times are
-        # kept alongside for the cold-start picture.
+        # Each query runs 3× and reports the MEDIAN (the headline number:
+        # robust to one bad scheduler slot without the best-of cherry-pick
+        # — VERDICT r2 asked for median-of-3 with both columns). Best and
+        # first-run are kept alongside: the first run pays one-time JVM
+        # JIT + whole-stage-codegen compile (1-3 s on HOF-heavy queries) —
+        # a real cost once per executor lifetime; best shows the jitter
+        # floor (this host's parallel CPU allocation swings 5-8x).
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: forces full evaluation of every output column
             # (count() would let Catalyst prune the projections entirely)
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(min(times), 3)
+        per_query[name] = round(sorted(times)[1], 3)
+        per_query_best[name] = round(min(times), 3)
         per_query_first[name] = round(times[0], 3)
         total += per_query[name]
+        total_best += per_query_best[name]
         total_first += per_query_first[name]
         print(
-            f"# {name}: best {per_query[name]:.3f}s / first "
-            f"{per_query_first[name]:.3f}s",
+            f"# {name}: median {per_query[name]:.3f}s / best "
+            f"{per_query_best[name]:.3f}s / first {per_query_first[name]:.3f}s",
             file=sys.stderr,
         )
 
@@ -110,21 +112,57 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — never lose the suite JSON
         print(f"# full_apply_path failed: {e}", file=sys.stderr)
         apply_rate = None
+    prev_name, delta = _delta_vs_previous_round(per_query_best)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
-                "value": round(total, 3),
+                "value": round(total, 3),  # median-of-3 per query, summed
                 "unit": "sec",
                 "queries": per_query,
+                "queries_best": per_query_best,
                 "queries_first_run": per_query_first,
+                "best_suite_wall_seconds": round(total_best, 3),
                 "first_run_suite_wall_seconds": round(total_first, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": round(n_events / cdc_secs),
                 "cdc_apply_events_per_sec": apply_rate,
+                # like-for-like: our BEST column vs the previous round's
+                # best-based "queries" column (r1 was single-run = its own
+                # first==best), seconds saved (negative = faster now)
+                "delta_best_vs_prev": delta,
+                "prev_bench": prev_name,
             }
         )
     )
+
+
+def _delta_vs_previous_round(per_query_best: dict[str, float]):
+    """Per-query best-time delta vs the newest BENCH_r*.json in the repo
+    root (the driver records one per round)."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
+    )
+    if not benches:
+        return None, None
+    prev_path = benches[-1]
+    try:
+        prev = json.loads(Path(prev_path).read_text())
+        if "parsed" in prev:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
+            prev = prev["parsed"] or {}
+        prev_q = prev.get("queries_best") or prev.get("queries") or {}
+    except (OSError, ValueError):
+        return Path(prev_path).name, None
+    delta = {
+        name: round(t - prev_q[name], 3)
+        for name, t in per_query_best.items()
+        if name in prev_q
+    }
+    return Path(prev_path).name, delta
 
 
 def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
@@ -143,14 +181,14 @@ def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
     from kafka_dbsync_spark.streaming.apply import CdcApplyEngine
     from kafka_dbsync_spark.streaming.dialects import SqliteDialect
 
-    with tempfile.TemporaryDirectory() as tmp:
-        ev = load_table(spark, sf_dir, "events")
+    def batch_for(src_dir: str):
+        ev = load_table(spark, src_dir, "events")
         iidr = validate_iidr(with_operation(events_as_iidr_stream(ev)))
         # the real sink path decodes the JSON row image, not parquet columns
         row = F.from_json(
             "record_value", "user_id long, event_type string, value double, props string"
         )
-        batch = iidr.select(
+        return iidr.select(
             F.coalesce(row["user_id"], F.from_json("record_key", "user_id long")["user_id"]).alias("user_id"),
             row["event_type"].alias("event_type"),
             row["value"].alias("value"),
@@ -166,31 +204,49 @@ def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
             "op",
             "error_reason",
         )
-        # best of 2 (same scheduler-jitter defense as the query suite);
-        # each attempt replays into a fresh DB through a fresh engine
-        # (the engine memoizes auto-created tables per target)
-        best = None
-        for attempt in range(2):
+
+    def make_engine(db: str) -> CdcApplyEngine:
+        return CdcApplyEngine(
+            connection_factory=lambda db=db: sqlite3.connect(db),
+            dialect=SqliteDialect(),
+            pk_fields=["user_id"],
+            value_cols=["event_type", "value", "props"],
+            table_col="table_name",
+            order_cols=["offset"],
+            errors_tolerance="all",
+            corrupt_table="corrupt_events",
+            # single-writer sqlite target: force the reference's
+            # one-sink-task shape explicitly (auto would stay driver-side
+            # here anyway at these batch sizes, but be explicit)
+            distribute=False,
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # warm the APPLY-specific codegen paths (events→IIDR JSON encode,
+        # from_json decode, the dedup window) at the smallest SF so the
+        # timed attempts measure steady state — r2's attempt-to-attempt
+        # spread (5.98 s vs 3.57 s) was first-run JIT on exactly these
+        # expressions, which the suite warm-up above never touched
+        make_engine(os.path.join(tmp, "warm.db")).apply_batch(
+            batch_for("/root/testdata/sf0.001")
+        )
+        # median of 3 (same policy as the query suite); each attempt
+        # replays into a fresh DB through a fresh engine (the engine
+        # memoizes auto-created tables per target)
+        batch = batch_for(sf_dir)
+        times = []
+        for attempt in range(3):
             db = os.path.join(tmp, f"apply_{attempt}.db")
-            engine = CdcApplyEngine(
-                connection_factory=lambda db=db: sqlite3.connect(db),
-                dialect=SqliteDialect(),
-                pk_fields=["user_id"],
-                value_cols=["event_type", "value", "props"],
-                table_col="table_name",
-                order_cols=["offset"],
-                errors_tolerance="all",
-                corrupt_table="corrupt_events",
-            )
+            engine = make_engine(db)
             t0 = time.perf_counter()
             engine.apply_batch(batch)
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(dt)
             print(
                 f"# full_apply_path[{attempt}]: {dt:.3f}s ({n_events} events)",
                 file=sys.stderr,
             )
-        return round(n_events / best)
+        return round(n_events / sorted(times)[1])
 
 
 if __name__ == "__main__":
