@@ -61,7 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_meta",
     # (c) new in round 3
     "schema_embedded_decode",
-    "ivf_assign_broadcast",
+    "ivf_cell_stats",
     "stratified_quantiles",
     "minhash_jaccard_est",
     "late_data_watermark",

@@ -3069,3 +3069,156 @@ def q_schema_embedded_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_image.d").cast("string").alias("d_str"),
         F.col("row_image.t").alias("t_str"),
     )
+
+
+@query(
+    "ivf_cell_stats",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    SELECT centroid_id, count(*) AS n,
+           CAST(CAST(sum(CAST(dist AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_d2,
+           min(dist) AS min_d2, max(dist) AS max_d2
+    FROM assigned GROUP BY centroid_id
+    """,
+)
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell occupancy + distance spread over
+    the broadcast-array assignment (the skew check you run BEFORE using
+    cell ids as the table's partition column — one empty/overfull cell
+    means re-train, not re-partition). One agg shuffle over B keys."""
+    from kafka_dbsync_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, q_ivf_centroids(spark, sf_dir))
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dist").cast("decimal(18,6)")).cast("double").alias("sum_d2"),
+        F.min("dist").alias("min_d2"),
+        F.max("dist").alias("max_d2"),
+    )
+
+
+@query(
+    "stratified_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT priority, decile, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM d GROUP BY priority, decile
+    """,
+)
+def q_stratified_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified decile profile: NTILE(10) of order value WITHIN each
+    priority stratum, then per-(stratum, decile) count/bounds/revenue —
+    the quantile-bucket table a sampler or SLA report reads. Ties broken
+    by orderkey so the tiling is total and engine-portable; one window
+    shuffle on priority + one agg."""
+    od = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.withColumn("decile", F.ntile(10).over(w))
+        .groupBy(F.col("o_orderpriority").alias("priority"), "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "minhash_jaccard_est",
+    oracle=f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    sig AS ({_sql_minhash(8).replace("FROM documents", f"FROM ({_SQL_PLANTED})")}),
+    sh0 AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+      FROM ({_SQL_PLANTED})
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM sh0
+    ), exact AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(floor(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 10000
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_filter(a.sh, x -> list_contains(b.sh, x))))) AS BIGINT)
+               AS jaccard_bp
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+    ), m AS (
+      SELECT e.id_a, e.id_b, e.jaccard_bp,
+             ({' + '.join(f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(8))})
+               AS matches
+      FROM exact e JOIN sig a ON e.id_a = a.doc_id
+                   JOIN sig b ON e.id_b = b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(floor(matches * 10000 / 8) AS BIGINT) AS est_bp,
+           jaccard_bp,
+           CAST(floor(matches * 10000 / 8) - jaccard_bp AS BIGINT) AS err_bp
+    FROM m
+    """,
+)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality diagnostic: MinHash-estimated vs exact n-gram
+    Jaccard on every LSH candidate pair (err_bp tells you whether 8
+    hashes are enough before a 100 TB dedup commits to them). See
+    operators/dedup.py::minhash_jaccard_estimate."""
+    from kafka_dbsync_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _planted_docs(spark, sf_dir)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", 8, 2)
+    return minhash_jaccard_estimate(docs, cand, "doc_id", "text", num_hashes=8)
+
+
+@query(
+    "late_data_watermark",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) AS ts_us,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_max
+      FROM events
+    )
+    SELECT event_id, user_id,
+           (run_max - ts_us) // 1000 AS late_ms,
+           run_max - ts_us > 3600000000 AS is_late
+    FROM arr
+    """,
+)
+def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness report — the measurement behind choosing a
+    streaming watermark: per user (arrival order = event_id), how far
+    each event's timestamp lags the running max. is_late marks events a
+    1-hour watermark would drop; the late_ms distribution IS the
+    evidence for widening/narrowing withWatermark at deploy time. One
+    window shuffle on user_id, micros-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run_max = F.max(ts_us).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((run_max - ts_us) / F.lit(1000)).cast("long").alias("late_ms"),
+        (run_max - ts_us > 3_600_000_000).alias("is_late"),
+    )

@@ -44,7 +44,10 @@ class Scd2ApplyEngine(CdcApplyEngine):
     """
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
-        if self.distribute:
+        # "auto" (the CdcApplyEngine default) resolves to driver-side
+        # here: the history write has no executor path yet, so only an
+        # EXPLICIT distribute=True is a caller error
+        if self.distribute is True:
             raise NotImplementedError(
                 "Scd2ApplyEngine writes driver-side; repartition-by-key "
                 "executor write is a straightforward extension"
