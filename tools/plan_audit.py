@@ -95,8 +95,16 @@ SHUFFLE_BUDGET = {
     "ann_blocked_topk": 0,
     "embedding_neardup_pairs": 0,  # block join broadcasts at this size
     "ivf_centroids": 1,
-    "ivf_assign": 1,             # parallelism repartition; assignment itself is map-only
-    "ivf_search": 1,             # assignment map-only; TakeOrdered topk
+    # r3: +2 exchanges each on the CENTROID side only — collapsing the
+    # B×dim centroid METADATA (a few MB even at B=64k) into the single
+    # broadcast row (groupBy(cell) hash + SinglePartition collect). The
+    # DATA side stays exchange-free (streamed through a broadcast
+    # nested-loop against one row) — asserted by
+    # test_ivf_assign_is_map_only's streamed-subtree check. The trade
+    # bought O(1) plan size in B (the literal-inlined form died at
+    # B≈4k×dim≈256).
+    "ivf_assign": 3,             # parallelism repartition + 2 centroid-metadata
+    "ivf_search": 3,             # same; TakeOrdered topk adds none
     "datatype_matrix": 0,        # 4-row literal fixture, fully narrow
     "dlq_records": 0,            # narrow projection + header round-trip
     "hash_sample": 0,            # narrow deterministic filter
@@ -115,8 +123,9 @@ SHUFFLE_BUDGET = {
     "decontaminate": 4,          # shingle explode repartitions + benchmark
     # distinct; corpus side joins broadcast (0 corpus shuffle)
     "pack_sequences": 1,         # the bucket window
-    "semantic_dedup": 2,         # cell pair scan is broadcast at this size;
-    # assign map-only; centroid agg + dominated distinct
+    "semantic_dedup": 5,         # cell pair scan is broadcast at this size;
+    # assign map-only on the data side; centroid agg + dominated distinct
+    # + 2 centroid-metadata exchanges (see ivf_assign note)
 }
 
 
