@@ -65,6 +65,55 @@ def lsh_bucket(
     return bucket.cast("long")
 
 
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign-of-dot bits → long) as a
+    DataFrame operator with the planes as BROADCAST DATA.
+
+    Same bit semantics as ``lsh_bucket`` (bit j set iff dot(v, plane_j)
+    ≥ 0, index-order left-fold dot), but the plane matrix rides in one
+    broadcast row instead of O(planes·dim) plan literals — the same
+    plan-size fix as ``ivf_assign``'s centroid array, so this form keeps
+    working at planes×dim sizes where literal inlining would blow up
+    Catalyst. Data side stays map-only. ``num_planes`` ≤ 63 (the bucket
+    is a signed long)."""
+    if not 1 <= num_planes <= 63:
+        raise ValueError(f"num_planes must be in [1, 63] (got {num_planes})")
+    planes = random_hyperplanes(num_planes, dim)
+    spark = df.sparkSession
+    planes_row = F.broadcast(
+        spark.createDataFrame(
+            [([(j, p) for j, p in enumerate(planes)],)],
+            "__planes array<struct<j:int,p:array<double>>>",
+        )
+    )
+    withv = df.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).crossJoin(planes_row)
+
+    def bit(pl):
+        d = F.aggregate(
+            F.zip_with(F.col("__v"), pl["p"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        # 2^j via pow: PySpark's shiftleft takes only a literal shift;
+        # doubles represent powers of two exactly through 2^62 (j ≤ 62)
+        return F.when(d >= 0, F.pow(F.lit(2.0), pl["j"]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bucket = F.aggregate(
+        F.col("__planes"), F.lit(0).cast("long"), lambda acc, pl: acc + bit(pl)
+    )
+    return withv.withColumn(out_col, bucket).drop("__v", "__planes")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query: DataFrame,

@@ -1987,13 +1987,14 @@ def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
 def q_vector_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment for embeddings — the
     ANN scale path (bucket = partition/pruning key at 100 TB). The
-    hyperplanes are md5-derived literals, so the oracle uses the exact
-    same planes."""
-    from kafka_dbsync_spark.operators.similarity import lsh_bucket
+    hyperplanes are md5-derived and ride in ONE broadcast row (plan O(1)
+    in planes×dim — same fix as ivf_assign); the oracle derives the
+    exact same planes."""
+    from kafka_dbsync_spark.operators.similarity import with_lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id", "label", lsh_bucket("embedding", 16, 64).alias("bucket")
+    return with_lsh_buckets(emb, "embedding", 16, 64).select(
+        "vec_id", "label", "bucket"
     )
 
 

@@ -260,3 +260,39 @@ def test_ivf_assign_scales_to_4k_cells_256_dims(spark):
     for r in rows:
         assert r["centroid_id"] == r["label"] % 17, r
         assert r["dist"] == 0.0, r
+
+
+def test_with_lsh_buckets_scales_to_wide_plane_matrices(spark):
+    """Broadcast-planes form: must plan AND run at 48 planes x 512 dims
+    (a ~25k-literal plan in the inlined form), stay bit-identical to the
+    literal-inlined lsh_bucket at the default size, and reject > 63
+    planes (signed-long bucket)."""
+    from kafka_dbsync_spark.operators.similarity import (
+        lsh_bucket,
+        with_lsh_buckets,
+    )
+
+    emb = emb_df(spark)
+    both = with_lsh_buckets(emb, "embedding", 8, 4, out_col="b_new").withColumn(
+        "b_old", lsh_bucket("embedding", 8, 4)
+    )
+    assert all(r["b_new"] == r["b_old"] for r in both.collect())
+
+    wide = spark.range(16).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(512)),
+            lambda d: ((F.col("id") + d) % 7 - 3.0).cast("double"),
+        ).alias("embedding"),
+    )
+    out = with_lsh_buckets(wide, "embedding", 48, 512)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    rows = out.collect()
+    assert len(rows) == 16
+    assert all(0 <= r["bucket"] < 2**48 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_planes"):
+        with_lsh_buckets(emb, "embedding", 64, 4)

@@ -115,7 +115,8 @@ SHUFFLE_BUDGET = {
     # (at 100 TB the lineitem⋈orders arm becomes one more keyed shuffle)
     "range_join_active_orders": 3,  # bucket equi-join (2 sides) + final agg;
     # the raw inequality predicate would be a nested-loop scale killer
-    "vector_lsh_buckets": 0,     # fully narrow
+    "vector_lsh_buckets": 0,     # narrow data side; planes ride one
+    # broadcast row (BroadcastExchange, not a shuffle)
     "multimodal_meta": 1,        # parallelism repartition
     "table_profile": 2,          # multi-distinct Expand: partial + final agg
     "scd2_history": 1,           # the per-key window (same key as merge)
