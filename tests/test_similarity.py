@@ -273,10 +273,18 @@ def test_with_lsh_buckets_scales_to_wide_plane_matrices(spark):
     )
 
     emb = emb_df(spark)
-    both = with_lsh_buckets(emb, "embedding", 8, 4, out_col="b_new").withColumn(
-        "b_old", lsh_bucket("embedding", 8, 4)
-    )
+    # force the broadcast path (max_literal_nodes=0) for the bit-identity
+    # check against the literal-inlined form
+    both = with_lsh_buckets(
+        emb, "embedding", 8, 4, out_col="b_new", max_literal_nodes=0
+    ).withColumn("b_old", lsh_bucket("embedding", 8, 4))
     assert all(r["b_new"] == r["b_old"] for r in both.collect())
+    # hybrid: small matrices take the literal path (no broadcast join)
+    small_plan = (
+        with_lsh_buckets(emb, "embedding", 8, 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in small_plan
 
     wide = spark.range(16).select(
         F.col("id").alias("vec_id"),
