@@ -176,3 +176,34 @@ def test_wrapped_envelope_through_full_apply_chain(spark):
     assert state == {1: ("original", 1), 2: ("updated", 5)}
     # declared int32 survived the chain
     assert dict(final.dtypes)["QTY"] == "int"
+
+
+KEY_SCHEMA = {
+    "type": "struct",
+    "name": "orders.Key",
+    "fields": [{"field": "ID", "type": "int64", "optional": False}],
+}
+
+
+def test_key_side_envelope_strips_with_same_operator(spark):
+    """key.converter.schemas.enable=true wraps KEYS too (the reference
+    demo config wraps both sides). strip_embedded_schema is column-
+    generic: pointed at record_key it unwraps the key payload so the
+    downstream `$.ID` extraction sees bare JSON."""
+    wrapped_key = json.dumps({"schema": KEY_SCHEMA, "payload": {"ID": 42}})
+    df = spark.createDataFrame(
+        [(wrapped_key, wrap({"ID": 42, "NAME": "x"}))],
+        "record_key string, record_value string",
+    )
+    out = strip_embedded_schema(
+        strip_embedded_schema(df), value_col="record_key", schema_col="key_schema"
+    )
+    row = out.collect()[0]
+    assert json.loads(row["record_key"]) == {"ID": 42}
+    assert json.loads(row["record_value"])["NAME"] == "x"
+    assert row["key_schema"] is not None and row["connect_schema"] is not None
+    # and the usual key extraction now works
+    got = out.select(
+        F.get_json_object("record_key", "$.ID").cast("long").alias("ID")
+    ).collect()[0]["ID"]
+    assert got == 42

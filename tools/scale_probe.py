@@ -118,10 +118,27 @@ def main() -> None:
     n_assigned = assigned.count()
     dt = time.perf_counter() - t0
     assert n_assigned == e0 * factor
+    # map-only claim = the DATA (embeddings) side: the ":"-prefixed
+    # streamed subtree of the broadcast join must hold no Exchange; the
+    # centroid METADATA side legitimately shuffles its B×dim rows into
+    # the single broadcast array (r3 broadcast-centroid rewrite)
+    plan_head = plan.split("== Initial Plan")[0]
+    lines = plan_head.splitlines()
+    join_at = next(
+        (i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln), None
+    )
+    if join_at is None:
+        data_map_only = False
+    else:
+        streamed = [
+            ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")
+        ]
+        data_map_only = bool(streamed) and not any(
+            "Exchange" in ln for ln in streamed
+        )
     print(
         f"ivf_assign: {n_assigned} vectors in {dt:.2f}s = "
-        f"{n_assigned / dt:,.0f} vecs/s (map-only: "
-        f"{'Exchange' not in plan.split('== Initial Plan')[0]})"
+        f"{n_assigned / dt:,.0f} vecs/s (data-side map-only: {data_map_only})"
     )
 
     # Salted self-join under a dominant block: every vector in ONE block;
