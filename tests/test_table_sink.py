@@ -1,0 +1,162 @@
+"""ParquetMergeSink: keyed CDC merge into a hash-bucket-partitioned
+parquet table via dynamic partition overwrite — the pure-Spark data-lake
+backend (SURVEY §7.1's Delta MERGE INTO slot, built from Spark
+primitives since delta-lake is not in the container)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_dbsync_spark.functions.entrytype import OP_DELETE, OP_UPSERT
+from kafka_dbsync_spark.streaming.table_sink import ParquetMergeSink
+
+SCHEMA = "ID long, NAME string, op string, offset long"
+
+
+def rows_of(sink, spark):
+    return {
+        r["ID"]: r["NAME"] for r in sink.state(spark).select("ID", "NAME").collect()
+    }
+
+
+def make_sink(tmp_path, buckets=8):
+    return ParquetMergeSink(
+        str(tmp_path / "table"),
+        key_cols=["ID"],
+        order_cols=["offset"],
+        num_buckets=buckets,
+    )
+
+
+def test_merge_upserts_updates_deletes(spark, tmp_path):
+    sink = make_sink(tmp_path)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [
+                (1, "A", OP_UPSERT, 0),
+                (2, "B", OP_UPSERT, 1),
+                (3, "C", OP_UPSERT, 2),
+            ],
+            SCHEMA,
+        )
+    )
+    assert rows_of(sink, spark) == {1: "A", 2: "B", 3: "C"}
+    sink.apply_batch(
+        spark.createDataFrame(
+            [
+                (2, "B2", OP_UPSERT, 3),   # update
+                (3, None, OP_DELETE, 4),   # delete existing
+                (9, None, OP_DELETE, 5),   # delete absent: no-op
+                (4, "D", OP_UPSERT, 6),    # insert
+            ],
+            SCHEMA,
+        )
+    )
+    assert rows_of(sink, spark) == {1: "A", 2: "B2", 4: "D"}
+
+
+def test_untouched_buckets_files_not_rewritten(spark, tmp_path):
+    """The 100 TB property: a batch touching one key must leave every
+    other bucket's FILES untouched (same inode mtimes — dynamic
+    overwrite never lists them)."""
+    sink = make_sink(tmp_path, buckets=8)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(i, f"v{i}", OP_UPSERT, i) for i in range(64)], SCHEMA
+        )
+    )
+    table = str(tmp_path / "table")
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(table, "__part=*", "*.parquet"))
+    }
+    # bucket of key 1
+    target = sink._with_part(
+        spark.createDataFrame([(1, "x", OP_UPSERT, 100)], SCHEMA)
+    ).collect()[0]["__part"]
+    sink.apply_batch(
+        spark.createDataFrame([(1, "updated", OP_UPSERT, 100)], SCHEMA)
+    )
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(table, "__part=*", "*.parquet"))
+    }
+    changed = {
+        p
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert changed, "the touched bucket must be rewritten"
+    assert all(f"__part={target}" in p for p in changed), changed
+    assert rows_of(sink, spark)[1] == "updated"
+    assert rows_of(sink, spark)[63] == "v63"
+
+
+def test_intra_batch_lww_and_replay_idempotence(spark, tmp_path):
+    sink = make_sink(tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (1, "v1", OP_UPSERT, 0),
+            (1, "v2", OP_UPSERT, 1),
+            (1, "v3", OP_UPSERT, 2),
+        ],
+        SCHEMA,
+    )
+    sink.apply_batch(batch)
+    assert rows_of(sink, spark) == {1: "v3"}
+    sink.apply_batch(batch)  # at-least-once replay converges
+    assert rows_of(sink, spark) == {1: "v3"}
+
+
+def test_fully_deleted_bucket_is_cleared(spark, tmp_path):
+    """Deleting every key of a bucket must not leave stale files behind
+    (dynamic overwrite alone would — the sink clears the directory)."""
+    sink = make_sink(tmp_path, buckets=2)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(i, f"v{i}", OP_UPSERT, i) for i in range(8)], SCHEMA
+        )
+    )
+    all_ids = list(rows_of(sink, spark))
+    # delete EVERY key (both buckets fully emptied)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(i, None, OP_DELETE, 100 + i) for i in all_ids], SCHEMA
+        )
+    )
+    state = sink.read(spark)
+    assert state is None or state.count() == 0
+
+
+def test_streaming_foreach_batch_e2e(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [
+            (1, "A", OP_UPSERT, 0),
+            (2, "B", OP_UPSERT, 1),
+            (2, "B2", OP_UPSERT, 2),
+            (1, None, OP_DELETE, 3),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    sink = make_sink(tmp_path)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert rows_of(sink, spark) == {2: "B2"}
+
+
+def test_rejects_empty_keys():
+    with pytest.raises(ValueError, match="non-empty"):
+        ParquetMergeSink("/tmp/x", key_cols=[], order_cols=["o"])
