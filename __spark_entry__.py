@@ -65,6 +65,8 @@ _DRIVER_PRIORITY: list[str] = [
     "stratified_quantiles",
     "minhash_jaccard_est",
     "late_data_watermark",
+    "shipping_priority",
+    "large_volume_customers",
 ]
 
 

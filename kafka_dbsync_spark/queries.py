@@ -3223,3 +3223,103 @@ def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((run_max - ts_us) / F.lit(1000)).cast("long").alias("late_ms"),
         (run_max - ts_us > 3_600_000_000).alias("is_late"),
     )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top unshipped-revenue orders
+    for one market segment. Plan shape at scale: the segment filter
+    prunes customer BEFORE the join, the (small) filtered customer side
+    broadcasts into orders, and the only wide shuffle is
+    lineitem ⋈ orders on orderkey + the per-order agg — then
+    TakeOrderedAndProject, never a full sort. Decimal-exact revenue."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN big       ON l.l_orderkey = big.l_orderkey
+    JOIN orders o  ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity clears a threshold, with their customers. The HAVING
+    pre-aggregation is the scale move — the big-order id set is tiny, so
+    it BROADCASTS back into lineitem (semi-join) and the final agg only
+    sees qualifying rows; without it the customer join would shuffle the
+    whole fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    qualified = li.join(F.broadcast(big), "l_orderkey")
+    return (
+        qualified.join(od, qualified["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )

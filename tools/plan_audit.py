@@ -124,6 +124,11 @@ SHUFFLE_BUDGET = {
     "decontaminate": 4,          # shingle explode repartitions + benchmark
     # distinct; corpus side joins broadcast (0 corpus shuffle)
     "pack_sequences": 1,         # the bucket window
+    "shipping_priority": 1,      # per-order agg; all joins broadcast at
+    # test SF (at 100 TB lineitem⋈orders becomes one keyed shuffle) +
+    # TakeOrdered (no full sort)
+    "large_volume_customers": 2, # HAVING pre-agg + final agg; the big-order
+    # id set broadcasts back into lineitem, customer join broadcasts at SF
     "semantic_dedup": 5,         # cell pair scan is broadcast at this size;
     # assign map-only on the data side; centroid agg + dominated distinct
     # + 2 centroid-metadata exchanges (see ivf_assign note)
