@@ -1,0 +1,185 @@
+"""Product quantization (PQ) for embedding columns — the memory-compression
+half of a FAISS-style IVF-PQ ANN index, expressed as pure DataFrame ops.
+
+Pipeline (mirrors Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public paper, no reference-engine counterpart; this is
+one of the beyond-parity LLM-pipeline operators):
+
+1. ``pq_codebooks`` — split the ``dim``-d vector into ``n_sub`` contiguous
+   subspaces of ``d_sub`` dims each and train ``k`` codewords per subspace.
+   Training here is one deterministic Lloyd step from a hash seed
+   (codeword c = elementwise mean of the subvectors of rows with
+   ``id % k == c``) — the same seeding scheme ``ivf_centroids`` uses for
+   its coarse quantizer, so the whole build is engine-portable and
+   oracle-checkable. Component means use decimal-exact sums then round to
+   6 decimals (float sums are order-sensitive; decimal sums are not).
+2. ``pq_encode`` — map every vector to ``n_sub`` small codes
+   (argmin squared-L2 per subspace, ties to the lowest code). 64 float32
+   dims become 8 uint8 codes: 32× compression — the difference between a
+   100 TB embedding table and a 3 TB one that fits hot storage.
+3. ``pq_adc_topk`` — asymmetric distance computation (ADC): score every
+   ENCODED vector against a raw query by summing, over subspaces, the
+   distance from the query subvector to the row's selected codeword.
+   Never decodes the corpus — the scan side touches only the tiny code
+   arrays.
+
+Scale shape: the codebook is index METADATA (n_sub × k × d_sub doubles —
+a few MB even at 64×256×16), so it collapses to ONE broadcast row
+(``codebooks_as_array``, same trick as ``centroids_as_array``) and both
+encode and ADC scoring are MAP-ONLY over the data: no shuffle, plan size
+O(1) in k. The only wide op in ``pq_adc_topk`` is the final top-k, which
+Spark runs as per-partition partial top-k + single-reduce merge
+(TakeOrderedAndProject).
+
+All arithmetic is JVM-side higher-order functions; distance folds sum in
+index order and round to 6 decimals so argmin tie-breaks match the DuckDB
+oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks in long format ``(m, code, dim, cw)``:
+    subspace m ∈ [0, n_sub), codeword code ∈ [0, k), dim ∈ [1, d_sub],
+    cw = the component value.
+
+    One shuffle on (m, code, dim) with map-side partial aggregation; the
+    explode is narrow. Deterministic seed: row → codeword ``id % k``
+    (one Lloyd assignment step from that seed would converge further;
+    the single averaged step is chosen so the oracle stays closed-form)."""
+    comp = embeddings.select(
+        (F.col(id_col) % k).alias("code"),
+        F.posexplode(vec_col).alias("p", "v"),
+    ).select(
+        "code",
+        F.floor(F.col("p") / d_sub).cast("int").alias("m"),
+        (F.col("p") % d_sub + 1).cast("int").alias("dim"),
+        "v",
+    )
+    return comp.groupBy("m", "code", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("cw")
+    )
+
+
+def codebooks_as_array(codebooks_long: DataFrame) -> DataFrame:
+    """Long-format codebooks → ONE row of
+    ``__books: array<struct<m:int, entries:array<struct<code:bigint,
+    cvec:array<double>>>>>``, m ascending, entries sorted by code, cvec in
+    dim order — the broadcast-side shape for map-only encode/ADC (plan
+    stays O(1) in n_sub·k, same fix as ``centroids_as_array``)."""
+    per_code = codebooks_long.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("dim").alias("dim"), F.col("cw").alias("cw"))
+                )
+            ),
+            lambda s: s["cw"],
+        ).alias("cvec")
+    )
+    per_m = per_code.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("entries")
+    )
+    return per_m.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "entries"))).alias("__books")
+    )
+
+
+def _d2(a, b):
+    """Squared L2 between two array columns: per-dim (x-y)² via zip_with,
+    summed in index order by a left fold (matches the oracle's fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks_long: DataFrame,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = ("label",),
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """Encode every vector as ``codes: array<int>`` (one code per
+    subspace; argmin of the rounded squared-L2 to each codeword, ties to
+    the lowest code).
+
+    Map-only: the codebooks ride in as one broadcast row and each
+    subspace's argmin is a higher-order fold over its entries — no
+    shuffle, no Python."""
+    books = F.broadcast(codebooks_as_array(codebooks_long))
+    withv = embeddings.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).crossJoin(books)
+
+    def code_for(s):
+        sub = F.slice(F.col("__v"), s["m"] * d_sub + 1, d_sub)
+
+        def entry(e):
+            return F.struct(
+                F.round(_d2(sub, e["cvec"]), dist_decimals).alias("dist"),
+                e["code"].alias("code"),
+            )
+
+        return F.array_min(F.transform(s["entries"], entry))["code"].cast("int")
+
+    return withv.withColumn(
+        "codes", F.transform(F.col("__books"), code_for)
+    ).select(F.col(id_col), *[F.col(c) for c in keep_cols], "codes")
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks_long: DataFrame,
+    query_vec: list[float],
+    k_top: int = 10,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    keep_cols: tuple = ("label",),
+    dist_decimals: int = 6,
+    out_decimals: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate distance from the raw
+    ``query_vec`` to each encoded row = Σ over subspaces of the (rounded)
+    squared-L2 between the query's subvector and the row's selected
+    codeword. The corpus is never decoded; the scan reads only
+    ``codes``. Per-subspace terms round to ``dist_decimals`` and sum in
+    subspace order; the total rounds to ``out_decimals`` so the ranking
+    is engine-portable."""
+    books = F.broadcast(codebooks_as_array(codebooks_long))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    withc = encoded.crossJoin(books)
+
+    def term(s):
+        qsub = F.slice(qlit, s["m"] * d_sub + 1, d_sub)
+        e = F.element_at(s["entries"], F.element_at(F.col("codes"), s["m"] + 1) + 1)
+        return F.round(_d2(qsub, e["cvec"]), dist_decimals)
+
+    adc = F.aggregate(
+        F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s)
+    )
+    return (
+        withc.withColumn("adc_dist", F.round(adc, out_decimals))
+        .select(
+            F.col(id_col), *[F.col(c) for c in keep_cols], F.col("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k_top)
+    )

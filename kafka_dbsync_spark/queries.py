@@ -3323,3 +3323,129 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_qty")
         )
     )
+
+
+# ===========================================================================
+# Product quantization (IVF-PQ compression path; Jégou et al. TPAMI 2011)
+# ===========================================================================
+# shared CTE prefix: double-cast embeddings, long-format codebooks (one
+# deterministic Lloyd step from the id%k seed — the same scheme as
+# _SQL_IVF_PREFIX's label-seeded coarse centroids), and per-(m,code)
+# codeword vectors. n_sub=8 subspaces × d_sub=8 dims × k=16 codewords
+# over the 64-dim embeddings.
+_SQL_PQ_PREFIX = """
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT vec_id % 16 AS code,
+             CAST((p.p - 1) // 8 AS INT) AS m,
+             CAST((p.p - 1) % 8 + 1 AS INT) AS dim,
+             v[p.p] AS val
+      FROM e, (SELECT unnest(range(1, 65)) AS p) p
+    ), cb AS (
+      SELECT m, code, dim,
+             round(CAST(CAST(sum(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS cw
+      FROM comp GROUP BY m, code, dim
+    ), cbv AS (
+      SELECT m, code, list(cw ORDER BY dim) AS cvec FROM cb GROUP BY m, code
+    )
+"""
+
+
+@query(
+    "pq_codebooks",
+    oracle=_SQL_PQ_PREFIX + "SELECT m, code, dim, cw FROM cb",
+)
+def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (long format): 8 subspaces × 16 codewords ×
+    8 dims, codeword = decimal-exact elementwise mean of the id%16-seeded
+    subvector group. One shuffle on (m, code, dim) with map-side partial
+    agg; at 100 TB the codebook is a few MB of index metadata trained on
+    a sample, not the full table."""
+    from kafka_dbsync_spark.operators.pq import pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codebooks(emb)
+
+
+@query(
+    "pq_encode",
+    oracle=_SQL_PQ_PREFIX
+    + """
+    , enc AS (
+      SELECT vec_id, label, m, code FROM (
+        SELECT e.vec_id, e.label, cbv.m, cbv.code,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), d ->
+                   (v[cbv.m*8 + d] - cvec[d]) * (v[cbv.m*8 + d] - cvec[d]))),
+                 (a, b) -> a + b), 6) AS d2
+        FROM e CROSS JOIN cbv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    )
+    SELECT vec_id, label, list(CAST(code AS INT) ORDER BY m) AS codes
+    FROM enc GROUP BY vec_id, label
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every 64-float vector → 8 small codes (argmin rounded
+    squared-L2 per subspace, ties to the lowest code) — 32× compression.
+    MAP-ONLY: the codebooks ride in as one broadcast row and the argmin
+    is a higher-order fold, so the plan is O(1) in k and there is no
+    shuffle on the data side."""
+    from kafka_dbsync_spark.operators.pq import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebooks(emb))
+
+
+@query(
+    "pq_adc_search",
+    oracle=_SQL_PQ_PREFIX
+    + """
+    , enc AS (
+      SELECT vec_id, label, m, code FROM (
+        SELECT e.vec_id, e.label, cbv.m, cbv.code,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), d ->
+                   (v[cbv.m*8 + d] - cvec[d]) * (v[cbv.m*8 + d] - cvec[d]))),
+                 (a, b) -> a + b), 6) AS d2
+        FROM e CROSS JOIN cbv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), lut AS (
+      SELECT m, code,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 9), d ->
+                 (qv[m*8 + d] - cvec[d]) * (qv[m*8 + d] - cvec[d]))),
+               (a, b) -> a + b), 6) AS dd
+      FROM cbv CROSS JOIN q
+    ), encl AS (
+      SELECT vec_id, label, m, dd FROM enc JOIN lut USING (m, code)
+    )
+    SELECT vec_id, label,
+           round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
+                 (a, b) -> a + b), 4) AS adc_dist
+    FROM encl GROUP BY vec_id, label
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: nearest 10 encoded vectors to the
+    vec_id=0 query by summed per-subspace codeword distances. The corpus
+    is never decoded — the scan reads only the 8-byte code arrays; the
+    only wide op is the final top-k (TakeOrderedAndProject, no full
+    sort). This is the 100 TB ANN read path: IVF cells prune the files,
+    PQ codes make the residual scan ~32× cheaper than raw floats."""
+    from kafka_dbsync_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_adc_topk(pq_encode(emb, cb), cb, [float(x) for x in qv])

@@ -1,0 +1,78 @@
+"""Product-quantization operator invariants (oracle parity is covered by
+the pq_* entries in the query registry; these pin the operator-level
+contracts that SQL can't see)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.pq import (
+    codebooks_as_array,
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    return pq_codebooks(emb).cache()
+
+
+def test_codebook_shape(cb):
+    # 8 subspaces x 16 codes x 8 dims, every cell populated exactly once
+    assert cb.count() == 8 * 16 * 8
+    dims = cb.groupBy("m", "code").count().select("count").distinct().collect()
+    assert [r["count"] for r in dims] == [8]
+
+
+def test_codes_in_range_and_total(emb, cb):
+    enc = pq_encode(emb, cb)
+    rows = enc.select(
+        F.size("codes").alias("n"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("n"), F.max("n"), F.min("lo"), F.max("hi"), F.count("*")
+    ).head()
+    assert rows[0] == rows[1] == 8          # always 8 codes
+    assert rows[2] >= 0 and rows[3] <= 15   # codes in [0, 16)
+    assert rows[4] == emb.count()           # one row per vector
+
+
+def test_encode_is_deterministic(emb, cb):
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+    assert a == b
+
+
+def test_adc_self_query_is_nearest(emb, cb):
+    # the query vector's own row must rank first on ADC distance: every
+    # per-subspace term is the distance to its OWN selected (nearest)
+    # codeword — minimal by construction
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    top = pq_adc_topk(pq_encode(emb, cb), cb, qv, k_top=1).head()
+    assert top["vec_id"] == 7
+
+
+def test_books_row_is_single_and_sorted(cb):
+    row = codebooks_as_array(cb).collect()
+    assert len(row) == 1
+    books = row[0]["__books"]
+    assert [b["m"] for b in books] == list(range(8))
+    for b in books:
+        assert [e["code"] for e in b["entries"]] == list(range(16))
+        assert all(len(e["cvec"]) == 8 for e in b["entries"])
+
+
+def test_encode_plan_is_map_only(emb, cb):
+    # broadcast codebook row -> no Exchange on the data side past the
+    # codebook build itself (the encode adds only a BroadcastNestedLoopJoin)
+    plan = pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan

@@ -59,8 +59,14 @@ def canon_rows(df) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
     from kafka_dbsync_spark import get_spark
@@ -111,13 +117,30 @@ def main() -> int:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            passes.append(name)
+            passes.append((name, len(sdf)))
             print(f"PASS {name} ({len(sdf)} rows)")
 
     print(
         f"\n{len(passes)} pass, {len(failures)} fail, {len(weak)} weak "
         f"(rows-only) of {len(queries)} queries @ {sf_dir}"
     )
+    if json_out:
+        import json
+
+        doc = {
+            "sf_dir": sf_dir,
+            "pass": len(passes),
+            "fail": len(failures),
+            "weak": len(weak),
+            "total": len(queries) if not only else len(only),
+            "queries": {
+                **{n: {"status": "PASS", "rows": r} for n, r in passes},
+                **{n: {"status": "FAIL", "detail": d} for n, d in failures},
+                **{n: {"status": "WEAK"} for n in weak},
+            },
+        }
+        with open(json_out, "w") as fh:
+            json.dump(doc, fh, indent=1)
     return 1 if failures else 0
 
 
