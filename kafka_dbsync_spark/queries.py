@@ -3449,3 +3449,166 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebooks(emb)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return pq_adc_topk(pq_encode(emb, cb), cb, [float(x) for x in qv])
+
+
+@query(
+    "late_sole_suppliers",
+    oracle="""
+    WITH l1 AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM l1 l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped 'suppliers who kept orders waiting': suppliers
+    that shipped >60 days after the order date on a finalized
+    multi-supplier order where NO other supplier was late — the classic
+    EXISTS + NOT EXISTS double-correlated pattern, expressed as
+    left_semi + left_anti joins (Spark's native decorrelation). The late
+    set l1 is a tiny fraction of lineitem, so both the anti self-join
+    and the supplier join broadcast; only the initial orders join
+    shuffles on the fact key. Reference-class query surface: SURVEY.md
+    §2 batch analytics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    waiting = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_ok"))
+            & (F.col("l_suppkey") != F.col("o_sk")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(l3),
+            (F.col("l_orderkey") == F.col("a_ok"))
+            & (F.col("l_suppkey") != F.col("a_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(su), waiting["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    ), sel AS (
+      SELECT c_custkey % 7 AS cntrycode, c_acctbal
+      FROM customer c, pos
+      WHERE c.c_acctbal > pos.ab
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS totacctbal
+    FROM sel GROUP BY cntrycode
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped 'global sales opportunity': customers with an
+    above-average positive balance and no RECENT orders (none since
+    2000-01-01 — the synthetic fixture gives every customer at least one
+    lifetime order, and it has no phone column, so the country code is
+    custkey mod 7). The average is a decimal-exact scalar aggregate that
+    BROADCASTS as a one-row cross join (no driver round-trip); the
+    no-recent-orders test is a left_anti against a date-filtered,
+    column-pruned o_custkey scan — the filter reaches the parquet scan,
+    so at 100 TB the anti-join build side is only the recent partition
+    slice. Balance sums are decimal-exact then cast."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_row = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("ab")
+        )
+    )
+    sel = (
+        cu.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(od.select("o_custkey"), cu["c_custkey"] == od["o_custkey"], "left_anti")
+    )
+    return sel.groupBy((F.col("c_custkey") % 7).alias("cntrycode")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract a field from the JSON
+    ``props`` column (``get_json_object`` — codegen'd path expression, no
+    Python) and aggregate per event type. The common CDC-sidecar shape:
+    schemaless attributes riding next to typed columns. Integer sums are
+    exact, so no decimal dance is needed. One agg shuffle on the 5-value
+    event_type key (map-side partial agg collapses it first)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
