@@ -145,6 +145,131 @@ def pq_encode(
     ).select(F.col(id_col), *[F.col(c) for c in keep_cols], "codes")
 
 
+def with_residuals(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = ("label",),
+    out_col: str = "resid",
+) -> DataFrame:
+    """IVF residuals: assign each vector to its nearest coarse centroid
+    (``ivf_assign``) and subtract that centroid elementwise —
+    ``resid = v − c(cell)`` — the quantity IVF-PQ encodes instead of the
+    raw vector (residuals have ~B× less variance, so the same code
+    budget quantizes them much more precisely; Jégou et al. §IV).
+
+    Two map-only steps: the assignment's broadcast fold, then a
+    broadcast hash join against the per-cell centroid vectors for the
+    subtraction. No shuffle of the data."""
+    from kafka_dbsync_spark.operators.similarity import (
+        centroid_cell_vectors,
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(
+        embeddings,
+        centroids_long,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=keep_cols,
+        keep_vec=True,
+    )
+    cells = F.broadcast(centroid_cell_vectors(centroids_long))
+    return (
+        assigned.join(cells, assigned["centroid_id"] == cells["cell"])
+        .withColumn(
+            out_col,
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("cvec"),
+                lambda x, y: x - y,
+            ),
+        )
+        .select(F.col(id_col), *[F.col(c) for c in keep_cols], "centroid_id", out_col)
+    )
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k_top: int = 10,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple = ("label",),
+    dist_decimals: int = 6,
+    out_decimals: int = 4,
+) -> DataFrame:
+    """Complete IVF-PQ ANN search (the FAISS IndexIVFPQ loop as pure
+    DataFrame ops): coarse-assign → residual → PQ-encode residuals →
+    probe the ``nprobe`` cells nearest the query → ADC-score candidates
+    against the query's PER-CELL residual → top-k.
+
+    Scale shape at 100 TB: the cell id is the table partition column
+    (scan prunes to nprobe/B of the files), the candidate rows carry
+    only ``n_sub`` small codes (32× less IO than raw floats), the PQ
+    codebook + per-cell query residuals ride in as broadcast rows, and
+    the only wide op is the final top-k (TakeOrderedAndProject). The
+    probe selection is a driver-side loop over collected centroid
+    METADATA — the same B-element object a FAISS coarse quantizer keeps
+    in RAM."""
+    from kafka_dbsync_spark.operators.similarity import (
+        centroid_arrays,
+        select_probe_cells,
+    )
+
+    q = [float(x) for x in query_vec]
+    resid = with_residuals(
+        embeddings, centroids_long, id_col=id_col, vec_col=vec_col,
+        keep_cols=keep_cols,
+    )
+    cb = pq_codebooks(resid, n_sub=n_sub, d_sub=d_sub, k=k,
+                      id_col=id_col, vec_col="resid")
+    enc = pq_encode(
+        resid, cb, d_sub=d_sub, id_col=id_col, vec_col="resid",
+        keep_cols=(*keep_cols, "centroid_id"),
+    )
+
+    probe = select_probe_cells(centroids_long, q, nprobe)
+    cellvecs = dict(centroid_arrays(centroids_long))
+    spark = embeddings.sparkSession
+    qres = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [qi - ci for qi, ci in zip(q, cellvecs[c])]) for c in probe],
+            "qcell bigint, qr array<double>",
+        )
+    )
+    books = F.broadcast(codebooks_as_array(cb))
+    cand = (
+        enc.filter(F.col("centroid_id").isin([int(c) for c in probe]))
+        .join(qres, F.col("centroid_id") == F.col("qcell"))
+        .crossJoin(books)
+    )
+
+    def term(s):
+        qsub = F.slice(F.col("qr"), s["m"] * d_sub + 1, d_sub)
+        e = F.element_at(s["entries"], F.element_at(F.col("codes"), s["m"] + 1) + 1)
+        return F.round(_d2(qsub, e["cvec"]), dist_decimals)
+
+    adc = F.aggregate(F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s))
+    return (
+        cand.withColumn("adc_dist", F.round(adc, out_decimals))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.col("centroid_id"),
+            F.col("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k_top)
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks_long: DataFrame,

@@ -188,6 +188,34 @@ def centroid_arrays(
     ]
 
 
+def centroid_cell_vectors(
+    centroids_long: DataFrame,
+    cell_col: str = "label",
+    dim_col: str = "dim",
+    val_col: str = "centroid",
+) -> DataFrame:
+    """Long-format centroids (label, dim, centroid) → one row PER CELL
+    ``(cell: long, cvec: array<double>)``, cvec in dim order — the
+    broadcast-join side for per-row centroid lookups (e.g. residual
+    computation in IVF-PQ)."""
+    return (
+        centroids_long.groupBy(F.col(cell_col).cast("long").alias("cell"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(dim_col).cast("int").alias("dim"),
+                            F.col(val_col).cast("double").alias("val"),
+                        )
+                    )
+                ),
+                lambda s: s["val"],
+            ).alias("cvec")
+        )
+    )
+
+
 def centroids_as_array(
     centroids_long: DataFrame,
     cell_col: str = "label",
@@ -205,22 +233,7 @@ def centroids_as_array(
     centroid as a plan LITERAL, which meant O(B·dim) expression nodes —
     Catalyst/codegen dies near B≈4k·dim≈256 long before any data moves
     (VERDICT r2 'what's wrong' #2)."""
-    per_cell = (
-        centroids_long.groupBy(F.col(cell_col).cast("long").alias("cell"))
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col(dim_col).cast("int").alias("dim"),
-                            F.col(val_col).cast("double").alias("val"),
-                        )
-                    )
-                ),
-                lambda s: s["val"],
-            ).alias("cvec")
-        )
-    )
+    per_cell = centroid_cell_vectors(centroids_long, cell_col, dim_col, val_col)
     return per_cell.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("cell", "cvec"))).alias("__cents")
     )
@@ -281,6 +294,32 @@ def ivf_assign(
     return withv.withColumn("__b", best).select(*out)
 
 
+def select_probe_cells(
+    centroids_long: DataFrame, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The FAISS coarse-quantizer step: rank all cells by (rounded)
+    squared-L2 to the query on the DRIVER over the collected centroid
+    metadata (a B-element loop) and return the ``nprobe`` nearest cell
+    ids. Rounding is decimal half-up to 6 places — the same rule as
+    ``ivf_assign`` / the DuckDB oracle, so the probe set is
+    engine-portable."""
+    import decimal
+
+    cents = centroid_arrays(centroids_long)
+    q = [float(x) for x in query_vec]
+
+    def round_half_up(v: float, nd: int) -> decimal.Decimal:
+        return decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
+        )
+
+    ranked = sorted(
+        (round_half_up(sum((x - y) * (x - y) for x, y in zip(vec, q)), 6), cid)
+        for cid, vec in cents
+    )
+    return [cid for _, cid in ranked[:nprobe]]
+
+
 def ivf_search(
     embeddings: DataFrame,
     centroids_long: DataFrame,
@@ -299,21 +338,8 @@ def ivf_search(
     candidate filter + re-rank is a map-only scan of the probed cells.
     Rounding rules match ``ivf_assign``/the DuckDB oracle so the probe
     set is engine-portable."""
-    import decimal
-
-    cents = centroid_arrays(centroids_long)
     q = [float(x) for x in query_vec]
-
-    def round_half_up(v: float, nd: int) -> decimal.Decimal:
-        return decimal.Decimal(repr(v)).quantize(
-            decimal.Decimal(1).scaleb(-nd), rounding=decimal.ROUND_HALF_UP
-        )
-
-    ranked = sorted(
-        (round_half_up(sum((x - y) * (x - y) for x, y in zip(vec, q)), 6), cid)
-        for cid, vec in cents
-    )
-    probe = [cid for _, cid in ranked[:nprobe]]
+    probe = select_probe_cells(centroids_long, q, nprobe)
 
     assigned = ivf_assign(
         embeddings, centroids_long, id_col=id_col, vec_col=vec_col, keep_vec=True

@@ -3612,3 +3612,77 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+@query(
+    "ivfpq_search",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    , resid AS (
+      SELECT a.vec_id, e.label, a.centroid_id,
+             list_transform(range(1, 65), i -> e.v[i] - cv.c[i]) AS r
+      FROM assigned a JOIN e USING (vec_id) JOIN cvec cv ON cv.cid = a.centroid_id
+    ), pcomp AS (
+      SELECT vec_id % 16 AS code,
+             CAST((p.p - 1) // 8 AS INT) AS m,
+             CAST((p.p - 1) % 8 + 1 AS INT) AS dim,
+             r[p.p] AS val
+      FROM resid, (SELECT unnest(range(1, 65)) AS p) p
+    ), pcb AS (
+      SELECT m, code, dim,
+             round(CAST(CAST(sum(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS cw
+      FROM pcomp GROUP BY m, code, dim
+    ), pcbv AS (
+      SELECT m, code, list(cw ORDER BY dim) AS pvec FROM pcb GROUP BY m, code
+    ), enc AS (
+      SELECT vec_id, label, centroid_id, m, code FROM (
+        SELECT resid.vec_id, resid.label, resid.centroid_id, pcbv.m, pcbv.code,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 9), d ->
+                   (r[pcbv.m*8 + d] - pvec[d]) * (r[pcbv.m*8 + d] - pvec[d]))),
+                 (a, b) -> a + b), 6) AS d2
+        FROM resid CROSS JOIN pcbv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), probe AS (
+      SELECT cid FROM cvec CROSS JOIN q
+      ORDER BY round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i -> (qv[i] - c[i]) * (qv[i] - c[i]))),
+                 (a, b) -> a + b), 6), cid
+      LIMIT 2
+    ), qres AS (
+      SELECT cid, list_transform(range(1, 65), i -> qv[i] - c[i]) AS qr
+      FROM cvec CROSS JOIN q WHERE cid IN (SELECT cid FROM probe)
+    ), lut AS (
+      SELECT qres.cid, pcbv.m, pcbv.code,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 9), d ->
+                 (qr[pcbv.m*8 + d] - pvec[d]) * (qr[pcbv.m*8 + d] - pvec[d]))),
+               (a, b) -> a + b), 6) AS dd
+      FROM pcbv CROSS JOIN qres
+    ), encl AS (
+      SELECT enc.vec_id, enc.label, enc.centroid_id, l.m, l.dd
+      FROM enc JOIN lut l
+        ON l.cid = enc.centroid_id AND l.m = enc.m AND l.code = enc.code
+    )
+    SELECT vec_id, label, centroid_id,
+           round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
+                 (a, b) -> a + b), 4) AS adc_dist
+    FROM encl GROUP BY vec_id, label, centroid_id
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete IVF-PQ ANN search (FAISS IndexIVFPQ as DataFrame ops):
+    coarse cells from ivf_centroids, residual encoding with an 8×16
+    product quantizer, 2-cell probe, asymmetric-distance top-10 for the
+    vec_id=0 query. The 100 TB read path: partition pruning on the cell
+    id + 32×-compressed candidate scan + broadcast codebooks; the only
+    wide op is the final top-k."""
+    from kafka_dbsync_spark.operators.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_search(emb, q_ivf_centroids(spark, sf_dir), [float(x) for x in qv])

@@ -76,3 +76,37 @@ def test_encode_plan_is_map_only(emb, cb):
     # codebook build itself (the encode adds only a BroadcastNestedLoopJoin)
     plan = pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_self_query_near_top(emb, spark):
+    # IVF-PQ is approximate, but the query's own row must appear in the
+    # top-10 of its own search (its ADC distance is the per-subspace
+    # quantization floor) and the probed-cell filter must hold
+    from kafka_dbsync_spark.operators.pq import ivfpq_search
+    from kafka_dbsync_spark.operators.similarity import select_probe_cells
+    from kafka_dbsync_spark.queries import QUERIES
+
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    top = ivfpq_search(emb, cents, qv, nprobe=2, k_top=10).collect()
+    assert any(r["vec_id"] == 3 for r in top)
+    probe = set(select_probe_cells(cents, qv, 2))
+    assert {r["centroid_id"] for r in top} <= probe
+    # ranked ascending by approximate distance
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
+
+
+def test_residuals_reconstruct(emb, spark):
+    # resid + centroid == original vector (double-cast), elementwise
+    from kafka_dbsync_spark.operators.pq import with_residuals
+    from kafka_dbsync_spark.operators.similarity import centroid_arrays
+    from kafka_dbsync_spark.queries import QUERIES
+
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    cellvec = dict(centroid_arrays(cents))
+    rows = with_residuals(emb, cents).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rows[:20]:
+        rec = [a + b for a, b in zip(r["resid"], cellvec[r["centroid_id"]])]
+        assert all(abs(x - float(y)) < 1e-9 for x, y in zip(rec, raw[r["vec_id"]]))
