@@ -51,6 +51,12 @@ HEADLINE = [
     "asof_join",
     "vocab_topk",
     "multimodal_meta",
+    # r3 additions: the compressed-ANN read path and the anti-join-heavy
+    # TPC-H shapes
+    "pq_adc_search",
+    "ivfpq_search",
+    "late_sole_suppliers",
+    "props_json_stats",
 ]
 
 

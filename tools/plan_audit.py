@@ -132,6 +132,21 @@ SHUFFLE_BUDGET = {
     "semantic_dedup": 5,         # cell pair scan is broadcast at this size;
     # assign map-only on the data side; centroid agg + dominated distinct
     # + 2 centroid-metadata exchanges (see ivf_assign note)
+    "pq_codebooks": 1,           # one (m, code, dim) agg with map-side partials
+    "pq_encode": 4,              # codebook agg + 2 books-row metadata
+    # exchanges + parallelism repartition; DATA side is map-only (broadcast
+    # nested-loop against the single codebook row)
+    "pq_adc_search": 4,          # same metadata side; top-k is TakeOrdered
+    "ivfpq_search": 11,          # ALL metadata-side: centroid agg + cents-row
+    # (2) + cell-vectors (1) + residual-PQ codebook agg + books-row (2) +
+    # their static-plan re-derivations feeding qres/probe (AQE reuses at
+    # runtime). The candidate DATA path is map-only: cell filter →
+    # broadcast joins (qres, books) → TakeOrdered.
+    "late_sole_suppliers": 3,    # lineitem⋈orders keyed shuffle + late-set
+    # distinct + final agg; semi/anti/supplier joins all broadcast
+    "idle_rich_customers": 2,    # scalar-avg SinglePartition agg + final agg;
+    # the anti join broadcasts the date-pruned o_custkey side
+    "props_json_stats": 1,       # one agg exchange on event_type
 }
 
 
