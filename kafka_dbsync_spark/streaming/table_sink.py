@@ -41,6 +41,69 @@ log = logging.getLogger(__name__)
 _PART = "__part"
 
 
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    part_col: str = _PART,
+    max_files_per_part: int = 1,
+) -> dict[str, int]:
+    """Small-file compaction for a hive-partitioned parquet table (the
+    OPTIMIZE half of the lakehouse story): append-mode writers — a
+    streaming file sink, a bulk import, any task-parallel append — leave
+    one file per task per partition, and at 100 TB a scan's task count
+    (and the object-store LIST/GET bill) follows file COUNT, not bytes.
+
+    Rewrites ONLY partitions holding more than ``max_files_per_part``
+    data files, as one file each: the fat partitions' rows are read
+    (partition-pruned), repartitioned BY the partition column (each
+    partition's rows land in exactly one task → exactly one output
+    file), and swapped in via dynamic partition overwrite — untouched
+    partitions are never listed or rewritten, and the table state is
+    row-identical. The file listing is one directory level on the
+    driver (the same listing the committer itself performs).
+
+    Returns ``{"parts_compacted": n, "files_before": a,
+    "files_after": b}`` (the sink's wrapper renames the first key to
+    ``buckets_compacted``)."""
+    from pathlib import Path as _P
+
+    root = _P(path)
+    fat: list[int] = []
+    files_before = 0
+    for d in root.glob(f"{part_col}=*"):
+        n_files = sum(1 for _ in d.glob("*.parquet"))
+        files_before += n_files
+        if n_files > max_files_per_part:
+            fat.append(int(d.name.split("=", 1)[1]))
+    if not fat:
+        return {
+            "parts_compacted": 0,
+            "buckets_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col(part_col).isin(fat))
+        .repartition(len(fat), F.col(part_col))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    files_after = sum(
+        1 for d in root.glob(f"{part_col}=*") for _ in d.glob("*.parquet")
+    )
+    return {
+        "parts_compacted": len(fat),
+        "buckets_compacted": len(fat),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 class ParquetMergeSink:
     """foreachBatch sink merging keyed CDC batches into a parquet table.
 
@@ -124,7 +187,15 @@ class ParquetMergeSink:
             op_col=self.op_col,
             base=base_touched,
         ).drop(*self.order_cols, _PART)
-        out = self._with_part(merged).persist()
+        # repartition BY the bucket column before writing: each bucket's
+        # rows land in one task, so every touched bucket gets exactly ONE
+        # new file per batch (otherwise files-per-bucket ≈ shuffle tasks,
+        # and at 100 TB scan cost follows file count, not bytes)
+        out = (
+            self._with_part(merged)
+            .repartition(max(len(touched), 1), F.col(_PART))
+            .persist()
+        )
         try:
             # dynamic overwrite: ONLY the partitions present in `out`
             # (⊆ touched buckets) are replaced; untouched buckets' files
@@ -158,6 +229,22 @@ class ParquetMergeSink:
                 if part_dir.exists():
                     shutil.rmtree(part_dir)
             log.info("cleared %d fully-deleted bucket(s)", len(empty_parts))
+
+    # -- maintenance --------------------------------------------------------
+    def compact(
+        self, spark: SparkSession, max_files_per_bucket: int = 1
+    ) -> dict[str, int]:
+        """Compact this table's fat buckets (see
+        ``compact_partitioned_table``). The merge path keeps buckets at
+        one file by construction (each batch's dynamic overwrite
+        replaces the whole bucket with a single repartitioned file), so
+        this matters after out-of-band appends — bulk imports, a raw
+        file-sink landing zone promoted into the table, or historic
+        tables written before the one-file invariant."""
+        return compact_partitioned_table(
+            spark, self.path, part_col=_PART,
+            max_files_per_part=max_files_per_bucket,
+        )
 
     # -- convenience --------------------------------------------------------
     def state(self, spark: SparkSession) -> DataFrame:

@@ -160,3 +160,92 @@ def test_streaming_foreach_batch_e2e(spark, tmp_path):
 def test_rejects_empty_keys():
     with pytest.raises(ValueError, match="non-empty"):
         ParquetMergeSink("/tmp/x", key_cols=[], order_cols=["o"])
+
+
+def test_merge_keeps_one_file_per_bucket(spark, tmp_path):
+    # the merge path's anti-fragmentation invariant: every batch's
+    # dynamic overwrite replaces each touched bucket with exactly ONE
+    # repartitioned file, so trickle updates never accumulate files
+    sink = make_sink(tmp_path, buckets=4)
+    for i in range(5):
+        sink.apply_batch(
+            spark.createDataFrame(
+                [(k, f"v{i}_{k}", OP_UPSERT, i) for k in range(8)], SCHEMA
+            )
+        )
+    root = str(tmp_path / "table")
+    for d in glob.glob(os.path.join(root, "__part=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # and compaction is therefore a no-op here
+    assert sink.compact(spark)["buckets_compacted"] == 0
+
+
+def _append_fragmented(spark, root, keys, tag, parallelism=8):
+    """Simulate an append-mode writer (bulk import / raw landing zone):
+    task-parallel append leaves one file per task per partition."""
+    df = (
+        spark.createDataFrame([(k, f"{tag}{k}") for k in keys], "ID long, NAME string")
+        .withColumn("__part", (F.col("ID") % 4).cast("int"))
+        .repartition(parallelism)
+    )
+    df.write.mode("append").partitionBy("__part").parquet(root)
+
+
+def test_compact_merges_appended_small_files_state_unchanged(spark, tmp_path):
+    from kafka_dbsync_spark.streaming.table_sink import compact_partitioned_table
+
+    root = str(tmp_path / "table")
+    for i in range(3):
+        _append_fragmented(spark, root, range(i * 20, (i + 1) * 20), f"v{i}_")
+    files_before = len(glob.glob(os.path.join(root, "__part=*", "*.parquet")))
+    assert files_before > 4  # the appends really did fragment
+    before = {
+        (r["ID"], r["NAME"]) for r in spark.read.parquet(root).collect()
+    }
+
+    report = compact_partitioned_table(spark, root, max_files_per_part=1)
+    assert report["parts_compacted"] >= 1
+    assert report["files_after"] < report["files_before"]
+    for d in glob.glob(os.path.join(root, "__part=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # table state is row-identical
+    after = {(r["ID"], r["NAME"]) for r in spark.read.parquet(root).collect()}
+    assert after == before
+    # idempotent: a second compaction is a no-op
+    again = compact_partitioned_table(spark, root, max_files_per_part=1)
+    assert again["parts_compacted"] == 0
+    assert again["files_after"] == report["files_after"]
+
+
+def test_compact_leaves_untouched_partitions_alone(spark, tmp_path):
+    from kafka_dbsync_spark.streaming.table_sink import compact_partitioned_table
+
+    root = str(tmp_path / "table")
+    # partition 0..3 each get one clean file; then only keys ≡ 1 (mod 4)
+    # receive fragmented appends
+    for p in range(4):
+        spark.createDataFrame(
+            [(p + 4 * j, f"seed{p}_{j}") for j in range(5)], "ID long, NAME string"
+        ).withColumn("__part", F.lit(p)).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("__part").parquet(root)
+    _append_fragmented(spark, root, [1, 5, 9, 13], "hot", parallelism=4)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(root, "__part=*", "*.parquet"))
+    }
+    before = {(r["ID"], r["NAME"]) for r in spark.read.parquet(root).collect()}
+    report = compact_partitioned_table(spark, root, max_files_per_part=1)
+    assert report["parts_compacted"] == 1
+    # every surviving pre-compaction file is untouched (same mtime)
+    after_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(root, "__part=*", "*.parquet"))
+    }
+    survivors = set(mtimes) & set(after_files)
+    assert survivors and all(mtimes[f] == after_files[f] for f in survivors)
+    # only partition 1's old files disappeared
+    gone = set(mtimes) - set(after_files)
+    assert gone and all("__part=1" in f for f in gone)
+    after = {(r["ID"], r["NAME"]) for r in spark.read.parquet(root).collect()}
+    assert after == before

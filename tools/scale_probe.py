@@ -286,5 +286,76 @@ def main() -> None:
     )
 
 
+    # PQ encode at volume: must stay map-only on the data side (the
+    # codebook rides in one broadcast row) — the 100 TB compression pass
+    from kafka_dbsync_spark.operators.pq import ivfpq_search, pq_codebooks, pq_encode
+
+    cb = pq_codebooks(emb)
+    t0 = time.perf_counter()
+    enc = pq_encode(bigemb, cb)
+    plan_head = (
+        enc._jdf.queryExecution().executedPlan().toString().split("== Initial Plan")[0]
+    )
+    lines = plan_head.splitlines()
+    join_at = next(
+        (i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln), None
+    )
+    streamed = (
+        [ln for ln in lines[join_at + 1 :] if ln.lstrip().startswith(":")]
+        if join_at is not None
+        else []
+    )
+    data_map_only = bool(streamed) and not any("Exchange" in ln for ln in streamed)
+    n_enc = enc.count()
+    dt = time.perf_counter() - t0
+    assert n_enc == e0 * factor
+    print(
+        f"pq_encode: {n_enc} vectors in {dt:.2f}s = {n_enc / dt:,.0f} vecs/s "
+        f"(data-side map-only: {data_map_only})"
+    )
+
+    # Large-codebook plan probe: 16 subspaces x 256 codewords x 16 dims
+    # (4096 codewords over dim=256 — the realistic design point where the
+    # literal-inlined form died in Catalyst). The codebook is DATA in one
+    # broadcast row, so the plan must build and run regardless of k.
+    import itertools
+
+    big_cb = spark.createDataFrame(
+        [
+            (m, c, d, float((m * 7 + c * 3 + d) % 100) / 100.0)
+            for m, c, d in itertools.product(range(16), range(256), range(1, 17))
+        ],
+        "m int, code long, dim int, cw double",
+    )
+    wide = spark.range(2_000).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(256)),
+            lambda i: (F.col("id") % 13 + i).cast("double") / 256.0,
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    n_wide = pq_encode(wide, big_cb, d_sub=16).count()
+    dt = time.perf_counter() - t0
+    assert n_wide == 2_000
+    print(
+        f"pq_encode large codebook (4096 codewords, dim=256): {n_wide} vectors "
+        f"in {dt:.2f}s (plan built + ran; literal form died here)"
+    )
+
+    # IVF-PQ search end-to-end at volume: cell prune + residual encode +
+    # ADC top-k over the replicated corpus
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    t0 = time.perf_counter()
+    n_top = ivfpq_search(bigemb, cents, qv, nprobe=2, k_top=10).count()
+    dt = time.perf_counter() - t0
+    assert n_top == 10
+    print(
+        f"ivfpq_search: top-10 over {e0 * factor} vectors in {dt:.2f}s "
+        f"= {e0 * factor / dt:,.0f} vecs/s scanned"
+    )
+
+
 if __name__ == "__main__":
     main()
