@@ -98,3 +98,67 @@ def test_stream_static_enrichment(tmp_path, spark):
 
     with pytest.raises(ValueError, match="left or inner"):
         enrich_stream(stream, dim, ["user_id"], how="full")
+
+
+def test_interval_join_left_outer_emits_unmatched(tmp_path, spark):
+    """Left-outer stream-stream join: a left row with no match inside its
+    interval must be emitted ONCE with NULL right columns — but only
+    after the watermark passes its match horizon (two micro-batches: the
+    second's max event time advances the watermark so batch-1 orphans
+    expire). Matched rows must never also appear as orphans."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "user_id long, ts timestamp, signup_id long"
+    rschema = "user_id long, ts_r timestamp, purchase_id long"
+
+    # batch 1: user 1 signs up and purchases 10 min later (match);
+    # user 2 signs up, never purchases (orphan)
+    spark.createDataFrame(
+        [(1, base, 100), (2, base, 200)], lschema
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 900)], rschema
+    ).write.parquet(rsrc)
+
+    ls = spark.readStream.schema(lschema).parquet(lsrc)
+    rs = spark.readStream.schema(rschema).parquet(rsrc)
+    joined = interval_join_streams(
+        ls, rs, "user_id", "ts", "ts_r",
+        watermark="30 minutes", upper="1 hour", how="left_outer",
+    ).select("user_id", "signup_id", "purchase_id")
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_available():
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()
+    # batch 2: far-future heartbeat rows on BOTH sides push both
+    # watermarks past user 2's horizon (ts + upper + delay)
+    far = base + dt.timedelta(hours=6)
+    spark.createDataFrame([(99, far, 999)], lschema).write.mode(
+        "append"
+    ).parquet(lsrc)
+    spark.createDataFrame([(99, far, 998)], rschema).write.mode(
+        "append"
+    ).parquet(rsrc)
+    run_available()
+
+    rows = {
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 100, 900) in rows          # matched pair
+    assert (2, 200, None) in rows         # expired orphan, NULL right side
+    assert (1, 100, None) not in rows     # matched row never double-emits
