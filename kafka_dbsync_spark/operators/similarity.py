@@ -294,6 +294,48 @@ def ivf_assign(
     return withv.withColumn("__b", best).select(*out)
 
 
+def kmeans_iterate(
+    embeddings: DataFrame,
+    centroids_long: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement: ``iterations`` rounds of
+    assign-to-nearest (the broadcast-fold ``ivf_assign``, map-only on the
+    data) then decimal-exact per-cell elementwise means (one shuffle on
+    (cell, dim) with map-side partials). Input and output are long-format
+    centroids ``(label, dim, centroid)`` — the same shape
+    ``ivf_centroids`` seeds, so build pipelines chain seed → refine →
+    assign unchanged. Cells that lose every member simply drop out
+    (standard Lloyd behavior; both engines agree).
+
+    Engine-portable by the same rules as the seed step: sums are
+    DECIMAL(18,9)-exact (order-insensitive), means round to 6 decimals,
+    assignment distances round to 6 with ties to the lowest cell. Each
+    iteration is one pass over the data — at 100 TB you run this on a
+    sample (FAISS trains its coarse quantizer on ~1% of vectors), then
+    ``ivf_assign`` the full table once."""
+    cents = centroids_long
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            embeddings, cents, id_col=id_col, vec_col=vec_col,
+            keep_cols=(), keep_vec=True,
+        )
+        comp = assigned.select(
+            F.col("centroid_id").alias("label"),
+            F.posexplode(vec_col).alias("dim0", "v"),
+        ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+        cents = comp.groupBy("label", "dim").agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    return cents
+
+
 def select_probe_cells(
     centroids_long: DataFrame, query_vec: list[float], nprobe: int
 ) -> list[int]:
@@ -395,6 +437,58 @@ def semantic_dedup(
     dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(dominated, id_col, "left_anti").select(
         id_col, *keep_cols, "centroid_id"
+    )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    iterations: int = 30,
+    share_decimals: int = 4,
+) -> DataFrame:
+    """Per-group first principal component of the embedding cloud via
+    power iteration on the covariance matrix — explained-variance share
+    and the dominant dimension per group. The drift diagnostic for a
+    sharded embedding table: a cluster whose top component suddenly
+    explains most variance has collapsed onto a line (dup flood, encoder
+    regression).
+
+    This is the sanctioned Pandas-UDF tier (SURVEY §7.1 rule: built-ins
+    first, ``applyInPandas`` only when the semantics genuinely need
+    per-group matrix math — eigenvectors aren't expressible in
+    relational ops). One shuffle on the group key; each group reduces to
+    a d×d covariance (64² here — independent of group size) and one
+    exact ``eigh`` (power iteration stalls on near-degenerate spectra,
+    and a 64×64 eigendecomposition is microseconds; ``iterations`` is
+    kept for API stability but unused). Deterministic float64."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} int, n long, ev_share double, top_dim int"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        group = int(pdf[group_col].iloc[0])
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / len(X)
+        trace = float(np.trace(C))
+        if trace <= 0.0:  # zero-variance group
+            return pd.DataFrame(
+                [[group, len(X), 0.0, 0]],
+                columns=[group_col, "n", "ev_share", "top_dim"],
+            )
+        w, V = np.linalg.eigh(C)
+        share = round(float(w[-1]) / trace, share_decimals)
+        return pd.DataFrame(
+            [[group, len(X), share, int(np.abs(V[:, -1]).argmax())]],
+            columns=[group_col, "n", "ev_share", "top_dim"],
+        )
+
+    return embeddings.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        fit, out_schema
     )
 
 

@@ -3686,3 +3686,131 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivfpq_search(emb, q_ivf_centroids(spark, sf_dir), [float(x) for x in qv])
+
+
+@query(
+    "kmeans_refine",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    , cent2 AS (
+      SELECT a.centroid_id AS label, i.dim,
+             round(CAST(CAST(sum(CAST(e.v[i.dim] AS DECIMAL(18,9))) AS VARCHAR)
+                   AS DOUBLE) / count(*), 6) AS centroid
+      FROM assigned a JOIN e USING (vec_id),
+           (SELECT unnest(range(1, 65)) AS dim) i
+      GROUP BY a.centroid_id, i.dim
+    ), cvec2 AS (
+      SELECT label AS cid, list(centroid ORDER BY dim) AS c
+      FROM cent2 GROUP BY label
+    ), assigned2 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cv.cid AS centroid_id,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65), i -> (v[i] - cv.c[i]) * (v[i] - cv.c[i]))),
+                   (a, b) -> a + b), 6) AS dist
+        FROM e CROSS JOIN cvec2 cv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) = 1
+    )
+    SELECT a.centroid_id AS label, i.dim,
+           round(CAST(CAST(sum(CAST(e.v[i.dim] AS DECIMAL(18,9))) AS VARCHAR)
+                 AS DOUBLE) / count(*), 6) AS centroid
+    FROM assigned2 a JOIN e USING (vec_id),
+         (SELECT unnest(range(1, 65)) AS dim) i
+    GROUP BY a.centroid_id, i.dim
+    """,
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the label-seeded coarse centroids —
+    the iterative-algorithm pattern (assign → re-mean per round) with
+    engine-portable decimal-exact math. Each round is one map-only
+    broadcast-fold assignment plus one (cell, dim) agg shuffle; at
+    100 TB the refinement runs on a sample and only the final assign
+    touches the full table."""
+    from kafka_dbsync_spark.operators.similarity import kmeans_iterate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_iterate(emb, q_ivf_centroids(spark, sf_dir), iterations=2)
+
+
+@query(
+    "user_value_regression",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ), s AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sx2,
+             sum(y) AS sy, sum(y * y) AS sy2, sum(x * y) AS sxy
+      FROM seq GROUP BY user_id HAVING count(*) >= 2
+    )
+    SELECT user_id, n,
+           round(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE), 6) AS slope,
+           round(CAST(CAST(sy * sx2 - sx * sxy AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE), 6) AS intercept,
+           round(
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / NULLIF(CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(n * sy2 - sy * sy AS VARCHAR) AS DOUBLE), 0.0),
+             6) AS r2
+    FROM s
+    """,
+)
+def q_user_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (value vs event sequence index) via the
+    closed-form least-squares sums — slope, intercept, r². Every sum is
+    DECIMAL-exact (order-insensitive across partitions/engines); only
+    the final divisions are double, so results are bit-portable without
+    relying on float `regr_*` aggregation order. One window shuffle on
+    user_id reused by the agg (same key); constant-value users yield
+    NULL r² via the NULLIF guard."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (F.col("sy") * F.col("sx2") - F.col("sx") * F.col("sxy")).cast("double")
+    return s.select(
+        "user_id",
+        "n",
+        F.round(num / den_x, 6).alias("slope"),
+        F.round(inum / den_x, 6).alias("intercept"),
+        F.round(num * num / F.nullif(den_x * den_y, F.lit(0.0)), 6).alias("r2"),
+    )
+
+
+@query("label_pca")  # no SQL oracle: eigenvectors aren't relational —
+# the driver records the rows-only check; numpy ground truth is pinned in
+# tests/test_similarity.py::test_pca_matches_numpy_eigh
+def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top principal component (explained-variance share +
+    dominant dim) via grouped applyInPandas power iteration — the
+    embedding-drift diagnostic. One shuffle on label; per-group numpy."""
+    from kafka_dbsync_spark.operators.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb)

@@ -304,3 +304,27 @@ def test_with_lsh_buckets_scales_to_wide_plane_matrices(spark):
 
     with _pytest.raises(ValueError, match="num_planes"):
         with_lsh_buckets(emb, "embedding", 64, 4)
+
+
+def test_pca_matches_numpy_eigh(spark):
+    """Power-iteration applyInPandas vs exact numpy eigendecomposition."""
+    import numpy as np
+
+    from kafka_dbsync_spark.operators.similarity import pca_top_component
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["label"]: r for r in pca_top_component(emb).collect()}
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        X = np.array(vecs, dtype=np.float64)
+        Xc = X - X.mean(0)
+        C = (Xc.T @ Xc) / len(X)
+        w, V = np.linalg.eigh(C)
+        share = w[-1] / np.trace(C)
+        assert got[lab]["n"] == len(vecs)
+        assert abs(got[lab]["ev_share"] - round(float(share), 4)) <= 1e-4
+        assert got[lab]["top_dim"] == int(np.abs(V[:, -1]).argmax())

@@ -147,6 +147,11 @@ SHUFFLE_BUDGET = {
     "idle_rich_customers": 2,    # scalar-avg SinglePartition agg + final agg;
     # the anti join broadcasts the date-pruned o_custkey side
     "props_json_stats": 1,       # one agg exchange on event_type
+    "kmeans_refine": 7,          # 2 Lloyd rounds: per round the (cell,dim)
+    # re-mean agg + centroid-metadata collapse (2, see ivf_assign note),
+    # plus the seed agg. Data side stays one broadcast-fold scan per round.
+    "user_value_regression": 1,  # window + agg share the user_id shuffle
+    "label_pca": 1,              # the applyInPandas group shuffle
 }
 
 
