@@ -536,3 +536,60 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive hashes, and keep each window's minimum
+    (RIGHTMOST minimum on ties — the ``<=`` fold). Guarantees every
+    match of length ≥ w+k-1 tokens shares a fingerprint while keeping
+    ~2/(w+1) of the grams — the storage-bounded local dedup/plagiarism
+    index that ``doc_fingerprint``'s whole-document hash can't give.
+
+    FULLY NARROW: shingling, hashing, window minima, and dedup of
+    adjacent picks are all per-row array ops (no explode, no shuffle —
+    the same CPU-for-shuffle trade as the simhash rewrite). Output is
+    one row per selected (position, fingerprint): at 100 TB this column
+    is the build side of a partition-local inverted index. Hashes are
+    8-hex md5 slices compared lexicographically (engine-portable);
+    documents shorter than ``k`` tokens contribute their whole text as
+    one gram, shorter than ``w`` grams one window."""
+    d = with_shingles(df, text_col, k, out="__sh")
+    d = d.withColumn(
+        "__H", F.transform(F.col("__sh"), lambda s: F.substring(F.md5(s), 1, 8))
+    )
+    H = F.col("__H")
+    n = F.size(H)
+
+    def pick(p):
+        start = F.greatest(F.lit(1), p - (w - 1))
+        return F.aggregate(
+            F.sequence(start, p),
+            F.struct(F.lit("~").alias("m"), F.lit(-1).cast("int").alias("j")),
+            lambda acc, i: F.when(
+                F.element_at(H, i.cast("int")) <= acc["m"],
+                F.struct(
+                    F.element_at(H, i.cast("int")).alias("m"),
+                    i.cast("int").alias("j"),
+                ),
+            ).otherwise(acc),
+        )
+
+    picks = F.array_distinct(
+        F.transform(F.sequence(F.least(F.lit(w), n), n), pick)
+    )
+    return (
+        d.withColumn("__p", F.explode(picks))
+        .select(
+            F.col(id_col),
+            F.col("__p.j").cast("long").alias("pos"),
+            F.col("__p.m").alias("fp"),
+        )
+    )

@@ -3814,3 +3814,46 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_top_component(emb)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS wds
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(wds) >= 3
+                  THEN list_transform(range(1, len(wds) - 1),
+                       i -> wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2])
+                  ELSE [array_to_string(wds, ' ')]
+             END AS sh
+      FROM t
+    ), h AS (
+      SELECT doc_id, list_transform(sh, x -> substr(md5(x), 1, 8)) AS H FROM s
+    ), sel AS (
+      SELECT doc_id,
+             list_transform(range(least(4, len(H)), len(H) + 1), p ->
+               list_reduce(
+                 list_prepend({{'m': '~', 'j': -1}},
+                   list_transform(range(greatest(1, p - 3), p + 1),
+                                  i -> {{'m': H[i], 'j': i}})),
+                 (acc, e) -> CASE WHEN e.m <= acc.m THEN e ELSE acc END)) AS picks
+      FROM h
+    ), u AS (
+      SELECT doc_id, unnest(picks) AS pick FROM sel
+    )
+    SELECT DISTINCT doc_id, CAST(pick.j AS BIGINT) AS pos, pick.m AS fp FROM u
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: rightmost-minimum gram hash
+    per sliding window of 4 — the storage-bounded partial-overlap index
+    (guaranteed hit for any shared run of ≥ 6 tokens). Fully narrow
+    array passes; the output (doc_id, pos, fp) is the build side of a
+    partition-local inverted index at 100 TB."""
+    from kafka_dbsync_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs)

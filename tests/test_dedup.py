@@ -247,3 +247,33 @@ def test_pagerank_fixedpoint_matches_brute_force(spark):
 
     with _pytest.raises(ValueError, match="iters"):
         pagerank_fixedpoint(df, iters=0)
+
+
+def test_winnowing_guarantee_and_shape(spark):
+    """Winnowing guarantee: two documents sharing a token run of length
+    >= w+k-1 (= 6 here) share at least one fingerprint; and the picks
+    are ~2/(w+1) of grams, deduped, in-range."""
+    from kafka_dbsync_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} nine ten eleven twelve"),
+            (3, "completely different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    # density: selected grams are a strict subset (doc 1 has 8 grams)
+    assert 1 <= len(by_doc[1]) < 8
+    # positions are valid gram indexes (1-based)
+    for r in fps:
+        assert r["pos"] >= 1
+    # no duplicate (doc, pos) picks
+    keys = [(r["doc_id"], r["pos"]) for r in fps]
+    assert len(keys) == len(set(keys))

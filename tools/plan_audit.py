@@ -152,6 +152,8 @@ SHUFFLE_BUDGET = {
     # plus the seed agg. Data side stays one broadcast-fold scan per round.
     "user_value_regression": 1,  # window + agg share the user_id shuffle
     "label_pca": 1,              # the applyInPandas group shuffle
+    "winnowing_fingerprints": 2, # parallelism repartition + final DISTINCT
+    # agg; shingle/hash/window-min selection is fully narrow array math
 }
 
 
