@@ -3857,3 +3857,61 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs)
+
+
+@query(
+    "skipping_index",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             {', '.join(
+                 f"{_z_sql_q(c, lo, hi, _Z_BITS)} AS q{d}"
+                 for d, (c, lo, hi) in enumerate(_Z_DIMS)
+             )}
+      FROM orders
+    ), z AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             {' | '.join(
+                 f"(((q{d} >> {b}) & 1) << {b * len(_Z_DIMS) + d})"
+                 for d in range(len(_Z_DIMS))
+                 for b in range(_Z_BITS)
+             )} AS zval
+      FROM q
+    ), b AS (
+      SELECT *, ntile(16) OVER (ORDER BY zval, o_orderkey) AS file_id FROM z
+    )
+    SELECT file_id, count(*) AS n_rows,
+           min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+           round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+           round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+    FROM b GROUP BY file_id
+    """,
+)
+def q_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping manifest: per z-ordered file bucket, the min/max of
+    each clustered column — the stats a reader consults to prune files
+    before opening them (the parquet footer / Delta stats design). After
+    z-order clustering both dimensions' ranges are TIGHT per bucket, so
+    a box predicate eliminates most buckets; the same stats on an
+    unclustered layout would span the whole domain in every file. The
+    bucket here is a deterministic ntile over the z-value (the
+    range-partitioner's boundaries are sample-based and not
+    oracle-reproducible); one window sort + one agg on file_id."""
+    from kafka_dbsync_spark.operators.layout import zvalue
+
+    od = load_table(spark, sf_dir, "orders")
+    specs = [(F.col(c), lo, hi) for c, lo, hi in _Z_DIMS]
+    z = od.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        zvalue(specs, _Z_BITS).alias("zval"),
+    )
+    b = z.withColumn(
+        "file_id", F.ntile(16).over(W.orderBy("zval", "o_orderkey"))
+    )
+    return b.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.round(F.min("o_totalprice").cast("double"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("max_price"),
+    )

@@ -154,6 +154,10 @@ SHUFFLE_BUDGET = {
     "label_pca": 1,              # the applyInPandas group shuffle
     "winnowing_fingerprints": 2, # parallelism repartition + final DISTINCT
     # agg; shingle/hash/window-min selection is fully narrow array math
+    "skipping_index": 2,         # global ntile window (the deterministic
+    # oracle stand-in for the range partitioner's sampled boundaries —
+    # production uses zorder_layout's repartitionByRange, distributed) +
+    # the file_id agg
 }
 
 
