@@ -235,8 +235,10 @@ def ivfpq_search(
         keep_cols=(*keep_cols, "centroid_id"),
     )
 
-    probe = select_probe_cells(centroids_long, q, nprobe)
-    cellvecs = dict(centroid_arrays(centroids_long))
+    cents = centroid_arrays(centroids_long)  # ONE driver collect of the
+    # B×dim metadata, shared by probe selection and the query residuals
+    probe = select_probe_cells(cents, q, nprobe)
+    cellvecs = dict(cents)
     spark = embeddings.sparkSession
     qres = F.broadcast(
         spark.createDataFrame(

@@ -337,17 +337,25 @@ def kmeans_iterate(
 
 
 def select_probe_cells(
-    centroids_long: DataFrame, query_vec: list[float], nprobe: int
+    centroids_long: DataFrame | list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
 ) -> list[int]:
     """The FAISS coarse-quantizer step: rank all cells by (rounded)
     squared-L2 to the query on the DRIVER over the collected centroid
     metadata (a B-element loop) and return the ``nprobe`` nearest cell
-    ids. Rounding is decimal half-up to 6 places — the same rule as
-    ``ivf_assign`` / the DuckDB oracle, so the probe set is
-    engine-portable."""
+    ids. Accepts either the long-format centroid DataFrame or the
+    already-collected ``centroid_arrays`` pairs (callers holding the
+    metadata anyway avoid a second collect). Rounding is decimal
+    half-up to 6 places — the same rule as ``ivf_assign`` / the DuckDB
+    oracle, so the probe set is engine-portable."""
     import decimal
 
-    cents = centroid_arrays(centroids_long)
+    cents = (
+        centroids_long
+        if isinstance(centroids_long, list)
+        else centroid_arrays(centroids_long)
+    )
     q = [float(x) for x in query_vec]
 
     def round_half_up(v: float, nd: int) -> decimal.Decimal:
