@@ -224,3 +224,68 @@ def pack_sequences(
             f"CAST(greatest(__cum - 1, __cum - n_tokens) div {ctx_len} AS BIGINT)"
         ).alias("end_bin"),
     )
+
+
+def bloom_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_hashes: int = 3,
+    bits: int = 65536,
+) -> DataFrame:
+    """Bloom-filter decontamination: like ``contaminated_docs`` but the
+    benchmark shingle set is compressed into a ``bits``-wide Bloom
+    filter that BROADCASTS as one row — at 100 TB the exact shingle set
+    of a large benchmark suite is gigabytes (too big to broadcast, so
+    the exact test shuffles the corpus), while the filter is a few KB
+    regardless of benchmark size and the corpus side stays a narrow
+    map-only scan. The price is deterministic false positives
+    (~(1-e^{-kn/m})^k); the output counts FLAGGED shingles, a superset
+    of truly-shared ones — callers re-verify flagged docs exactly.
+
+    Hashes are engine-portable: position j of shingle g = the first 4
+    hex chars of md5(f"{j}:{g}") (16 bits ⇒ ``bits``=65536, no modulo),
+    so an oracle reproduces the exact same false positives. The filter
+    is built driver-side from the distinct positions (bounded by
+    ``bits`` — index metadata, like IVF centroids) and ships as a
+    single boolean-array row."""
+    if bits != 65536:
+        raise ValueError("bits is fixed at 65536 (positions are 4 hex chars)")
+
+    def positions(g):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), g)), 1, 4), 16, 10
+            ).cast("long")
+            for j in range(num_hashes)
+        ]
+
+    bench_pos = (
+        with_shingles(benchmark, text_col, k=k)
+        .select(F.explode(F.array_distinct("shingles")).alias("__g"))
+        .select(F.explode(F.array(*positions(F.col("__g")))).alias("__p"))
+        .distinct()
+    )
+    filt = [False] * bits
+    for r in bench_pos.collect():
+        filt[int(r["__p"])] = True
+    spark = docs.sparkSession
+    filt_row = F.broadcast(
+        spark.createDataFrame([(filt,)], "__bloom array<boolean>")
+    )
+
+    corpus_sh = with_shingles(docs, text_col, k=k).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("__g")
+    )
+    withf = corpus_sh.crossJoin(filt_row)
+    hit = None
+    for p in positions(F.col("__g")):
+        term = F.element_at(F.col("__bloom"), (p + 1).cast("int"))
+        hit = term if hit is None else (hit & term)
+    return (
+        withf.filter(hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )

@@ -3915,3 +3915,40 @@ def q_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice").cast("double"), 2).alias("min_price"),
         F.round(F.max("o_totalprice").cast("double"), 2).alias("max_price"),
     )
+
+
+@query(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH s AS ({_sql_shingles8(f"({_SQL_PLANTED})")}),
+    x AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+    bp AS (
+      SELECT DISTINCT substr(md5(CAST(j.j AS VARCHAR) || ':' || g), 1, 4) AS p
+      FROM x, (SELECT unnest(range(0, 3)) AS j) j
+      WHERE doc_id >= 1000000
+    ), pj AS (
+      SELECT doc_id, g,
+             substr(md5(CAST(j.j AS VARCHAR) || ':' || g), 1, 4) AS p
+      FROM x, (SELECT unnest(range(0, 3)) AS j) j
+      WHERE doc_id < 1000000
+    ), hit AS (
+      SELECT doc_id, g, count(*) AS nh
+      FROM pj JOIN bp USING (p) GROUP BY doc_id, g
+    )
+    SELECT doc_id, count(*) AS n_flagged
+    FROM hit WHERE nh = 3 GROUP BY doc_id
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast 64 Kbit Bloom filter of the
+    benchmark 8-gram set — the scale path when the exact shingle set is
+    too big to broadcast (the corpus side stays a narrow map-only scan;
+    flagged docs would be re-verified exactly). md5-derived positions
+    make the false positives engine-deterministic, so the oracle
+    reproduces the filter bit-for-bit as a position-set join."""
+    from kafka_dbsync_spark.operators.corpus import bloom_contaminated
+
+    docs = _planted_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") >= 1000000)
+    corpus = docs.filter(F.col("doc_id") < 1000000)
+    return bloom_contaminated(corpus, bench, "doc_id", "text", k=8)

@@ -142,3 +142,24 @@ def test_bm25_plan_has_no_corpus_shuffle(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert not hash_exchanges, plan
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """The Bloom flag set must contain every truly-contaminated doc
+    (no false negatives), and each doc's flagged-shingle count must be
+    >= its true shared count (false positives only add)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in QUERIES["decontaminate"](spark, "/root/testdata/sf0.001").collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in QUERIES["bloom_decontaminate"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n

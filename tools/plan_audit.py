@@ -158,6 +158,9 @@ SHUFFLE_BUDGET = {
     # oracle stand-in for the range partitioner's sampled boundaries —
     # production uses zorder_layout's repartitionByRange, distributed) +
     # the file_id agg
+    "bloom_decontaminate": 3,    # filter-build side: position distinct (2,
+    # bounded by 65536 rows — index metadata) + the per-doc agg; the
+    # corpus scan is narrow map-only against the broadcast boolean row
 }
 
 
