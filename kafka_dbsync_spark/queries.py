@@ -3952,3 +3952,109 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") >= 1000000)
     corpus = docs.filter(F.col("doc_id") < 1000000)
     return bloom_contaminated(corpus, bench, "doc_id", "text", k=8)
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS w
+      FROM documents
+      WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), p AS (
+      SELECT substr(w, i.i, 2) AS pair
+      FROM t, (SELECT unnest(range(1, 41)) AS i) i
+      WHERE len(w) >= i.i + 1
+    )
+    SELECT pair, count(*) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, pair) AS BIGINT) AS rk
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics half of one BPE training step: corpus-wide counts
+    of adjacent character pairs inside words, top-20 — the pair a
+    byte-pair-encoding tokenizer would merge first (Sennrich et al.
+    2016). Char pairs come from a per-word sequence slice (narrow;
+    bounded at 40 chars/word like the reference vocab passes); one
+    uniform-key agg shuffle + TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    words = docs.filter(norm != "").select(
+        F.explode(F.split(norm, " ")).alias("w")
+    )
+    # substring with a column start: Column.substr accepts Columns
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("w") - 1, F.lit(40))),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    ).filter(F.length("pair") == 2)
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counted.orderBy(F.col("n").desc(), "pair").limit(20)
+    wdw = W.orderBy(F.col("n").desc(), "pair")
+    return top.withColumn("rk", F.row_number().over(wdw).cast("long"))
+
+
+@query(
+    "rarity_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), v AS (
+      SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM t
+    ), d AS (
+      SELECT doc_id, list(CAST(cnt AS DOUBLE) ORDER BY tok) AS cnts,
+             count(*) AS ntok
+      FROM t JOIN v USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, ntok,
+           round(list_reduce(list_prepend(0.0,
+                 list_transform(cnts, c -> n / c)), (a, b) -> a + b)
+                 / ntok, 6) AS rarity
+    FROM d, tot
+    """,
+)
+def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical rarity score — mean inverse corpus frequency of a doc's
+    tokens (the log-free perplexity proxy: rankings match unigram
+    cross-entropy because 1/p is monotone in -log p, but every op is
+    +,*,/ — IEEE-exact on any engine, no transcendental drift). The
+    per-doc sum folds over TOKEN-SORTED counts so the float addition
+    order is engine-identical. Two uniform-key shuffles (vocab agg, doc
+    re-agg); the vocab join broadcasts — at 100 TB you cap the vocab at
+    top-K with a default count, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = docs.filter(norm != "").select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").cast("double").alias("n"))
+    d = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("tok").alias("tok"),
+                        F.col("cnt").cast("double").alias("cnt"),
+                    )
+                )
+            ).alias("arr"),
+            F.count("*").alias("ntok"),
+        )
+    )
+    score = F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, s: acc + F.col("n") / s["cnt"]
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "ntok", F.round(score / F.col("ntok"), 6).alias("rarity")
+    )

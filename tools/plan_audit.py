@@ -161,6 +161,10 @@ SHUFFLE_BUDGET = {
     "bloom_decontaminate": 3,    # filter-build side: position distinct (2,
     # bounded by 65536 rows — index metadata) + the per-doc agg; the
     # corpus scan is narrow map-only against the broadcast boolean row
+    "bpe_merge_step": 3,         # parallelism repartition + pair agg +
+    # rank window on the 20-row top-k
+    "rarity_scores": 3,          # vocab agg (broadcast back) + doc re-agg
+    # + scalar total; the vocab join itself is map-side
 }
 
 
