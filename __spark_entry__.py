@@ -67,6 +67,23 @@ _DRIVER_PRIORITY: list[str] = [
     "late_data_watermark",
     "shipping_priority",
     "large_volume_customers",
+    # (d) new in round 3's second half — slots 39-50 (the window would
+    # otherwise re-check r2-green queries, which already have their
+    # CORRECTNESS_r02 rows; every entry below passes the stricter local
+    # gate, see CORRECTNESS_LOCAL_r03.json). Left for the next rotation:
+    # bpe_merge_step, rarity_scores, label_pca (rows-only).
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_search",
+    "ivfpq_search",
+    "late_sole_suppliers",
+    "idle_rich_customers",
+    "props_json_stats",
+    "kmeans_refine",
+    "user_value_regression",
+    "winnowing_fingerprints",
+    "skipping_index",
+    "bloom_decontaminate",
 ]
 
 
