@@ -4058,3 +4058,85 @@ def q_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.crossJoin(F.broadcast(tot)).select(
         "doc_id", "ntok", F.round(score / F.col("ntok"), 6).alias("rarity")
     )
+
+
+@query(
+    "countmin_counts",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), pos AS (
+      SELECT tok, j.j AS j,
+             substr(md5(CAST(j.j AS VARCHAR) || ':' || tok), 1, 4) AS p
+      FROM t, (SELECT unnest(range(0, 3)) AS j) j
+    ), cm AS (
+      SELECT j, p, count(*) AS c FROM pos GROUP BY j, p
+    ), exact AS (
+      SELECT tok, count(*) AS n_exact FROM t GROUP BY tok
+      ORDER BY n_exact DESC, tok LIMIT 20
+    ), est AS (
+      SELECT e.tok, e.n_exact, min(cm.c) AS n_est
+      FROM exact e,
+           (SELECT unnest(range(0, 3)) AS j) j
+      JOIN cm ON cm.j = j.j
+             AND cm.p = substr(md5(CAST(j.j AS VARCHAR) || ':' || e.tok), 1, 4)
+      GROUP BY e.tok, e.n_exact
+    )
+    SELECT tok, n_exact, n_est FROM est
+    """,
+)
+def q_countmin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: 3 md5-hash rows × 65,536
+    counters over the corpus token stream, then point estimates
+    (min over rows) for the exact top-20 tokens, side by side with the
+    truth. The sketch's counter table is FIXED-SIZE state regardless of
+    vocabulary (vs the full-vocab agg) — the 100 TB shape for heavy-
+    hitter tracking; estimates only ever overcount (collisions add), a
+    property pinned in tests. All integer math with md5-derived
+    positions, so the oracle reproduces every collision exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = docs.filter(norm != "").select(
+        F.explode(F.split(norm, " ")).alias("tok")
+    )
+
+    def pos(j, c):
+        return F.substring(F.md5(F.concat(F.lit(f"{j}:"), c)), 1, 4)
+
+    posed = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j, F.col("tok")).alias("p"))
+                    for j in range(3)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", "jp.j", "jp.p")
+    cm = posed.groupBy("j", "p").agg(F.count("*").alias("c"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "tok")
+        .limit(20)
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), pos(j, F.col("tok")).alias("p"))
+                    for j in range(3)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", "n_exact", "jp.j", "jp.p")
+    est = (
+        probes.join(F.broadcast(cm), ["j", "p"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est

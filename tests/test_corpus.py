@@ -163,3 +163,14 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     assert set(exact) <= set(bloom)
     for d, n in exact.items():
         assert bloom[d] >= n
+
+
+def test_countmin_never_undercounts(spark):
+    """CMS property: the min-over-rows estimate is >= the exact count
+    for every probed token (collisions only add)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    rows = QUERIES["countmin_counts"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_est"] >= r["n_exact"], r

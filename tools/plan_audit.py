@@ -165,6 +165,9 @@ SHUFFLE_BUDGET = {
     # rank window on the 20-row top-k
     "rarity_scores": 3,          # vocab agg (broadcast back) + doc re-agg
     # + scalar total; the vocab join itself is map-side
+    "countmin_counts": 4,        # sketch counter agg + exact top-20 agg +
+    # probe join re-agg; the sketch table is fixed-size state (3x65536
+    # max) and broadcasts
 }
 
 
