@@ -137,9 +137,15 @@ class ParquetMergeSink:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Current table state (all partitions), ``__part`` dropped."""
+        """Current table state (all partitions), ``__part`` dropped.
+        ``mergeSchema`` tolerates partitions written before an additive
+        schema evolution (their files simply lack the newer columns)."""
         try:
-            return spark.read.parquet(self.path).drop(_PART)
+            return (
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .drop(_PART)
+            )
         except Exception:  # first batch: table does not exist yet
             return None
 
@@ -171,11 +177,30 @@ class ParquetMergeSink:
             # prune: only the touched partitions are read — the filter on
             # the partition column reaches the file listing
             base_touched = (
-                spark.read.parquet(self.path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
                 .filter(F.col(_PART).isin(touched))
                 .drop(_PART)
-                .select(*value_cols)
             )
+            # ADDITIVE schema evolution (the lake-side analogue of the
+            # JDBC path's ALTER ADD COLUMN, K7): the merged schema is the
+            # union — columns new in this batch backfill NULL on existing
+            # rows; columns absent from the batch carry NULL on its rows
+            # (the batch is a full row image, same as the JDBC upsert).
+            # Dropping columns is not supported (same as the reference).
+            base_cols = base_touched.columns
+            new_cols = [c for c in value_cols if c not in base_cols]
+            for c in new_cols:
+                base_touched = base_touched.withColumn(
+                    c, F.lit(None).cast(batch_df.schema[c].dataType)
+                )
+            missing_in_batch = [c for c in base_cols if c not in value_cols]
+            for c in missing_in_batch:
+                changes = changes.withColumn(
+                    c, F.lit(None).cast(base_touched.schema[c].dataType)
+                )
+            value_cols = [*base_cols, *new_cols]
+            base_touched = base_touched.select(*value_cols)
         else:
             base_touched = None
         merged = apply_changes(

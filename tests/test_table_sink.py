@@ -249,3 +249,43 @@ def test_compact_leaves_untouched_partitions_alone(spark, tmp_path):
     assert gone and all("__part=1" in f for f in gone)
     after = {(r["ID"], r["NAME"]) for r in spark.read.parquet(root).collect()}
     assert after == before
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A batch introducing a new column merges cleanly: existing rows
+    backfill NULL, evolved rows carry the value, deletes still apply,
+    and a later batch WITHOUT the new column leaves NULL there."""
+    sink = make_sink(tmp_path)
+    sink.apply_batch(
+        spark.createDataFrame(
+            [(1, "a", OP_UPSERT, 0), (2, "b", OP_UPSERT, 0), (3, "c", OP_UPSERT, 0)],
+            SCHEMA,
+        )
+    )
+    # batch 2 evolves the schema with EMAIL
+    sink.apply_batch(
+        spark.createDataFrame(
+            [
+                (2, "b2", "b@x.io", OP_UPSERT, 1),
+                (3, None, None, OP_DELETE, 1),
+                (4, "d", "d@x.io", OP_UPSERT, 1),
+            ],
+            "ID long, NAME string, EMAIL string, op string, offset long",
+        )
+    )
+    state = {
+        r["ID"]: (r["NAME"], r["EMAIL"])
+        for r in sink.state(spark).select("ID", "NAME", "EMAIL").collect()
+    }
+    assert state == {1: ("a", None), 2: ("b2", "b@x.io"), 4: ("d", "d@x.io")}
+    # batch 3 reverts to the narrow schema — EMAIL must survive as a
+    # column (NULL for the updated row)
+    sink.apply_batch(
+        spark.createDataFrame([(4, "d2", OP_UPSERT, 2)], SCHEMA)
+    )
+    state = {
+        r["ID"]: (r["NAME"], r["EMAIL"])
+        for r in sink.state(spark).select("ID", "NAME", "EMAIL").collect()
+    }
+    assert state[4] == ("d2", None)
+    assert state[2] == ("b2", "b@x.io")
