@@ -215,3 +215,66 @@ def test_mixture_sample_matches_exact_threshold_math(spark, rows, target):
         if hv < thr:
             want.append(i)
     assert got == sorted(want)
+
+
+words = st.sampled_from("alpha beta gamma delta eps zeta eta theta".split())
+
+
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=1, max_size=20), min_size=2, max_size=6
+    ),
+)
+@SETTINGS
+def test_winnowing_guarantee_property(spark, docs):
+    """For every pair of docs sharing a contiguous token run of length
+    >= w+k-1 (=6), winnowing must select a common fingerprint."""
+    from kafka_dbsync_spark.operators.dedup import winnowing_fingerprints
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    fps = winnowing_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def runs(d, n=6):
+        return {tuple(d[i : i + n]) for i in range(len(d) - n + 1)}
+
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if runs(docs[a]) & runs(docs[b]):
+                assert by_doc.get(a, set()) & by_doc.get(b, set()), (
+                    docs[a],
+                    docs[b],
+                )
+
+
+@given(
+    corpus=st.lists(
+        st.lists(words, min_size=8, max_size=16), min_size=1, max_size=4
+    ),
+    bench=st.lists(
+        st.lists(words, min_size=8, max_size=16), min_size=1, max_size=3
+    ),
+)
+@SETTINGS
+def test_bloom_superset_property(spark, corpus, bench):
+    """Bloom decontamination never misses a truly-contaminated doc."""
+    from kafka_dbsync_spark.operators.corpus import (
+        bloom_contaminated,
+        contaminated_docs,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, " ".join(d)) for i, d in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in contaminated_docs(cdf, bdf, k=8).collect()}
+    flagged = {r["doc_id"] for r in bloom_contaminated(cdf, bdf, k=8).collect()}
+    assert exact <= flagged
