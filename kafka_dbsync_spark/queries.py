@@ -4140,3 +4140,108 @@ def q_countmin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("n_est"))
     )
     return est
+
+
+@query(
+    "dataset_splits",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ), c AS (
+      SELECT lang, split, count(*) AS n FROM a GROUP BY lang, split
+    ), t AS (
+      SELECT lang, sum(n) AS tot FROM c GROUP BY lang
+    )
+    SELECT c.lang, c.split, n,
+           CAST((n * 10000) // tot AS BIGINT) AS share_bp
+    FROM c JOIN t USING (lang)
+    """,
+)
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the first md5 byte of
+    the salted doc id buckets ~80/10/10 ('cc' = 204/256 ≈ 79.7%, 'e6' =
+    230/256 ≈ 89.8%) — reproducible on any engine, stable under corpus
+    growth (a doc's split never changes when others are added, unlike
+    ntile/random splits), and NARROW (no shuffle to assign; one agg for
+    the per-language audit). Shares are floor-scaled integer basis
+    points, the repo's portable-ratio rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    a = docs.select(
+        "doc_id",
+        "lang",
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    c = a.groupBy("lang", "split").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "split",
+        "n",
+        F.floor(F.col("n") * 10000 / F.col("tot")).cast("long").alias("share_bp"),
+    )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS sy,
+             sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS sy2
+      FROM events GROUP BY user_id HAVING count(*) >= 3
+    ), z AS (
+      SELECT e.event_id, e.user_id, e.value,
+             round(
+               (CAST(value AS DOUBLE)
+                - CAST(CAST(s.sy AS VARCHAR) AS DOUBLE) / s.n)
+               / sqrt(CAST(CAST(s.n * s.sy2 - s.sy * s.sy AS VARCHAR) AS DOUBLE)
+                      / (s.n * (s.n - 1))),
+               4) AS z
+      FROM events e JOIN s USING (user_id)
+      WHERE CAST(CAST(s.n * s.sy2 - s.sy * s.sy AS VARCHAR) AS DOUBLE) > 0
+    )
+    SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 2.0
+    """,
+)
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection: events more than 2 sample
+    standard deviations from their user's mean. The moments are
+    DECIMAL-exact sums; the only irrational op is sqrt, which IEEE 754
+    requires to be correctly rounded — so unlike log/exp scoring, the
+    z-values match bit-for-bit across engines. One agg shuffle +
+    a broadcast join back (the per-user stats table is tiny); constant
+    users are excluded by the zero-variance guard."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("value").cast("decimal(18,6)")
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("sy2"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    var_num = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    mean = F.col("sy").cast("double") / F.col("n")
+    std = F.sqrt(var_num / (F.col("n") * (F.col("n") - 1)))
+    z = F.round((F.col("value").cast("double") - mean) / std, 4)
+    joined = ev.join(F.broadcast(s), "user_id").filter(var_num > 0)
+    return (
+        joined.select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.0)
+    )

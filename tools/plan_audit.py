@@ -168,11 +168,21 @@ SHUFFLE_BUDGET = {
     "countmin_counts": 4,        # sketch counter agg + exact top-20 agg +
     # probe join re-agg; the sketch table is fixed-size state (3x65536
     # max) and broadcasts
+    "dataset_splits": 2,         # assignment is narrow; (lang,split) agg +
+    # per-lang total (broadcast back)
+    "user_value_outliers": 1,    # per-user moments agg (broadcast back);
+    # the event scan joins map-side
 }
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from kafka_dbsync_spark import get_spark
     from kafka_dbsync_spark.queries import QUERIES
 
@@ -184,6 +194,7 @@ def main() -> int:
     # explain pessimistically shows each consumer's full pipeline.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     failures = []
+    results: dict = {}
     for name, fn in QUERIES.items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -197,10 +208,26 @@ def main() -> int:
         if budget is not None and n_exchange > budget:
             status = f"OVER BUDGET ({budget})"
             failures.append(name)
+        results[name] = {
+            "exchanges": n_exchange,
+            "budget": budget,
+            "broadcast_joins": n_bhj,
+            "pushed_filter_scans": pushed,
+            "status": status,
+        }
         print(
             f"{name:28s} exchanges={n_exchange} broadcast_joins={n_bhj} "
             f"pushed_filter_scans={pushed}  {status}"
         )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "failures": failures, "queries": results},
+                fh,
+                indent=1,
+            )
     if failures:
         print(f"\nAUDIT FAIL: {failures}")
         return 1
