@@ -289,3 +289,87 @@ def test_additive_schema_evolution(spark, tmp_path):
     }
     assert state[4] == ("d2", None)
     assert state[2] == ("b2", "b@x.io")
+
+
+def test_iidr_cdc_to_lake_e2e_with_restart(spark, tmp_path):
+    """The reference scenario (SURVEY §3.2) against the LAKE backend:
+    IIDR-shaped kafka records → decode → op-map → validate → keyed merge
+    into the hash-bucketed parquet table — across TWO checkpointed
+    streaming runs (kill and resume), proving offsets + idempotent merge
+    give exactly-once effect on the lakehouse path just like the JDBC
+    path."""
+    from kafka_dbsync_spark.operators.transforms import (
+        split_corrupt,
+        validate_iidr,
+        with_operation,
+    )
+    from kafka_dbsync_spark.sources.iidr import events_as_iidr_stream
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    sink = ParquetMergeSink(
+        str(tmp_path / "lake"),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        num_buckets=8,
+    )
+
+    def apply_iidr(batch_df, epoch_id):
+        iidr = validate_iidr(with_operation(events_as_iidr_stream(batch_df)))
+        valid, _ = split_corrupt(iidr)
+        row = F.from_json(
+            "record_value", "user_id long, event_type string, value double"
+        )
+        changes = valid.select(
+            F.coalesce(
+                row["user_id"],
+                F.from_json("record_key", "user_id long")["user_id"],
+            ).alias("user_id"),
+            row["event_type"].alias("event_type"),
+            row["value"].alias("value"),
+            "op",
+            "offset",
+        )
+        sink.apply_batch(changes, epoch_id)
+
+    ev_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def run_once(rows):
+        spark.createDataFrame(rows, ev_schema).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(ev_schema)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_iidr)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: inserts for users 1..3 (event ids drive the offset order)
+    run_once(
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0, 2, "click", 2.0, "{}"),
+            (3, t0, 3, "click", 3.0, "{}"),
+        ]
+    )
+    state = {r["user_id"]: r["value"] for r in sink.state(spark).collect()}
+    assert state == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    # run 2 (fresh query, same checkpoint): update user 1, delete user 2
+    # (event_type 'error' with even id maps to corrupt, odd to delete —
+    # sources/iidr.py's deterministic op mapping)
+    run_once(
+        [
+            (11, t0, 1, "click", 10.0, "{}"),
+            (13, t0, 2, "error", 0.0, "{}"),
+        ]
+    )
+    state = {r["user_id"]: r["value"] for r in sink.state(spark).collect()}
+    assert state == {1: 10.0, 3: 3.0}
