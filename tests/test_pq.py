@@ -110,3 +110,18 @@ def test_residuals_reconstruct(emb, spark):
     for r in rows[:20]:
         rec = [a + b for a, b in zip(r["resid"], cellvec[r["centroid_id"]])]
         assert all(abs(x - float(y)) < 1e-9 for x, y in zip(rec, raw[r["vec_id"]]))
+
+
+def test_ivfpq_runtime_reuses_metadata_exchanges(spark):
+    # the static plan re-derives the centroid/codebook metadata pipelines
+    # per consumer (plan_audit budgets 11 exchanges); at RUNTIME AQE must
+    # collapse at least some of them into ReusedExchange nodes — the
+    # property the budget comment relies on
+    from kafka_dbsync_spark.queries import QUERIES
+
+    df = QUERIES["ivfpq_search"](spark, SF)
+    # collect() (not count()) so THIS df's adaptive plan finalizes
+    assert len(df.collect()) == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
