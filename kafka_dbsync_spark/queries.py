@@ -4245,3 +4245,44 @@ def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "user_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.0)
     )
+
+
+@query(
+    "audio_window_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '^[ -~]*$')
+        AND strlen(text) > 0
+    ), c AS (
+      SELECT doc_id, i.i - 1 AS pos,
+             ascii(substr(text, i.i, 1)) - 128 AS v
+      FROM a, (SELECT unnest(range(1, 2001)) AS i) i
+      WHERE i.i <= strlen(text)
+    )
+    SELECT doc_id, CAST(pos // 256 AS BIGINT) AS win_idx,
+           count(*) AS n_samples,
+           round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 4) AS rms
+    FROM c GROUP BY doc_id, pos // 256
+    """,
+)
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing: utf-8 text bytes stand in for an 8-bit PCM track
+    (ASCII-only docs so the oracle's ascii() equals the byte value);
+    per-256-sample windowed RMS via the vectorized mapInPandas DSP
+    operator. Window sums are exact integers; sqrt is correctly-rounded
+    IEEE — fully oracle-checkable audio math. Docs are capped at 2,000
+    samples in the oracle's unnest; fixture texts are far shorter (the
+    operator itself is unbounded)."""
+    from kafka_dbsync_spark.operators.multimodal import audio_window_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = (
+        docs.filter(
+            F.col("text").isNotNull()
+            & F.col("text").rlike("^[ -~]*$")
+            & (F.length("text") > 0)
+        )
+        .select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    )
+    return audio_window_energy(blobs)

@@ -209,3 +209,25 @@ def test_decode_stub_still_raises(spark):
 
     with pytest.raises(NotImplementedError, match="decoder"):
         decode_stub(b"anything")
+
+
+def test_audio_window_energy_exact(spark):
+    from kafka_dbsync_spark.operators.multimodal import audio_window_energy
+    import math
+
+    rows = [
+        (1, bytes([128] * 300)),          # silence: rms 0 in both windows
+        (2, bytes([255, 0] * 10)),        # max swing, one partial window
+        (3, None),                        # missing blob -> no rows
+        (4, b""),                         # empty file -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        (r["doc_id"], r["win_idx"]): (r["n_samples"], r["rms"])
+        for r in audio_window_energy(df, window=256).collect()
+    }
+    assert got[(1, 0)] == (256, 0.0)
+    assert got[(1, 1)] == (44, 0.0)
+    expected = round(math.sqrt((127 * 127 + 128 * 128) * 10 / 20), 4)
+    assert got[(2, 0)] == (20, expected)
+    assert not any(d in (3, 4) for d, _ in got)

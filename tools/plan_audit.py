@@ -172,6 +172,8 @@ SHUFFLE_BUDGET = {
     # per-lang total (broadcast back)
     "user_value_outliers": 1,    # per-user moments agg (broadcast back);
     # the event scan joins map-side
+    "audio_window_energy": 1,    # parallelism repartition only (mapInPandas
+    # DSP is narrow; window fan-out happens inside the Arrow batch)
 }
 
 
