@@ -4286,3 +4286,54 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("blob"))
     )
     return audio_window_energy(blobs)
+
+
+@query(
+    "quality_rank_by_source",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(regexp_replace(lower(text),
+                  '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+    )
+    SELECT doc_id, source, n_tok,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_tok, doc_id), 6) AS pr,
+           CAST(CASE
+             WHEN percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_tok, doc_id) >= 0.9 THEN 'top'
+             WHEN percent_rank() OVER (PARTITION BY source
+                                       ORDER BY n_tok, doc_id) >= 0.5 THEN 'mid'
+             ELSE 'tail'
+           END AS VARCHAR) AS tier
+    FROM q
+    """,
+)
+def q_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality normalization: percent-rank each document
+    within its source (token count as the quality proxy here) and
+    bucket into tiers — the curation move that keeps one verbose
+    source from eating the whole quality budget (quotas compare docs
+    only against their own source's distribution). percent_rank is the
+    exact rational (rank−1)/(n−1) — engine-portable after rounding;
+    ties break on doc_id so ranks are deterministic. One shuffle on
+    source (the window key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    q = docs.filter(F.col("text").isNotNull() & (norm != "")).select(
+        "doc_id", "source", F.size(F.split(norm, " ")).cast("long").alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("n_tok", "doc_id")
+    pr = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.round(pr, 6).alias("pr"),
+        F.when(pr >= 0.9, "top").when(pr >= 0.5, "mid").otherwise("tail").alias(
+            "tier"
+        ),
+    )

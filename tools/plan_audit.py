@@ -174,6 +174,7 @@ SHUFFLE_BUDGET = {
     # the event scan joins map-side
     "audio_window_energy": 1,    # parallelism repartition only (mapInPandas
     # DSP is narrow; window fan-out happens inside the Arrow batch)
+    "quality_rank_by_source": 1, # the per-source window shuffle
 }
 
 
