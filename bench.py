@@ -51,12 +51,13 @@ HEADLINE = [
     "asof_join",
     "vocab_topk",
     "multimodal_meta",
-    # r3 additions: the compressed-ANN read path and the anti-join-heavy
-    # TPC-H shapes
+    # r3 additions: the compressed-ANN read path, the anti-join-heavy
+    # TPC-H shapes, and the narrow winnowing fingerprint pass
     "pq_adc_search",
     "ivfpq_search",
     "late_sole_suppliers",
     "props_json_stats",
+    "winnowing_fingerprints",
 ]
 
 
