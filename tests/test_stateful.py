@@ -214,3 +214,47 @@ def test_windowed_counts_stream_matches_batch(tmp_path, spark):
         (T0, "view"): (1, 4.0),
         (T0 + h, "click"): (1, 8.0),
     }
+
+
+def test_too_late_rows_are_dropped(tmp_path, spark):
+    """The other half of the watermark contract: an event arriving
+    BEHIND the watermark (its window already finalized) must be DROPPED
+    — the bounded-state guarantee. Without the drop, 100 TB of state
+    accumulates forever."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("lsrc", "lckpt", "lout"))
+    h = timedelta(hours=1)
+    schema = "event_id long, ts timestamp, value double, event_type string"
+
+    def write(batch):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = (
+            windowed_counts_stream(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([(1, T0, 1.0, "click"), (2, T0 + 30 * h, 0.0, "flush")])
+    run()  # flush advances the watermark far past T0's window
+    # event 3 is 30 hours behind the watermark: its window is closed
+    write([(3, T0 + timedelta(minutes=5), 99.0, "click"),
+           (4, T0 + 60 * h, 0.0, "flush2")])
+    run()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # T0's click window finalized with ONLY event 1 — the too-late 99.0
+    # never entered it, and no new T0 window row appeared
+    assert got[(T0, "click")] == (1, 1.0)
+    assert all(v != (1, 99.0) for v in got.values())
