@@ -4337,3 +4337,92 @@ def q_quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tier"
         ),
     )
+
+
+@query(
+    "part_cooccurrence",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, part_a, part_b)
+                AS BIGINT) AS rk
+    FROM pairs GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part PAIRS appearing in the same
+    order — the frequent-itemset primitive (recommendations, bundle
+    analysis). The self-join is keyed on the order (a bounded basket:
+    TPC-H orders hold ≤7 lines, so the per-key pair fan-out is ≤21 —
+    NOT a quadratic blowup; at 100 TB a pathological basket would get
+    the same cap the LSH buckets use). One keyed shuffle + pair agg +
+    TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a = d.alias("a")
+    b = d.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("ok_b"))
+        & (F.col("a.l_partkey") < F.col("part_b")),
+    ).select(F.col("a.l_partkey").alias("part_a"), "part_b")
+    top = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    w = W.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "returned_revenue_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(8,4))))
+                AS VARCHAR) AS DOUBLE) AS lost_revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: customers ranked by
+    revenue lost to returns. The returnflag filter PUSHES to the
+    lineitem scan (reads a fraction of the fact table), customer and
+    nation broadcast, and the top-20 is TakeOrdered — the only wide op
+    is the lineitem⋈orders keyed shuffle + the customer agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )

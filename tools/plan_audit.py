@@ -175,6 +175,10 @@ SHUFFLE_BUDGET = {
     "audio_window_energy": 1,    # parallelism repartition only (mapInPandas
     # DSP is narrow; window fan-out happens inside the Arrow batch)
     "quality_rank_by_source": 1, # the per-source window shuffle
+    "part_cooccurrence": 4,      # basket distinct + self-join (2 sides at
+    # SF; one keyed shuffle at scale) + pair agg; top-k is TakeOrdered
+    "returned_revenue_customers": 2,  # lineitem(R-pruned)⋈orders shuffle
+    # + customer agg; customer/nation broadcast, returnflag pushed to scan
 }
 
 
