@@ -4426,3 +4426,55 @@ def q_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - to_days(CAST(row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY day) AS INT)) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, min(day) AS streak_start, count(*) AS streak_days
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(streak_start AS VARCHAR) AS streak_start, streak_days
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_days DESC, streak_start) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (the retention/habit metric). The classic date-minus-rownumber
+    grouping — consecutive days collapse to one group key — followed by
+    a per-user argmax. Both windows and the aggregate share the single
+    user_id shuffle; dates emit as strings (the repo's timestamp
+    portability rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"), F.count("*").alias("streak_days")
+    )
+    w2 = W.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_start").cast("string").alias("streak_start"),
+            "streak_days",
+        )
+    )

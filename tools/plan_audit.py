@@ -179,6 +179,8 @@ SHUFFLE_BUDGET = {
     # SF; one keyed shuffle at scale) + pair agg; top-k is TakeOrdered
     "returned_revenue_customers": 2,  # lineitem(R-pruned)⋈orders shuffle
     # + customer agg; customer/nation broadcast, returnflag pushed to scan
+    "user_activity_streaks": 2,  # distinct-days agg + the user_id window
+    # (grouping, streak agg, and argmax all reuse that one partitioning)
 }
 
 
