@@ -4478,3 +4478,136 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_days",
         )
     )
+
+
+@query(
+    "collocations_lift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), u AS (
+      SELECT unnest(w) AS tok FROM t
+    ), uc AS (
+      SELECT tok, count(*) AS c1 FROM u GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n FROM u
+    ), b AS (
+      SELECT w[i.i] AS a, w[i.i + 1] AS b2
+      FROM t, (SELECT unnest(range(1, 2001)) AS i) i
+      WHERE i.i < len(w)
+    ), bc AS (
+      SELECT a, b2, count(*) AS cab FROM b GROUP BY a, b2 HAVING count(*) >= 5
+    )
+    SELECT a, b2 AS b, cab,
+           round(CAST(tot.n AS DOUBLE) * cab / (ua.c1 * ub.c1), 6) AS lift,
+           CAST(row_number() OVER (
+             ORDER BY round(CAST(tot.n AS DOUBLE) * cab / (ua.c1 * ub.c1), 6)
+                      DESC, a, b2) AS BIGINT) AS rk
+    FROM bc JOIN uc ua ON bc.a = ua.tok
+            JOIN uc ub ON bc.b2 = ub.tok
+            CROSS JOIN tot
+    ORDER BY lift DESC, a, b LIMIT 20
+    """,
+)
+def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams by LIFT = N·c(ab)/(c(a)·c(b)) —
+    the log-free PMI (identical ranking: log is monotone, but lift is
+    one integer product over another, so scores are engine-exact after
+    one rounded division). The phrase-discovery pass a tokenizer or
+    query-segmenter runs corpus-wide; min-count 5 prunes noise. Two
+    uniform-key aggs (unigrams, bigrams) + broadcast unigram joins +
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    t = docs.filter(norm != "").select("doc_id", F.split(norm, " ").alias("w"))
+    u = t.select(F.explode("w").alias("tok"))
+    uc = u.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = u.agg(F.count("*").alias("n"))
+    b = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at("w", i.cast("int")).alias("a"),
+                    F.element_at("w", (i + 1).cast("int")).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bc = b.groupBy("a", "b").agg(F.count("*").alias("cab")).filter(F.col("cab") >= 5)
+    ua = uc.select(F.col("tok").alias("a"), F.col("c1").alias("ca"))
+    ub = uc.select(F.col("tok").alias("b"), F.col("c1").alias("cb"))
+    lift = F.round(
+        F.col("n").cast("double") * F.col("cab") / (F.col("ca") * F.col("cb")), 6
+    )
+    top = (
+        bc.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "cab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+    )
+    w = W.orderBy(F.col("lift").desc(), "a", "b")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS dh FROM documents WHERE text IS NOT NULL
+    ), per AS (
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT dh) AS n_unique
+      FROM h GROUP BY source
+    )
+    SELECT source, n_docs, n_unique,
+           CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_bp
+    FROM per
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation diagnostic: exact-duplicate rate per source in basis
+    points — the first chart on any corpus-health dashboard (a source
+    whose dup_bp spikes is a crawler loop or a mirror). One agg with a
+    distinct-count Expand; floor-scaled integer bp per the portability
+    rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.md5("text").alias("dh")
+    )
+    per = h.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("dh").alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.floor((F.col("n_docs") - F.col("n_unique")) * 10000 / F.col("n_docs"))
+        .cast("long")
+        .alias("dup_bp"),
+    )
+
+
+@query(
+    "ivf_outliers",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    SELECT vec_id, label, centroid_id, dist
+    FROM assigned ORDER BY dist DESC, vec_id LIMIT 20
+    """,
+)
+def q_ivf_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality diagnostic: the 20 vectors FURTHEST from their own
+    coarse centroid — embedding-space outliers (mislabeled points,
+    encoder glitches, novel content) and the cells that need splitting.
+    Rides entirely on the map-only broadcast-fold assignment; the only
+    wide op is TakeOrdered."""
+    from kafka_dbsync_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, q_ivf_centroids(spark, sf_dir))
+    return assigned.orderBy(F.col("dist").desc(), "vec_id").limit(20)

@@ -181,6 +181,11 @@ SHUFFLE_BUDGET = {
     # + customer agg; customer/nation broadcast, returnflag pushed to scan
     "user_activity_streaks": 2,  # distinct-days agg + the user_id window
     # (grouping, streak agg, and argmax all reuse that one partitioning)
+    "collocations_lift": 4,      # unigram agg + bigram agg + scalar total;
+    # unigram joins broadcast, top-k is TakeOrdered
+    "dup_rate_by_source": 2,     # countDistinct Expand: partial + final agg
+    "ivf_outliers": 3,           # the ivf_assign metadata exchanges (see
+    # ivf_assign note); data side map-only + TakeOrdered
 }
 
 
