@@ -534,8 +534,13 @@ def winnowing_fingerprints(
     is the build side of a partition-local inverted index. Hashes are
     8-hex md5 slices compared lexicographically (engine-portable);
     documents shorter than ``k`` tokens contribute their whole text as
-    one gram, shorter than ``w`` grams one window."""
-    d = with_shingles(df, text_col, k, out="__sh")
+    one gram, shorter than ``w`` grams one window; NULL text is missing
+    data and contributes no fingerprints (without the filter the fold's
+    '~' sentinel would leak out as a bogus shared fingerprint that
+    false-clusters every NULL-text doc)."""
+    d = with_shingles(
+        df.filter(F.col(text_col).isNotNull()), text_col, k, out="__sh"
+    )
     d = d.withColumn(
         "__H", F.transform(F.col("__sh"), lambda s: F.substring(F.md5(s), 1, 8))
     )

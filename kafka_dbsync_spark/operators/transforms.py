@@ -419,15 +419,29 @@ def convert_connect_logicals(
     """Convert carrier-typed logical fields inside ``struct_col``:
     epoch-day ints → date, epoch-ms longs → timestamp, ms-of-day ints →
     seconds-precision string (Spark has no TIME type; HH:mm:ss matches
-    the reference's JDBC binding of java.sql.Time)."""
+    the reference's JDBC binding of java.sql.Time).
+
+    The time rendering is pure integer arithmetic on the ms-of-day
+    carrier — NOT date_format over a timestamp, which renders in the
+    SESSION timezone and silently shifts the wall time anywhere the
+    session isn't UTC (get_spark pins UTC, but the operator must not
+    depend on that)."""
     if not logicals:
         return df
+
+    def _ms_of_day_to_hms(c):
+        secs = (c.cast("long") / 1000).cast("long")
+        return F.concat_ws(
+            ":",
+            F.lpad((secs / 3600).cast("long").cast("string"), 2, "0"),
+            F.lpad(((secs / 60).cast("long") % 60).cast("string"), 2, "0"),
+            F.lpad((secs % 60).cast("string"), 2, "0"),
+        )
+
     conv = {
         "date": lambda c: F.date_add(F.lit("1970-01-01").cast("date"), c),
         "timestamp": lambda c: F.timestamp_millis(c),
-        "time": lambda c: F.date_format(
-            F.timestamp_millis(c.cast("long")) , "HH:mm:ss"
-        ),
+        "time": _ms_of_day_to_hms,
     }
     replaced = F.col(struct_col)
     for name, kind in logicals.items():

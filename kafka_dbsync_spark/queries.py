@@ -3821,7 +3821,7 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS wds
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT doc_id,
              CASE WHEN len(wds) >= 3
@@ -4524,10 +4524,12 @@ def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = t.select(F.explode("w").alias("tok"))
     uc = u.groupBy("tok").agg(F.count("*").alias("c1"))
     tot = u.agg(F.count("*").alias("n"))
-    b = t.select(
+    # docs with a single token have no bigrams — and sequence(1, size-1)
+    # would count DOWN to [1, 0] for them, crashing element_at under ANSI
+    b = t.filter(F.size("w") >= 2).select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                F.sequence(F.lit(1), F.size("w") - 1),
                 lambda i: F.struct(
                     F.element_at("w", i.cast("int")).alias("a"),
                     F.element_at("w", (i + 1).cast("int")).alias("b"),

@@ -21,6 +21,13 @@ shippable connection factory run one connection per executor partition
 batches — and ``distribute=False`` — use the driver-side single
 connection, the reference's single-sink-task shape and the right debug
 path. Force ``distribute=True`` to always fan out.
+
+CAVEAT: auto mode infers "distributable" from batch size + a picklable
+factory, which says nothing about the TARGET's concurrency. Single-
+writer databases (sqlite, an embedded H2, a constrained PG pool) must
+pass ``distribute=False`` explicitly or large backfill batches will
+open concurrent writers and hit lock errors — see bench.py's apply-path
+engine for the canonical single-writer configuration.
 """
 
 from __future__ import annotations
@@ -404,17 +411,20 @@ class CdcApplyEngine:
             existing = self._existing_columns(conn, table)
             if existing is not None:
                 for f in schema.fields:
-                    if f.name.lower() not in existing:
+                    if self.dialect.normalize_identifier(f.name) not in existing:
                         cur.execute(self.dialect.add_column_sql(table, f))
 
     def _existing_columns(self, conn, table: str) -> set[str] | None:
         """Column metadata via a zero-row probe with dialect quoting (the
         reference uses DatabaseMetaData.getColumns,
-        JdbcWriter.java:346-372)."""
+        JdbcWriter.java:346-372). Names normalize per the DIALECT's
+        metadata rule (PG lowercases unquoted identifiers, sqlite keeps
+        case — normalize_identifier), not a blanket lower() that would
+        mask case-sensitive targets."""
         try:
             cur = conn.cursor()
             cur.execute(f"SELECT * FROM {self.dialect.quote(table)} LIMIT 0")
-            return {d[0].lower() for d in cur.description}
+            return {self.dialect.normalize_identifier(d[0]) for d in cur.description}
         except Exception:  # noqa: BLE001
             return None
 

@@ -44,6 +44,10 @@ class Dialect:
     name = "generic"
     placeholder = "?"
     supports_upsert = False
+    # per-dialect (SparkType, SQL string) pairs consulted BEFORE the
+    # shared _COMMON_TYPES ladder — subclasses express their whole type
+    # map as data instead of re-implementing the lookup
+    _TYPE_OVERRIDES: list[tuple[type, str]] = []
 
     def quote(self, ident: str) -> str:
         return f'"{ident}"'
@@ -58,7 +62,7 @@ class Dialect:
     def sql_type(self, dt: T.DataType) -> str:
         if isinstance(dt, T.DecimalType):
             return f"DECIMAL({dt.precision},{dt.scale})"
-        for py_t, sql_t in _COMMON_TYPES:
+        for py_t, sql_t in (*self._TYPE_OVERRIDES, *_COMMON_TYPES):
             if isinstance(dt, py_t):
                 return sql_t
         return "TEXT"
@@ -107,29 +111,19 @@ class MySqlDialect(Dialect):
     def quote(self, ident: str) -> str:
         return f"`{ident}`"
 
-    def sql_type(self, dt: T.DataType) -> str:
-        """Per-type mapping mirroring MySqlDialect.java:34-60 (TINYINT for
-        int8, VARCHAR(255) strings, VARBINARY(255) bytes, TEXT default)."""
-        overrides: list[tuple[type, str]] = [
-            (T.ByteType, "TINYINT"),
-            (T.ShortType, "SMALLINT"),
-            (T.IntegerType, "INT"),
-            (T.LongType, "BIGINT"),
-            (T.FloatType, "FLOAT"),
-            (T.DoubleType, "DOUBLE"),
-            (T.BooleanType, "BOOLEAN"),
-            (T.StringType, "VARCHAR(255)"),
-            (T.BinaryType, "VARBINARY(255)"),
-        ]
-        if isinstance(dt, T.DecimalType):
-            return f"DECIMAL({dt.precision},{dt.scale})"
-        for py_t, sql_t in overrides:
-            if isinstance(dt, py_t):
-                return sql_t
-        for py_t, sql_t in _COMMON_TYPES:
-            if isinstance(dt, py_t):
-                return sql_t
-        return "TEXT"
+    # mirrors MySqlDialect.java:34-60 (TINYINT for int8, VARCHAR(255)
+    # strings, VARBINARY(255) bytes, TEXT default)
+    _TYPE_OVERRIDES = [
+        (T.ByteType, "TINYINT"),
+        (T.ShortType, "SMALLINT"),
+        (T.IntegerType, "INT"),
+        (T.LongType, "BIGINT"),
+        (T.FloatType, "FLOAT"),
+        (T.DoubleType, "DOUBLE"),
+        (T.BooleanType, "BOOLEAN"),
+        (T.StringType, "VARCHAR(255)"),
+        (T.BinaryType, "VARBINARY(255)"),
+    ]
 
     def upsert_sql(self, table: str, cols: Sequence[str], pk: Sequence[str]) -> str:
         insert = self.insert_sql(table, cols)
@@ -150,30 +144,20 @@ class PostgreSqlDialect(Dialect):
         # (PostgreSqlDialect.java:95-98)
         return ident.lower() if ident is not None else None
 
-    def sql_type(self, dt: T.DataType) -> str:
-        """Per-type mapping mirroring PostgreSqlDialect.java:43-70
-        (SMALLINT for int8/16, REAL/DOUBLE PRECISION floats, VARCHAR(255)
-        strings, BYTEA bytes, TEXT default)."""
-        overrides: list[tuple[type, str]] = [
-            (T.ByteType, "SMALLINT"),
-            (T.ShortType, "SMALLINT"),
-            (T.IntegerType, "INT"),
-            (T.LongType, "BIGINT"),
-            (T.FloatType, "REAL"),
-            (T.DoubleType, "DOUBLE PRECISION"),
-            (T.BooleanType, "BOOLEAN"),
-            (T.StringType, "VARCHAR(255)"),
-            (T.BinaryType, "BYTEA"),
-        ]
-        if isinstance(dt, T.DecimalType):
-            return f"DECIMAL({dt.precision},{dt.scale})"
-        for py_t, sql_t in overrides:
-            if isinstance(dt, py_t):
-                return sql_t
-        for py_t, sql_t in _COMMON_TYPES:
-            if isinstance(dt, py_t):
-                return sql_t
-        return "TEXT"
+    # mirrors PostgreSqlDialect.java:43-70 (SMALLINT for int8/16,
+    # REAL/DOUBLE PRECISION floats, VARCHAR(255) strings, BYTEA bytes,
+    # TEXT default)
+    _TYPE_OVERRIDES = [
+        (T.ByteType, "SMALLINT"),
+        (T.ShortType, "SMALLINT"),
+        (T.IntegerType, "INT"),
+        (T.LongType, "BIGINT"),
+        (T.FloatType, "REAL"),
+        (T.DoubleType, "DOUBLE PRECISION"),
+        (T.BooleanType, "BOOLEAN"),
+        (T.StringType, "VARCHAR(255)"),
+        (T.BinaryType, "BYTEA"),
+    ]
 
     def upsert_sql(self, table: str, cols: Sequence[str], pk: Sequence[str]) -> str:
         insert = self.insert_sql(table, cols)
@@ -194,11 +178,14 @@ class SqliteDialect(PostgreSqlDialect):
     placeholder = "?"
 
     def normalize_identifier(self, ident: str | None) -> str | None:
-        return ident  # sqlite metadata keeps the declared case
+        # sqlite PRESERVES declared case in metadata but RESOLVES names
+        # case-insensitively ("ALTER ... ADD name" conflicts with "NAME"),
+        # so the metadata-comparison normal form is the casefold
+        return ident.lower() if ident is not None else None
 
     # sqlite's type-affinity rules make the generic map (TEXT/BLOB/…) the
     # correct DDL; PG's VARCHAR(255)/BYTEA would land in NUMERIC affinity
-    sql_type = Dialect.sql_type
+    _TYPE_OVERRIDES: list[tuple[type, str]] = []
 
 
 def dialect_for(name_or_url: str) -> Dialect:

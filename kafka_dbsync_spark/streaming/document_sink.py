@@ -55,6 +55,15 @@ class DocumentApplyEngine:
             raise ValueError(f"unsupported id strategy: {id_strategy}")
         if tombstones not in ("drop", "delete"):
             raise ValueError(f"unsupported tombstone mode: {tombstones}")
+        if tombstones == "delete" and id_strategy == "value":
+            # a tombstone's record_value is NULL, so a value-sourced _id
+            # can never address the document to delete — every delete
+            # would silently drop at the id filter (the reference's
+            # DeleteOne strategy likewise requires ProvidedInKey)
+            raise ValueError(
+                "tombstones='delete' requires id_strategy='key' "
+                "(a tombstone has no value to extract the _id from)"
+            )
         self.connection_factory = connection_factory
         self.collection = collection
         self.id_strategy = id_strategy
@@ -80,8 +89,8 @@ class DocumentApplyEngine:
             # RecordIsTombstone + Filter: tombstones never reach the store
             with_id = with_id.filter(F.col("record_value").isNotNull())
         # id-less documents cannot address a collection slot — the
-        # connector would raise per record; we drop-and-log the count
-        # (one scalar action on the deduped side would re-run the scan)
+        # connector would raise per record; we drop them (counting would
+        # cost a second scan of the batch)
         with_id = with_id.filter(F.col("__id").isNotNull())
         deduped = latest_by_key(with_id, ["__id"], [self.order_col])
         rows = deduped.select("__id", "record_value").toLocalIterator(
@@ -90,14 +99,20 @@ class DocumentApplyEngine:
         conn = self.connection_factory()
         try:
             cur = conn.cursor()
+            created_now = False
             if not self._created:
                 cur.execute(
                     f'CREATE TABLE IF NOT EXISTS "{self.collection}" '
                     '("_id" TEXT PRIMARY KEY, "doc" TEXT)'
                 )
-                self._created = True
+                created_now = True
             self._write(cur, rows)
             conn.commit()
+            # only after commit: a rollback on a transactional-DDL target
+            # undoes the CREATE, and a pre-set flag would make every
+            # retry fail with "no such table"
+            if created_now:
+                self._created = True
         except Exception:
             conn.rollback()
             raise

@@ -136,18 +136,34 @@ class ParquetMergeSink:
                    F.lit(self.num_buckets)).cast("int"),
         )
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Current table state (all partitions), ``__part`` dropped.
-        ``mergeSchema`` tolerates partitions written before an additive
-        schema evolution (their files simply lack the newer columns)."""
+    def _read_raw(self, spark: SparkSession) -> DataFrame | None:
+        """Table WITH the partition column, or None if it doesn't exist
+        yet. Only the path-not-found case maps to None — any other read
+        failure (transient FS error, corrupt footer, permissions) must
+        RAISE: treating it as 'empty table' would make the next merge
+        overwrite touched buckets with only the batch's rows and
+        silently destroy existing data. ``mergeSchema`` tolerates
+        partitions written before an additive schema evolution (their
+        files simply lack the newer columns)."""
+        from pyspark.errors import AnalysisException
+
         try:
-            return (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
-                .drop(_PART)
-            )
-        except Exception:  # first batch: table does not exist yet
-            return None
+            return spark.read.option("mergeSchema", "true").parquet(self.path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None  # first batch: table does not exist yet
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                # directory exists but holds no data files — the state
+                # after every key was deleted (empty table, nothing to
+                # lose); corrupt FOOTERS raise differently and still
+                # propagate
+                return None
+            raise
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current table state (all partitions), ``__part`` dropped."""
+        raw = self._read_raw(spark)
+        return None if raw is None else raw.drop(_PART)
 
     # -- the merge ----------------------------------------------------------
     def foreach_batch(self):
@@ -167,7 +183,8 @@ class ParquetMergeSink:
         )
         if not touched:
             return
-        base = self.read(spark)
+        base = self._read_raw(spark)  # one listing serves existence
+        # probe AND the pruned base read below
         value_cols = [
             c
             for c in batch_df.columns
@@ -176,12 +193,7 @@ class ParquetMergeSink:
         if base is not None:
             # prune: only the touched partitions are read — the filter on
             # the partition column reaches the file listing
-            base_touched = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(self.path)
-                .filter(F.col(_PART).isin(touched))
-                .drop(_PART)
-            )
+            base_touched = base.filter(F.col(_PART).isin(touched)).drop(_PART)
             # ADDITIVE schema evolution (the lake-side analogue of the
             # JDBC path's ALTER ADD COLUMN, K7): the merged schema is the
             # union — columns new in this batch backfill NULL on existing

@@ -207,3 +207,26 @@ def test_key_side_envelope_strips_with_same_operator(spark):
         F.get_json_object("record_key", "$.ID").cast("long").alias("ID")
     ).collect()[0]["ID"]
     assert got == 42
+
+
+def test_time_rendering_is_timezone_independent(spark):
+    """Connect Time carriers must render by integer ms-of-day math, not
+    session-zone date formatting: midnight is 00:00:00 under ANY session
+    timezone (a date_format-based conversion would say 19:00:00 under
+    America/New_York)."""
+    from kafka_dbsync_spark.operators.transforms import convert_connect_logicals
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [((0, 45_296_000),)],
+            "row_image struct<t0:int, t1:int>",
+        )
+        out = convert_connect_logicals(
+            df, {"t0": "time", "t1": "time"}
+        ).head()["row_image"]
+        assert out["t0"] == "00:00:00"
+        assert out["t1"] == "12:34:56"  # 45,296,000 ms = 12:34:56
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -277,3 +277,17 @@ def test_winnowing_guarantee_and_shape(spark):
     # no duplicate (doc, pos) picks
     keys = [(r["doc_id"], r["pos"]) for r in fps]
     assert len(keys) == len(set(keys))
+
+
+def test_winnowing_null_text_contributes_nothing(spark):
+    """NULL text must yield NO fingerprints — the fold sentinel ('~',
+    pos=-1) must never leak (it would false-cluster every NULL doc)."""
+    from kafka_dbsync_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real words here")],
+        "doc_id long, text string",
+    )
+    rows = winnowing_fingerprints(df).collect()
+    assert all(r["doc_id"] == 3 for r in rows)
+    assert all(r["pos"] >= 1 and r["fp"] != "~" for r in rows)

@@ -159,11 +159,13 @@ def test_alter_add_column_golden():
 
 
 def test_metadata_identifier_normalization():
-    # PostgreSqlDialect.java:95-98; generic/sqlite keep declared case
+    # PostgreSqlDialect.java:95-98 lowercases; generic keeps declared
+    # case; sqlite RESOLVES case-insensitively (its metadata-comparison
+    # normal form is the casefold even though it stores declared case)
     assert PostgreSqlDialect().normalize_identifier("MiXeD") == "mixed"
     assert PostgreSqlDialect().normalize_identifier(None) is None
     assert Dialect().normalize_identifier("MiXeD") == "MiXeD"
-    assert SqliteDialect().normalize_identifier("MiXeD") == "MiXeD"
+    assert SqliteDialect().normalize_identifier("MiXeD") == "mixed"
 
 
 @pytest.mark.parametrize(
