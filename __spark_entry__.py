@@ -19,71 +19,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Rounds 1–2 together covered 59 of the 81 registered queries; this list
-# front-loads (a) the 22 queries never driver-checked, (b) the 9 checked
-# only in round 1, and (c) queries new this round — so that by the end of
-# round 3 every query has at least one driver CORRECTNESS row. All of
-# (a)+(b) already pass the stricter local gate (tools/check_correctness.py,
-# VERDICT r2). Entries not in this list follow in registration order.
+# Round-4 rotation (VERDICT r3 "Next round" #1 and #8): front-load
+# (a) the 14 queries registered after the r3 window filled (never
+# driver-checked; all pass the stricter local gate,
+# CORRECTNESS_LOCAL_r03.json), (b) the 3 queries whose r3 driver rows
+# ERRORED on array-typed output columns — now emitting scalar
+# (comma-joined) columns, (c) queries NEW this round (registered here
+# first so no never-checked tail accumulates). Remaining slots re-check
+# r2/r3-green queries in registration order.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked (registered after the r2 50-slot window)
-    "simhash_neardup_pairs",
-    "datatype_matrix",
-    "salted_priority_revenue",
-    "incremental_hourly",
-    "bm25_search",
-    "zorder_values",
-    "rolling_1h_value",
-    "nation_pair_flows",
-    "hot_key_report",
-    "corpus_mixture_report",
-    "value_histogram",
-    "funnel_conversion",
-    "retention_cohorts",
-    "textrank_keywords",
-    "multimodal_resize",
-    "multimodal_frames",
-    "mixture_sample",
-    "duplicate_ngram_spans",
-    "cdc_state_at",
+    # (a) never driver-checked (registered after the r3 50-slot window)
+    "bpe_merge_step",
+    "rarity_scores",
+    "label_pca",
+    "countmin_counts",
+    "dataset_splits",
+    "user_value_outliers",
+    "audio_window_energy",
+    "quality_rank_by_source",
+    "part_cooccurrence",
+    "returned_revenue_customers",
+    "user_activity_streaks",
+    "collocations_lift",
+    "dup_rate_by_source",
+    "ivf_outliers",
+    # (b) r3 driver rows errored on array columns — fixed to scalar output
     "inverted_index",
     "snapshot_diff",
-    "cube_revenue",
-    # (b) checked in round 1 only
-    "simhash",
-    "similarity_topk",
-    "ann_blocked_topk",
-    "embedding_neardup_pairs",
-    "vector_lsh_buckets",
-    "customers_with_urgent_orders",
-    "running_revenue",
-    "curation_pipeline",
-    "multimodal_meta",
-    # (c) new in round 3
-    "schema_embedded_decode",
-    "ivf_cell_stats",
-    "stratified_quantiles",
-    "minhash_jaccard_est",
-    "late_data_watermark",
-    "shipping_priority",
-    "large_volume_customers",
-    # (d) new in round 3's second half — slots 39-50 (the window would
-    # otherwise re-check r2-green queries, which already have their
-    # CORRECTNESS_r02 rows; every entry below passes the stricter local
-    # gate, see CORRECTNESS_LOCAL_r03.json). Left for the next rotation:
-    # bpe_merge_step, rarity_scores, label_pca (rows-only).
-    "pq_codebooks",
     "pq_encode",
-    "pq_adc_search",
-    "ivfpq_search",
-    "late_sole_suppliers",
-    "idle_rich_customers",
-    "props_json_stats",
-    "kmeans_refine",
-    "user_value_regression",
-    "winnowing_fingerprints",
-    "skipping_index",
-    "bloom_decontaminate",
+    # (c) new in round 4
+    "pq_index_build",
+    "pq_adc_search_served",
+    "ivfpq_search_served",
+    "bpe_merges_k",
+    "lake_snapshot_read",
 ]
 
 

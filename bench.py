@@ -120,28 +120,38 @@ def main() -> None:
         print(f"# full_apply_path failed: {e}", file=sys.stderr)
         apply_rate = None
     prev_name, delta = _delta_vs_previous_round(per_query_best)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(total, 3),  # median-of-3 per query, summed
-                "unit": "sec",
-                "queries": per_query,
-                "queries_best": per_query_best,
-                "queries_first_run": per_query_first,
-                "best_suite_wall_seconds": round(total_best, 3),
-                "first_run_suite_wall_seconds": round(total_first, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_events_per_sec": round(n_events / cdc_secs),
-                "cdc_apply_events_per_sec": apply_rate,
-                # like-for-like: our BEST column vs the previous round's
-                # best-based "queries" column (r1 was single-run = its own
-                # first==best), seconds saved (negative = faster now)
-                "delta_best_vs_prev": delta,
-                "prev_bench": prev_name,
-            }
-        )
+    # VERDICT r3 "What's wrong" #2: the driver records only a TAIL window
+    # of stdout, and r3's single giant JSON line (3 per-query maps + a
+    # delta map) outgrew it, losing the headline `value`. Fix: stdout gets
+    # ONE compact line (headline numbers + the contract-required per-query
+    # medians, ~1.5 KB); the best/first-run columns and the delta map go
+    # to a separate detail artifact next to this script.
+    compact = {
+        "metric": "headline_suite_wall_seconds",
+        "value": round(total, 3),  # median-of-3 per query, summed
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc_events_per_sec": round(n_events / cdc_secs),
+        "cdc_apply_events_per_sec": apply_rate,
+        "best_suite_wall_seconds": round(total_best, 3),
+        "first_run_suite_wall_seconds": round(total_first, 3),
+        "detail_file": "BENCH_DETAIL_latest.json",
+    }
+    detail = dict(
+        compact,
+        queries_best=per_query_best,
+        queries_first_run=per_query_first,
+        # like-for-like: our BEST column vs the previous round's
+        # best-based "queries" column (r1 was single-run = its own
+        # first==best), seconds saved (negative = faster now)
+        delta_best_vs_prev=delta,
+        prev_bench=prev_name,
     )
+    (Path(__file__).resolve().parent / "BENCH_DETAIL_latest.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
+    print(json.dumps(compact))
 
 
 def _delta_vs_previous_round(per_query_best: dict[str, float]):

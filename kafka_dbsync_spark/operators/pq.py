@@ -255,7 +255,16 @@ def ivfpq_search(
 
     def term(s):
         qsub = F.slice(F.col("qr"), s["m"] * d_sub + 1, d_sub)
-        e = F.element_at(s["entries"], F.element_at(F.col("codes"), s["m"] + 1) + 1)
+        # Look the codeword up BY ITS code FIELD, not by dense array
+        # position: entries is only 0..k-1-dense when every id%k residue
+        # class had training rows; with filtered/non-contiguous vec_ids a
+        # positional element_at would silently fetch the wrong codeword
+        # (ADVICE r3). The filter scans a k-element broadcast array per
+        # subspace — O(k)=16, same cost class as the encode fold.
+        code = F.element_at(F.col("codes"), s["m"] + 1)
+        e = F.element_at(
+            F.filter(s["entries"], lambda en: en["code"] == code), 1
+        )
         return F.round(_d2(qsub, e["cvec"]), dist_decimals)
 
     adc = F.aggregate(F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s))
@@ -296,7 +305,16 @@ def pq_adc_topk(
 
     def term(s):
         qsub = F.slice(qlit, s["m"] * d_sub + 1, d_sub)
-        e = F.element_at(s["entries"], F.element_at(F.col("codes"), s["m"] + 1) + 1)
+        # Look the codeword up BY ITS code FIELD, not by dense array
+        # position: entries is only 0..k-1-dense when every id%k residue
+        # class had training rows; with filtered/non-contiguous vec_ids a
+        # positional element_at would silently fetch the wrong codeword
+        # (ADVICE r3). The filter scans a k-element broadcast array per
+        # subspace — O(k)=16, same cost class as the encode fold.
+        code = F.element_at(F.col("codes"), s["m"] + 1)
+        e = F.element_at(
+            F.filter(s["entries"], lambda en: en["code"] == code), 1
+        )
         return F.round(_d2(qsub, e["cvec"]), dist_decimals)
 
     adc = F.aggregate(

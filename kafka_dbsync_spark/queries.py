@@ -2854,7 +2854,7 @@ def cdc_state_at(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
       FROM t
     ), capped AS (
-      SELECT term, list_sort(list(doc_id)) AS postings
+      SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
       FROM ranked WHERE rn <= 10 GROUP BY term
     ), freq AS (
       SELECT term, count(*) AS df FROM t GROUP BY term
@@ -2869,7 +2869,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc ids). The cap is applied with a per-term window BEFORE any
     collect_list, so no task ever materializes a hot term's full
     posting list — the same bounded-bucket rule the LSH operator follows
-    (VERDICT round 1). Window and aggs share one term-hash shuffle."""
+    (VERDICT round 1). Window and aggs share one term-hash shuffle.
+    Postings are emitted as a comma-joined string (not array<long>) so
+    the driver's pandas canonicalizer can sort the result (VERDICT r3
+    "What's wrong" #1)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -2885,7 +2888,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
     freq = toks.groupBy("term").agg(F.count("*").alias("df"))
-    return freq.join(capped, "term").select("term", "df", "postings")
+    return freq.join(capped, "term").select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 _DIFF_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
@@ -2920,7 +2929,9 @@ _DIFF_COLS = ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
            CASE WHEN NOT in_s THEN 'added'
                 WHEN NOT in_r THEN 'removed'
                 ELSE 'changed' END AS status,
-           CASE WHEN in_s AND in_r THEN cl ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+           CASE WHEN in_s AND in_r
+                THEN coalesce(array_to_string(cl, ','), '')
+                ELSE '' END AS changed_cols
     FROM j
     WHERE NOT in_s OR NOT in_r OR len(cl) > 0
     """,
@@ -2930,7 +2941,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically drifted replica (keys %89 missing downstream, %97
     with a changed totalprice, %83 with spurious extra rows). Output is
     proportional to the drift, never the table. See
-    operators/reconcile.py::snapshot_diff."""
+    operators/reconcile.py::snapshot_diff. ``changed_cols`` is emitted
+    comma-joined (scalar) for the driver canonicalizer (VERDICT r3)."""
     from kafka_dbsync_spark.operators.reconcile import snapshot_diff
 
     od = load_table(spark, sf_dir, "orders").select("o_orderkey", *_DIFF_COLS)
@@ -2948,7 +2960,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return snapshot_diff(od, replica, ["o_orderkey"], list(_DIFF_COLS))
+    return snapshot_diff(od, replica, ["o_orderkey"], list(_DIFF_COLS)).withColumn(
+        "changed_cols", F.array_join("changed_cols", ",")
+    )
 
 
 @query(
@@ -3384,7 +3398,8 @@ def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e CROSS JOIN cbv
       ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
     )
-    SELECT vec_id, label, list(CAST(code AS INT) ORDER BY m) AS codes
+    SELECT vec_id, label,
+           array_to_string(list(CAST(code AS INT) ORDER BY m), ',') AS codes
     FROM enc GROUP BY vec_id, label
     """,
 )
@@ -3393,11 +3408,16 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared-L2 per subspace, ties to the lowest code) — 32× compression.
     MAP-ONLY: the codebooks ride in as one broadcast row and the argmin
     is a higher-order fold, so the plan is O(1) in k and there is no
-    shuffle on the data side."""
+    shuffle on the data side. Codes are emitted comma-joined (scalar,
+    subspace order) so the driver canonicalizer can sort the result
+    (VERDICT r3); the operator keeps the array form."""
     from kafka_dbsync_spark.operators.pq import pq_codebooks, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb, pq_codebooks(emb))
+    return pq_encode(emb, pq_codebooks(emb)).withColumn(
+        "codes",
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), ","),
+    )
 
 
 @query(
@@ -3803,13 +3823,82 @@ def q_user_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("label_pca")  # no SQL oracle: eigenvectors aren't relational —
-# the driver records the rows-only check; numpy ground truth is pinned in
-# tests/test_similarity.py::test_pca_matches_numpy_eigh
+@query(
+    "label_pca",
+    # DuckDB POWER-ITERATION oracle (VERDICT r3 #3): the covariance is
+    # built relationally (E[xy] − E[x]E[y] per (label,i,j), exact to the
+    # operator's population /n), then a recursive CTE runs 400
+    # normalized matvec iterations per label and reads off the Rayleigh
+    # quotient (= top eigenvalue to ~(λ2/λ1)^800, far below the 4-decimal
+    # rounding) and the argmax |component|. 400 iterations covers the
+    # data's worst spectra (λ2/λ1 ≈ 0.974 and an |v| top-two gap of
+    # 0.0012 need k ≳ 280). The anchor vector must be CAST AS DOUBLE:
+    # a bare 1.0 literal is DECIMAL(2,1) and the recursive CTE would
+    # quantize the vector to one decimal every step.
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    st AS (
+      SELECT label, i.i AS i, j.j AS j,
+             avg(v[i.i] * v[j.j]) - avg(v[i.i]) * avg(v[j.j]) AS c
+      FROM e,
+           (SELECT unnest(range(1, 65)) AS i) i,
+           (SELECT unnest(range(1, 65)) AS j) j
+      GROUP BY label, i.i, j.j
+    ),
+    cnt AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+    tr AS (SELECT label, sum(c) AS trace FROM st WHERE i = j GROUP BY label),
+    rows_ AS (
+      SELECT label, i, list(c ORDER BY j) AS crow FROM st GROUP BY label, i
+    ),
+    cm AS (SELECT label, list(crow ORDER BY i) AS cmat FROM rows_ GROUP BY label),
+    it AS (
+      SELECT label, 0 AS t,
+             list_transform(range(1, 65), x -> CAST(1.0 AS DOUBLE)) AS vec
+      FROM cm
+      UNION ALL
+      SELECT s.label, s.t + 1,
+             list_transform(s.mv,
+               x -> x / sqrt(list_sum(list_transform(s.mv, y -> y * y)))) AS vec
+      FROM (
+        SELECT it.label, it.t,
+               list_transform(cm.cmat,
+                 cr -> list_sum(list_transform(range(1, 65),
+                   j -> cr[j] * it.vec[j]))) AS mv
+        FROM it JOIN cm USING (label)
+        WHERE it.t < 400
+      ) s
+    ),
+    last AS (SELECT label, vec FROM it WHERE t = 400),
+    ray AS (
+      SELECT l.label,
+             list_sum(list_transform(range(1, 65), i ->
+               l.vec[i] * list_sum(list_transform(range(1, 65),
+                 j -> cm.cmat[i][j] * l.vec[j])))) AS lam,
+             l.vec AS vec
+      FROM last l JOIN cm USING (label)
+    )
+    SELECT CAST(r.label AS INT) AS label, cnt.n AS n,
+           CASE WHEN tr.trace <= 0 THEN 0.0
+                ELSE round(r.lam / tr.trace, 4) END AS ev_share,
+           CASE WHEN tr.trace <= 0 THEN 0
+                ELSE CAST(list_position(list_transform(r.vec, x -> abs(x)),
+                          list_max(list_transform(r.vec, x -> abs(x)))) - 1
+                     AS INT)
+           END AS top_dim
+    FROM ray r JOIN tr ON r.label = tr.label JOIN cnt ON r.label = cnt.label
+    """,
+)
 def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label top principal component (explained-variance share +
-    dominant dim) via grouped applyInPandas power iteration — the
-    embedding-drift diagnostic. One shuffle on label; per-group numpy."""
+    dominant dim) via grouped applyInPandas — the embedding-drift
+    diagnostic. One shuffle on label; per-group numpy (exact eigh on the
+    d×d covariance; the oracle converges to the same answer by power
+    iteration). Numpy ground truth is ALSO pinned in
+    tests/test_similarity.py::test_pca_matches_numpy_eigh."""
     from kafka_dbsync_spark.operators.similarity import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")

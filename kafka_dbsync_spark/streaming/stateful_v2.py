@@ -15,8 +15,11 @@ Expressed against state-v2:
   (pandas, Arrow-batched), compares against the stored order, and
   emits the key's CURRENT state row once per batch it changed in
   (Update mode) — deletes emit a tombstone row (``is_deleted=true``)
-  and clear the state, so a downstream applier sees exactly the
-  reference's upsert/delete stream, deduplicated and ordered.
+  and STORE a tombstone record (keeping the order watermark, so
+  out-of-order pre-delete replays cannot resurrect the key; dead-key
+  state is bounded by the optional TTL), so a downstream applier sees
+  exactly the reference's upsert/delete stream, deduplicated and
+  ordered.
 
 Scale shape: state is partitioned by the grouping key across executors
 (RocksDB-backed in production), reads/writes are per-key point lookups,
@@ -99,9 +102,18 @@ class LwwStateProcessor(StatefulProcessor):
         is_delete = str(newest[self.op_col]) == OP_DELETE
         vals = [newest[c] for c in self.value_cols]
         if is_delete:
-            # tombstone: downstream applier deletes the key; TTL-free
-            # clear keeps state bounded by LIVE keys
-            self._state.clear()
+            # Store a TOMBSTONE record (order, __deleted=true) instead of
+            # clearing: clearing would discard the order watermark, so a
+            # later micro-batch replaying a PRE-delete upsert (order below
+            # the tombstone's) would find no state and resurrect the
+            # deleted key (ADVICE r3). Dead-key state is bounded by the
+            # optional TTL (``ttl_ms``) — the standard tombstone-retention
+            # knob; without TTL, state is bounded by EVER-SEEN keys, and
+            # the stale-replay guard above holds through tombstones.
+            self._state.update(
+                (int(newest[self.order_col]), True,
+                 *[None for _ in self.value_cols])
+            )
         else:
             self._state.update((int(newest[self.order_col]), False, *vals))
         out = pd.DataFrame(

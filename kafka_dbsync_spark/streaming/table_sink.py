@@ -60,32 +60,51 @@ def compact_partitioned_table(
     file), and swapped in via dynamic partition overwrite — untouched
     partitions are never listed or rewritten, and the table state is
     row-identical. The file listing is one directory level on the
-    driver (the same listing the committer itself performs).
+    driver (the same listing the committer itself performs) — this
+    helper lists via the local filesystem, which covers the sink's own
+    tables and local lakes; an object-store deployment would swap the
+    listing for the FS client's (the Spark-side plan is unchanged).
+
+    Partition values are kept as their RAW directory strings and matched
+    via a string-cast of the partition column (plus an explicit IS NULL
+    arm for ``__HIVE_DEFAULT_PARTITION__``), so non-integer partition
+    schemes compact correctly (ADVICE r3) — a cast of a partition column
+    is still a partition-level predicate, so pruning holds.
 
     Returns ``{"parts_compacted": n, "files_before": a,
     "files_after": b}`` (the sink's wrapper renames the first key to
     ``buckets_compacted``)."""
     from pathlib import Path as _P
+    from urllib.parse import unquote
 
     root = _P(path)
-    fat: list[int] = []
+    fat: list[str] = []
+    fat_null = False
     files_before = 0
     for d in root.glob(f"{part_col}=*"):
         n_files = sum(1 for _ in d.glob("*.parquet"))
         files_before += n_files
         if n_files > max_files_per_part:
-            fat.append(int(d.name.split("=", 1)[1]))
-    if not fat:
+            raw = unquote(d.name.split("=", 1)[1])
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                fat_null = True
+            else:
+                fat.append(raw)
+    if not fat and not fat_null:
         return {
             "parts_compacted": 0,
             "buckets_compacted": 0,
             "files_before": files_before,
             "files_after": files_before,
         }
+    cond = F.col(part_col).cast("string").isin(fat) if fat else F.lit(False)
+    if fat_null:
+        cond = cond | F.col(part_col).isNull()
+    n_fat = len(fat) + (1 if fat_null else 0)
     rows = (
         spark.read.parquet(path)
-        .filter(F.col(part_col).isin(fat))
-        .repartition(len(fat), F.col(part_col))
+        .filter(cond)
+        .repartition(n_fat, F.col(part_col))
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -97,8 +116,8 @@ def compact_partitioned_table(
         1 for d in root.glob(f"{part_col}=*") for _ in d.glob("*.parquet")
     )
     return {
-        "parts_compacted": len(fat),
-        "buckets_compacted": len(fat),
+        "parts_compacted": n_fat,
+        "buckets_compacted": n_fat,
         "files_before": files_before,
         "files_after": files_after,
     }

@@ -78,6 +78,40 @@ def test_encode_plan_is_map_only(emb, cb):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_adc_sparse_codebook_looks_up_by_code(emb, cb, spark):
+    """ADVICE r3: when some id%k residue class has no training rows, the
+    codebook's entries array is sparse/non-contiguous; ADC must select
+    the codeword by its code FIELD, not dense array position. Train on a
+    filtered id set that leaves residue classes empty and check the ADC
+    total equals a per-row python recomputation over the same codebook."""
+    sparse = emb.filter((F.col("vec_id") % 16).isin([0, 1, 2, 5, 9]))
+    scb = pq_codebooks(sparse)
+    present = {
+        (r["m"], r["code"]) for r in scb.select("m", "code").distinct().collect()
+    }
+    assert len({c for _, c in present}) < 16  # genuinely sparse
+    enc = pq_encode(sparse, scb)
+    qv = [float(x)
+          for x in sparse.select("embedding").orderBy("vec_id").head()[0]]
+    got = {r["vec_id"]: r["adc_dist"]
+           for r in pq_adc_topk(enc, scb, qv, k_top=10_000).collect()}
+    # python reference: same rounding discipline as the operator
+    book = {}
+    for r in scb.collect():
+        book.setdefault((r["m"], r["code"]), {})[r["dim"]] = r["cw"]
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    for vid, cs in codes.items():
+        total = 0.0
+        for m, code in enumerate(cs):
+            cvec = [book[(m, code)][d] for d in range(1, 9)]
+            qsub = qv[m * 8:(m + 1) * 8]
+            total += round(sum((a - b) * (a - b) for a, b in zip(qsub, cvec)), 6)
+        # tolerance covers half-up (Spark) vs banker's (python) rounding
+        # at the 4-decimal output boundary; a WRONG codeword lookup (the
+        # defect this test pins) is off by O(0.1+), 100× the tolerance
+        assert abs(round(total, 4) - got[vid]) < 1e-3
+
+
 def test_ivfpq_self_query_near_top(emb, spark):
     # IVF-PQ is approximate, but the query's own row must appear in the
     # top-10 of its own search (its ADC distance is the per-subspace

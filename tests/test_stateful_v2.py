@@ -75,15 +75,29 @@ def test_processor_stale_replay_suppressed():
     assert state.value == (5, False, "new")  # state untouched
 
 
-def test_processor_delete_clears_and_tombstones():
+def test_processor_delete_stores_tombstone():
     p, state = _proc()
     _feed(p, [(2, "b", OP_UPSERT, 1)])
     got = _feed(p, [(2, None, OP_DELETE, 2)])
     assert got["is_deleted"] and got["name"] is None
-    assert state.value is None
-    # re-insert after delete wins (no stale guard from cleared state)
+    # ADVICE r3: state keeps a tombstone record (order watermark intact),
+    # not a clear — so out-of-order pre-delete replays can't resurrect
+    assert state.value == (2, True, None)
+    # re-insert after delete (newer order) wins through the tombstone
     got = _feed(p, [(2, "b2", OP_UPSERT, 3)])
     assert got["name"] == "b2"
+    assert state.value == (3, False, "b2")
+
+
+def test_processor_tombstone_blocks_pre_delete_replay():
+    """Cross-batch out-of-order delivery: a replayed upsert with order
+    BELOW a delete's must not resurrect the deleted key (ADVICE r3)."""
+    p, state = _proc()
+    _feed(p, [(2, "b", OP_UPSERT, 1)])
+    _feed(p, [(2, None, OP_DELETE, 5)])
+    got = _feed(p, [(2, "ghost", OP_UPSERT, 3)])
+    assert got is None                    # suppressed, nothing emitted
+    assert state.value == (5, True, None)  # tombstone watermark holds
 
 
 @pytest.mark.skipif(
