@@ -108,6 +108,29 @@ def _d2(a, b):
     )
 
 
+def adc_distance_expr(query_src, d_sub: int = 8, dist_decimals: int = 6):
+    """ADC total-distance expression over a row carrying ``codes``
+    (array<int>) and the broadcast ``__books`` column: Σ over subspaces
+    of the rounded squared-L2 between the query subvector (sliced from
+    ``query_src`` — a literal array or a per-row column) and the row's
+    SELECTED codeword. The codeword is looked up by its code FIELD, not
+    dense array position — entries may be sparse when some id%k residue
+    class had no training rows (ADVICE r3); the filter scans a
+    k-element broadcast array per subspace, same cost class as the
+    encode fold. Shared by ``pq_adc_topk``, ``ivfpq_search``, and the
+    persisted-index serving path (operators/pq_index.py)."""
+
+    def term(s):
+        qsub = F.slice(query_src, s["m"] * d_sub + 1, d_sub)
+        code = F.element_at(F.col("codes"), s["m"] + 1)
+        e = F.element_at(
+            F.filter(s["entries"], lambda en: en["code"] == code), 1
+        )
+        return F.round(_d2(qsub, e["cvec"]), dist_decimals)
+
+    return F.aggregate(F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s))
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks_long: DataFrame,
@@ -252,22 +275,7 @@ def ivfpq_search(
         .join(qres, F.col("centroid_id") == F.col("qcell"))
         .crossJoin(books)
     )
-
-    def term(s):
-        qsub = F.slice(F.col("qr"), s["m"] * d_sub + 1, d_sub)
-        # Look the codeword up BY ITS code FIELD, not by dense array
-        # position: entries is only 0..k-1-dense when every id%k residue
-        # class had training rows; with filtered/non-contiguous vec_ids a
-        # positional element_at would silently fetch the wrong codeword
-        # (ADVICE r3). The filter scans a k-element broadcast array per
-        # subspace — O(k)=16, same cost class as the encode fold.
-        code = F.element_at(F.col("codes"), s["m"] + 1)
-        e = F.element_at(
-            F.filter(s["entries"], lambda en: en["code"] == code), 1
-        )
-        return F.round(_d2(qsub, e["cvec"]), dist_decimals)
-
-    adc = F.aggregate(F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s))
+    adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
     return (
         cand.withColumn("adc_dist", F.round(adc, out_decimals))
         .select(
@@ -302,24 +310,7 @@ def pq_adc_topk(
     books = F.broadcast(codebooks_as_array(codebooks_long))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     withc = encoded.crossJoin(books)
-
-    def term(s):
-        qsub = F.slice(qlit, s["m"] * d_sub + 1, d_sub)
-        # Look the codeword up BY ITS code FIELD, not by dense array
-        # position: entries is only 0..k-1-dense when every id%k residue
-        # class had training rows; with filtered/non-contiguous vec_ids a
-        # positional element_at would silently fetch the wrong codeword
-        # (ADVICE r3). The filter scans a k-element broadcast array per
-        # subspace — O(k)=16, same cost class as the encode fold.
-        code = F.element_at(F.col("codes"), s["m"] + 1)
-        e = F.element_at(
-            F.filter(s["entries"], lambda en: en["code"] == code), 1
-        )
-        return F.round(_d2(qsub, e["cvec"]), dist_decimals)
-
-    adc = F.aggregate(
-        F.col("__books"), F.lit(0.0), lambda acc, s: acc + term(s)
-    )
+    adc = adc_distance_expr(qlit, d_sub, dist_decimals)
     return (
         withc.withColumn("adc_dist", F.round(adc, out_decimals))
         .select(

@@ -4702,3 +4702,91 @@ def q_ivf_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(emb, q_ivf_centroids(spark, sf_dir))
     return assigned.orderBy(F.col("dist").desc(), "vec_id").limit(20)
+
+
+# ===========================================================================
+# Round 4: persisted IVF-PQ index — build once, serve many (VERDICT r3 #4).
+# The fused queries (pq_adc_search / ivfpq_search) stay as the oracle-
+# provable single-lineage forms; these split the FAISS train()+add() /
+# search() halves across parquet artifacts (operators/pq_index.py), so the
+# served searches' bench numbers show the true 100 TB read-path cost.
+# ===========================================================================
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
+    """Shared lazily-built index cache for the served queries (each
+    registry query must stand alone; the build is idempotent)."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        index_is_built,
+        index_path_for,
+    )
+
+    path = index_path_for(sf_dir)
+    if rebuild or not index_is_built(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_pq_index(spark, emb, q_ivf_centroids(spark, sf_dir), path)
+    return path
+
+
+@query(
+    "pq_index_build",
+    # The summary oracle checks artifact COMPLETENESS analytically
+    # (coarse centroids: one row per (label, dim); codebooks: one row
+    # per (m=8, code=present id%16 residue classes, dim=8); codes: one
+    # row per vector). VALUE correctness of the persisted content is
+    # proven by the served searches below, whose oracles equal the fused
+    # queries'.
+    oracle="""
+    SELECT 'centroids' AS artifact,
+           CAST((SELECT count(DISTINCT label) FROM embeddings) * 64 AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'pq_codebooks',
+           CAST(8 * (SELECT count(DISTINCT vec_id % 16) FROM embeddings) * 8 AS BIGINT)
+    UNION ALL
+    SELECT 'codes', CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+    UNION ALL
+    SELECT 'flat_codebooks',
+           CAST(8 * (SELECT count(DISTINCT vec_id % 16) FROM embeddings) * 8 AS BIGINT)
+    UNION ALL
+    SELECT 'flat_codes', CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+    """,
+)
+def q_pq_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build and persist the IVF-PQ index (centroids, residual PQ
+    codebooks, codes partitioned by cell, flat PQ pair) and report one
+    row per artifact with its row count, READ BACK from the written
+    parquet. Always rebuilds — that is the build query's contract."""
+    from kafka_dbsync_spark.operators.pq_index import index_summary
+
+    path = _pq_index_dir(spark, sf_dir, rebuild=True)
+    return index_summary(spark, path)
+
+
+@query("pq_adc_search_served", oracle=ORACLES["pq_adc_search"])
+def q_pq_adc_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ADC top-10 for the vec_id=0 query against the PERSISTED
+    index: scan only the 8-byte code arrays, broadcast codebooks,
+    TakeOrdered — no train-time shuffles in the plan. Same oracle (and
+    answer) as the fused ``pq_adc_search``."""
+    from kafka_dbsync_spark.operators.pq_index import pq_adc_search_index
+
+    path = _pq_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_adc_search_index(spark, path, [float(x) for x in qv])
+
+
+@query("ivfpq_search_served", oracle=ORACLES["ivfpq_search"])
+def q_ivfpq_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the vec_id=0 query against the PERSISTED index:
+    centroid metadata collect → probed-cell partition-pruned codes scan
+    → broadcast codebooks + query residuals → ADC fold → TakeOrdered.
+    The true 100 TB serving plan; same oracle (and answer) as the fused
+    ``ivfpq_search``."""
+    from kafka_dbsync_spark.operators.pq_index import ivfpq_search_index
+
+    path = _pq_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_search_index(spark, path, [float(x) for x in qv])

@@ -1,0 +1,93 @@
+"""Persisted IVF-PQ index (operators/pq_index.py): build-once/serve-many
+must equal the fused single-lineage queries, and the serving plan must
+prune the codes scan to the probed cells."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.pq_index import (
+    ARTIFACTS,
+    build_pq_index,
+    index_is_built,
+    index_path_for,
+    index_summary,
+    ivfpq_search_index,
+    pq_adc_search_index,
+)
+from kafka_dbsync_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pqidx") / "sf0001")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb, cents, path)
+    return path
+
+
+def test_marker_and_artifacts(built, spark):
+    assert index_is_built(built)
+    for a in ARTIFACTS:
+        assert os.path.isdir(f"{built}/{a}")
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    rows = {r["artifact"]: r["n_rows"] for r in index_summary(spark, built).collect()}
+    assert rows["codes"] == n and rows["flat_codes"] == n
+    assert rows["pq_codebooks"] == rows["flat_codebooks"] == 8 * 16 * 8
+
+
+def test_codes_partitioned_by_cell(built, spark):
+    # the physical layout IS the index: one directory per coarse cell
+    cells = [d for d in os.listdir(f"{built}/codes") if d.startswith("centroid_id=")]
+    assert len(cells) >= 2
+
+
+def test_served_equals_fused_ivfpq(built, spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    served = [tuple(r) for r in ivfpq_search_index(spark, built, qv).collect()]
+    fused = [tuple(r) for r in QUERIES["ivfpq_search"](spark, SF).collect()]
+    assert served == fused
+
+
+def test_served_equals_fused_adc(built, spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    served = [tuple(r) for r in pq_adc_search_index(spark, built, qv).collect()]
+    fused = [tuple(r) for r in QUERIES["pq_adc_search"](spark, SF).collect()]
+    assert served == fused
+
+
+def test_serving_plan_prunes_partitions(built, spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    plan = (
+        ivfpq_search_index(spark, built, qv, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the codes FileScan must carry a PartitionFilters IN-list (the probe)
+    assert "PartitionFilters: [centroid_id" in plan.replace("#", " #").replace(
+        "  ", " "
+    ) or "PartitionFilters: [centroid_id" in plan
+    # and NO train-time aggregation of the data side: the only HashAggregate
+    # allowed is the tiny broadcast codebook restructure
+    scan_lines = [ln for ln in plan.splitlines() if "/codes]" in ln]
+    assert scan_lines and all("IN (" in ln for ln in scan_lines)
+
+
+def test_rebuild_is_idempotent(built, spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb, cents, built)  # overwrite in place
+    rows = {r["artifact"]: r["n_rows"] for r in index_summary(spark, built).collect()}
+    assert rows["codes"] == emb.count()
+
+
+def test_index_path_is_per_dataset():
+    a = index_path_for("/root/testdata/sf0.001")
+    b = index_path_for("/root/testdata/sf0.01")
+    assert a != b and a.endswith("sf0.001") and b.endswith("sf0.01")
