@@ -289,3 +289,125 @@ def bloom_contaminated(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_flagged"))
     )
+
+
+def _merge_pair_expr(syms_col, a: str, b: str):
+    """Replace every greedy-left non-overlapping adjacent (a, b) in a
+    symbol array with the merged token ``a+b`` — one BPE merge applied
+    to one word, as a single JVM-side fold (no Python, no explode).
+
+    The accumulator carries (out, prev): ``prev`` is the last symbol not
+    yet committed; seeing ``b`` while ``prev == a`` commits the merged
+    token and clears ``prev`` (so "aaa" under (a,a) → [aa, a] — the
+    standard leftmost-first BPE scan). The DuckDB oracle runs the
+    identical fold via list_reduce."""
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc, cur):
+        hit = (
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(a))
+            & (cur == F.lit(b))
+        )
+        flushed = F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(merged)).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(flushed.alias("out"), cur.alias("prev"))
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(syms_col, init, step, finish)
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k: int = 5,
+    max_word_len: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE training (Sennrich et al. 2016), ``k`` merge
+    rounds: the real tokenizer-training inner loop, extending the
+    single-round statistics of ``bpe_merge_step``.
+
+    Spark shape: training runs on the DISTINCT word VOCABULARY with
+    frequencies (one corpus-scale shuffle up front — after that every
+    round touches only the vocab table, which is orders of magnitude
+    smaller than the corpus at any scale). Each round is (1) a weighted
+    adjacent-pair count over the symbol arrays (zip_with + explode, one
+    uniform-key agg), (2) a driver collect of the SINGLE argmax row —
+    bounded metadata, the same pattern as the k-means/IVF driver loops —
+    and (3) a map-only fold applying the merge to every word
+    (``_merge_pair_expr``). The vocab is persisted per round so round
+    t+1 doesn't recompute rounds 1..t.
+
+    Output: one row per round, (step, left, right, merged, n) — n the
+    corpus-weighted count of the pair at merge time. Ties break by
+    (left, right) so the trace is engine-portable."""
+    spark = docs.sparkSession
+    norm = normalize_text(F.col(text_col))
+    words = (
+        docs.filter(norm != "")
+        .select(F.explode(F.split(norm, " ")).alias("w0"))
+        .filter(F.col("w0") != "")
+        .select(F.substring("w0", 1, max_word_len).alias("w"))
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    cur = vocab.select(
+        F.filter(F.split("w", ""), lambda x: x != "").alias("syms"), "n"
+    ).persist()
+    persisted = [cur]
+    merges: list[tuple] = []
+    try:
+        for step_no in range(1, k + 1):
+            pairs = cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(
+                            F.col("syms"), 1,
+                            F.greatest(F.size("syms") - 1, F.lit(0)),
+                        ),
+                        F.slice(
+                            F.col("syms"), 2,
+                            F.greatest(F.size("syms") - 1, F.lit(0)),
+                        ),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            top = (
+                pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((step_no, a, b, a + b, cnt))
+            cur = cur.select(
+                _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "n"
+            ).persist()
+            persisted.append(cur)
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, n long"
+    )

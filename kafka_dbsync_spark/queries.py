@@ -4790,3 +4790,90 @@ def q_ivfpq_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivfpq_search_index(spark, path, [float(x) for x in qv])
+
+
+def _bpe_oracle_sql(k: int = 5) -> str:
+    """Unrolled k-round BPE oracle: each round re-counts weighted
+    adjacent pairs over the current vocab, takes the (cnt DESC, a, b)
+    argmax, and applies the merge. DuckDB has no loop construct, so the
+    driver loop unrolls into a CTE chain.
+
+    The merge CANNOT be the same fold Spark runs
+    (operators/corpus.py::_merge_pair_expr): DuckDB v1.0.0's
+    ``list_reduce`` drops a list accumulated inside a struct field
+    (minimal repro: reduce over [{o:[],p:1},{o:[],p:2},{o:[],p:3}] with
+    o := list_append(acc.o, e.p) yields o=[3], not [1,2,3]). So the
+    oracle expresses the SAME greedy-left non-overlapping semantics by
+    position arithmetic: a match position is selected iff its offset in
+    its maximal run of consecutive matches is even (runs of length > 1
+    only occur when left = right), then the merged list is rebuilt by a
+    transform+filter — no fold anywhere."""
+    norm = _SQL_NORM.format(c="text")
+    ctes = [
+        f"""w0 AS (
+      SELECT substr(unnest(string_split({norm}, ' ')), 1, 40) AS w
+      FROM documents WHERE {norm} <> ''
+    ), vocab AS (
+      SELECT w, count(*) AS n FROM w0 WHERE w <> '' GROUP BY w
+    ), v0 AS (
+      SELECT list_transform(range(1, len(w) + 1), i -> w[i]) AS syms, n
+      FROM vocab
+    )"""
+    ]
+    for s in range(1, k + 1):
+        p, t, m, vin, vout = f"p{s}", f"t{s}", f"m{s}", f"v{s-1}", f"v{s}"
+        ctes.append(f"""{p} AS (
+      SELECT u.pr.a AS a, u.pr.b AS b, sum(u.n) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> {{'a': syms[i], 'b': syms[i+1]}})) AS pr, n
+        FROM {vin}
+      ) u GROUP BY u.pr.a, u.pr.b
+    ), {t} AS (
+      SELECT a, b, cnt FROM {p} ORDER BY cnt DESC, a, b LIMIT 1
+    ), {m} AS (
+      SELECT syms, n, t.a AS ma, t.b AS mb FROM {vin}, {t} t
+    ), {m}s AS (
+      SELECT syms, n, ma, mb,
+             list_transform(range(1, len(syms)),
+               i -> syms[i] = ma AND syms[i+1] = mb) AS mt
+      FROM {m}
+    ), {m}g AS (
+      SELECT syms, n, ma, mb,
+             list_transform(range(1, len(syms)),
+               i -> mt[i] AND
+                    (i - 1 - coalesce(list_max(
+                       list_filter(range(1, i), j -> NOT mt[j])), 0)) % 2 = 0
+             ) AS sel
+      FROM {m}s
+    ), {vout} AS (
+      SELECT list_filter(
+               list_transform(range(1, len(syms) + 1),
+                 j -> CASE
+                   WHEN j <= len(syms) - 1 AND sel[j] THEN ma || mb
+                   WHEN j >= 2 AND sel[j-1] THEN CAST(NULL AS VARCHAR)
+                   ELSE syms[j] END),
+               x -> x IS NOT NULL) AS syms, n
+      FROM {m}g
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, a AS left, b AS right, "
+        f"a || b AS merged, CAST(cnt AS BIGINT) AS n FROM t{s}"
+        for s in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@query("bpe_merges_k", oracle=_bpe_oracle_sql(5))
+def q_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training, 5 merge rounds over the corpus word
+    vocabulary — the real tokenizer-training inner loop (extends
+    bpe_merge_step, which computed only the first round's statistics).
+    See operators/corpus.py::bpe_merges for the scale shape (one
+    corpus shuffle up front; per-round work is vocab-sized, merge
+    application is a map-only fold, the per-round argmax is a 1-row
+    driver collect — bounded metadata like the k-means loop)."""
+    from kafka_dbsync_spark.operators.corpus import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, k=5)

@@ -174,3 +174,50 @@ def test_countmin_never_undercounts(spark):
     assert rows
     for r in rows:
         assert r["n_est"] >= r["n_exact"], r
+
+
+def test_bpe_merge_fold_greedy_left(spark):
+    """_merge_pair_expr pins leftmost-first non-overlapping BPE merge
+    semantics, including the self-pair overlap case (a,a) on odd runs."""
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.operators.corpus import _merge_pair_expr
+
+    df = spark.createDataFrame(
+        [(["h", "e", "r", "d", "e", "r"],),
+         (["a", "a", "a"],),
+         (["a", "a", "a", "a"],),
+         (["x"],),
+         (["e", "r"],)],
+        "syms array<string>",
+    )
+    er = [r[0] for r in
+          df.select(_merge_pair_expr(F.col("syms"), "e", "r")).collect()]
+    assert er[0] == ["h", "er", "d", "er"]
+    assert er[4] == ["er"]
+    aa = [r[0] for r in
+          df.select(_merge_pair_expr(F.col("syms"), "a", "a")).collect()]
+    assert aa[1] == ["aa", "a"]          # greedy-left on the odd run
+    assert aa[2] == ["aa", "aa"]
+    assert aa[3] == ["x"]                # untouched word
+
+
+def test_bpe_merges_trains_k_rounds(spark):
+    """bpe_merges on a tiny corpus: deterministic trace, monotone vocab
+    compression, round-1 pair equals the corpus argmax."""
+    from kafka_dbsync_spark.operators.corpus import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the theme thesis"), (2, "the theme"), (3, "then the")],
+        "doc_id long, text string",
+    )
+    rows = bpe_merges(docs, k=3).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    # all 7 words start 'the', so (t,h) and (h,e) both count 7 — the
+    # lexicographic tie-break picks (h,e)
+    assert (rows[0]["left"], rows[0]["right"], rows[0]["n"]) == ("h", "e", 7)
+    assert rows[0]["merged"] == "he"
+    # round 2 must count pairs over the MERGED vocab: (t,he) now adjacent
+    assert (rows[1]["left"], rows[1]["right"], rows[1]["n"]) == ("t", "he", 7)
+    # round 3: (m,e) and (the,m) tie at 2; 'm' < 'the' lexicographically
+    assert (rows[2]["left"], rows[2]["right"], rows[2]["n"]) == ("m", "e", 2)
