@@ -4877,3 +4877,81 @@ def q_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_merges(docs, k=5)
+
+
+@query(
+    "lake_snapshot_read",
+    # Per-version oracle: the versioned sink's state AS OF version v must
+    # equal a bounded LWW replay of events up to the v-th epoch cutoff
+    # (same reconstruction as cdc_state_at, at 1/3, 2/3, 3/3 of the
+    # stream) — proving both the incremental merge and the manifests'
+    # point-in-time reads.
+    oracle=f"""
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+    vs AS (SELECT unnest([1, 2, 3]) AS version),
+    ranked AS (
+      SELECT v.version, e.event_id, e.user_id, e.event_type, e.value, e.props,
+             {_SQL_OPS} AS op,
+             row_number() OVER (
+               PARTITION BY v.version, e.user_id ORDER BY e.event_id DESC
+             ) AS rn
+      FROM events e, mx, vs v
+      WHERE e.event_id <= (mx.m * v.version) // 3
+        AND {_SQL_OPS} <> 'corrupt'
+    )
+    SELECT version, user_id, event_id AS last_event_id, event_type, value, props
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def q_lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the versioned lake sink: apply the events change
+    stream as THREE epochs (event_id thirds) through
+    ``VersionedParquetMergeSink``, then read every version back via its
+    manifest — the Delta ``VERSION AS OF`` parity query. Each version's
+    rows must equal a bounded LWW replay up to that epoch's cutoff.
+
+    Scale shape: each apply touches only the batch's hash buckets and
+    writes them into an immutable new version dir; a snapshot read lists
+    exactly one manifest's ≤ num_buckets paths. The sink dir is a fresh
+    tmpdir per call (driver-side metadata only)."""
+    import tempfile
+
+    from kafka_dbsync_spark.streaming.table_sink import VersionedParquetMergeSink
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).head()[0]  # one scalar: epoch cutoffs
+    sink = VersionedParquetMergeSink(
+        tempfile.mkdtemp(prefix="lake_snapshot_"),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        num_buckets=8,
+    )
+    for v in (1, 2, 3):
+        lo, hi = mx * (v - 1) // 3, mx * v // 3
+        batch = ev.filter(
+            (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(hi))
+        )
+        iidr = validate_iidr(with_operation(events_as_iidr_stream(batch)))
+        valid, _ = split_corrupt(iidr)
+        sink.apply_batch(
+            valid.select(
+                "user_id",
+                F.col("offset").alias("last_event_id"),
+                "event_type",
+                "value",
+                "props",
+                "op",
+                "offset",
+            ),
+            epoch_id=v,
+        )
+    reads = [
+        sink.read(spark, version=v).withColumn("version", F.lit(v).cast("long"))
+        for v in (1, 2, 3)
+    ]
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "version", "user_id", "last_event_id", "event_type", "value", "props"
+    )

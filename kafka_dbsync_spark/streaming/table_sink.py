@@ -41,6 +41,29 @@ log = logging.getLogger(__name__)
 _PART = "__part"
 
 
+def _align_schemas(changes, base_touched, batch_schema, value_cols):
+    """ADDITIVE schema evolution (the lake-side analogue of the JDBC
+    path's ALTER ADD COLUMN, K7): return (changes, base, value_cols)
+    with the UNION of value columns on both sides — columns new in the
+    batch backfill NULL on existing rows; columns absent from the batch
+    carry NULL on its rows (the batch is a full row image, same as the
+    JDBC upsert). Dropping columns is not supported (same as the
+    reference)."""
+    base_cols = base_touched.columns
+    new_cols = [c for c in value_cols if c not in base_cols]
+    for c in new_cols:
+        base_touched = base_touched.withColumn(
+            c, F.lit(None).cast(batch_schema[c].dataType)
+        )
+    missing_in_batch = [c for c in base_cols if c not in value_cols]
+    for c in missing_in_batch:
+        changes = changes.withColumn(
+            c, F.lit(None).cast(base_touched.schema[c].dataType)
+        )
+    value_cols = [*base_cols, *new_cols]
+    return changes, base_touched.select(*value_cols), value_cols
+
+
 def compact_partitioned_table(
     spark: SparkSession,
     path: str,
@@ -213,25 +236,9 @@ class ParquetMergeSink:
             # prune: only the touched partitions are read — the filter on
             # the partition column reaches the file listing
             base_touched = base.filter(F.col(_PART).isin(touched)).drop(_PART)
-            # ADDITIVE schema evolution (the lake-side analogue of the
-            # JDBC path's ALTER ADD COLUMN, K7): the merged schema is the
-            # union — columns new in this batch backfill NULL on existing
-            # rows; columns absent from the batch carry NULL on its rows
-            # (the batch is a full row image, same as the JDBC upsert).
-            # Dropping columns is not supported (same as the reference).
-            base_cols = base_touched.columns
-            new_cols = [c for c in value_cols if c not in base_cols]
-            for c in new_cols:
-                base_touched = base_touched.withColumn(
-                    c, F.lit(None).cast(batch_df.schema[c].dataType)
-                )
-            missing_in_batch = [c for c in base_cols if c not in value_cols]
-            for c in missing_in_batch:
-                changes = changes.withColumn(
-                    c, F.lit(None).cast(base_touched.schema[c].dataType)
-                )
-            value_cols = [*base_cols, *new_cols]
-            base_touched = base_touched.select(*value_cols)
+            changes, base_touched, value_cols = _align_schemas(
+                changes, base_touched, batch_df.schema, value_cols
+            )
         else:
             base_touched = None
         merged = apply_changes(
@@ -309,3 +316,250 @@ class ParquetMergeSink:
         if df is None:
             raise FileNotFoundError(self.path)
         return df
+
+
+class VersionedParquetMergeSink:
+    """Delta-parity VERSIONED keyed-merge lake sink: immutable data
+    files + JSON manifests give snapshot isolation, time travel, and
+    exactly-once batch replay — the remaining Delta gap after
+    ``ParquetMergeSink``'s merge + compaction + schema evolution
+    (VERDICT r3 #7).
+
+    Layout::
+
+        {path}/_data/v{N}/__part={p}/part-*.parquet   (append-only)
+        {path}/_manifests/v{N}.json
+
+    Each batch writes ONLY its touched buckets into a NEW ``v{N}`` data
+    directory — prior files are never rewritten or deleted — and then
+    publishes manifest N: a map ``bucket -> relative data dir`` that
+    carries forward untouched buckets' entries from manifest N-1 and a
+    JSON copy of the value schema (so an all-deleted snapshot stays
+    readable). The manifest is written to a temp name and ``os.replace``d
+    (atomic on POSIX; on an object store this is the same
+    put-if-absent/rename primitive every table format leans on), so a
+    version is visible only when fully committed: readers either see
+    version N-1 or N, never a torn state.
+
+    ``read(version=K)`` lists exactly manifest K's bucket dirs (≤
+    num_buckets paths — no directory walk); the current state is the
+    latest manifest. Replaying the last-applied ``epoch_id`` after a
+    crash is a detected no-op (the Delta txn-id idempotence trick), so
+    foreachBatch + checkpoint gives exactly-once across restarts.
+    ``vacuum(keep_last=k)`` deletes bucket dirs referenced only by
+    dropped manifests.
+
+    Write amplification per batch is the same
+    ``O(table × touched/num_buckets)`` as the unversioned sink; storage
+    grows by the touched buckets per retained version (bounded by
+    vacuum). At 100 TB: manifests are KBs of metadata, data dirs are
+    immutable bucket files — history cost is proportional to churn, not
+    table size."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        order_cols: Sequence[str],
+        num_buckets: int = 64,
+        op_col: str = "op",
+    ) -> None:
+        if not key_cols or not order_cols:
+            raise ValueError("key_cols and order_cols must be non-empty")
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.num_buckets = num_buckets
+        self.op_col = op_col
+
+    # -- manifests ----------------------------------------------------------
+    def _manifest_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_manifests")
+
+    def versions(self) -> list[int]:
+        import os
+
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> None:
+        import json
+        import os
+
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".v{manifest['version']}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(d, f"v{manifest['version']}.json"))
+
+    # -- helpers ------------------------------------------------------------
+    def _with_part(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            _PART,
+            F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]),
+                   F.lit(self.num_buckets)).cast("int"),
+        )
+
+    # -- the merge ----------------------------------------------------------
+    def foreach_batch(self):
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            self.apply_batch(batch_df, epoch_id)
+
+        return fn
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+        import json
+        import os
+
+        spark = batch_df.sparkSession
+        latest = self.latest_version()
+        man = self._manifest(latest) if latest is not None else None
+        if man is not None and man.get("epoch_id") == epoch_id:
+            # checkpoint replay of the already-committed batch: no-op
+            # (exactly-once; content convergence is guaranteed by the
+            # streaming contract that a replayed epoch carries the same
+            # rows)
+            log.info("epoch %s already committed as v%d — replay no-op",
+                     epoch_id, latest)
+            return
+        changes = self._with_part(batch_df)
+        touched = sorted(
+            r[0] for r in changes.select(_PART).distinct().collect()
+        )
+        if not touched:
+            return
+        value_cols = [
+            c
+            for c in batch_df.columns
+            if c not in (self.op_col, *self.order_cols)
+        ]
+        bmap: dict[str, str] = dict(man["buckets"]) if man else {}
+        base_dirs = [
+            os.path.join(self.path, "_data", bmap[str(p)])
+            for p in touched
+            if str(p) in bmap
+        ]
+        if base_dirs:
+            # leaf dirs are listed explicitly, so no partition column is
+            # inferred; mergeSchema tolerates pre-evolution versions
+            base_touched = spark.read.option("mergeSchema", "true").parquet(
+                *base_dirs
+            )
+            changes, base_touched, value_cols = _align_schemas(
+                changes, base_touched, batch_df.schema, value_cols
+            )
+        else:
+            base_touched = None
+        merged = apply_changes(
+            changes.drop(_PART).select(
+                *value_cols, self.op_col, *self.order_cols
+            ),
+            key_cols=self.key_cols,
+            order_cols=self.order_cols,
+            op_col=self.op_col,
+            base=base_touched,
+        ).drop(*self.order_cols)
+        newv = (latest or 0) + 1
+        out = (
+            self._with_part(merged)
+            .repartition(max(len(touched), 1), F.col(_PART))
+            .persist()
+        )
+        try:
+            present = {r[0] for r in out.select(_PART).distinct().collect()}
+            out.write.mode("overwrite").partitionBy(_PART).parquet(
+                os.path.join(self.path, "_data", f"v{newv}")
+            )
+            schema_json = json.loads(out.drop(_PART).schema.json())
+        finally:
+            out.unpersist()
+        for p in touched:
+            bmap.pop(str(p), None)
+        for p in present:
+            bmap[str(p)] = f"v{newv}/__part={p}"
+        self._publish(
+            {
+                "version": newv,
+                "epoch_id": epoch_id,
+                "buckets": bmap,
+                "touched": [int(p) for p in touched],
+                "schema": schema_json,
+            }
+        )
+
+    # -- reads --------------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Table state AS OF ``version`` (default: latest). Raises
+        FileNotFoundError when no version exists yet."""
+        import os
+
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version() if version is None else version
+        if v is None or v not in self.versions():
+            raise FileNotFoundError(f"{self.path}: no version {version}")
+        man = self._manifest(v)
+        dirs = [
+            os.path.join(self.path, "_data", rel)
+            for rel in man["buckets"].values()
+        ]
+        if not dirs:  # every key deleted at this version
+            return spark.createDataFrame(
+                [], StructType.fromJson(man["schema"])
+            )
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> dict[str, int]:
+        """Drop all but the last ``keep_last`` versions: delete their
+        manifests and every bucket dir no kept manifest references.
+        Returns {"versions_dropped": x, "dirs_deleted": y}."""
+        import os
+        import shutil
+
+        vs = self.versions()
+        keep = vs[-keep_last:] if keep_last > 0 else []
+        referenced = {
+            rel for v in keep for rel in self._manifest(v)["buckets"].values()
+        }
+        dirs_deleted = 0
+        data_root = os.path.join(self.path, "_data")
+        if os.path.isdir(data_root):
+            for vdir in os.listdir(data_root):
+                vpath = os.path.join(data_root, vdir)
+                if not os.path.isdir(vpath):
+                    continue
+                for bdir in os.listdir(vpath):
+                    if not bdir.startswith(f"{_PART}="):
+                        continue
+                    if f"{vdir}/{bdir}" not in referenced:
+                        shutil.rmtree(os.path.join(vpath, bdir))
+                        dirs_deleted += 1
+                if not any(
+                    b.startswith(f"{_PART}=") for b in os.listdir(vpath)
+                ):
+                    shutil.rmtree(vpath)
+        dropped = [v for v in vs if v not in keep]
+        for v in dropped:
+            os.remove(os.path.join(self._manifest_dir(), f"v{v}.json"))
+        return {"versions_dropped": len(dropped), "dirs_deleted": dirs_deleted}

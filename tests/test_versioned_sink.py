@@ -1,0 +1,154 @@
+"""VersionedParquetMergeSink: snapshot isolation + time travel on the
+lake merge path (the Delta VERSION AS OF parity surface)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.streaming.table_sink import VersionedParquetMergeSink
+
+SCHEMA = "user_id long, name string, op string, offset long"
+
+
+def _sink(tmp_path, name="vlake"):
+    return VersionedParquetMergeSink(
+        str(tmp_path / name),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        num_buckets=8,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _state(df):
+    return {r["user_id"]: r["name"] for r in df.collect()}
+
+
+def test_three_batches_time_travel(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(
+        _batch(spark, [(1, "a1", "upsert", 1), (2, "b1", "upsert", 2)]), 1
+    )
+    s.apply_batch(
+        _batch(spark, [(1, "a2", "upsert", 3), (3, "c1", "upsert", 4)]), 2
+    )
+    s.apply_batch(_batch(spark, [(2, None, "delete", 5)]), 3)
+    assert s.versions() == [1, 2, 3]
+    assert _state(s.read(spark, version=1)) == {1: "a1", 2: "b1"}
+    assert _state(s.read(spark, version=2)) == {1: "a2", 2: "b1", 3: "c1"}
+    assert _state(s.read(spark, version=3)) == {1: "a2", 3: "c1"}
+    # default read = latest
+    assert _state(s.read(spark)) == {1: "a2", 3: "c1"}
+
+
+def test_old_files_are_immutable(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    v1 = str(tmp_path / "vlake" / "_data" / "v1")
+    before = {
+        (d, f): os.path.getmtime(os.path.join(v1, d, f))
+        for d in os.listdir(v1)
+        if os.path.isdir(os.path.join(v1, d))
+        for f in os.listdir(os.path.join(v1, d))
+    }
+    s.apply_batch(_batch(spark, [(1, "a2", "upsert", 2)]), 2)
+    after = {
+        (d, f): os.path.getmtime(os.path.join(v1, d, f))
+        for d in os.listdir(v1)
+        if os.path.isdir(os.path.join(v1, d))
+        for f in os.listdir(os.path.join(v1, d))
+    }
+    assert before == after  # v1's files untouched by the v2 commit
+
+
+def test_replay_of_committed_epoch_is_noop(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 7)
+    assert s.versions() == [1]
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 7)  # replay
+    assert s.versions() == [1]  # no new version
+    assert _state(s.read(spark)) == {1: "a1"}
+
+
+def test_all_deleted_snapshot_reads_empty_with_schema(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 2)]), 2)
+    empty = s.read(spark, version=2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"user_id", "name"}
+    assert _state(s.read(spark, version=1)) == {1: "a1"}  # history intact
+
+
+def test_vacuum_drops_history_keeps_latest(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, "a2", "upsert", 2)]), 2)
+    s.apply_batch(_batch(spark, [(2, "b1", "upsert", 3)]), 3)
+    stats = s.vacuum(keep_last=1)
+    assert stats["versions_dropped"] == 2 and stats["dirs_deleted"] >= 1
+    assert s.versions() == [3]
+    # the kept snapshot still reads, including carried-forward buckets
+    assert _state(s.read(spark)) == {1: "a2", 2: "b1"}
+    with pytest.raises(FileNotFoundError):
+        s.read(spark, version=1)
+
+
+def test_additive_schema_evolution_across_versions(spark, tmp_path):
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    evolved = spark.createDataFrame(
+        [(2, "b1", 9.5, "upsert", 2)],
+        "user_id long, name string, score double, op string, offset long",
+    )
+    s.apply_batch(evolved, 2)
+    cur = s.read(spark)
+    rows = {r["user_id"]: (r["name"], r["score"]) for r in cur.collect()}
+    assert rows == {1: ("a1", None), 2: ("b1", 9.5)}
+    # v1 predates the column; mergeSchema read of v1 alone has no score
+    assert "score" not in s.read(spark, version=1).columns
+
+
+def test_versioned_restart_e2e(spark, tmp_path):
+    """Two checkpointed streaming runs (kill and resume) into the
+    versioned sink: each micro-batch commits a version, the replayed
+    epoch after restart is a no-op, and EVERY historical version stays
+    point-in-time readable — time travel across restarts."""
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    s = _sink(tmp_path)
+
+    def run_once(rows):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(s.foreach_batch())
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once([(1, "a1", "upsert", 1), (2, "b1", "upsert", 2)])
+    v_after_run1 = s.latest_version()
+    assert v_after_run1 is not None
+    run_once([(1, "a2", "upsert", 3), (2, None, "delete", 4)])
+    assert s.latest_version() > v_after_run1
+    assert _state(s.read(spark, version=v_after_run1)) == {1: "a1", 2: "b1"}
+    assert _state(s.read(spark)) == {1: "a2"}
+    # a third run with no new data must not create a version
+    before = s.versions()
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .writeStream.foreachBatch(s.foreach_batch())
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert s.versions() == before
