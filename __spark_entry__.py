@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_search_served",
     "bpe_merges_k",
     "lake_snapshot_read",
+    "ann_recall_report",
 ]
 
 

@@ -132,6 +132,9 @@ def main() -> None:
     # ONE compact line (headline numbers + the contract-required per-query
     # medians, ~1.5 KB); the best/first-run columns and the delta map go
     # to a separate detail artifact next to this script.
+    detail_name = os.environ.get(
+        "SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_latest.json"
+    )
     compact = {
         "metric": "headline_suite_wall_seconds",
         "value": round(total, 3),  # median-of-3 per query, summed
@@ -142,7 +145,7 @@ def main() -> None:
         "cdc_apply_events_per_sec": apply_rate,
         "best_suite_wall_seconds": round(total_best, 3),
         "first_run_suite_wall_seconds": round(total_first, 3),
-        "detail_file": "BENCH_DETAIL_latest.json",
+        "detail_file": detail_name,
     }
     detail = dict(
         compact,
@@ -154,7 +157,7 @@ def main() -> None:
         delta_best_vs_prev=delta,
         prev_bench=prev_name,
     )
-    (Path(__file__).resolve().parent / "BENCH_DETAIL_latest.json").write_text(
+    (Path(__file__).resolve().parent / detail_name).write_text(
         json.dumps(detail, indent=1) + "\n"
     )
     print(json.dumps(compact))

@@ -113,18 +113,24 @@ def adc_distance_expr(query_src, d_sub: int = 8, dist_decimals: int = 6):
     (array<int>) and the broadcast ``__books`` column: Σ over subspaces
     of the rounded squared-L2 between the query subvector (sliced from
     ``query_src`` — a literal array or a per-row column) and the row's
-    SELECTED codeword. The codeword is looked up by its code FIELD, not
-    dense array position — entries may be sparse when some id%k residue
-    class had no training rows (ADVICE r3); the filter scans a
-    k-element broadcast array per subspace, same cost class as the
-    encode fold. Shared by ``pq_adc_topk``, ``ivfpq_search``, and the
-    persisted-index serving path (operators/pq_index.py)."""
+    SELECTED codeword. The codeword is selected by its code FIELD, not
+    blindly by dense array position — entries may be sparse when some
+    id%k residue class had no training rows (ADVICE r3). Lookup is
+    two-tier: an O(1) positional guess (``F.get`` — 0-based, NULL-safe
+    under ANSI) verified against the code field, falling back to an
+    O(k) filter scan only on mismatch — dense codebooks (the normal
+    case) never pay the scan. Shared by ``pq_adc_topk``,
+    ``ivfpq_search``, and the persisted-index serving path
+    (operators/pq_index.py)."""
 
     def term(s):
         qsub = F.slice(query_src, s["m"] * d_sub + 1, d_sub)
         code = F.element_at(F.col("codes"), s["m"] + 1)
-        e = F.element_at(
-            F.filter(s["entries"], lambda en: en["code"] == code), 1
+        guess = F.get(s["entries"], code)  # dense case: entries[code]
+        e = F.when(guess["code"] == code, guess).otherwise(
+            F.element_at(
+                F.filter(s["entries"], lambda en: en["code"] == code), 1
+            )
         )
         return F.round(_d2(qsub, e["cvec"]), dist_decimals)
 

@@ -4955,3 +4955,80 @@ def q_lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "version", "user_id", "last_event_id", "event_type", "value", "props"
     )
+
+
+@query(
+    "ann_recall_report",
+    # Recall@10 of IVF probe search vs the exact full-scan cosine top-10,
+    # swept over nprobe 1..4 — the index-tuning curve ("how many cells
+    # until recall saturates"). Both sides share the cosine rounding (4)
+    # and (score DESC, vec_id) tie-break of similarity_topk/ivf_search.
+    oracle=_SQL_IVF_PREFIX
+    + """
+    , q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT a.vec_id, a.centroid_id,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (x,y) -> x + y))),
+               4) AS cs
+      FROM assigned a JOIN e USING (vec_id) CROSS JOIN q
+    ), exact AS (
+      SELECT vec_id FROM scored ORDER BY cs DESC, vec_id LIMIT 10
+    ), cellrank AS (
+      SELECT cid, row_number() OVER (ORDER BY
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i -> (qv[i] - c[i]) * (qv[i] - c[i]))),
+                 (a, b) -> a + b), 6), cid) AS crk
+      FROM cvec CROSS JOIN q
+    ), np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+    cand AS (
+      SELECT np.nprobe, s.vec_id,
+             row_number() OVER (
+               PARTITION BY np.nprobe ORDER BY s.cs DESC, s.vec_id
+             ) AS rk
+      FROM scored s
+      JOIN cellrank cr ON s.centroid_id = cr.cid
+      CROSS JOIN np
+      WHERE cr.crk <= np.nprobe
+    ), top AS (SELECT nprobe, vec_id FROM cand WHERE rk <= 10)
+    SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
+           CAST(count(x.vec_id) AS BIGINT) AS hits,
+           CAST(count(x.vec_id) * 1000 AS BIGINT) AS recall_bp
+    FROM top t LEFT JOIN exact x USING (vec_id)
+    GROUP BY t.nprobe
+    """,
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality curve: recall@10 of `ivf_search` against the
+    exact full-scan cosine top-10 for the vec_id=0 query, at nprobe
+    1..4 — the tuning question every IVF deployment asks (probe cost vs
+    recall). Each probe search is the partition-prunable cell scan; the
+    exact side is one broadcast-query TakeOrdered full scan (run once —
+    at 100 TB you'd sample queries, not skip the measurement).
+    recall_bp = hits × 1000 (k=10 → 10000 bp = perfect)."""
+    from kafka_dbsync_spark.operators.similarity import cosine_topk, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    qv = qrow.head()[0]
+    cents = q_ivf_centroids(spark, sf_dir)
+    exact = cosine_topk(emb, qrow, k=10).select("vec_id")
+    out = None
+    for n in (1, 2, 3, 4):
+        hits = (
+            ivf_search(emb, cents, qv, nprobe=n, k=10)
+            .select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(n).cast("long").alias("nprobe"),
+                F.col("hits").cast("long").alias("hits"),
+                (F.col("hits") * F.lit(1000)).cast("long").alias("recall_bp"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
