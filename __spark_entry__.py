@@ -54,6 +54,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_merges_k",
     "lake_snapshot_read",
     "ann_recall_report",
+    "pq_index_add",
 ]
 
 

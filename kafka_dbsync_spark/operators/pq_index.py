@@ -198,3 +198,32 @@ def pq_adc_search_index(
         .orderBy("adc_dist", "vec_id")
         .limit(k_top)
     )
+
+
+def pq_index_add(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    d_sub: int = 8,
+) -> None:
+    """Incremental index maintenance — the FAISS ``add()`` half of the
+    build/serve split: encode NEW vectors with the STORED coarse
+    centroids and codebooks (no retrain — retraining would invalidate
+    every previously-encoded code) and append them to the existing
+    artifact partitions. At 100 TB this is the daily-ingest path: the
+    quantizers are frozen index metadata, ingestion is a map-only
+    encode + partitioned append touching only the cells the new
+    vectors land in. Periodic full rebuilds (``build_pq_index``)
+    re-train when drift accumulates — the standard IVF operating
+    procedure, measured by the ``ann_recall_report`` curve."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/pq_codebooks")
+    resid = with_residuals(new_embeddings, cents)
+    pq_encode(
+        resid, cb, d_sub=d_sub, vec_col="resid",
+        keep_cols=("label", "centroid_id"),
+    ).write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")
+    fcb = spark.read.parquet(f"{path}/flat_codebooks")
+    pq_encode(new_embeddings, fcb, d_sub=d_sub).write.mode("append").parquet(
+        f"{path}/flat_codes"
+    )

@@ -5032,3 +5032,73 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+@query(
+    "pq_index_add",
+    # Half-train oracle: centroids train ONLY on even vec_ids (the
+    # initial build), yet every vector — including the odd half added
+    # later — must be assigned/encoded with those FROZEN quantizers. A
+    # retrain-on-add implementation would shift the per-cell counts and
+    # fail this oracle.
+    oracle="""
+    WITH comp AS (
+      SELECT label, i.dim, embedding[i.dim] AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) i
+      WHERE vec_id % 2 = 0
+    ), cent AS (
+      SELECT label, dim,
+             round(CAST(CAST(sum(CAST(v AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                   / count(*), 6) AS centroid
+      FROM comp GROUP BY label, dim
+    ), cvec AS (
+      SELECT label AS cid, list(centroid ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), assigned AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT e.vec_id, cv.cid,
+               round(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65), i -> (v[i] - cv.c[i]) * (v[i] - cv.c[i]))),
+                   (a, b) -> a + b), 6) AS dist
+        FROM e CROSS JOIN cvec cv
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    )
+    SELECT CAST(centroid_id AS BIGINT) AS cell, count(*) AS n_codes
+    FROM assigned GROUP BY centroid_id
+    """,
+)
+def q_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index ingest (FAISS ``add()``): build the index on
+    the EVEN vec_ids, then append the odd half encoded with the FROZEN
+    quantizers (operators/pq_index.py::pq_index_add — map-only encode +
+    partitioned append). Output: per-cell code counts of the grown
+    index, read back from the codes partitions. Uses its own cache dir
+    so the full-index served queries are never contaminated."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        index_path_for,
+        pq_index_add,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    # even-half centroids (same label-mean construction as ivf_centroids)
+    comp = even.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    cents = comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid")
+    )
+    path = index_path_for(sf_dir) + "_halfadd"
+    build_pq_index(spark, even, cents, path)
+    pq_index_add(spark, path, odd)
+    codes = spark.read.parquet(f"{path}/codes")
+    return codes.groupBy(
+        F.col("centroid_id").cast("long").alias("cell")
+    ).agg(F.count("*").alias("n_codes"))

@@ -91,3 +91,48 @@ def test_index_path_is_per_dataset():
     a = index_path_for("/root/testdata/sf0.001")
     b = index_path_for("/root/testdata/sf0.01")
     assert a != b and a.endswith("sf0.001") and b.endswith("sf0.01")
+
+
+def test_add_encodes_with_frozen_quantizers(spark, tmp_path):
+    """pq_index_add (FAISS add()): new vectors append to the codes
+    partitions encoded with the STORED codebooks — the codebook and
+    centroid artifacts must be byte-identical after the add, the code
+    count must grow by exactly the added rows, and an added vector must
+    be findable by the served search."""
+    import os as _os
+
+    from kafka_dbsync_spark.operators.pq_index import pq_index_add
+    from kafka_dbsync_spark.queries import QUERIES
+
+    path = str(tmp_path / "growidx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, even, cents, path)
+
+    def artifact_files(a):
+        d = f"{path}/{a}"
+        return {
+            f: _os.path.getmtime(_os.path.join(d, f))
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    cb_before = artifact_files("pq_codebooks")
+    fcb_before = artifact_files("flat_codebooks")
+    n_before = spark.read.parquet(f"{path}/codes").count()
+
+    pq_index_add(spark, path, odd)
+
+    assert artifact_files("pq_codebooks") == cb_before      # frozen
+    assert artifact_files("flat_codebooks") == fcb_before   # frozen
+    n_after = spark.read.parquet(f"{path}/codes").count()
+    assert n_after == n_before + odd.count()
+    assert spark.read.parquet(f"{path}/flat_codes").count() == emb.count()
+    # an ADDED (odd) vector is its own nearest neighbor in the grown index
+    target = odd.select("vec_id").orderBy("vec_id").head()["vec_id"]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == target).head()["embedding"]]
+    top = ivfpq_search_index(spark, path, qv, nprobe=2, k_top=5).collect()
+    assert any(r["vec_id"] == target for r in top)

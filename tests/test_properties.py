@@ -278,3 +278,46 @@ def test_bloom_superset_property(spark, corpus, bench):
     exact = {r["doc_id"] for r in contaminated_docs(cdf, bdf, k=8).collect()}
     flagged = {r["doc_id"] for r in bloom_contaminated(cdf, bdf, k=8).collect()}
     assert exact <= flagged
+
+
+def _py_bpe_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy-left non-overlapping BPE merge (the classic
+    tokenizer-training scan)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    ),
+    pair=st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c"), ("c", "c")]),
+)
+@SETTINGS
+def test_bpe_merge_fold_matches_python_reference(spark, words, pair):
+    """The JVM aggregate fold (_merge_pair_expr) must equal the classic
+    sequential greedy-left merge on arbitrary symbol sequences —
+    including self-pairs on odd runs and merged-symbol collisions
+    ('ab' as an atomic symbol vs an (a,b) merge)."""
+    from kafka_dbsync_spark.operators.corpus import _merge_pair_expr
+
+    a, b = pair
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, syms array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _merge_pair_expr(F.col("syms"), a, b).alias("m")
+        ).collect()
+    }
+    assert got == {i: _py_bpe_merge(w, a, b) for i, w in enumerate(words)}

@@ -54,6 +54,20 @@ SHUFFLE_BUDGET = {
     "value_histogram": 1,           # one partial-agg exchange
     "funnel_conversion": 2,         # per-user conditional-min agg + scalar rollup
     "retention_cohorts": 3,         # firsts agg + distinct + cohort agg
+    # round-4 persisted-index / lake / BPE queries. The *_served plans'
+    # exchanges are ALL on the tiny broadcast-side codebook restructure
+    # (1024 rows); the data side is a pruned scan + TakeOrdered with no
+    # exchange — the point of the build/serve split.
+    "pq_index_build": 5,            # 5 per-artifact count aggs (summary read-back)
+    "pq_adc_search_served": 3,      # codebooks_as_array restructure only
+    "ivfpq_search_served": 3,       # same + broadcast qres/books joins
+    "pq_index_add": 1,              # per-cell count agg over the grown codes
+    "bpe_merges_k": 0,              # result is the collected 5-row merge trace;
+    # per-round pair aggs ran at construction time (driver loop)
+    "lake_snapshot_read": 0,        # manifest-listed parquet union read;
+    # the 3 epoch merges ran at construction time
+    "ann_recall_report": 3,         # 4 single-row unioned count aggs (static
+    # plan shares exchanges; per-nprobe scans prune by probe cells)
     "textrank_keywords": 3,         # per-round contributions join + agg
     # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
