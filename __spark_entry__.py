@@ -55,6 +55,8 @@ _DRIVER_PRIORITY: list[str] = [
     "lake_snapshot_read",
     "ann_recall_report",
     "pq_index_add",
+    "fingerprint_overlap_pairs",
+    "bpe_token_counts",
 ]
 
 

@@ -359,6 +359,40 @@ def bpe_merges(
     corpus-weighted count of the pair at merge time. Ties break by
     (left, right) so the trace is engine-portable."""
     spark = docs.sparkSession
+    merges, _ = _bpe_train(docs, k, max_word_len, text_col)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, n long"
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    k: int = 5,
+    top: int = 30,
+    max_word_len: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY half of the tokenizer loop: train ``k`` merges
+    (``bpe_merges``), tokenize the vocabulary with them, and return the
+    corpus-weighted top-``top`` token counts — the segmentation a
+    k-merge BPE tokenizer would actually produce. Output:
+    (token, n_occ), ties by token."""
+    _, final_vocab = _bpe_train(docs, k, max_word_len, text_col)
+    return (
+        final_vocab.select(F.explode("syms").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "token")
+        .limit(top)
+    )
+
+
+def _bpe_train(
+    docs: DataFrame, k: int, max_word_len: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """Shared trainer: returns (merge trace, final merged vocab DF
+    (syms, n)). The final vocab is left unpersisted (callers consume it
+    once)."""
     norm = normalize_text(F.col(text_col))
     words = (
         docs.filter(norm != "")
@@ -406,8 +440,8 @@ def bpe_merges(
             ).persist()
             persisted.append(cur)
     finally:
+        # the final vocab stays computable from lineage after unpersist;
+        # intermediate rounds were materialized by each round's collect
         for p in persisted:
             p.unpersist()
-    return spark.createDataFrame(
-        merges, "step long, left string, right string, merged string, n long"
-    )
+    return merges, cur.select("syms", "n")

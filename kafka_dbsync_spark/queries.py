@@ -3905,9 +3905,10 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(emb)
 
 
-@query(
-    "winnowing_fingerprints",
-    oracle=f"""
+# shared winnowing CTE chain (t → s → h → sel → u): 3-token shingles,
+# 8-hex md5 gram hashes, rightmost-minimum pick per window of 4. Used by
+# the winnowing_fingerprints oracle and the overlap-pairs oracle.
+_SQL_WINNOW_PREFIX = f"""
     WITH t AS (
       SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS wds
       FROM documents WHERE text IS NOT NULL
@@ -3933,6 +3934,13 @@ def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), u AS (
       SELECT doc_id, unnest(picks) AS pick FROM sel
     )
+"""
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=_SQL_WINNOW_PREFIX
+    + """
     SELECT DISTINCT doc_id, CAST(pick.j AS BIGINT) AS pos, pick.m AS fp FROM u
     """,
 )
@@ -4792,7 +4800,7 @@ def q_ivfpq_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search_index(spark, path, [float(x) for x in qv])
 
 
-def _bpe_oracle_sql(k: int = 5) -> str:
+def _bpe_oracle_sql(k: int = 5, final: str | None = None) -> str:
     """Unrolled k-round BPE oracle: each round re-counts weighted
     adjacent pairs over the current vocab, takes the (cnt DESC, a, b)
     argmax, and applies the merge. DuckDB has no loop construct, so the
@@ -4856,12 +4864,13 @@ def _bpe_oracle_sql(k: int = 5) -> str:
                x -> x IS NOT NULL) AS syms, n
       FROM {m}g
     )""")
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({s} AS BIGINT) AS step, a AS left, b AS right, "
-        f"a || b AS merged, CAST(cnt AS BIGINT) AS n FROM t{s}"
-        for s in range(1, k + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    if final is None:
+        final = " UNION ALL ".join(
+            f"SELECT CAST({s} AS BIGINT) AS step, a AS left, b AS right, "
+            f"a || b AS merged, CAST(cnt AS BIGINT) AS n FROM t{s}"
+            for s in range(1, k + 1)
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 @query("bpe_merges_k", oracle=_bpe_oracle_sql(5))
@@ -5102,3 +5111,82 @@ def q_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.groupBy(
         F.col("centroid_id").cast("long").alias("cell")
     ).agg(F.count("*").alias("n_codes"))
+
+
+@query(
+    "fingerprint_overlap_pairs",
+    oracle=_SQL_WINNOW_PREFIX
+    + """
+    , d AS (SELECT DISTINCT doc_id, pick.m AS fp FROM u),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM d
+      ) WHERE rn <= 20
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50
+    """,
+)
+def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection (the MOSS use of winnowing): document
+    pairs sharing ≥ 2 selected fingerprints — shared runs of ≥ 6 tokens
+    are GUARANTEED to surface (winnowing's coverage theorem), unlike
+    whole-document hashing or probabilistic MinHash. The join keys on
+    the fingerprint hash (uniform) with docs-per-fingerprint CAPPED at
+    20 before the self-join — boilerplate fingerprints shared by
+    thousands of docs can't go quadratic (the LSH bounded-bucket rule,
+    VERDICT r1). One fp-hash shuffle + one pair agg + TakeOrdered."""
+    from kafka_dbsync_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs).select("doc_id", "fp").distinct()
+    w = W.partitionBy("fp").orderBy("doc_id")
+    capped = (
+        fps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@query(
+    "bpe_token_counts",
+    oracle=_bpe_oracle_sql(
+        5,
+        final="""
+    SELECT u.s AS token, CAST(sum(u.n) AS BIGINT) AS n_occ
+    FROM (SELECT unnest(syms) AS s, n FROM v5) u
+    GROUP BY u.s ORDER BY n_occ DESC, token LIMIT 30
+    """,
+    ),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer train→APPLY loop closed: train 5 BPE merges, then
+    tokenize the corpus vocabulary with them and report the top-30
+    corpus-weighted token counts — what the learned tokenizer actually
+    emits (operators/corpus.py::bpe_token_counts). Same scale shape as
+    bpe_merges_k plus one final explode + uniform-key agg."""
+    from kafka_dbsync_spark.operators.corpus import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, k=5, top=30)
