@@ -221,3 +221,23 @@ def test_bpe_merges_trains_k_rounds(spark):
     assert (rows[1]["left"], rows[1]["right"], rows[1]["n"]) == ("t", "he", 7)
     # round 3: (m,e) and (the,m) tie at 2; 'm' < 'the' lexicographically
     assert (rows[2]["left"], rows[2]["right"], rows[2]["n"]) == ("m", "e", 2)
+
+
+def test_bpe_empty_and_degenerate_corpus(spark):
+    """BPE trainer edges: an all-single-char vocab has pairs only when
+    words have >=2 chars; an effectively empty corpus yields an empty
+    trace (no crash, no NULL rows)."""
+    from kafka_dbsync_spark.operators.corpus import bpe_merges, bpe_token_counts
+
+    empty = spark.createDataFrame(
+        [(1, "  "), (2, None), (3, "!!!")], "doc_id long, text string"
+    )
+    assert bpe_merges(empty, k=3).collect() == []
+    assert bpe_token_counts(empty, k=3).collect() == []
+    singles = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    assert bpe_merges(singles, k=2).collect() == []  # no adjacent pairs
+    toks = {r["token"]: r["n_occ"]
+            for r in bpe_token_counts(singles, k=2).collect()}
+    assert toks == {"a": 2, "b": 2, "c": 1}  # untouched char vocab

@@ -356,6 +356,77 @@ def main() -> None:
         f"= {e0 * factor / dt:,.0f} vecs/s scanned"
     )
 
+    # Persisted-index serve path at volume: build once (timed), then
+    # serve many — the second number is the steady-state query cost and
+    # must be a fraction of the fused search above.
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        ivfpq_search_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="probe_pqidx_")
+    try:
+        t0 = time.perf_counter()
+        build_pq_index(spark, bigemb, cents, idx_dir)
+        dt_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            assert ivfpq_search_index(spark, idx_dir, qv, nprobe=2).count() == 10
+        dt_serve = (time.perf_counter() - t0) / 3
+        print(
+            f"pq_index build {e0 * factor} vectors: {dt_build:.2f}s; "
+            f"served search: {dt_serve:.2f}s/query "
+            f"({dt_build / max(dt_serve, 1e-9):.0f}x build/serve split)"
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Versioned lake sink write amplification: apply `factor` batches,
+    # each touching ~1/factor of the keys, into a 64-bucket versioned
+    # table. The check: per-batch merge cost tracks the TOUCHED buckets
+    # (manifest carries the rest forward), and every historical version
+    # stays readable.
+    from kafka_dbsync_spark.streaming.table_sink import VersionedParquetMergeSink
+
+    lake_dir = tempfile.mkdtemp(prefix="probe_vlake_")
+    try:
+        sink = VersionedParquetMergeSink(
+            lake_dir, key_cols=["user_id"], order_cols=["offset"],
+            num_buckets=64,
+        )
+        changes_all = valid.select(
+            "user_id", "event_type", "value", "props", "op", "offset"
+        )
+        # realistic CDC shape: each batch mutates a NARROW key set (20
+        # distinct users) — write amplification must track the few
+        # buckets those keys hash into, not the 64-bucket table
+        t0 = time.perf_counter()
+        for i in range(5):
+            sink.apply_batch(
+                changes_all.filter(
+                    (F.col("user_id") % 1000 >= i * 20)
+                    & (F.col("user_id") % 1000 < i * 20 + 20)
+                ),
+                epoch_id=i,
+            )
+        n_batches = 5
+        dt = time.perf_counter() - t0
+        vs = sink.versions()
+        touched = [sink._manifest(v)["touched"] for v in vs]
+        n_hist = sink.read(spark, version=vs[0]).count()
+        n_cur = sink.read(spark).count()
+        print(
+            f"versioned_sink: {n_batches} batches ({n} events pool) in "
+            f"{dt:.2f}s = {dt / n_batches:.2f}s/batch; versions={vs}, "
+            f"touched buckets/batch={[len(t) for t in touched]}, "
+            f"v1 rows={n_hist} (time travel), latest rows={n_cur}"
+        )
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
