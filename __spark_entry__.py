@@ -57,6 +57,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_index_add",
     "fingerprint_overlap_pairs",
     "bpe_token_counts",
+    "timeseries_gap_fill",
+    "fk_integrity_report",
 ]
 
 

@@ -5190,3 +5190,137 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_token_counts(docs, k=5, top=30)
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.h, hr.value, hr.value IS NULL AS is_filled
+      FROM grid g
+      LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING
+           ) AS value_ff,
+           is_filled
+    FROM j
+    """,
+)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per user, one row per HOUR
+    between that user's first and last event, carrying the last
+    observed value across gaps (``is_filled`` marks synthesized rows) —
+    the gap-filling step every downstream rolling/feature computation
+    assumes. Arithmetic-free value pass-through (bit-identical across
+    engines); per-hour dedup is a deterministic max_by on (ts,
+    event_id).
+
+    Scale shape: ONE user-key shuffle serves the hourly dedup, the
+    bounds agg, and the fill window; the grid explode is bounded by the
+    per-user time span (the generated rows never exceed users × hours
+    — data-independent of event volume)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.max_by(
+                "value", F.struct(F.col("ts"), F.col("event_id"))
+            ).alias("value")
+        )
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "value", F.col("value").isNull().alias("is_filled")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.last("value", ignorenulls=True).over(w).alias("value_ff"),
+        "is_filled",
+    )
+
+
+_FK_RELATIONS = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+@query(
+    "fk_integrity_report",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS relation,
+           (SELECT count(*) FROM {child}) AS n_child,
+           (SELECT count(*) FROM {child} WHERE {ckey} IS NULL) AS n_null_fk,
+           (SELECT count(*) FROM {child} c
+            WHERE {ckey} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pkey} = c.{ckey})) AS n_orphans
+    """
+        for name, child, ckey, parent, pkey in _FK_RELATIONS
+    ),
+)
+def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report (the dbt-style data-quality gate a
+    pipeline runs before training): per FK relation, child row count,
+    NULL-FK count, and orphan count (non-null FK with no parent).
+    Orphan detection is a LEFT ANTI join — the parent side broadcasts
+    when it's a dim (customer/part/supplier); lineitem→orders is the
+    honest big-big shuffle anti join. One pass per relation, no
+    collects."""
+    out = None
+    for name, child, ckey, parent, pkey in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        orphans = (
+            c.filter(F.col(ckey).isNotNull())
+            .join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.col(ckey).isNull().cast("long")).alias("n_null_fk"),
+        )
+        row = (
+            stats.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
