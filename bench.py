@@ -64,6 +64,10 @@ HEADLINE = [
     # pq_adc_search/ivfpq_search rows to see the build/serve split.
     "pq_adc_search_served",
     "ivfpq_search_served",
+    # r4: the per-user resample window (~1M generated rows at sf0.1) and
+    # the 4-relation anti-join integrity sweep
+    "timeseries_gap_fill",
+    "fk_integrity_report",
 ]
 
 

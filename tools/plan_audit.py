@@ -68,6 +68,14 @@ SHUFFLE_BUDGET = {
     # the 3 epoch merges ran at construction time
     "ann_recall_report": 3,         # 4 single-row unioned count aggs (static
     # plan shares exchanges; per-nprobe scans prune by probe cells)
+    "fingerprint_overlap_pairs": 4,  # fp distinct + cap window + pair agg
+    # + TakeOrdered (all on the uniform fp / pair keys)
+    "bpe_token_counts": 2,          # final vocab token agg + TakeOrdered
+    # (the 5 training rounds ran at construction time)
+    "timeseries_gap_fill": 2,       # one (user,hour) agg + the user fill
+    # window; bounds agg and grid reuse the same partitioning
+    "fk_integrity_report": 8,       # 4 relations × (stats agg + orphan
+    # count agg); anti joins broadcast their parent side at test SF
     "textrank_keywords": 3,         # per-round contributions join + agg
     # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
