@@ -427,14 +427,27 @@ class VersionedParquetMergeSink:
 
         return fn
 
-    def apply_batch(self, batch_df: DataFrame, epoch_id: int = 0) -> None:
+    def apply_batch(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> None:
+        """Merge one batch into a new version. ``epoch_id`` enables the
+        exactly-once replay guard: when set (foreachBatch always sets
+        it), re-applying the LAST-committed epoch is a no-op. Leave it
+        None for ad-hoc batch writes — a None epoch is never treated as
+        a replay, so two successive default-argument calls commit two
+        versions (a 0-default here would silently DROP the second
+        batch)."""
         import json
         import os
 
         spark = batch_df.sparkSession
         latest = self.latest_version()
         man = self._manifest(latest) if latest is not None else None
-        if man is not None and man.get("epoch_id") == epoch_id:
+        if (
+            man is not None
+            and epoch_id is not None
+            and man.get("epoch_id") == epoch_id
+        ):
             # checkpoint replay of the already-committed batch: no-op
             # (exactly-once; content convergence is guaranteed by the
             # streaming contract that a replayed epoch carries the same

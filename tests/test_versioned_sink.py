@@ -152,3 +152,14 @@ def test_versioned_restart_e2e(spark, tmp_path):
     )
     q.awaitTermination()
     assert s.versions() == before
+
+
+def test_default_epoch_batches_both_commit(spark, tmp_path):
+    """Ad-hoc batch API: two apply_batch calls WITHOUT epoch ids must
+    commit two versions — a default epoch value must never make the
+    second batch look like a replay of the first."""
+    s = _sink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]))
+    s.apply_batch(_batch(spark, [(2, "b1", "upsert", 2)]))
+    assert s.versions() == [1, 2]
+    assert _state(s.read(spark)) == {1: "a1", 2: "b1"}
