@@ -59,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_token_counts",
     "timeseries_gap_fill",
     "fk_integrity_report",
+    "triangle_counts",
 ]
 
 

@@ -5324,3 +5324,87 @@ def q_fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "triangle_counts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ), capped AS (
+      SELECT pa, pb FROM (
+        SELECT pa, pb, row_number() OVER (PARTITION BY pa ORDER BY pb) AS rn
+        FROM edges
+      ) WHERE rn <= 50
+    ), tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM capped e1
+      JOIN capped e2 ON e1.pa = e2.pa AND e1.pb < e2.pb
+      JOIN capped e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    ), verts AS (
+      SELECT x AS part FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT part, count(*) AS n_triangles
+    FROM verts GROUP BY part
+    ORDER BY n_triangles DESC, part LIMIT 20
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per part in the co-purchase graph (edges =
+    part pairs sharing ≥ 2 orders) — the clustering-coefficient
+    numerator, the classic graph pattern whose naive form explodes.
+    Scale guards: edges are ID-ORIENTED (pa < pb, each triangle
+    enumerated exactly once from its lowest vertex) and per-vertex
+    adjacency is CAPPED at 50 before the two-hop join (the LSH
+    bounded-bucket rule; the production alternative is degree-ordered
+    orientation, which bounds out-degree at O(√m) without a cap). Two
+    hash joins on uniform edge keys + one explode agg + TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    b = li.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+    )
+    pairs = li.join(
+        b,
+        (F.col("l_orderkey") == F.col("ok_b"))
+        & (F.col("l_partkey") < F.col("pb")),
+    ).select(F.col("l_partkey").alias("pa"), "pb")
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    capped = (
+        edges.withColumn(
+            "rn", F.row_number().over(W.partitionBy("pa").orderBy("pb"))
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    e1 = capped.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = capped.select(F.col("pa").alias("x2"), F.col("pb").alias("z"))
+    e3 = capped.select(F.col("pa").alias("y3"), F.col("pb").alias("z3"))
+    wedges = e1.join(
+        e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z"))
+    )
+    tri = wedges.join(
+        e3, (F.col("y") == F.col("y3")) & (F.col("z") == F.col("z3"))
+    ).select("x", "y", "z")
+    verts = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("part")
+    )
+    return (
+        verts.groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(20)
+    )
