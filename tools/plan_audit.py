@@ -76,6 +76,9 @@ SHUFFLE_BUDGET = {
     # window; bounds agg and grid reuse the same partitioning
     "fk_integrity_report": 8,       # 4 relations × (stats agg + orphan
     # count agg); anti joins broadcast their parent side at test SF
+    "triangle_counts": 6,           # basket pair agg + edge agg + cap
+    # window + two edge-key joins + vertex agg + TakeOrdered (all
+    # uniform keys; static plan re-derives the capped-edge branch)
     "textrank_keywords": 3,         # per-round contributions join + agg
     # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
