@@ -136,3 +136,14 @@ def test_add_encodes_with_frozen_quantizers(spark, tmp_path):
           emb.filter(F.col("vec_id") == target).head()["embedding"]]
     top = ivfpq_search_index(spark, path, qv, nprobe=2, k_top=5).collect()
     assert any(r["vec_id"] == target for r in top)
+
+
+def test_served_search_nprobe_exceeding_cells(built, spark):
+    """nprobe larger than the cell count degrades gracefully to an
+    all-cell scan (select_probe_cells returns every cell once)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = ivfpq_search_index(spark, built, qv, nprobe=1000, k_top=10).collect()
+    assert len(top) == 10
+    dists = [r["adc_dist"] for r in top]
+    assert dists == sorted(dists)
