@@ -60,6 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "timeseries_gap_fill",
     "fk_integrity_report",
     "triangle_counts",
+    "canonical_docs",
 ]
 
 

@@ -5408,3 +5408,80 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "part")
         .limit(20)
     )
+
+
+@query(
+    "canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE cand AS ({{lsh}}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    clusters AS (
+      SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             len({_SQL_NORM.format(c='d.text')}) AS quality
+      FROM clusters c JOIN ({{planted}}) d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT r.cluster_id, r.doc_id AS kept_doc, r.quality AS kept_quality,
+           CAST(n.n AS BIGINT) AS n_members,
+           CAST(n.n - 1 AS BIGINT) AS n_dropped
+    FROM ranked r
+    JOIN (SELECT cluster_id, count(*) AS n FROM scored GROUP BY cluster_id) n
+      USING (cluster_id)
+    WHERE r.rn = 1
+    """.format(lsh=_sql_lsh_pairs(), planted=_SQL_PLANTED),
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT step: per near-dup cluster, select
+    the canonical document to KEEP (highest normalized-text length —
+    the standard keep-the-longest heuristic — ties to the lowest id)
+    and report the members dropped. Composes the LSH candidate pairs →
+    connected components → per-cluster argmax; singleton docs never
+    enter a cluster and are implicitly kept. One extra shuffle on the
+    cluster id past the components fixpoint."""
+    from kafka_dbsync_spark.operators.dedup import minhash_lsh_candidates
+    from kafka_dbsync_spark.operators.graph import connected_components
+
+    docs = _planted_docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.length(normalize_text(F.col("text"))).alias("quality")),
+        "doc_id",
+    )
+    per = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("quality")),
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")),
+        ).alias("kept"),
+        F.count("*").alias("n_members"),
+    )
+    return per.select(
+        "cluster_id",
+        F.col("kept.doc_id").alias("kept_doc"),
+        F.col("kept.quality").alias("kept_quality"),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )
