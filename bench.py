@@ -68,6 +68,9 @@ HEADLINE = [
     # the 4-relation anti-join integrity sweep
     "timeseries_gap_fill",
     "fk_integrity_report",
+    # r4: the two-hop graph join and the dedup keep-list composition
+    "triangle_counts",
+    "canonical_docs",
 ]
 
 

@@ -321,3 +321,48 @@ def test_bpe_merge_fold_matches_python_reference(spark, words, pair):
         ).collect()
     }
     assert got == {i: _py_bpe_merge(w, a, b) for i, w in enumerate(words)}
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] != p[1]),
+        max_size=20,
+    ),
+)
+@SETTINGS
+def test_triangle_join_matches_python_reference(spark, edges):
+    """The two-hop triangle join (id-oriented edges, each triangle
+    counted once from its lowest vertex) must match brute-force
+    enumeration on arbitrary small graphs — per-vertex counts included."""
+    if not edges:
+        return
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    import itertools
+
+    want = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+
+    capped = spark.createDataFrame(sorted(edges), "pa long, pb long")
+    e1 = capped.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = capped.select(F.col("pa").alias("x2"), F.col("pb").alias("z"))
+    e3 = capped.select(F.col("pa").alias("y3"), F.col("pb").alias("z3"))
+    tri = (
+        e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
+        .join(e3, (F.col("y") == F.col("y3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    got = {
+        r["part"]: r["n"]
+        for r in tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+        .groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

@@ -79,6 +79,10 @@ SHUFFLE_BUDGET = {
     "triangle_counts": 6,           # basket pair agg + edge agg + cap
     # window + two edge-key joins + vertex agg + TakeOrdered (all
     # uniform keys; static plan re-derives the capped-edge branch)
+    "canonical_docs": 1,            # only the cluster argmax agg remains
+    # in the static plan: the components fixpoint materializes at
+    # construction time via localCheckpoint (same pattern as
+    # dedup_clusters / the BPE driver loop)
     "textrank_keywords": 3,         # per-round contributions join + agg
     # (checkpoint-truncated lineage may hide rounds from the static plan)
     "rolling_1h_value": 1,          # per-user window sort
