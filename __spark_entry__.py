@@ -61,6 +61,8 @@ _DRIVER_PRIORITY: list[str] = [
     "fk_integrity_report",
     "triangle_counts",
     "canonical_docs",
+    "min_price_suppliers",
+    "nation_market_share",
 ]
 
 

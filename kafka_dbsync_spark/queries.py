@@ -5485,3 +5485,149 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "min_price_suppliers",
+    # TPC-H Q2 SHAPE adapted to the available tables (no partsupp):
+    # correlated "supplier with the minimum unit price for this part"
+    # scalar subquery, decorrelated into a per-part min + equi-join.
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT pk, min(unit_price) AS min_price FROM offers GROUP BY pk
+    ), pick AS (
+      SELECT o.pk, min(o.sk) AS sk, b.min_price
+      FROM offers o JOIN best b ON o.pk = b.pk AND o.unit_price = b.min_price
+      GROUP BY o.pk, b.min_price
+    )
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           s.s_name AS supplier, n.n_name AS nation, pk.min_price
+    FROM pick pk
+    JOIN part p ON p.p_partkey = pk.pk
+    JOIN supplier s ON s.s_suppkey = pk.sk
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY pk.min_price DESC, partkey LIMIT 25
+    """,
+)
+def q_min_price_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min decorrelation: for each part, the
+    supplier offering the lowest observed unit price (ties → lowest
+    suppkey), ranked by that price. The correlated scalar subquery
+    becomes one (part, supplier) agg + a per-part min + an equi-join —
+    the plan Catalyst's decorrelation would produce, written directly.
+    Dimension joins (part/supplier/nation) broadcast; the only wide ops
+    are the two uniform-key aggs sharing the part-hash shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
+            "unit_price"
+        )
+    )
+    best = offers.groupBy("pk").agg(F.min("unit_price").alias("min_price"))
+    o, b = offers.alias("o"), best.alias("b")
+    pick = (
+        o.join(
+            b,
+            (F.col("o.pk") == F.col("b.pk"))
+            & (F.col("o.unit_price") == F.col("b.min_price")),
+        )
+        .select(F.col("o.pk").alias("pk"), "sk", "min_price")
+        .groupBy("pk", "min_price")
+        .agg(F.min("sk").alias("sk"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        pick.join(F.broadcast(part), pick["pk"] == part["p_partkey"])
+        .join(F.broadcast(supp), pick["sk"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            "min_price",
+        )
+        .orderBy(F.col("min_price").desc(), "partkey")
+        .limit(25)
+    )
+
+
+@query(
+    "nation_market_share",
+    # TPC-H Q8 SHAPE: a nation's revenue share within its region per
+    # order year — conditional-sum ratio, emitted as floor-scaled
+    # integer basis points (the engine-portable division rule).
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4)) * 10000) AS BIGINT) AS rev4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name, CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
+    ), tot AS (
+      SELECT region, yr, sum(rev4) AS total4 FROM rev GROUP BY region, yr
+    )
+    SELECT rev.region, rev.yr, rev.nation,
+           CAST(rev.rev4 // 10000 AS BIGINT) AS revenue_i,
+           CAST((rev.rev4 * 10000) // tot.total4 AS BIGINT) AS share_bp
+    FROM rev JOIN tot ON rev.region = tot.region AND rev.yr = tot.yr
+    WHERE (rev.rev4 * 10000) // tot.total4 >= 1500
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: per (region, order year), each
+    supplier nation's revenue share — reported only where the nation
+    holds ≥ 15% (share in floor-scaled integer basis points over
+    decimal-exact 4-dp revenue units, so the ratio is engine-exact).
+    One wide lineitem⋈orders join; supplier/nation/region broadcast;
+    the share is a second agg on the (region, yr) key that reuses the
+    first agg's output (no rescan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rev4 = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                    * F.lit(10000)
+                )
+            ).cast("long").alias("rev4")
+        )
+    )
+    tot = rev4.groupBy("region", "yr").agg(F.sum("rev4").alias("total4"))
+    share = (F.col("rev4") * F.lit(10000)) / F.col("total4")
+    return (
+        rev4.join(tot, ["region", "yr"])
+        .select(
+            "region", "yr", "nation",
+            F.floor(F.col("rev4") / F.lit(10000)).cast("long").alias("revenue_i"),
+            F.floor(share).cast("long").alias("share_bp"),
+        )
+        .filter(F.col("share_bp") >= 1500)
+    )
