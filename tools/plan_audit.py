@@ -79,6 +79,12 @@ SHUFFLE_BUDGET = {
     "triangle_counts": 6,           # basket pair agg + edge agg + cap
     # window + two edge-key joins + vertex agg + TakeOrdered (all
     # uniform keys; static plan re-derives the capped-edge branch)
+    "min_price_suppliers": 3,       # offers agg + per-part min agg +
+    # pick agg (all sharing the part-hash key); dims broadcast, top-k
+    # is TakeOrdered
+    "nation_market_share": 3,       # lineitem⋈orders broadcasts at test
+    # SF (shuffle-joins at scale); revenue agg + the (region,yr) total
+    # agg + its join back
     "canonical_docs": 1,            # only the cluster argmax agg remains
     # in the static plan: the components fixpoint materializes at
     # construction time via localCheckpoint (same pattern as
