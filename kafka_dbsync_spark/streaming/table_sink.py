@@ -39,6 +39,7 @@ from kafka_dbsync_spark.operators.merge import apply_changes
 log = logging.getLogger(__name__)
 
 _PART = "__part"
+_DELETED = "__deleted"
 
 
 def _align_schemas(changes, base_touched, batch_schema, value_cols):
@@ -363,7 +364,18 @@ class VersionedParquetMergeSink:
         order_cols: Sequence[str],
         num_buckets: int = 64,
         op_col: str = "op",
+        ordered: bool = False,
     ) -> None:
+        """``ordered=True`` stores the ORDER COLUMNS and tombstone rows
+        in the table itself, so cross-batch LWW compares true change
+        orders instead of assuming batches arrive in order: a replayed
+        batch carrying an OLDER offset than the stored state cannot
+        regress an upsert or resurrect a deleted key (the same
+        watermark-through-tombstones guarantee the state-v2 LWW
+        processor keeps — ADVICE r3). Default False preserves the
+        in-order streaming contract's leaner table (no order/tombstone
+        storage; tombstone retention cost is proportional to deleted
+        keys until a vacuum-style purge)."""
         if not key_cols or not order_cols:
             raise ValueError("key_cols and order_cols must be non-empty")
         self.path = path
@@ -371,6 +383,7 @@ class VersionedParquetMergeSink:
         self.order_cols = list(order_cols)
         self.num_buckets = num_buckets
         self.op_col = op_col
+        self.ordered = ordered
 
     # -- manifests ----------------------------------------------------------
     def _manifest_dir(self) -> str:
@@ -478,20 +491,26 @@ class VersionedParquetMergeSink:
             base_touched = spark.read.option("mergeSchema", "true").parquet(
                 *base_dirs
             )
-            changes, base_touched, value_cols = _align_schemas(
-                changes, base_touched, batch_df.schema, value_cols
-            )
         else:
             base_touched = None
-        merged = apply_changes(
-            changes.drop(_PART).select(
-                *value_cols, self.op_col, *self.order_cols
-            ),
-            key_cols=self.key_cols,
-            order_cols=self.order_cols,
-            op_col=self.op_col,
-            base=base_touched,
-        ).drop(*self.order_cols)
+        if self.ordered:
+            merged = self._merge_ordered(
+                changes.drop(_PART), base_touched, batch_df.schema, value_cols
+            )
+        else:
+            if base_touched is not None:
+                changes, base_touched, value_cols = _align_schemas(
+                    changes, base_touched, batch_df.schema, value_cols
+                )
+            merged = apply_changes(
+                changes.drop(_PART).select(
+                    *value_cols, self.op_col, *self.order_cols
+                ),
+                key_cols=self.key_cols,
+                order_cols=self.order_cols,
+                op_col=self.op_col,
+                base=base_touched,
+            ).drop(*self.order_cols)
         newv = (latest or 0) + 1
         out = (
             self._with_part(merged)
@@ -540,7 +559,55 @@ class VersionedParquetMergeSink:
             return spark.createDataFrame(
                 [], StructType.fromJson(man["schema"])
             )
-        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if self.ordered:
+            # tombstone rows and the stored order watermark are internal
+            # bookkeeping; snapshots expose only live rows
+            df = df.filter(~F.col(_DELETED)).drop(_DELETED, *self.order_cols)
+        return df
+
+    # -- the ordered (out-of-order-safe) merge ------------------------------
+    def _merge_ordered(self, changes, base_touched, batch_schema, value_cols):
+        """Cross-batch LWW by TRUE change order: stored rows carry the
+        order columns and a tombstone flag, so a later batch replaying
+        an order BELOW the stored watermark loses — upserts cannot
+        regress and deletes cannot be resurrected under out-of-order
+        delivery. Ties (same key, same order — an exact replay) favor
+        the incoming row (identical content by the replay contract)."""
+        from kafka_dbsync_spark.operators.merge import latest_by_key
+
+        c = changes.withColumn(
+            _DELETED, F.col(self.op_col) != F.lit(OP_UPSERT)
+        ).drop(self.op_col)
+        if base_touched is not None:
+            base_value_cols = [
+                col
+                for col in base_touched.columns
+                if col not in (*self.order_cols, _DELETED)
+            ]
+            new_cols = [col for col in value_cols if col not in base_value_cols]
+            for col in new_cols:
+                base_touched = base_touched.withColumn(
+                    col, F.lit(None).cast(batch_schema[col].dataType)
+                )
+            missing = [col for col in base_value_cols if col not in value_cols]
+            for col in missing:
+                c = c.withColumn(
+                    col, F.lit(None).cast(base_touched.schema[col].dataType)
+                )
+            value_cols = [*base_value_cols, *new_cols]
+            cols = [*value_cols, *self.order_cols, _DELETED]
+            u = (
+                base_touched.select(*cols).withColumn("__src", F.lit(0))
+                .unionByName(c.select(*cols).withColumn("__src", F.lit(1)))
+            )
+        else:
+            u = c.select(
+                *value_cols, *self.order_cols, _DELETED
+            ).withColumn("__src", F.lit(1))
+        return latest_by_key(
+            u, self.key_cols, [*self.order_cols, "__src"]
+        ).drop("__src")
 
     # -- maintenance --------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> dict[str, int]:

@@ -163,3 +163,62 @@ def test_default_epoch_batches_both_commit(spark, tmp_path):
     s.apply_batch(_batch(spark, [(2, "b1", "upsert", 2)]))
     assert s.versions() == [1, 2]
     assert _state(s.read(spark)) == {1: "a1", 2: "b1"}
+
+
+def _osink(tmp_path):
+    return VersionedParquetMergeSink(
+        str(tmp_path / "olake"),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        num_buckets=8,
+        ordered=True,
+    )
+
+
+def test_ordered_mode_blocks_out_of_order_regression(spark, tmp_path):
+    """ordered=True: a later batch replaying an OLDER offset must not
+    overwrite newer stored state (the default mode trusts the in-order
+    streaming contract and would regress here)."""
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "new", "upsert", 5)]), 1)
+    s.apply_batch(_batch(spark, [(1, "stale", "upsert", 3)]), 2)
+    assert _state(s.read(spark)) == {1: "new"}
+    # and a genuinely newer change still wins
+    s.apply_batch(_batch(spark, [(1, "newest", "upsert", 7)]), 3)
+    assert _state(s.read(spark)) == {1: "newest"}
+
+
+def test_ordered_mode_tombstone_blocks_resurrection(spark, tmp_path):
+    """ordered=True: a late pre-delete upsert (offset below the stored
+    tombstone's) cannot resurrect the deleted key — the lake twin of the
+    state-v2 tombstone-watermark fix."""
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(2, "b", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(2, None, "delete", 5)]), 2)
+    assert _state(s.read(spark)) == {}
+    s.apply_batch(_batch(spark, [(2, "ghost", "upsert", 3)]), 3)
+    assert _state(s.read(spark)) == {}          # still deleted
+    # a post-delete upsert revives the key
+    s.apply_batch(_batch(spark, [(2, "b2", "upsert", 7)]), 4)
+    assert _state(s.read(spark)) == {2: "b2"}
+
+
+def test_ordered_mode_time_travel_and_clean_schema(spark, tmp_path):
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 2)]), 2)
+    v1 = s.read(spark, version=1)
+    assert _state(v1) == {1: "a1"}
+    # snapshots hide the bookkeeping columns
+    assert set(v1.columns) == {"user_id", "name"}
+    assert _state(s.read(spark, version=2)) == {}
+
+
+def test_default_mode_documents_inorder_contract(spark, tmp_path):
+    """The DEFAULT sink trusts ordered delivery: an out-of-order replay
+    DOES regress — pinned here so the contract difference between the
+    two modes stays explicit."""
+    s = _sink(tmp_path, name="plain")
+    s.apply_batch(_batch(spark, [(1, "new", "upsert", 5)]), 1)
+    s.apply_batch(_batch(spark, [(1, "stale", "upsert", 3)]), 2)
+    assert _state(s.read(spark)) == {1: "stale"}
