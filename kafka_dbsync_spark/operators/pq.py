@@ -313,6 +313,42 @@ def ivfpq_search(
     )
 
 
+def ivfpq_refine(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k_top: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Exact re-rank of an ADC candidate set — the FAISS
+    ``IndexRefineFlat`` stage (Jégou et al., TPAMI 2011 §V.C): ADC
+    distances are quantization approximations, so production serving
+    over-fetches k′ > k candidates from the PQ index and re-orders them
+    by EXACT similarity against the raw vectors before returning the
+    final top-k.
+
+    Scale shape: ``candidates`` is ≤ k′ rows (already TakeOrdered), so
+    it broadcasts; the raw-vector fetch is a broadcast semi-join into
+    the embeddings table (at 100 TB the runtime row-group filter on the
+    id column prunes the scan — k′ point lookups, not a full pass), and
+    the exact cosine is the same JVM-side fold as ``cosine_topk`` with
+    the same (rounded score DESC, id) deterministic order. No shuffle;
+    the only wide op is the final k-row TakeOrdered."""
+    from kafka_dbsync_spark.functions.vectors import cosine
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = embeddings.select(F.col(id_col), F.col(vec_col))
+    return (
+        raw.join(F.broadcast(candidates), id_col)
+        .withColumn("exact_cs", F.round(cosine(vec_col, qlit), score_decimals))
+        .drop(vec_col, "adc_dist")
+        .orderBy(F.col("exact_cs").desc(), F.col(id_col))
+        .limit(k_top)
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks_long: DataFrame,

@@ -174,6 +174,30 @@ def ivfpq_search_index(
     )
 
 
+def ivfpq_search_refined_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    nprobe: int = 2,
+    k_top: int = 10,
+    k_prime: int = 50,
+    d_sub: int = 8,
+) -> DataFrame:
+    """IVF-PQ search with exact re-rank (FAISS ``IndexRefineFlat``):
+    over-fetch the top ``k_prime`` ADC candidates from the persisted
+    index, then re-order them by exact cosine against the raw vectors
+    (``operators/pq.py::ivfpq_refine``) and return the top ``k_top``.
+    Adds one broadcast semi-join of ≤ k′ ids into the raw table to the
+    serving plan — no new shuffle shape."""
+    from kafka_dbsync_spark.operators.pq import ivfpq_refine
+
+    cand = ivfpq_search_index(
+        spark, path, query_vec, nprobe=nprobe, k_top=k_prime, d_sub=d_sub
+    )
+    return ivfpq_refine(cand, embeddings, query_vec, k_top=k_top)
+
+
 def pq_adc_search_index(
     spark: SparkSession,
     path: str,

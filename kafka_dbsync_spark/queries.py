@@ -3634,9 +3634,13 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivfpq_search",
-    oracle=_SQL_IVF_PREFIX
+# Shared IVF-PQ oracle CTE chain, split in two: the ENCODING half
+# (coarse assign → residual → 8×16 PQ codebooks → codes; query-
+# independent) and the 2-cell-probe ADC half. The fused search, the
+# served twin, the refined re-rank, and the recall report all derive
+# from these templates.
+_SQL_PQENC_CTES = (
+    _SQL_IVF_PREFIX
     + """
     , resid AS (
       SELECT a.vec_id, e.label, a.centroid_id,
@@ -3664,7 +3668,14 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (a, b) -> a + b), 6) AS d2
         FROM resid CROSS JOIN pcbv
       ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) = 1
-    ), q AS (
+    )
+    """
+)
+
+_SQL_IVFPQ_CTES = (
+    _SQL_PQENC_CTES
+    + """
+    , q AS (
       SELECT v AS qv FROM e WHERE vec_id = 0
     ), probe AS (
       SELECT cid FROM cvec CROSS JOIN q
@@ -3686,12 +3697,22 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT enc.vec_id, enc.label, enc.centroid_id, l.m, l.dd
       FROM enc JOIN lut l
         ON l.cid = enc.centroid_id AND l.m = enc.m AND l.code = enc.code
+    ), adc AS (
+      SELECT vec_id, label, centroid_id,
+             round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
+                   (a, b) -> a + b), 4) AS adc_dist
+      FROM encl GROUP BY vec_id, label, centroid_id
     )
-    SELECT vec_id, label, centroid_id,
-           round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
-                 (a, b) -> a + b), 4) AS adc_dist
-    FROM encl GROUP BY vec_id, label, centroid_id
-    ORDER BY adc_dist, vec_id LIMIT 10
+    """
+)
+
+
+@query(
+    "ivfpq_search",
+    oracle=_SQL_IVFPQ_CTES
+    + """
+    SELECT vec_id, label, centroid_id, adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """,
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4800,6 +4821,54 @@ def q_ivfpq_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search_index(spark, path, [float(x) for x in qv])
 
 
+# The oracle's exact-cosine expression (rounded 4, same fold order as
+# functions/vectors.py::cosine) — shared by the refined search and the
+# recall report.
+_SQL_COS_V_QV = """
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (x,y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (x,y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (x,y) -> x + y))),
+               4)"""
+
+
+@query(
+    "ivfpq_search_refined",
+    # Same IVF-PQ chain, but the final answer is the exact-cosine
+    # re-rank of the top-50 ADC candidates (FAISS IndexRefineFlat):
+    # the oracle IS "exact cosine order on the candidate set".
+    oracle=_SQL_IVFPQ_CTES
+    + f"""
+    , cand AS (
+      SELECT vec_id, label, centroid_id
+      FROM adc ORDER BY adc_dist, vec_id LIMIT 50
+    ), resc AS (
+      SELECT c.vec_id, c.label, c.centroid_id,
+             {_SQL_COS_V_QV} AS exact_cs
+      FROM cand c JOIN e USING (vec_id) CROSS JOIN q
+    )
+    SELECT vec_id, label, centroid_id, exact_cs
+    FROM resc ORDER BY exact_cs DESC, vec_id LIMIT 10
+    """,
+)
+def q_ivfpq_search_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search + exact re-rank (VERDICT r4 #3; FAISS
+    ``IndexRefineFlat``): over-fetch the top-50 ADC candidates from the
+    PERSISTED index, fetch their raw vectors with a broadcast semi-join
+    (≤ 50 point lookups — no new shuffle shape), and return the top-10
+    by exact cosine. This is the production serving answer: ADC order is
+    a quantization approximation; the refined order is exact on the
+    candidate set."""
+    from kafka_dbsync_spark.operators.pq_index import ivfpq_search_refined_index
+
+    path = _pq_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_search_refined_index(
+        spark, path, emb, [float(x) for x in qv], nprobe=2, k_top=10, k_prime=50
+    )
+
+
 def _bpe_oracle_sql(k: int = 5, final: str | None = None) -> str:
     """Unrolled k-round BPE oracle: each round re-counts weighted
     adjacent pairs over the current vocab, takes the (cnt DESC, a, b)
@@ -4968,22 +5037,19 @@ def q_lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_recall_report",
-    # Recall@10 of IVF probe search vs the exact full-scan cosine top-10,
-    # swept over nprobe 1..4 — the index-tuning curve ("how many cells
-    # until recall saturates"). Both sides share the cosine rounding (4)
-    # and (score DESC, vec_id) tie-break of similarity_topk/ivf_search.
-    oracle=_SQL_IVF_PREFIX
-    + """
+    # Recall@10 vs the exact full-scan cosine top-10, swept over nprobe
+    # 1..4, for THREE searchers: flat IVF (`hits`), IVF-PQ ADC
+    # (`adc_hits` — compression cost visible), and IVF-PQ + exact
+    # re-rank of the top-50 ADC candidates (`refined_hits` — what
+    # refinement buys back; VERDICT r4 #3). All sides share the cosine
+    # rounding (4) and (score DESC, vec_id) tie-break.
+    oracle=_SQL_PQENC_CTES
+    + f"""
     , q AS (
-      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id = 0
+      SELECT v AS qv FROM e WHERE vec_id = 0
     ), scored AS (
       SELECT a.vec_id, a.centroid_id,
-             round(
-               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (x,y) -> x + y)
-               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (x,y) -> x + y))
-                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (x,y) -> x + y))),
-               4) AS cs
+             {_SQL_COS_V_QV} AS cs
       FROM assigned a JOIN e USING (vec_id) CROSS JOIN q
     ), exact AS (
       SELECT vec_id FROM scored ORDER BY cs DESC, vec_id LIMIT 10
@@ -5003,43 +5069,125 @@ def q_lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cellrank cr ON s.centroid_id = cr.cid
       CROSS JOIN np
       WHERE cr.crk <= np.nprobe
-    ), top AS (SELECT nprobe, vec_id FROM cand WHERE rk <= 10)
-    SELECT CAST(t.nprobe AS BIGINT) AS nprobe,
-           CAST(count(x.vec_id) AS BIGINT) AS hits,
-           CAST(count(x.vec_id) * 1000 AS BIGINT) AS recall_bp
-    FROM top t LEFT JOIN exact x USING (vec_id)
-    GROUP BY t.nprobe
+    ), top AS (SELECT nprobe, vec_id FROM cand WHERE rk <= 10),
+    qresall AS (
+      SELECT cid, list_transform(range(1, 65), i -> qv[i] - c[i]) AS qr
+      FROM cvec CROSS JOIN q
+    ), lutall AS (
+      SELECT qresall.cid, pcbv.m, pcbv.code,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 9), d ->
+                 (qr[pcbv.m*8 + d] - pvec[d]) * (qr[pcbv.m*8 + d] - pvec[d]))),
+               (a, b) -> a + b), 6) AS dd
+      FROM pcbv CROSS JOIN qresall
+    ), encall AS (
+      SELECT enc.vec_id, enc.centroid_id, l.m, l.dd
+      FROM enc JOIN lutall l
+        ON l.cid = enc.centroid_id AND l.m = enc.m AND l.code = enc.code
+    ), adcall AS (
+      SELECT vec_id, centroid_id,
+             round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
+                   (a, b) -> a + b), 4) AS adc_dist
+      FROM encall GROUP BY vec_id, centroid_id
+    ), adcrk AS (
+      SELECT np.nprobe, a.vec_id,
+             row_number() OVER (
+               PARTITION BY np.nprobe ORDER BY a.adc_dist, a.vec_id
+             ) AS rk
+      FROM adcall a
+      JOIN cellrank cr ON a.centroid_id = cr.cid
+      CROSS JOIN np
+      WHERE cr.crk <= np.nprobe
+    ), adctop AS (SELECT nprobe, vec_id FROM adcrk WHERE rk <= 10),
+    refrk AS (
+      SELECT rc.nprobe, rc.vec_id,
+             row_number() OVER (
+               PARTITION BY rc.nprobe ORDER BY s.cs DESC, rc.vec_id
+             ) AS rrk
+      FROM (SELECT nprobe, vec_id FROM adcrk WHERE rk <= 50) rc
+      JOIN scored s USING (vec_id)
+    ), reftop AS (SELECT nprobe, vec_id FROM refrk WHERE rrk <= 10),
+    ih AS (
+      SELECT t.nprobe, count(x.vec_id) AS hits
+      FROM top t LEFT JOIN exact x USING (vec_id) GROUP BY t.nprobe
+    ), ah AS (
+      SELECT a.nprobe, count(x.vec_id) AS hits
+      FROM adctop a LEFT JOIN exact x USING (vec_id) GROUP BY a.nprobe
+    ), rh AS (
+      SELECT r.nprobe, count(x.vec_id) AS hits
+      FROM reftop r LEFT JOIN exact x USING (vec_id) GROUP BY r.nprobe
+    )
+    SELECT CAST(i.nprobe AS BIGINT) AS nprobe,
+           CAST(i.hits AS BIGINT) AS hits,
+           CAST(i.hits * 1000 AS BIGINT) AS recall_bp,
+           CAST(a.hits AS BIGINT) AS adc_hits,
+           CAST(r.hits AS BIGINT) AS refined_hits,
+           CAST(r.hits * 1000 AS BIGINT) AS refined_recall_bp
+    FROM ih i JOIN ah a ON i.nprobe = a.nprobe JOIN rh r ON i.nprobe = r.nprobe
     """,
 )
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index-quality curve: recall@10 of `ivf_search` against the
-    exact full-scan cosine top-10 for the vec_id=0 query, at nprobe
-    1..4 — the tuning question every IVF deployment asks (probe cost vs
-    recall). Each probe search is the partition-prunable cell scan; the
+    """ANN index-quality curve: recall@10 against the exact full-scan
+    cosine top-10 for the vec_id=0 query at nprobe 1..4 — the tuning
+    question every IVF deployment asks (probe cost vs recall) — for the
+    flat IVF search (`hits`), the compressed IVF-PQ ADC search
+    (`adc_hits`), and IVF-PQ with exact re-rank of the top-50 ADC
+    candidates (`refined_hits` — the improvement refinement buys;
+    VERDICT r4 #3). PQ searches run against the persisted index, so the
+    per-nprobe cost is a pruned-partition scan, not a rebuild; the
     exact side is one broadcast-query TakeOrdered full scan (run once —
     at 100 TB you'd sample queries, not skip the measurement).
     recall_bp = hits × 1000 (k=10 → 10000 bp = perfect)."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        ivfpq_search_index,
+        ivfpq_search_refined_index,
+    )
     from kafka_dbsync_spark.operators.similarity import cosine_topk, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
     qv = qrow.head()[0]
+    qf = [float(x) for x in qv]
     cents = q_ivf_centroids(spark, sf_dir)
+    path = _pq_index_dir(spark, sf_dir)
     exact = cosine_topk(emb, qrow, k=10).select("vec_id")
     out = None
     for n in (1, 2, 3, 4):
-        hits = (
+        flat = (
             ivf_search(emb, cents, qv, nprobe=n, k=10)
             .select("vec_id")
             .join(exact, "vec_id", "left_semi")
             .agg(F.count("*").alias("hits"))
+        )
+        adc = (
+            ivfpq_search_index(spark, path, qf, nprobe=n, k_top=10)
+            .select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("adc_hits"))
+        )
+        ref = (
+            ivfpq_search_refined_index(
+                spark, path, emb, qf, nprobe=n, k_top=10, k_prime=50
+            )
+            .select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("refined_hits"))
+        )
+        row = (
+            flat.crossJoin(adc)
+            .crossJoin(ref)
             .select(
                 F.lit(n).cast("long").alias("nprobe"),
                 F.col("hits").cast("long").alias("hits"),
                 (F.col("hits") * F.lit(1000)).cast("long").alias("recall_bp"),
+                F.col("adc_hits").cast("long").alias("adc_hits"),
+                F.col("refined_hits").cast("long").alias("refined_hits"),
+                (F.col("refined_hits") * F.lit(1000))
+                .cast("long")
+                .alias("refined_recall_bp"),
             )
         )
-        out = hits if out is None else out.unionByName(hits)
+        out = row if out is None else out.unionByName(row)
     return out
 
 

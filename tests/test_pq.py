@@ -146,6 +146,35 @@ def test_residuals_reconstruct(emb, spark):
         assert all(abs(x - float(y)) < 1e-9 for x, y in zip(rec, raw[r["vec_id"]]))
 
 
+def test_ivfpq_refine_exact_order_within_candidates(emb, spark):
+    """The refine stage (FAISS IndexRefineFlat) must return the top-k by
+    EXACT cosine over exactly the ADC candidate set: every refined row's
+    id comes from the candidates, scores are the rounded exact cosine,
+    and the self-query ranks first with cosine 1.0."""
+    from kafka_dbsync_spark.operators.pq import ivfpq_refine, ivfpq_search
+    from kafka_dbsync_spark.queries import QUERIES
+
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    cand = ivfpq_search(emb, cents, qv, nprobe=2, k_top=50)
+    cand_ids = {r["vec_id"] for r in cand.collect()}
+    refined = ivfpq_refine(cand, emb, qv, k_top=10).collect()
+    assert len(refined) == 10
+    assert {r["vec_id"] for r in refined} <= cand_ids
+    # exact self-similarity puts the query's own row on top
+    assert refined[0]["vec_id"] == 3 and refined[0]["exact_cs"] == 1.0
+    scores = [r["exact_cs"] for r in refined]
+    assert scores == sorted(scores, reverse=True)
+    # python cross-check of one score: plain cosine, rounded to 4
+    import math
+    other = refined[1]
+    ov = [float(x) for x in
+          emb.filter(F.col("vec_id") == other["vec_id"]).head()["embedding"]]
+    dot = sum(a * b for a, b in zip(qv, ov))
+    cs = dot / (math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in ov)))
+    assert abs(round(cs, 4) - other["exact_cs"]) < 1e-9
+
+
 def test_ivfpq_runtime_reuses_metadata_exchanges(spark):
     # the static plan re-derives the centroid/codebook metadata pipelines
     # per consumer (plan_audit budgets 11 exchanges); at RUNTIME AQE must
