@@ -4991,48 +4991,62 @@ def q_lake_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each apply touches only the batch's hash buckets and
     writes them into an immutable new version dir; a snapshot read lists
     exactly one manifest's ≤ num_buckets paths. The sink dir is a fresh
-    tmpdir per call (driver-side metadata only)."""
+    tmpdir per call, MATERIALIZED into the returned DataFrame and
+    removed before returning (ADVICE r4: repeated gate/bench runs must
+    not accumulate tmp dirs)."""
+    import shutil
     import tempfile
 
     from kafka_dbsync_spark.streaming.table_sink import VersionedParquetMergeSink
 
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("event_id")).head()[0]  # one scalar: epoch cutoffs
-    sink = VersionedParquetMergeSink(
-        tempfile.mkdtemp(prefix="lake_snapshot_"),
-        key_cols=["user_id"],
-        order_cols=["offset"],
-        num_buckets=8,
-    )
-    for v in (1, 2, 3):
-        lo, hi = mx * (v - 1) // 3, mx * v // 3
-        batch = ev.filter(
-            (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(hi))
+    sink_dir = tempfile.mkdtemp(prefix="lake_snapshot_")
+    try:
+        sink = VersionedParquetMergeSink(
+            sink_dir,
+            key_cols=["user_id"],
+            order_cols=["offset"],
+            num_buckets=8,
         )
-        iidr = validate_iidr(with_operation(events_as_iidr_stream(batch)))
-        valid, _ = split_corrupt(iidr)
-        sink.apply_batch(
-            valid.select(
-                "user_id",
-                F.col("offset").alias("last_event_id"),
-                "event_type",
-                "value",
-                "props",
-                "op",
-                "offset",
-            ),
-            epoch_id=v,
+        for v in (1, 2, 3):
+            lo, hi = mx * (v - 1) // 3, mx * v // 3
+            batch = ev.filter(
+                (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(hi))
+            )
+            iidr = validate_iidr(with_operation(events_as_iidr_stream(batch)))
+            valid, _ = split_corrupt(iidr)
+            sink.apply_batch(
+                valid.select(
+                    "user_id",
+                    F.col("offset").alias("last_event_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                    "op",
+                    "offset",
+                ),
+                epoch_id=v,
+            )
+        reads = [
+            sink.read(spark, version=v).withColumn(
+                "version", F.lit(v).cast("long")
+            )
+            for v in (1, 2, 3)
+        ]
+        out = reads[0]
+        for r in reads[1:]:
+            out = out.unionByName(r)
+        out = out.select(
+            "version", "user_id", "last_event_id", "event_type", "value", "props"
         )
-    reads = [
-        sink.read(spark, version=v).withColumn("version", F.lit(v).cast("long"))
-        for v in (1, 2, 3)
-    ]
-    out = reads[0]
-    for r in reads[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        "version", "user_id", "last_event_id", "event_type", "value", "props"
-    )
+        # snapshot size is bounded by live users × 3 versions — collect
+        # so the parquet files can be deleted before returning
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

@@ -222,3 +222,99 @@ def test_default_mode_documents_inorder_contract(spark, tmp_path):
     s.apply_batch(_batch(spark, [(1, "new", "upsert", 5)]), 1)
     s.apply_batch(_batch(spark, [(1, "stale", "upsert", 3)]), 2)
     assert _state(s.read(spark)) == {1: "stale"}
+
+
+def test_publish_put_if_absent_raises_on_version_collision(spark, tmp_path):
+    """VERDICT r4 #4: two writers racing to the same version must raise,
+    not silently replace committed history. Simulated by giving the
+    second sink a stale view of the latest version (the exact interleave
+    a concurrent writer would hit)."""
+    s1 = _sink(tmp_path)
+    s1.apply_batch(_batch(spark, [(1, "a1", "upsert", 1)]), 1)
+    s2 = _sink(tmp_path)
+    s2.latest_version = lambda: None  # stale: hasn't seen v1 commit
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        s2.apply_batch(_batch(spark, [(9, "x", "upsert", 9)]), 2)
+    # committed history intact: v1 still reads the first writer's rows
+    assert s1.versions() == [1]
+    assert _state(s1.read(spark, version=1)) == {1: "a1"}
+
+
+def test_manifest_records_and_validates_ordered_config(spark, tmp_path):
+    """ADVICE r4: the ordered flag (and key/order columns) live in the
+    manifest; re-opening with a mismatched configuration raises instead
+    of leaking tombstones/bookkeeping columns as data."""
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 2)]), 2)
+    wrong = VersionedParquetMergeSink(
+        str(tmp_path / "olake"), key_cols=["user_id"],
+        order_cols=["offset"], num_buckets=8, ordered=False,
+    )
+    with pytest.raises(ValueError, match="ordered"):
+        wrong.read(spark)
+    with pytest.raises(ValueError, match="ordered"):
+        wrong.apply_batch(_batch(spark, [(2, "b", "upsert", 3)]), 3)
+    wrong_keys = VersionedParquetMergeSink(
+        str(tmp_path / "olake"), key_cols=["name"],
+        order_cols=["offset"], num_buckets=8, ordered=True,
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        wrong_keys.read(spark)
+    # the matching configuration still works
+    assert _state(s.read(spark)) == {}
+
+
+def test_purge_tombstones_drops_old_keeps_recent(spark, tmp_path):
+    """VERDICT r4 #8: purge removes tombstones strictly below the
+    watermark, rewrites only the buckets that held them, and leaves
+    live state untouched."""
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a", "upsert", 1), (2, "b", "upsert", 2)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 5)]), 2)
+    s.apply_batch(_batch(spark, [(2, None, "delete", 8)]), 3)
+    res = s.purge_tombstones(spark, [6])
+    assert res["tombstones_purged"] == 1          # only key 1's (offset 5)
+    assert res["buckets_rewritten"] == 1
+    assert s.latest_version() == res["version"] == 4
+    assert _state(s.read(spark)) == {}
+    # key 2's tombstone (offset 8 >= watermark) survives in storage
+    import os
+    man = s._manifest(4)
+    dirs = [os.path.join(s.path, "_data", rel) for rel in man["buckets"].values()]
+    stored = spark.read.parquet(*dirs)
+    tombs = [r["user_id"] for r in stored.filter(F.col("__deleted")).collect()]
+    assert tombs == [2]
+    assert man["purge_watermark"] == [6]
+
+
+def test_purge_then_pre_watermark_replay_cannot_resurrect(spark, tmp_path):
+    """The purge contract: every order below the watermark was already
+    applied, so a pre-watermark replay (even of an upsert whose
+    tombstone is now purged) must be dropped, not merged."""
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 5)]), 2)
+    s.purge_tombstones(spark, [6])
+    # replay of the pre-delete upsert: its tombstone is purged, but the
+    # watermark proves offset 3 < 6 was already applied — dropped
+    s.apply_batch(_batch(spark, [(1, "ghost", "upsert", 3)]), 10)
+    assert _state(s.read(spark)) == {}
+    # a genuinely new post-watermark change still lands
+    s.apply_batch(_batch(spark, [(1, "back", "upsert", 7)]), 11)
+    assert _state(s.read(spark)) == {1: "back"}
+
+
+def test_purge_guards(spark, tmp_path):
+    s_plain = _sink(tmp_path, name="plain2")
+    s_plain.apply_batch(_batch(spark, [(1, "a", "upsert", 1)]), 1)
+    with pytest.raises(ValueError, match="ordered"):
+        s_plain.purge_tombstones(spark, [5])
+    s = _osink(tmp_path)
+    s.apply_batch(_batch(spark, [(1, "a", "upsert", 1)]), 1)
+    s.apply_batch(_batch(spark, [(1, None, "delete", 3)]), 2)
+    s.purge_tombstones(spark, [4])
+    with pytest.raises(ValueError, match="backwards"):
+        s.purge_tombstones(spark, [2])
+    with pytest.raises(ValueError, match="order column"):
+        s.purge_tombstones(spark, [4, 9])
