@@ -26,12 +26,20 @@ aggregation, no window, no train-time shuffle.
 
 The cache key is the dataset directory name; ``build_pq_index`` always
 rebuilds (that is its contract), the ``*_served`` helpers build lazily
-if the index is absent (`_COMPLETE` marker) so each registry query stays
-standalone.
+if the index is absent or STALE so each registry query stays
+standalone. Staleness is decided by the ``_COMPLETE`` marker, which
+records a cheap dataset fingerprint (row count + max id + sum of ids —
+one metadata-cheap aggregate): a dataset regenerated in place no longer
+matches the marker, so the served queries rebuild instead of silently
+serving codes from the old data, and a crash mid-rebuild leaves no
+marker at all (it is removed first, recreated only after every
+artifact lands) so mixed-generation artifacts are never served
+(VERDICT r4 #5 / ADVICE r4).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -59,6 +67,26 @@ def index_path_for(sf_dir: str, root: str | None = None) -> str:
     return os.path.join(base, tag)
 
 
+def dataset_fingerprint(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> dict:
+    """Cheap content fingerprint of the indexed dataset: row count, max
+    id, and sum of ids — one aggregate whose scan reads a single column
+    (count/min/max often straight from parquet footers). Changing,
+    adding, or removing rows moves at least one of the three; the cost
+    is negligible next to a search, let alone a build."""
+    row = embeddings.agg(
+        F.count("*").alias("n"),
+        F.max(id_col).alias("max_id"),
+        F.sum(id_col).alias("sum_id"),
+    ).head()
+    return {
+        "n": int(row["n"]),
+        "max_id": None if row["max_id"] is None else int(row["max_id"]),
+        "sum_id": None if row["sum_id"] is None else int(row["sum_id"]),
+    }
+
+
 def build_pq_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -73,7 +101,16 @@ def build_pq_index(
     Build-side plans are the same audited shapes as the fused query:
     centroid agg, residual broadcast-subtract, codebook agg, map-only
     encode. ``codes`` is written ``partitionBy(centroid_id)`` — at scale
-    each cell directory is the unit a search lists/reads."""
+    each cell directory is the unit a search lists/reads.
+
+    The ``_COMPLETE`` marker is removed FIRST and re-created (with the
+    dataset fingerprint) only after every artifact lands, so a crash
+    mid-rebuild leaves the index unmistakably incomplete rather than a
+    stale marker over mixed-generation artifacts."""
+    marker = os.path.join(path, _MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    fp = dataset_fingerprint(embeddings)
     centroids_long.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = spark.read.parquet(f"{path}/centroids")
 
@@ -95,12 +132,27 @@ def build_pq_index(
     pq_encode(embeddings, fcb_r, d_sub=d_sub).write.mode("overwrite").parquet(
         f"{path}/flat_codes"
     )
-    with open(os.path.join(path, _MARKER), "w") as f:
-        f.write("ok\n")
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": fp}, f)
 
 
-def index_is_built(path: str) -> bool:
-    return os.path.exists(os.path.join(path, _MARKER))
+def index_is_built(path: str, fingerprint: dict | None = None) -> bool:
+    """True iff the marker exists AND (when ``fingerprint`` is given)
+    matches the dataset fingerprint recorded at build time — a dataset
+    regenerated in place invalidates the cached index. Markers from
+    before fingerprints were recorded (non-JSON content) count as
+    stale whenever a fingerprint is supplied."""
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    if fingerprint is None:
+        return True
+    try:
+        with open(marker) as f:
+            recorded = json.load(f).get("fingerprint")
+    except (ValueError, OSError):
+        return False
+    return recorded == fingerprint
 
 
 def index_summary(spark: SparkSession, path: str) -> DataFrame:
@@ -251,3 +303,28 @@ def pq_index_add(
     pq_encode(new_embeddings, fcb, d_sub=d_sub).write.mode("append").parquet(
         f"{path}/flat_codes"
     )
+    # keep the marker's dataset fingerprint current: the index now
+    # covers build-time rows PLUS the added ones
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        rec = {}
+    old = rec.get("fingerprint")
+    add = dataset_fingerprint(new_embeddings)
+    if old:
+        add = {
+            "n": old["n"] + add["n"],
+            "max_id": max(
+                x for x in (old["max_id"], add["max_id"]) if x is not None
+            )
+            if (old["max_id"] is not None or add["max_id"] is not None)
+            else None,
+            "sum_id": (old["sum_id"] or 0) + (add["sum_id"] or 0)
+            if (old["sum_id"] is not None or add["sum_id"] is not None)
+            else None,
+        }
+    rec["fingerprint"] = add
+    with open(marker, "w") as f:
+        json.dump(rec, f)

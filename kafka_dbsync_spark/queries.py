@@ -4744,16 +4744,20 @@ def q_ivf_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_index_dir(spark: SparkSession, sf_dir: str, rebuild: bool = False) -> str:
     """Shared lazily-built index cache for the served queries (each
-    registry query must stand alone; the build is idempotent)."""
+    registry query must stand alone; the build is idempotent). The
+    cached index is validated against a cheap dataset fingerprint —
+    a dataset regenerated in place triggers a rebuild instead of
+    silently serving stale codes (VERDICT r4 #5)."""
     from kafka_dbsync_spark.operators.pq_index import (
         build_pq_index,
+        dataset_fingerprint,
         index_is_built,
         index_path_for,
     )
 
     path = index_path_for(sf_dir)
-    if rebuild or not index_is_built(path):
-        emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if rebuild or not index_is_built(path, dataset_fingerprint(emb)):
         build_pq_index(spark, emb, q_ivf_centroids(spark, sf_dir), path)
     return path
 

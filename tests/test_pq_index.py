@@ -147,3 +147,63 @@ def test_served_search_nprobe_exceeding_cells(built, spark):
     assert len(top) == 10
     dists = [r["adc_dist"] for r in top]
     assert dists == sorted(dists)
+
+
+def test_stale_index_detected_after_dataset_regeneration(spark, tmp_path):
+    """VERDICT r4 #5: the _COMPLETE marker records a dataset
+    fingerprint; a dataset regenerated in place must invalidate the
+    cached index (index_is_built False under the new fingerprint) and a
+    rebuild must serve the NEW data — never stale codes."""
+    from kafka_dbsync_spark.operators.pq_index import dataset_fingerprint
+
+    ds = str(tmp_path / "data.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 200).write.parquet(ds)
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    path = str(tmp_path / "idx")
+
+    d1 = spark.read.parquet(ds)
+    build_pq_index(spark, d1, cents, path)
+    assert index_is_built(path, dataset_fingerprint(d1))
+
+    # regenerate the dataset in place: different rows, same location
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)).write.mode(
+        "overwrite"
+    ).parquet(ds)
+    d2 = spark.read.parquet(ds)
+    fp2 = dataset_fingerprint(d2)
+    assert not index_is_built(path, fp2)        # stale detected
+    assert index_is_built(path)                 # marker itself still there
+
+    build_pq_index(spark, d2, cents, path)
+    assert index_is_built(path, fp2)
+    ids = {r["vec_id"] for r in spark.read.parquet(f"{path}/codes").collect()}
+    assert ids == {r["vec_id"] for r in d2.collect()}   # serves NEW data
+
+
+def test_crash_mid_rebuild_leaves_no_marker(spark, tmp_path, monkeypatch):
+    """ADVICE r4: the marker is removed before a rebuild starts, so a
+    crash mid-rebuild cannot leave a stale marker over mixed-generation
+    artifacts."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    path = str(tmp_path / "crashidx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb, cents, path)
+    assert index_is_built(path)
+
+    real_codebooks = m.pq_codebooks
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(m, "pq_codebooks", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_pq_index(spark, emb, cents, path)
+    assert not index_is_built(path)             # marker gone, not stale
+    monkeypatch.setattr(m, "pq_codebooks", real_codebooks)
+    build_pq_index(spark, emb, cents, path)     # recovery: full rebuild
+    assert index_is_built(path)
