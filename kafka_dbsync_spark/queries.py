@@ -5400,39 +5400,13 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE user-key shuffle serves the hourly dedup, the
     bounds agg, and the fill window; the grid explode is bounded by the
     per-user time span (the generated rows never exceed users × hours
-    — data-independent of event volume)."""
+    — data-independent of event volume), and the span itself is guarded
+    by ``max_hours_per_key`` (operators/timeseries.py, VERDICT r4 #6) so
+    one pathological decade-spanning key cannot blow up the grid."""
+    from kafka_dbsync_spark.operators.timeseries import hourly_gap_fill
+
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
-        .agg(
-            F.max_by(
-                "value", F.struct(F.col("ts"), F.col("event_id"))
-            ).alias("value")
-        )
-    )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("h").alias("mn"), F.max("h").alias("mx")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    j = grid.join(hourly, ["user_id", "h"], "left").select(
-        "user_id", "h", "value", F.col("value").isNull().alias("is_filled")
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return j.select(
-        "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
-        F.last("value", ignorenulls=True).over(w).alias("value_ff"),
-        "is_filled",
-    )
+    return hourly_gap_fill(ev, max_hours_per_key=100_000, on_exceed="raise")
 
 
 _FK_RELATIONS = (
@@ -5787,13 +5761,17 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev4.groupBy("region", "yr").agg(F.sum("rev4").alias("total4"))
-    share = (F.col("rev4") * F.lit(10000)) / F.col("total4")
+    # exact BIGINT integer division (`div`), matching DuckDB's `//` —
+    # floor of a double quotient loses precision once rev4*10000
+    # exceeds 2^53 and can flip the floor at exact-division boundaries
+    # (ADVICE r4)
+    share = F.expr("(rev4 * 10000) div total4")
     return (
         rev4.join(tot, ["region", "yr"])
         .select(
             "region", "yr", "nation",
-            F.floor(F.col("rev4") / F.lit(10000)).cast("long").alias("revenue_i"),
-            F.floor(share).cast("long").alias("share_bp"),
+            F.expr("rev4 div 10000").cast("long").alias("revenue_i"),
+            share.cast("long").alias("share_bp"),
         )
         .filter(F.col("share_bp") >= 1500)
     )
