@@ -19,50 +19,70 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-4 rotation (VERDICT r3 "Next round" #1 and #8): front-load
-# (a) the 14 queries registered after the r3 window filled (never
-# driver-checked; all pass the stricter local gate,
-# CORRECTNESS_LOCAL_r03.json), (b) the 3 queries whose r3 driver rows
-# ERRORED on array-typed output columns — now emitting scalar
-# (comma-joined) columns, (c) queries NEW this round (registered here
-# first so no never-checked tail accumulates). Remaining slots re-check
-# r2/r3-green queries in registration order.
+# Round-5 rotation (VERDICT r4 "Next round" #1 — FRESHNESS, not
+# first-time coverage: every query has been green at least once, so the
+# window now front-loads (a) queries NEW this round, (b) queries whose
+# CODE changed this round (green rows predating a change prove
+# nothing), (c) the 32 queries whose latest green row is from round 2
+# (the stalest), (d) the oldest round-3 rows in registration order to
+# fill the window. The remaining r3/r4 rows rotate in next round.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-checked (registered after the r3 50-slot window)
-    "bpe_merge_step",
-    "rarity_scores",
-    "label_pca",
-    "countmin_counts",
-    "dataset_splits",
-    "user_value_outliers",
-    "audio_window_energy",
-    "quality_rank_by_source",
-    "part_cooccurrence",
-    "returned_revenue_customers",
-    "user_activity_streaks",
-    "collocations_lift",
-    "dup_rate_by_source",
-    "ivf_outliers",
-    # (b) r3 driver rows errored on array columns — fixed to scalar output
-    "inverted_index",
-    "snapshot_diff",
+    # (a) new in round 5
+    "ivfpq_search_refined",
+    # (b) code touched in round 5 (ADC dense-lookup rewrite, recall
+    # report extension, index fingerprinting, lake sink hardening,
+    # gap-fill guard, integer-division share)
+    "ann_recall_report",
+    "pq_codebooks",
     "pq_encode",
-    # (c) new in round 4
+    "pq_adc_search",
+    "ivfpq_search",
     "pq_index_build",
     "pq_adc_search_served",
     "ivfpq_search_served",
-    "bpe_merges_k",
-    "lake_snapshot_read",
-    "ann_recall_report",
     "pq_index_add",
-    "fingerprint_overlap_pairs",
-    "bpe_token_counts",
+    "lake_snapshot_read",
     "timeseries_gap_fill",
-    "fk_integrity_report",
-    "triangle_counts",
-    "canonical_docs",
-    "min_price_suppliers",
     "nation_market_share",
+    # (c) latest green row is round 2 — the stalest 32
+    "rollup_revenue",
+    "customers_without_orders",
+    "pivot_daily_events",
+    "segment_order_overlap",
+    "value_percentiles",
+    "user_value_trend",
+    "dedup_exact",
+    "dedup_normalized",
+    "token_stats",
+    "lang_id",
+    "quality_scores",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_dedup",
+    "vocab_topk",
+    "ngram_bigrams",
+    "ivf_centroids",
+    "repetition_scores",
+    "pii_scrub",
+    "dedup_clusters",
+    "tfidf_topterms",
+    "decontaminate",
+    "pack_sequences",
+    "quantize_embeddings",
+    "doc_chunks",
+    "hash_sample",
+    "balanced_sample",
+    "topk_per_group",
+    "ivf_assign",
+    "ivf_search",
+    "semantic_dedup",
+    # (d) oldest round-3 rows, registration order
+    "simhash",
+    "similarity_topk",
+    "ann_blocked_topk",
+    "embedding_neardup_pairs",
+    "vector_lsh_buckets",
 ]
 
 

@@ -71,6 +71,9 @@ HEADLINE = [
     # r4: the two-hop graph join and the dedup keep-list composition
     "triangle_counts",
     "canonical_docs",
+    # r5: the served exact re-rank (IndexRefineFlat) — candidates from
+    # the persisted index + a broadcast semi-join raw-vector fetch
+    "ivfpq_search_refined",
 ]
 
 
@@ -186,7 +189,7 @@ def _delta_vs_previous_round(per_query_best: dict[str, float]):
     try:
         prev = json.loads(Path(prev_path).read_text())
         if "parsed" in prev:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
-            prev = prev["parsed"] or {}
+            prev = prev["parsed"] or _recover_from_tail(prev.get("tail") or "")
         prev_q = prev.get("queries_best") or prev.get("queries") or {}
     except (OSError, ValueError):
         return Path(prev_path).name, None
@@ -196,6 +199,36 @@ def _delta_vs_previous_round(per_query_best: dict[str, float]):
         if name in prev_q
     }
     return Path(prev_path).name, delta
+
+
+def _recover_from_tail(tail: str) -> dict:
+    """Best-effort recovery of the compact JSON line from a driver
+    wrapper whose ``parsed`` is null (the wrapper keeps only a TAIL
+    window of stdout, so the line may be truncated at the FRONT —
+    VERDICT r4 #2: the delta chain must survive one unparseable
+    artifact). First try whole lines; then fall back to regex-scraping
+    the ``"name": seconds`` pairs, keeping only names that are real
+    registry queries."""
+    import re
+
+    for line in tail.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "queries" in obj:
+                return obj
+    pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+    q: dict[str, float] = {}
+    for k, v in pairs:
+        # keep the FIRST occurrence: a truncated tail may carry the
+        # queries/queries_best/queries_first_run maps in sequence, and
+        # the earliest surviving value is closest to the headline column
+        if k in QUERIES and k not in q:
+            q[k] = float(v)
+    return {"queries": q} if q else {}
 
 
 def _bench_full_apply_path(spark, sf_dir: str, n_events: int) -> int:
