@@ -29,6 +29,8 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
     "ivfpq_search_refined",
+    "hybrid_rank_fusion",
+    "ivfpq_search_multi",
     # (b) code touched in round 5 (ADC dense-lookup rewrite, recall
     # report extension, index fingerprinting, lake sink hardening,
     # gap-fill guard, integer-division share)
@@ -81,8 +83,6 @@ _DRIVER_PRIORITY: list[str] = [
     "simhash",
     "similarity_topk",
     "ann_blocked_topk",
-    "embedding_neardup_pairs",
-    "vector_lsh_buckets",
 ]
 
 

@@ -226,6 +226,82 @@ def ivfpq_search_index(
     )
 
 
+def ivfpq_search_multi_index(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k_top: int = 10,
+    d_sub: int = 8,
+    dist_decimals: int = 6,
+    out_decimals: int = 4,
+) -> DataFrame:
+    """BATCHED IVF-PQ serving: answer Q queries with ONE pruned codes
+    scan (the union of all queries' probe cells) instead of Q separate
+    jobs — the amortization every production ANN service does (FAISS
+    ``search(n, xq, ...)`` is batched for the same reason).
+
+    Per query the math is identical to ``ivfpq_search_index``; the
+    (query, cell) residuals ride in as one broadcast table joined on
+    the cell id, so a candidate row is scored once per query probing
+    its cell. The only shuffle is the per-query top-k window over
+    candidate rows (partitioned BY query id — Q × cell-candidates
+    rows, the same volume Q separate TakeOrdereds would reduce, now in
+    one stage). Returns (query_id, rank, vec_id, label, centroid_id,
+    adc_dist)."""
+    from kafka_dbsync_spark.operators.similarity import (
+        centroid_arrays,
+        select_probe_cells,
+    )
+    from pyspark.sql.window import Window as W
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cents = centroid_arrays(spark.read.parquet(f"{path}/centroids"))
+    cellvecs = dict(cents)
+    qres_rows = []
+    all_cells: set[int] = set()
+    for qid, qv in queries:
+        q = [float(x) for x in qv]
+        probe = select_probe_cells(cents, q, nprobe)
+        all_cells.update(int(c) for c in probe)
+        qres_rows.extend(
+            (int(qid), int(c), [qi - ci for qi, ci in zip(q, cellvecs[c])])
+            for c in probe
+        )
+    qres = F.broadcast(
+        spark.createDataFrame(
+            qres_rows, "query_id bigint, qcell bigint, qr array<double>"
+        )
+    )
+    books = F.broadcast(
+        codebooks_as_array(spark.read.parquet(f"{path}/pq_codebooks"))
+    )
+    cand = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("centroid_id").isin(sorted(all_cells)))
+        .join(qres, F.col("centroid_id") == F.col("qcell"))
+        .crossJoin(books)
+    )
+    adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        cand.withColumn("adc_dist", F.round(adc, out_decimals))
+        .select(
+            "query_id", "vec_id", "label",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "adc_dist",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id", "label", "centroid_id", "adc_dist",
+        )
+    )
+
+
 def ivfpq_search_refined_index(
     spark: SparkSession,
     path: str,

@@ -4873,6 +4873,186 @@ def q_ivfpq_search_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivfpq_search_multi",
+    # Batched serving oracle: the SAME per-query IVF-PQ math as
+    # ivfpq_search, swept over query vectors vec_id ∈ {0,1,2} with
+    # rank ≤ 5 per query (window instead of LIMIT).
+    oracle=_SQL_PQENC_CTES
+    + """
+    , qs AS (SELECT unnest([0, 1, 2]) AS query_id)
+    , qvq AS (
+      SELECT qs.query_id, e.v AS qv FROM qs JOIN e ON e.vec_id = qs.query_id
+    ), celld AS (
+      SELECT q.query_id, cv.cid,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i -> (qv[i] - c[i]) * (qv[i] - c[i]))),
+               (a, b) -> a + b), 6) AS cd,
+             list_transform(range(1, 65), i -> qv[i] - c[i]) AS qr
+      FROM cvec cv CROSS JOIN qvq q
+    ), proberk AS (
+      SELECT query_id, cid, qr,
+             row_number() OVER (PARTITION BY query_id ORDER BY cd, cid) AS crk
+      FROM celld
+    ), qres AS (
+      SELECT query_id, cid, qr FROM proberk WHERE crk <= 2
+    ), lutm AS (
+      SELECT qres.query_id, qres.cid, pcbv.m, pcbv.code,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 9), d ->
+                 (qr[pcbv.m*8 + d] - pvec[d]) * (qr[pcbv.m*8 + d] - pvec[d]))),
+               (a, b) -> a + b), 6) AS dd
+      FROM pcbv CROSS JOIN qres
+    ), enclm AS (
+      SELECT l.query_id, enc.vec_id, enc.label, enc.centroid_id, l.m, l.dd
+      FROM enc JOIN lutm l
+        ON l.cid = enc.centroid_id AND l.m = enc.m AND l.code = enc.code
+    ), adcm AS (
+      SELECT query_id, vec_id, label, centroid_id,
+             round(list_reduce(list_prepend(0.0, list(dd ORDER BY m)),
+                   (a, b) -> a + b), 4) AS adc_dist
+      FROM enclm GROUP BY query_id, vec_id, label, centroid_id
+    ), rk AS (
+      SELECT query_id, vec_id, label, centroid_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, vec_id
+             ) AS rank
+      FROM adcm
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+           vec_id, label, CAST(centroid_id AS BIGINT) AS centroid_id, adc_dist
+    FROM rk WHERE rank <= 5
+    """,
+)
+def q_ivfpq_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF-PQ serving: three query vectors answered by ONE
+    pruned codes scan over the union of their probe cells
+    (operators/pq_index.py::ivfpq_search_multi_index) — the
+    amortization every production ANN service does instead of one job
+    per query. Per-query math identical to ``ivfpq_search``; the only
+    shuffle is the per-query top-k window over candidate rows."""
+    from kafka_dbsync_spark.operators.pq_index import ivfpq_search_multi_index
+
+    path = _pq_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return ivfpq_search_multi_index(spark, path, qs, nprobe=2, k_top=5)
+
+
+@query(
+    "hybrid_rank_fusion",
+    # Hybrid retrieval: Reciprocal Rank Fusion (Cormack/Clarke/Buettcher,
+    # SIGIR 2009) of the BM25 lexical top-20 and the exact-cosine vector
+    # top-20 over the shared doc/vec id space — the standard production
+    # fusion for "BM25 + embeddings" retrieval stacks. rrf(d) =
+    # Σ_lists 1/(60 + rank_d); both ranking lists reuse the exact
+    # scoring+tie-break discipline of bm25_search / similarity_topk.
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END AS dl,
+             {', '.join(
+                 f"len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '), x -> x = '{t}')) AS tf{i}"
+                 for i, t in enumerate(_BM25_TERMS)
+             )}
+      FROM documents
+    ), st AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl,
+             {', '.join(
+                 f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(_BM25_TERMS))
+             )}
+      FROM per
+    ), sc AS (
+      SELECT doc_id,
+             round({' + '.join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 4) AS score_r
+      FROM per, st
+      WHERE tf0 + tf1 + tf2 > 0
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_r DESC, doc_id) AS lex_rank
+      FROM (SELECT doc_id, score_r FROM sc ORDER BY score_r DESC, doc_id LIMIT 20)
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), vs AS (
+      SELECT vec_id, {_SQL_COS_V_QV} AS cs FROM e CROSS JOIN q
+    ), vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cs DESC, vec_id) AS vec_rank
+      FROM (SELECT vec_id, cs FROM vs ORDER BY cs DESC, vec_id LIMIT 20)
+    ), fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0), 6)
+             AS rrf_r
+    FROM fused ORDER BY rrf_r DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with RRF (Cormack et al.,
+    SIGIR 2009 — the fusion behind every production "BM25 + embeddings"
+    stack): the BM25 top-20 for the fixed term bag and the exact-cosine
+    top-20 for the vec_id=0 query are full-outer-joined on the shared
+    doc/vec id and scored ``Σ 1/(60+rank)``; a doc missing from one
+    list simply contributes nothing for it.
+
+    Scale shape: each retriever is its already-audited one-scan plan
+    (BM25: narrow term filters + one stats broadcast + TakeOrdered;
+    cosine: broadcast query + TakeOrdered); the fusion itself touches
+    two ≤20-row lists — rank windows and the outer join are metadata-
+    sized, so the fusion adds no data-sized shuffle at any corpus
+    size."""
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+    from kafka_dbsync_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        bm25_topk(docs, list(_BM25_TERMS), k=20)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding")
+    vec = (
+        cosine_topk(emb, qrow, k=20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+            .alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            rrf.alias("rrf_r"),
+        )
+        .orderBy(F.col("rrf_r").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 def _bpe_oracle_sql(k: int = 5, final: str | None = None) -> str:
     """Unrolled k-round BPE oracle: each round re-counts weighted
     adjacent pairs over the current vocab, takes the (cnt DESC, a, b)

@@ -207,3 +207,30 @@ def test_crash_mid_rebuild_leaves_no_marker(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(m, "pq_codebooks", real_codebooks)
     build_pq_index(spark, emb, cents, path)     # recovery: full rebuild
     assert index_is_built(path)
+
+
+def test_multi_query_search_equals_per_query(built, spark):
+    """Batched serving must return, per query, EXACTLY the single-query
+    answer — the amortized scan is an execution detail, not a semantics
+    change."""
+    from kafka_dbsync_spark.operators.pq_index import ivfpq_search_multi_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin([0, 5, 11]))
+        .select("vec_id", "embedding").collect()
+    ]
+    multi = ivfpq_search_multi_index(spark, built, qs, nprobe=2, k_top=7)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_dist"])
+        )
+    for qid, qv in qs:
+        single = ivfpq_search_index(spark, built, qv, nprobe=2, k_top=7)
+        want = [
+            (i + 1, r["vec_id"], r["adc_dist"])
+            for i, r in enumerate(single.collect())
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
