@@ -72,8 +72,11 @@ HEADLINE = [
     "triangle_counts",
     "canonical_docs",
     # r5: the served exact re-rank (IndexRefineFlat) — candidates from
-    # the persisted index + a broadcast semi-join raw-vector fetch
+    # the persisted index + a broadcast semi-join raw-vector fetch —
+    # plus hybrid BM25⊕vector RRF and the batched multi-query serve
     "ivfpq_search_refined",
+    "hybrid_rank_fusion",
+    "ivfpq_search_multi",
 ]
 
 
