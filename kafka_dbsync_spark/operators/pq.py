@@ -277,14 +277,19 @@ def ivfpq_search(
     )
     cb = pq_codebooks(resid, n_sub=n_sub, d_sub=d_sub, k=k,
                       id_col=id_col, vec_col="resid")
-    enc = pq_encode(
-        resid, cb, d_sub=d_sub, id_col=id_col, vec_col="resid",
-        keep_cols=(*keep_cols, "centroid_id"),
-    )
 
     cents = centroid_arrays(centroids_long)  # ONE driver collect of the
     # B×dim metadata, shared by probe selection and the query residuals
     probe = select_probe_cells(cents, q, nprobe)
+    # codebooks train on ALL residuals (above), but only the probed
+    # cells' rows are ever SCORED — filter before the encode so the
+    # fused query encodes nprobe/B of the data, exactly what the
+    # persisted index's partition pruning achieves physically
+    enc = pq_encode(
+        resid.filter(F.col("centroid_id").isin([int(c) for c in probe])),
+        cb, d_sub=d_sub, id_col=id_col, vec_col="resid",
+        keep_cols=(*keep_cols, "centroid_id"),
+    )
     cellvecs = dict(cents)
     spark = embeddings.sparkSession
     qres = F.broadcast(
@@ -294,10 +299,8 @@ def ivfpq_search(
         )
     )
     books = F.broadcast(codebooks_as_array(cb))
-    cand = (
-        enc.filter(F.col("centroid_id").isin([int(c) for c in probe]))
-        .join(qres, F.col("centroid_id") == F.col("qcell"))
-        .crossJoin(books)
+    cand = enc.join(qres, F.col("centroid_id") == F.col("qcell")).crossJoin(
+        books
     )
     adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
     return (
