@@ -62,12 +62,20 @@ SHUFFLE_BUDGET = {
     "pq_adc_search_served": 3,      # codebooks_as_array restructure only
     "ivfpq_search_served": 3,       # same + broadcast qres/books joins
     "pq_index_add": 1,              # per-cell count agg over the grown codes
+    "ivfpq_search_refined": 3,      # served-search exchanges + the ≤k′
+    # candidate broadcast + refine TakeOrdered
+    "ivfpq_search_multi": 4,        # codebook restructure + the per-query
+    # top-k window over candidate rows (the one intentional shuffle)
+    "hybrid_rank_fusion": 2,        # BM25 1-row stats agg + the ≤20-row
+    # list fusion join
     "bpe_merges_k": 0,              # result is the collected 5-row merge trace;
     # per-round pair aggs ran at construction time (driver loop)
     "lake_snapshot_read": 0,        # manifest-listed parquet union read;
     # the 3 epoch merges ran at construction time
-    "ann_recall_report": 3,         # 4 single-row unioned count aggs (static
-    # plan shares exchanges; per-nprobe scans prune by probe cells)
+    "ann_recall_report": 6,         # r5: 12 searches (4 nprobe × flat/ADC/
+    # refined) — exchanges are the codebook restructure + 1-row count
+    # aggs, all metadata-side; PQ sides scan the persisted index with
+    # probe-cell partition pruning (static plan shares exchanges)
     "fingerprint_overlap_pairs": 4,  # fp distinct + cap window + pair agg
     # + TakeOrdered (all on the uniform fp / pair keys)
     "bpe_token_counts": 2,          # final vocab token agg + TakeOrdered
