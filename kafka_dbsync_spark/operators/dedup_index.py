@@ -1,0 +1,253 @@
+"""Persisted MinHash-LSH dedup index: build once over the corpus, then
+check NEW documents against it incrementally — the dedup-at-ingest twin
+of the ANN build/serve split (operators/pq_index.py). The batch near-dup
+pipeline (operators/dedup.py) answers "which existing docs duplicate
+each other"; this answers the production ingest question: "is this NEW
+document a near-duplicate of anything already in the corpus?" without
+re-scanning the corpus text.
+
+Layout::
+
+    {path}/signatures/   (doc_id, sig_0..sig_{n-1})   — estimate verify
+    {path}/buckets/      (band_val, band_idx, doc_id) — LSH candidate join
+    {path}/_COMPLETE     marker with a corpus fingerprint
+
+Serve-side cost for a batch of NEW docs: signature the new docs (one
+narrow pass over the NEW text only), equi-join their band values against
+the stored buckets (shuffle bounded by new-docs × bands + matching
+bucket rows — never the whole corpus), then verify candidates against
+the stored signature table by a second id equi-join. The corpus TEXT is
+never read at ingest time. ``add()`` appends the new docs' signatures
+and bucket rows with the SAME frozen hash family — MinHash has no
+trained state, so unlike PQ there is nothing to drift; the fingerprint
+guards against the dataset being swapped underneath the cache. At
+100 TB the buckets table would be laid out bucketed/sorted BY band_val
+so the candidate join co-locates without a corpus-side shuffle (the
+band hash is uniform for distinct content by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.dedup import (
+    lsh_bands,
+    with_minhash_signatures,
+)
+
+_MARKER = "_COMPLETE"
+
+
+def _sig_cols(num_hashes: int) -> list[str]:
+    return [f"sig_{i}" for i in range(num_hashes)]
+
+
+def corpus_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> dict:
+    """Same cheap shape as pq_index.dataset_fingerprint: count + max +
+    sum of ids in one column-pruned aggregate."""
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.max(id_col).alias("max_id"),
+        F.sum(id_col).alias("sum_id"),
+    ).head()
+    return {
+        "n": int(row["n"]),
+        "max_id": None if row["max_id"] is None else int(row["max_id"]),
+        "sum_id": None if row["sum_id"] is None else int(row["sum_id"]),
+    }
+
+
+def _banded(sig: DataFrame, id_col: str, num_hashes: int, rows_per_band: int):
+    return sig.select(
+        id_col,
+        F.posexplode(lsh_bands(_sig_cols(num_hashes), rows_per_band)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+
+
+def _capped(banded: DataFrame, id_col: str, max_bucket_size: int | None):
+    """Keep at most ``max_bucket_size`` REPRESENTATIVES per bucket
+    (lowest ids — deterministic): the dedup corpus is duplicate-heavy by
+    definition, so a bucket of identical content is unbounded; for the
+    ingest question ("is this NEW doc a dup of ANYTHING stored") matching
+    any representative suffices, and the candidate join stays
+    O(new × bands × cap) instead of quadratic — the same guard
+    minhash_lsh_candidates applies to batch pair generation."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    return (
+        banded.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket_size)
+        .drop("__rk")
+    )
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 32,
+) -> None:
+    """Build and persist the signature + bucket tables (overwrite);
+    buckets keep at most ``max_bucket_size`` representatives (lowest
+    ids) so an all-duplicates corpus cannot make the serve-time
+    candidate join quadratic. The marker is removed first and recreated
+    (with the corpus fingerprint and the hash-family parameters) only
+    after both artifacts land — same crash-safety contract as
+    build_pq_index."""
+    marker = os.path.join(path, _MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    fp = corpus_fingerprint(docs, id_col)
+    sig = with_minhash_signatures(
+        docs.select(id_col, text_col), text_col, num_hashes, k
+    ).select(id_col, *_sig_cols(num_hashes))
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    sig_r = spark.read.parquet(f"{path}/signatures")
+    _capped(
+        _banded(sig_r, id_col, num_hashes, rows_per_band),
+        id_col, max_bucket_size,
+    ).write.mode("overwrite").parquet(f"{path}/buckets")
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "fingerprint": fp,
+                "num_hashes": num_hashes,
+                "rows_per_band": rows_per_band,
+                "k": k,
+            },
+            f,
+        )
+
+
+def dedup_index_is_built(path: str, fingerprint: dict | None = None) -> bool:
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    if fingerprint is None:
+        return True
+    try:
+        with open(marker) as f:
+            recorded = json.load(f).get("fingerprint")
+    except (ValueError, OSError):
+        return False
+    return recorded == fingerprint
+
+
+def dedup_check_incremental(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold_bp: int = 5000,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate check of NEW docs against the PERSISTED corpus
+    index: signature the new docs with the same frozen hash family,
+    LSH-join their bands against the stored buckets for candidates,
+    then keep candidates whose signature-match estimate reaches
+    ``threshold_bp`` (floor of 10000·matches/num_hashes — the same
+    estimator discipline as minhash_jaccard_estimate). Returns
+    (new_id, corpus_id, est_bp). The corpus text is never read."""
+    scols = _sig_cols(num_hashes)
+    nsig = with_minhash_signatures(
+        new_docs.select(id_col, text_col), text_col, num_hashes, k
+    ).select(id_col, *scols)
+    nband = _banded(nsig, id_col, num_hashes, rows_per_band).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_val"
+    )
+    stored_b = spark.read.parquet(f"{path}/buckets").select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_val"
+    )
+    cand = (
+        nband.join(stored_b, ["band_idx", "band_val"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = nsig.select(
+        F.col(id_col).alias("__na"), *[F.col(c).alias(f"a_{c}") for c in scols]
+    )
+    b = spark.read.parquet(f"{path}/signatures").select(
+        F.col(id_col).alias("__cb"), *[F.col(c).alias(f"b_{c}") for c in scols]
+    )
+    joined = cand.join(a, F.col("new_id") == F.col("__na")).join(
+        b, F.col("corpus_id") == F.col("__cb")
+    )
+    matches = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in scols
+    )
+    return (
+        joined.select(
+            "new_id",
+            "corpus_id",
+            F.floor(matches * 10000 / num_hashes).alias("est_bp"),
+        )
+        .filter(F.col("est_bp") >= threshold_bp)
+    )
+
+
+def dedup_index_add(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = 32,
+) -> None:
+    """Admit NEW docs into the index: append their signatures and bucket
+    rows (frozen hash family — MinHash trains nothing, so appends are
+    exact) and fold them into the stored fingerprint. The bucket cap
+    applies PER APPEND BATCH (a stored bucket can hold up to
+    cap × batches rows until a rebuild re-caps it — the standard
+    compaction trade of append-only indexes)."""
+    scols = _sig_cols(num_hashes)
+    nsig = with_minhash_signatures(
+        new_docs.select(id_col, text_col), text_col, num_hashes, k
+    ).select(id_col, *scols)
+    nsig.write.mode("append").parquet(f"{path}/signatures")
+    _capped(
+        _banded(nsig, id_col, num_hashes, rows_per_band),
+        id_col, max_bucket_size,
+    ).write.mode("append").parquet(f"{path}/buckets")
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        rec = {}
+    old = rec.get("fingerprint")
+    add = corpus_fingerprint(new_docs, id_col)
+    if old:
+        add = {
+            "n": old["n"] + add["n"],
+            "max_id": max(
+                x for x in (old["max_id"], add["max_id"]) if x is not None
+            )
+            if (old["max_id"] is not None or add["max_id"] is not None)
+            else None,
+            "sum_id": (old["sum_id"] or 0) + (add["sum_id"] or 0)
+            if (old["sum_id"] is not None or add["sum_id"] is not None)
+            else None,
+        }
+    rec["fingerprint"] = add
+    with open(marker, "w") as f:
+        json.dump(rec, f)

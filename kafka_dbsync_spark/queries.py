@@ -5053,6 +5053,83 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_IDX_BANDS = ", ".join(
+    "{'b': %d, 'v': sig_%d || sig_%d}" % (b, 2 * b, 2 * b + 1) for b in range(4)
+)
+_DEDUP_IDX_MATCHES = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+
+@query(
+    "dedup_incremental",
+    # Half-corpus oracle (the pq_index_add pattern): the index is built
+    # on EVEN doc_ids only (bucket representatives capped at 32 by
+    # lowest id), then the odd half is checked against it — candidates
+    # share an LSH band, kept where the signature-match estimate
+    # reaches 5000 bp.
+    oracle=f"""
+    WITH sig AS ({_sql_minhash()}),
+    bands AS (
+      SELECT doc_id, u.b AS band_idx, u.v AS band_val FROM (
+        SELECT doc_id, unnest([{_DEDUP_IDX_BANDS}]) AS u FROM sig
+      )
+    ), stored AS (
+      SELECT doc_id, band_idx, band_val FROM (
+        SELECT doc_id, band_idx, band_val,
+               row_number() OVER (
+                 PARTITION BY band_idx, band_val ORDER BY doc_id
+               ) AS rk
+        FROM bands WHERE doc_id % 2 = 0
+      ) WHERE rk <= 32
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS corpus_id
+      FROM bands n
+      JOIN stored s ON n.band_idx = s.band_idx AND n.band_val = s.band_val
+      WHERE n.doc_id % 2 = 1
+    ), est AS (
+      SELECT cand.new_id, cand.corpus_id, ({_DEDUP_IDX_MATCHES}) AS m
+      FROM cand
+      JOIN sig a ON a.doc_id = cand.new_id
+      JOIN sig b ON b.doc_id = cand.corpus_id
+    )
+    SELECT new_id, corpus_id, CAST(m * 10000 // 8 AS BIGINT) AS est_bp
+    FROM est WHERE m * 10000 // 8 >= 5000
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest against a PERSISTED MinHash-LSH index
+    (operators/dedup_index.py — the dedup twin of the ANN build/serve
+    split): the index is built once on the even-doc_id half of the
+    corpus, then the odd half plays the role of newly-arriving docs —
+    signatured with the frozen hash family, band-joined against the
+    stored (representative-capped) buckets, and kept where the
+    signature-match estimate ≥ 5000 bp. The corpus TEXT is never read
+    at check time; serve cost is new-docs work plus a bucket equi-join.
+    The index dir is a tmpdir, materialized and removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_check_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 != 0)
+    idx = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        build_dedup_index(spark, even, idx)
+        out = dedup_check_incremental(spark, idx, odd, threshold_bp=5000)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _bpe_oracle_sql(k: int = 5, final: str | None = None) -> str:
     """Unrolled k-round BPE oracle: each round re-counts weighted
     adjacent pairs over the current vocab, takes the (cnt DESC, a, b)

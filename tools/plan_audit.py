@@ -68,6 +68,8 @@ SHUFFLE_BUDGET = {
     # top-k window over candidate rows (the one intentional shuffle)
     "hybrid_rank_fusion": 2,        # BM25 1-row stats agg + the ≤20-row
     # list fusion join
+    "dedup_incremental": 0,         # materialized rows (the index build +
+    # band join ran at construction time against the tmp index dir)
     "bpe_merges_k": 0,              # result is the collected 5-row merge trace;
     # per-round pair aggs ran at construction time (driver loop)
     "lake_snapshot_read": 0,        # manifest-listed parquet union read;
