@@ -166,9 +166,18 @@ def dedup_check_incremental(
     estimator discipline as minhash_jaccard_estimate). Returns
     (new_id, corpus_id, est_bp). The corpus text is never read."""
     scols = _sig_cols(num_hashes)
-    nsig = with_minhash_signatures(
-        new_docs.select(id_col, text_col), text_col, num_hashes, k
-    ).select(id_col, *scols)
+    # the new-batch signatures feed BOTH the band probe and the verify
+    # join; persist them so the caller's new_docs lineage (often a
+    # filter/sort over something bigger) is evaluated once, not per
+    # consumer — the new batch is the SMALL side by contract, so the
+    # cached footprint is ids × 8 hex sigs
+    nsig = (
+        with_minhash_signatures(
+            new_docs.select(id_col, text_col), text_col, num_hashes, k
+        )
+        .select(id_col, *scols)
+        .persist()
+    )
     nband = _banded(nsig, id_col, num_hashes, rows_per_band).select(
         F.col(id_col).alias("new_id"), "band_idx", "band_val"
     )
