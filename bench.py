@@ -77,6 +77,7 @@ HEADLINE = [
     "ivfpq_search_refined",
     "hybrid_rank_fusion",
     "ivfpq_search_multi",
+    "dedup_incremental",
 ]
 
 

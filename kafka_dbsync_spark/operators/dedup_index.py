@@ -211,6 +211,55 @@ def dedup_check_incremental(
     )
 
 
+def dedup_index_remove(
+    spark: SparkSession,
+    path: str,
+    remove_ids,
+    id_col: str = "doc_id",
+) -> dict:
+    """Remove documents from the index (the takedown/right-to-erasure
+    path): anti-join both artifacts against the removal set and swap
+    the rewritten tables in, then recompute the fingerprint from what
+    remains. The rewrite touches only index METADATA (ids + 8 hex sigs
+    per doc — KBs per million docs), never corpus text.
+
+    Removal ids broadcast (a takedown batch is small by contract).
+    Note: bucket rows dropped by the representative cap at build/add
+    time are NOT re-promoted when a representative is removed — a
+    rebuild re-caps from the full signature table (the standard
+    compaction trade). Returns {"docs_removed": n}."""
+    import shutil
+
+    if not isinstance(remove_ids, DataFrame):
+        remove_ids = spark.createDataFrame(
+            [(int(i),) for i in remove_ids], f"{id_col} long"
+        )
+    ids = F.broadcast(remove_ids.select(id_col).distinct())
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        rec = {}
+    if os.path.exists(marker):
+        os.remove(marker)  # crash mid-rewrite leaves the index invalid,
+        # not silently half-rewritten
+    before = spark.read.parquet(f"{path}/signatures").count()
+    for artifact in ("signatures", "buckets"):
+        src = f"{path}/{artifact}"
+        staging = f"{path}/.{artifact}.rewrite"
+        spark.read.parquet(src).join(ids, id_col, "left_anti").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.rmtree(src)
+        os.rename(staging, src)
+    remaining = spark.read.parquet(f"{path}/signatures")
+    rec["fingerprint"] = corpus_fingerprint(remaining, id_col)
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    return {"docs_removed": before - remaining.count()}
+
+
 def dedup_index_add(
     spark: SparkSession,
     path: str,

@@ -84,3 +84,28 @@ def test_bucket_cap_bounds_candidates(spark, tmp_path):
     got = dedup_check_incremental(spark, path, new, threshold_bp=5000).collect()
     assert 1 <= len(got) <= 5
     assert all(r["est_bp"] == 10000 for r in got)
+
+
+def test_remove_erases_doc_from_index(spark, idx):
+    """Takedown path: after removal, an identical new doc no longer
+    flags, the fingerprint reflects the remaining corpus, and the hash
+    family parameters survive the marker rewrite."""
+    import json
+    import os
+
+    from kafka_dbsync_spark.operators.dedup_index import dedup_index_remove
+
+    res = dedup_index_remove(spark, idx, [0])
+    assert res == {"docs_removed": 1}
+    new = _df(spark, [(41, CORPUS[0][1])])      # identical to removed doc 0
+    got = dedup_check_incremental(spark, idx, new, threshold_bp=2500).collect()
+    assert got == []
+    remaining = _df(spark, CORPUS[1:])
+    assert dedup_index_is_built(idx, corpus_fingerprint(remaining))
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert rec["num_hashes"] == 8 and rec["rows_per_band"] == 2
+    # other docs still findable
+    still = _df(spark, [(43, CORPUS[1][1])])
+    got2 = dedup_check_incremental(spark, idx, still, threshold_bp=5000).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in got2} == {(43, 2)}
