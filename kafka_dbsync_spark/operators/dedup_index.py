@@ -211,6 +211,72 @@ def dedup_check_incremental(
     )
 
 
+def dedup_ingest_foreach_batch(
+    path: str,
+    accepted_dir: str,
+    duplicates_dir: str,
+    threshold_bp: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **check_kw,
+):
+    """Streaming dedup-at-ingest: a ``foreachBatch`` function that, per
+    micro-batch, (1) collapses exact in-batch duplicates to the lowest
+    id, (2) checks survivors against the PERSISTED index, (3) routes
+    near-dups to ``duplicates_dir`` (with the matched corpus id and the
+    estimate) and novel docs to ``accepted_dir``, and (4) ADMITS only
+    the novel docs into the index — so a duplicate arriving in a LATER
+    batch is caught by the earlier batch's admission.
+
+    Composition of already-audited pieces: the exact in-batch collapse
+    is one md5-key aggregate over the batch; the index check is the
+    band probe + signature verify (corpus text never read); the
+    admission is a frozen-family append. State across batches lives in
+    the index artifacts, not in Spark state — restarts pick up where
+    the index left off."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # exact in-batch collapse: lowest id survives per exact text
+        keep = (
+            batch_df.groupBy(F.md5(F.col(text_col)).alias("__k"))
+            .agg(F.min(id_col).alias(id_col))
+            .drop("__k")
+        )
+        batch = batch_df.join(keep, id_col, "left_semi").persist()
+        try:
+            hits = dedup_check_incremental(
+                spark, path, batch, threshold_bp=threshold_bp,
+                id_col=id_col, text_col=text_col, **check_kw,
+            ).persist()
+            try:
+                dup_ids = hits.select(
+                    F.col("new_id").alias(id_col)
+                ).distinct()
+                best = hits.groupBy("new_id").agg(
+                    F.max_by("corpus_id", F.struct("est_bp", "corpus_id"))
+                    .alias("matched_corpus_id"),
+                    F.max("est_bp").alias("est_bp"),
+                )
+                (
+                    batch.join(
+                        best, batch[id_col] == best["new_id"]
+                    ).drop("new_id")
+                    .write.mode("append").parquet(duplicates_dir)
+                )
+                fresh = batch.join(dup_ids, id_col, "left_anti")
+                fresh.write.mode("append").parquet(accepted_dir)
+                dedup_index_add(
+                    spark, path, fresh, id_col=id_col, text_col=text_col
+                )
+            finally:
+                hits.unpersist()
+        finally:
+            batch.unpersist()
+
+    return fn
+
+
 def dedup_index_remove(
     spark: SparkSession,
     path: str,

@@ -109,3 +109,79 @@ def test_remove_erases_doc_from_index(spark, idx):
     still = _df(spark, [(43, CORPUS[1][1])])
     got2 = dedup_check_incremental(spark, idx, still, threshold_bp=5000).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in got2} == {(43, 2)}
+
+
+def test_streaming_ingest_dedup_routes_and_admits(spark, tmp_path):
+    """dedup_ingest_foreach_batch: in-batch exact dups collapse, index
+    dups route to duplicates_dir with their match, novel docs land in
+    accepted_dir AND are admitted — so a batch-2 duplicate of a batch-1
+    novel doc is caught."""
+    from kafka_dbsync_spark.operators.dedup_index import (
+        dedup_ingest_foreach_batch,
+    )
+
+    idx = str(tmp_path / "ingestidx")
+    build_dedup_index(spark, _df(spark, CORPUS), idx)
+    acc, dup = str(tmp_path / "accepted"), str(tmp_path / "duplicates")
+    fn = dedup_ingest_foreach_batch(idx, acc, dup, threshold_bp=5000)
+
+    novel_text = "entirely fresh writing about spark window frames and state"
+    fn(_df(spark, [
+        (10, CORPUS[0][1]),      # dup of stored doc 0
+        (11, novel_text),        # novel
+        (12, novel_text),        # exact in-batch copy of 11 → collapsed
+    ]), 1)
+    fn(_df(spark, [
+        (20, novel_text),        # dup of 11, admitted in batch 1
+        (21, "another new document about manifest snapshots and vacuum"),
+    ]), 2)
+
+    accepted = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    dups = {
+        r["doc_id"]: r["matched_corpus_id"]
+        for r in spark.read.parquet(dup).collect()
+    }
+    assert accepted == {11, 21}
+    assert dups[10] == 0          # matched the original corpus doc
+    assert dups[20] == 11         # matched the batch-1 admission
+    assert 12 not in accepted and 12 not in dups  # in-batch collapse
+
+
+def test_streaming_ingest_dedup_wired_to_real_stream(spark, tmp_path):
+    """The same function driven by an actual file-source stream with
+    foreachBatch (availableNow) — the production wiring."""
+    import json as _json
+
+    from kafka_dbsync_spark.operators.dedup_index import (
+        dedup_ingest_foreach_batch,
+    )
+
+    idx = str(tmp_path / "sidx")
+    build_dedup_index(spark, _df(spark, CORPUS), idx)
+    acc, dup = str(tmp_path / "sacc"), str(tmp_path / "sdup")
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "batch0.json", "w") as f:
+        for row in [
+            {"doc_id": 50, "text": CORPUS[2][1]},            # dup of doc 4
+            {"doc_id": 51, "text": "streaming novel doc about checkpoints"},
+        ]:
+            f.write(_json.dumps(row) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest_foreach_batch(idx, acc, dup, threshold_bp=5000)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {51}
+    assert {
+        (r["doc_id"], r["matched_corpus_id"])
+        for r in spark.read.parquet(dup).collect()
+    } == {(50, 4)}
