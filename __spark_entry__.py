@@ -32,6 +32,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hybrid_rank_fusion",
     "ivfpq_search_multi",
     "dedup_incremental",
+    "lake_ordered_state",
     # (b) code touched in round 5 (ADC dense-lookup rewrite, recall
     # report extension, index fingerprinting, lake sink hardening,
     # gap-fill guard, integer-division share)
@@ -82,7 +83,6 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup",
     # (d) oldest round-3 rows, registration order
     "simhash",
-    "similarity_topk",
 ]
 
 

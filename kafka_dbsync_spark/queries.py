@@ -5053,6 +5053,74 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lake_ordered_state",
+    # Ordered mode makes the final table state BATCH-ORDER-INVARIANT:
+    # applying the change stream as three interleaved (event_id mod 3)
+    # slices in scrambled order — then purging pre-max-offset
+    # tombstones — must reproduce exactly the in-order global LWW state
+    # (the cdc_final_state oracle).
+    oracle=ORACLES["cdc_final_state"],
+)
+def q_lake_ordered_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC apply through the ORDERED versioned lake sink
+    (streaming/table_sink.py, ordered=True): the events stream is split
+    into three interleaved slices (event_id mod 3) and applied in the
+    scrambled order 2, 0, 1 — every batch carries offsets both above
+    and below the already-stored watermarks, the exact delivery shape
+    the ordered mode's stored order columns + tombstone rows exist for.
+    A tombstone purge at max(offset)+1 then runs (every change below
+    the watermark has been applied, so the purge drops ALL tombstones
+    and the manifest watermark guards future replays) before the final
+    snapshot read. The result must equal the plain in-order LWW state —
+    same oracle as ``cdc_final_state``. The sink dir is a tmpdir,
+    materialized and removed before returning."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.streaming.table_sink import VersionedParquetMergeSink
+
+    ev = load_table(spark, sf_dir, "events")
+    # offsets in the IIDR encoding equal event_id; the raw table has no
+    # offset column yet
+    mx = ev.agg(F.max("event_id")).head()[0]
+    sink_dir = tempfile.mkdtemp(prefix="lake_ordered_")
+    try:
+        sink = VersionedParquetMergeSink(
+            sink_dir,
+            key_cols=["user_id"],
+            order_cols=["offset"],
+            num_buckets=8,
+            ordered=True,
+        )
+        for epoch, m in enumerate((2, 0, 1), start=1):  # scrambled order
+            batch = ev.filter(F.col("event_id") % 3 == m)
+            iidr = validate_iidr(with_operation(events_as_iidr_stream(batch)))
+            valid, _ = split_corrupt(iidr)
+            sink.apply_batch(
+                valid.select(
+                    "user_id",
+                    F.col("offset").alias("last_event_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                    "op",
+                    "offset",
+                ),
+                epoch_id=epoch,
+            )
+        purged = sink.purge_tombstones(spark, [int(mx) + 1])
+        log_rows = purged["tombstones_purged"]  # noqa: F841 — bounded metadata
+        out = sink.read(spark).select(
+            "user_id", "last_event_id", "event_type", "value", "props"
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _DEDUP_IDX_BANDS = ", ".join(
     "{'b': %d, 'v': sig_%d || sig_%d}" % (b, 2 * b, 2 * b + 1) for b in range(4)
 )

@@ -70,6 +70,8 @@ SHUFFLE_BUDGET = {
     # list fusion join
     "dedup_incremental": 0,         # materialized rows (the index build +
     # band join ran at construction time against the tmp index dir)
+    "lake_ordered_state": 0,        # materialized rows (3 out-of-order
+    # ordered-sink applies + tombstone purge ran at construction time)
     "bpe_merges_k": 0,              # result is the collected 5-row merge trace;
     # per-round pair aggs ran at construction time (driver loop)
     "lake_snapshot_read": 0,        # manifest-listed parquet union read;
