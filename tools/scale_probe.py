@@ -427,6 +427,65 @@ def main() -> None:
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
 
+    # Round-5 paths ------------------------------------------------------
+
+    # Batched multi-query ANN serving: Q queries answered by ONE
+    # union-of-probes scan must beat Q sequential serves — the
+    # amortization grows with Q.
+    from kafka_dbsync_spark.operators.pq_index import ivfpq_search_multi_index
+
+    idx_dir = tempfile.mkdtemp(prefix="probe_pqmulti_")
+    try:
+        build_pq_index(spark, bigemb, cents, idx_dir)
+        qs = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < 8).collect()
+        ]
+        ivfpq_search_multi_index(spark, idx_dir, qs, k_top=10).count()  # warm
+        t0 = time.perf_counter()
+        ivfpq_search_multi_index(spark, idx_dir, qs, k_top=10).count()
+        dt_multi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _, q8 in qs:
+            ivfpq_search_index(spark, idx_dir, q8, k_top=10).count()
+        dt_seq = time.perf_counter() - t0
+        print(
+            f"multi_query_serve: Q=8 over {e0 * factor} vectors — batched "
+            f"{dt_multi:.2f}s vs sequential {dt_seq:.2f}s "
+            f"({dt_seq / max(dt_multi, 1e-9):.1f}x)"
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # Persisted dedup index: build once over the replicated corpus, then
+    # check a 1k-doc arrival batch — the check must cost a fraction of
+    # the build (corpus text never re-read).
+    from kafka_dbsync_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_check_incremental,
+    )
+
+    ddx_dir = tempfile.mkdtemp(prefix="probe_dedupidx_")
+    try:
+        t0 = time.perf_counter()
+        build_dedup_index(spark, bigdocs, ddx_dir)
+        dt_build = time.perf_counter() - t0
+        arrivals = (
+            bigdocs.orderBy("doc_id").limit(1_000)
+            .withColumn("doc_id", F.col("doc_id") + 100_000_000)
+        )
+        dedup_check_incremental(spark, ddx_dir, arrivals).count()  # warm
+        t0 = time.perf_counter()
+        n_hits = dedup_check_incremental(spark, ddx_dir, arrivals).count()
+        dt_check = time.perf_counter() - t0
+        print(
+            f"dedup_index: build {d0 * factor} docs {dt_build:.2f}s; "
+            f"check 1000 arrivals {dt_check:.2f}s ({n_hits} near-dup hits, "
+            f"{dt_build / max(dt_check, 1e-9):.0f}x build/check split)"
+        )
+    finally:
+        shutil.rmtree(ddx_dir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
