@@ -244,11 +244,14 @@ def ivfpq_search_multi_index(
     Per query the math is identical to ``ivfpq_search_index``; the
     (query, cell) residuals ride in as one broadcast table joined on
     the cell id, so a candidate row is scored once per query probing
-    its cell. The only shuffle is the per-query top-k window over
-    candidate rows (partitioned BY query id — Q × cell-candidates
-    rows, the same volume Q separate TakeOrdereds would reduce, now in
-    one stage). Returns (query_id, rank, vec_id, label, centroid_id,
-    adc_dist)."""
+    its cell. The per-query top-k runs in TWO window stages — partial
+    top-k per (query, input partition) first, exact top-k per query
+    over the ≤ partitions × k survivors second — so no single task
+    ever holds one query's full candidate set (a query-id-only window
+    would cap parallelism at Q and make the hottest query a straggler
+    at corpus scale; this is the distributed analogue of the
+    single-query TakeOrderedAndProject's partial+merge). Returns
+    (query_id, rank, vec_id, label, centroid_id, adc_dist)."""
     from kafka_dbsync_spark.operators.similarity import (
         centroid_arrays,
         select_probe_cells,
@@ -284,15 +287,25 @@ def ivfpq_search_multi_index(
         .crossJoin(books)
     )
     adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    scored = cand.withColumn("adc_dist", F.round(adc, out_decimals)).select(
+        "query_id", "vec_id", "label",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "adc_dist",
+    )
+    order = (F.col("adc_dist"), F.col("vec_id"))
+    # stage 1: partial top-k per (query, input partition) — any split
+    # works, the exact stage fixes it up; bounds per-task rows
+    w_part = W.partitionBy("query_id", "__pid").orderBy(*order)
+    partial = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rk", F.row_number().over(w_part))
+        .filter(F.col("__rk") <= k_top)
+        .drop("__pid", "__rk")
+    )
+    # stage 2: exact top-k per query over ≤ partitions × k survivors
+    w_q = W.partitionBy("query_id").orderBy(*order)
     return (
-        cand.withColumn("adc_dist", F.round(adc, out_decimals))
-        .select(
-            "query_id", "vec_id", "label",
-            F.col("centroid_id").cast("long").alias("centroid_id"),
-            "adc_dist",
-        )
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w_q))
         .filter(F.col("rank") <= k_top)
         .select(
             "query_id",

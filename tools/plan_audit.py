@@ -64,8 +64,11 @@ SHUFFLE_BUDGET = {
     "pq_index_add": 1,              # per-cell count agg over the grown codes
     "ivfpq_search_refined": 3,      # served-search exchanges + the ≤k′
     # candidate broadcast + refine TakeOrdered
-    "ivfpq_search_multi": 4,        # codebook restructure + the per-query
-    # top-k window over candidate rows (the one intentional shuffle)
+    "ivfpq_search_multi": 7,        # codebook restructure + the TWO-stage
+    # per-query top-k (partial per (query, input partition), exact per
+    # query over ≤ partitions×k survivors): more exchanges by design so
+    # no task ever holds one query's full candidate set — a query-id-only
+    # window would cap parallelism at Q and straggle at corpus scale
     "hybrid_rank_fusion": 2,        # BM25 1-row stats agg + the ≤20-row
     # list fusion join
     "dedup_incremental": 0,         # materialized rows (the index build +
