@@ -78,6 +78,13 @@ HEADLINE = [
     "hybrid_rank_fusion",
     "ivfpq_search_multi",
     "dedup_incremental",
+    # r5 late additions: LM quality scoring (vocab-sized model, one
+    # corpus bigram shuffle), DSIR importance weights, the fixed-state
+    # HLL cardinality sketch, and blocked fuzzy linkage
+    "lm_perplexity",
+    "dsir_weights",
+    "hll_distinct_tokens",
+    "fuzzy_match_pairs",
 ]
 
 

@@ -445,3 +445,148 @@ def _bpe_train(
         for p in persisted:
             p.unpersist()
     return merges, cur.select("syms", "n")
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality scoring (CCNet) and importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+def _decimal_log_sum(col, scale: int = 6):
+    """round(ln(x), scale) cast to an exact DECIMAL so the per-document
+    SUM is order-independent (bit-identical on any engine).  The only
+    cross-engine hazard left is a last-ulp `ln` difference landing
+    exactly on a rounding boundary — probability ~1e-10 per distinct
+    integer ratio, and the inputs are exact integer ratios shared by
+    construction."""
+    return F.round(F.log(col), scale).cast("decimal(18,6)")
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by its perplexity under an n-gram LM,
+    so downstream filtering can keep the low-perplexity (fluent) head.
+    CCNet uses a pretrained KenLM; with no model artifacts in the
+    container the LM here is an add-one-smoothed bigram model trained on
+    the corpus itself — the same scoring shape (the model is an input, a
+    swap-in at deployment).
+
+    Determinism contract: p(w2|w1) = (c12 + 1) / (c1 + V) is an exact
+    integer ratio; ln(p) is rounded to 6 decimals and summed as DECIMAL
+    (order-independent), and only the final exp(-sum/n) is a rounded
+    double.
+
+    Scale: the model is VOCAB-sized (unigram + bigram count tables), not
+    corpus-sized; the corpus-side cost is one map-side-combined shuffle
+    of per-doc bigram counts joined against the model — the model tables
+    broadcast when small, shuffle-join when not. No Python UDFs.
+
+    Returns (id_col, n_bigrams, ppl).
+    """
+    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+    # per-doc bigram multiplicity first: compresses repeats before joins.
+    # c12 folds doc_grams' k (its exchange is REUSED — ReusedExchange in
+    # the static plan); c1 aggregates the gram stream directly, because
+    # deriving it from c12 breaks exchange reuse (different column
+    # pruning) and re-runs both upstream shuffles in that branch.
+    doc_grams = grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k"))
+    c12 = doc_grams.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
+    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("V"))
+    )
+    scored = (
+        doc_grams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "k",
+            _decimal_log_sum(
+                (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("V")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("logp") * F.col("k")).alias("sum_logp"),
+    )
+    ppl = F.round(
+        F.exp(-(F.col("sum_logp").cast("double")) / F.col("n_bigrams").cast("double")), 4
+    )
+    return per_doc.select(id_col, "n_bigrams", ppl.alias("ppl"))
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): log p_target(x) -
+    log p_raw(x) under bag-of-words unigram models, so resampling the
+    raw corpus by weight shifts it toward the target domain.  Both
+    models are add-one-smoothed over the SHARED raw-corpus vocabulary
+    (tokens outside it contribute the same smoothed mass to both sides).
+
+    Same determinism contract as ``bigram_lm_perplexity``: exact integer
+    ratios -> 6-decimal DECIMAL log terms -> exact weighted sum; the
+    returned ``dsir_weight`` is the rounded double of that sum.
+
+    Scale: the two unigram tables are vocab-sized and broadcastable; the
+    raw corpus is touched by exactly one map-side-combined (doc, token)
+    count + one join against the model — the DSIR paper's hashed-ngram
+    variant replaces the vocab join with a fixed-width modulo bucket,
+    which this layout degrades to by substituting the token key.
+    """
+    doc_toks = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    raw_counts = doc_toks.groupBy("tok").agg(F.sum("k").alias("cr"))
+    tgt_counts = (
+        target_docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = raw_counts.agg(
+        F.sum("cr").alias("Nr"), F.count("*").alias("V")
+    ).crossJoin(
+        tgt_counts.agg(F.sum("ct").alias("Nt"))
+    )
+    model = (
+        raw_counts.join(tgt_counts, "tok", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            (
+                _decimal_log_sum((F.col("ct") + 1).cast("double") / (F.col("Nt") + F.col("V")).cast("double"))
+                - _decimal_log_sum((F.col("cr") + 1).cast("double") / (F.col("Nr") + F.col("V")).cast("double"))
+            ).alias("log_ratio"),
+        )
+    )
+    weighted = doc_toks.join(model, "tok").groupBy(id_col).agg(
+        F.sum("k").alias("n_tokens"),
+        F.round(F.sum(F.col("log_ratio") * F.col("k")).cast("double"), 4).alias(
+            "dsir_weight"
+        ),
+    )
+    return weighted

@@ -6100,3 +6100,214 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("share_bp") >= 1500)
     )
+
+
+# ===========================================================================
+# Round-5 additions II: sketches, LM quality, importance resampling, linkage
+# ===========================================================================
+@query(
+    "hll_distinct_tokens",
+    # Deterministic HyperLogLog (md5-based; functions/sketches.py): the
+    # oracle replays the exact register math, so every register value
+    # and the final estimate match bit-for-bit.
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), exact AS (
+      SELECT source, count(DISTINCT tok) AS n_exact FROM toks GROUP BY source
+    )
+    SELECT e.source, e.n_exact, h.m_seen, h.zeros, h.hll_est
+    FROM exact e JOIN (__HLL__) h ON e.source = h.source
+    """,
+)
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size: exact distinct tokens next to the
+    deterministic-HLL estimate (functions/sketches.py — md5 hash, exact
+    integer register math, fixed 256-register state per group). The
+    sketch is the 100 TB shape for cardinality profiling: the shuffle
+    moves at most groups x 256 register rows instead of the full key
+    stream, and sketches of disjoint shards merge by register max. The
+    exact side here is the verification column, not the scale path."""
+    from kafka_dbsync_spark.functions.sketches import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    toks = docs.filter(norm != "").select(
+        "source", F.explode(F.split(norm, " ")).alias("tok")
+    )
+    exact = toks.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
+    est = hll_distinct(toks, ["source"], "tok", p=8)
+    return exact.join(est, "source").select(
+        "source", "n_exact", "m_seen", "zeros", "hll_est"
+    )
+
+
+# splice the shared-constant HLL oracle into the wrapper above
+from kafka_dbsync_spark.functions.sketches import hll_oracle_sql as _hll_sql  # noqa: E402
+
+ORACLES["hll_distinct_tokens"] = ORACLES["hll_distinct_tokens"].replace(
+    "__HLL__",
+    _hll_sql(
+        f"SELECT source, unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok "
+        f"FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''",
+        ["source"],
+        "tok",
+        p=8,
+    ),
+)
+
+
+@query(
+    "lm_perplexity",
+    # CCNet-style LM quality scoring (operators/corpus.py::
+    # bigram_lm_perplexity): add-one bigram LM trained on the corpus,
+    # per-doc perplexity; 30 worst (highest-ppl) docs.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM g GROUP BY doc_id, w1, w2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(t) AS tok FROM norm)
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, sum(logp * k) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(exp(-(CAST(sum_logp AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)), 4) AS ppl
+    FROM per_doc
+    ORDER BY ppl DESC, doc_id LIMIT 30
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020): every doc
+    scored by an add-one bigram LM trained on the corpus itself; the 30
+    highest-perplexity (least fluent) docs surface for filtering. The
+    model is vocab-sized (broadcastable at any corpus scale); the corpus
+    pays one map-side-combined bigram shuffle. Exact integer
+    probabilities -> 6-dp DECIMAL log terms -> order-independent sums,
+    so the oracle matches bit-for-bit."""
+    from kafka_dbsync_spark.operators.corpus import bigram_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    out = bigram_lm_perplexity(docs_f)
+    return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
+
+
+@query(
+    "dsir_weights",
+    # DSIR importance resampling weights (operators/corpus.py::
+    # dsir_importance_weights): target domain = source 'src0'.
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, tok, count(*) AS k
+      FROM (SELECT doc_id, unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok
+            FROM documents WHERE {_SQL_NORM.format(c='text')} <> '')
+      GROUP BY doc_id, tok
+    ), raw AS (
+      SELECT tok, sum(k) AS cr FROM dt GROUP BY tok
+    ), tgt AS (
+      SELECT tok, count(*) AS ct
+      FROM (SELECT unnest(string_split({_SQL_NORM.format(c='text')}, ' ')) AS tok
+            FROM documents
+            WHERE source = 'src0' AND {_SQL_NORM.format(c='text')} <> '')
+      GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT sum(cr) FROM raw) AS Nr,
+             (SELECT count(*) FROM raw) AS V,
+             (SELECT sum(ct) FROM tgt) AS Nt
+    ), model AS (
+      SELECT r.tok,
+             CAST(round(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                           / CAST(tot.Nt + tot.V AS DOUBLE)), 6) AS DECIMAL(18,6))
+             - CAST(round(ln(CAST(r.cr + 1 AS DOUBLE)
+                             / CAST(tot.Nr + tot.V AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS log_ratio
+      FROM raw r LEFT JOIN tgt t USING (tok), tot
+    ), w AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+             round(CAST(sum(log_ratio * k) AS DOUBLE), 4) AS dsir_weight
+      FROM dt JOIN model USING (tok) GROUP BY doc_id
+    )
+    SELECT w.doc_id, d.source, w.n_tokens, w.dsir_weight
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY dsir_weight DESC, doc_id LIMIT 30
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log p_target - log
+    p_raw under add-one unigram models, target domain = docs from
+    source 'src0'; the 30 highest-weight docs (the ones resampling
+    would pull toward the target mix). The two unigram tables are
+    vocab-sized; the corpus pays one (doc, token) map-side-combined
+    shuffle + one model join. Same decimal-exact log-sum contract as
+    lm_perplexity."""
+    from kafka_dbsync_spark.operators.corpus import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    target = docs_f.filter(F.col("source") == "src0")
+    w = dsir_importance_weights(docs_f, target)
+    return (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "dsir_weight")
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(30)
+    )
+
+
+@query(
+    "fuzzy_match_pairs",
+    # Blocked record linkage (operators/linkage.py): block on (first
+    # name token, size), cap 50 rows/block, Levenshtein <= 3.
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS id, p_name AS name,
+             split_part(p_name, ' ', 1) || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY id) AS rn FROM p
+      ) WHERE rn <= 50
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM capped a JOIN capped b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate pairs over part names (operators/
+    linkage.py::blocked_fuzzy_pairs): cheap (first-token, size) blocking
+    key, per-block row cap 50 (the all-pairs explosion guard — worst
+    case cap^2 per block regardless of block size), Levenshtein <= 3 on
+    the capped within-block pairs. One shuffle on the block key; the
+    Levenshtein runs JVM-side on pairs whose volume the cap bounds."""
+    from kafka_dbsync_spark.operators.linkage import blocked_fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    blk = F.concat(
+        F.substring_index(F.col("p_name"), " ", 1),
+        F.lit("|"),
+        F.col("p_size").cast("string"),
+    )
+    return blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", blk, max_dist=3, block_cap=50
+    )

@@ -94,6 +94,15 @@ SHUFFLE_BUDGET = {
     "triangle_counts": 6,           # basket pair agg + edge agg + cap
     # window + two edge-key joins + vertex agg + TakeOrdered (all
     # uniform keys; static plan re-derives the capped-edge branch)
+    "hll_distinct_tokens": 4,       # exact-distinct expand (2) + register
+    # agg (source,idx) + per-source fold; est side joins broadcast
+    "lm_perplexity": 6,             # doc_grams agg (the one corpus-keyed
+    # shuffle; c12/c1 fold from it) + c12 + c1 + vocab agg + per-doc agg;
+    # model joins broadcast at test SF, TakeOrdered top-k
+    "dsir_weights": 7,              # (doc,tok) agg + raw/tgt vocab aggs +
+    # two 1-row totals + model join + per-doc agg; model broadcast
+    "fuzzy_match_pairs": 1,         # one block-key shuffle shared by the
+    # cap window and the self-join; Levenshtein JVM-side on capped pairs
     "min_price_suppliers": 3,       # offers agg + per-part min agg +
     # pick agg (all sharing the part-hash key); dims broadcast, top-k
     # is TakeOrdered
