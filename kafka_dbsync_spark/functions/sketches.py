@@ -189,3 +189,89 @@ def hll_oracle_sql(
            END AS hll_est
     FROM per_group
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: persisted register state merged per micro-batch
+# ---------------------------------------------------------------------------
+def _state_manifest(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "_CURRENT.json")
+
+
+def _current_epoch(state_dir: str) -> int | None:
+    import json
+    import os
+
+    mf = _state_manifest(state_dir)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as fh:
+        return json.load(fh)["epoch"]
+
+
+def hll_ingest_foreach_batch(
+    state_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+):
+    """Streaming cardinality: a ``foreachBatch`` function that merges
+    each micro-batch's HLL registers into a PERSISTED register table, so
+    a distinct-count over an unbounded stream is answerable at any time
+    from ``groups x 2^p`` rows of state — never from the raw key stream.
+
+    State layout (single-writer, the streaming contract everywhere in
+    this repo): ``registers_e{epoch}.parquet`` per applied epoch plus a
+    ``_CURRENT.json`` pointer updated atomically after the parquet
+    lands. EPOCH REPLAY IS A NO-OP: foreachBatch can redeliver a batch
+    after a failure (offset/commit bookkeeping, SURVEY.md §2.4 A4); an
+    epoch at or below the applied watermark returns without writing, so
+    the merge never double-counts — and HLL merge is idempotent by
+    construction anyway (max is), giving a second, independent layer of
+    replay safety.
+    """
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        import json
+        import os
+
+        spark = batch_df.sparkSession
+        os.makedirs(state_dir, exist_ok=True)
+        cur = _current_epoch(state_dir)
+        if cur is not None and epoch_id <= cur:
+            return  # replayed epoch: already folded in
+        new = hll_registers(batch_df, group_cols, value_col, p)
+        if cur is not None:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"registers_e{cur}.parquet")
+            )
+            new = hll_merge_registers(prev, new, group_cols)
+        out = os.path.join(state_dir, f"registers_e{epoch_id}.parquet")
+        new.write.mode("overwrite").parquet(out)
+        tmp = _state_manifest(state_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": int(epoch_id), "p": p}, fh)
+        os.replace(tmp, _state_manifest(state_dir))
+        # retire superseded register generations (state stays 1 table)
+        for name in os.listdir(state_dir):
+            if name.startswith("registers_e") and name != f"registers_e{epoch_id}.parquet":
+                import shutil
+
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+    return fn
+
+
+def hll_stream_estimate(
+    spark, state_dir: str, group_cols: Sequence[str], p: int = 8
+) -> DataFrame:
+    """Estimate from the persisted streaming register state."""
+    import os
+
+    cur = _current_epoch(state_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no HLL state at {state_dir}")
+    regs = spark.read.parquet(os.path.join(state_dir, f"registers_e{cur}.parquet"))
+    return hll_estimate_from_registers(regs, group_cols, p)

@@ -169,3 +169,31 @@ def test_hll_shard_merge_is_lossless(spark):
         p=8,
     )
     assert sorted(map(tuple, merged.collect())) == one_shot
+
+
+def test_hll_stream_ingest_accumulates_and_replay_is_noop(spark, tmp_path):
+    # two micro-batches of disjoint keys -> estimate over their union;
+    # replaying an applied epoch must not change the state (A4 replay
+    # contract, same as the sinks)
+    from kafka_dbsync_spark.functions.sketches import (
+        hll_ingest_foreach_batch,
+        hll_stream_estimate,
+    )
+
+    state = str(tmp_path / "hll_state")
+    fn = hll_ingest_foreach_batch(state, ["grp"], "v", p=8)
+    batch = lambda lo, hi: spark.range(lo, hi).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("v")
+    )
+    fn(batch(0, 1000), 0)
+    fn(batch(1000, 2000), 1)
+    after_two = hll_stream_estimate(spark, state, ["grp"], p=8).collect()[0]
+    # replay epoch 0 (failure redelivery): state unchanged
+    fn(batch(0, 1000), 0)
+    replayed = hll_stream_estimate(spark, state, ["grp"], p=8).collect()[0]
+    assert tuple(after_two) == tuple(replayed)
+    # matches the one-shot sketch over the union exactly
+    one_shot = hll_distinct(batch(0, 2000), ["grp"], "v", p=8).collect()[0]
+    assert tuple(after_two) == tuple(one_shot)
+    # and the estimate is in the right ballpark
+    assert abs(after_two["hll_est"] - 2000) / 2000 < 0.25
