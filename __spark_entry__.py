@@ -26,13 +26,14 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # nothing), (c) the 32 queries whose latest green row is from round 2
 # (the stalest), (d) the oldest round-3 rows in registration order to
 # fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 54 long; the driver takes the FIRST 50, so the last
-# 4 r2-stale rows (ivf_assign, ivf_search, semantic_dedup, simhash)
-# rotate into round 6's window instead.
+# NOTE: the list is 55 long; the driver takes the FIRST 50, so the last
+# 5 r2-stale rows (topk_per_group, ivf_assign, ivf_search,
+# semantic_dedup, simhash) rotate into round 6's window instead.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
     "hll_distinct_tokens",
     "lm_perplexity",
+    "lm_perplexity_served",
     "dsir_weights",
     "fuzzy_match_pairs",
     "ivfpq_search_refined",

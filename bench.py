@@ -82,6 +82,7 @@ HEADLINE = [
     # corpus bigram shuffle), DSIR importance weights, the fixed-state
     # HLL cardinality sketch, and blocked fuzzy linkage
     "lm_perplexity",
+    "lm_perplexity_served",
     "dsir_weights",
     "hll_distinct_tokens",
     "fuzzy_match_pairs",

@@ -1,0 +1,168 @@
+"""Persisted bigram language model: train once, score forever.
+
+The serve-side twin of ``operators/corpus.py::bigram_lm_perplexity`` —
+the same split the repo already gives ANN search (`operators/pq_index`)
+and near-dup detection (`operators/dedup_index`): the expensive
+corpus-scale pass happens ONCE and lands as parquet artifacts; every
+subsequent consumer (batch scoring, dedup-at-ingest-style quality
+gating of new arrivals) reads the vocab-sized model and never touches
+the training corpus again. This is exactly how CCNet deploys its LM
+(Wenzek et al. 2020 train KenLM offline, then score each CommonCrawl
+shard against the frozen model).
+
+Artifacts under ``{path}``:
+
+    c12/            bigram counts  (w1, w2, n12)      — vocab² bound
+    c1/             context counts (w1, n1)           — vocab bound
+    meta + _COMPLETE marker: V (train vocab), the add-one smoothing
+    denominator pieces, and the train-corpus fingerprint
+
+Crash/staleness contract (the ADVICE-r4 lessons, applied from birth):
+the marker is removed at the start of a rebuild and recreated only
+after both tables land, so a crash mid-rebuild can never leave a stale
+marker over mixed-generation artifacts; the marker stores a cheap
+corpus fingerprint so a regenerated-in-place training corpus is
+detected by ``lm_model_is_current``.
+
+Scoring semantics for NEW text (tokens the frozen model never saw):
+add-one smoothing already assigns every unseen bigram the mass
+``1 / (c1(w1) + V)`` — and a fully-unseen context word degrades to
+``1 / V`` (``c1 = 0``). No retrain-on-score, pinned by the half-train
+oracle in ``queries.py::lm_perplexity_served``.
+
+Scale: the model join broadcasts (vocab-sized) — scoring N new docs is
+one map-side-combined (doc, bigram) aggregate plus broadcast lookups;
+zero shuffles of anything corpus-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.functions.text import tokens
+
+_MARKER = "_COMPLETE"
+
+
+def corpus_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> dict:
+    """Cheap train-set identity: count + max + sum of ids (same shape as
+    pq_index.dataset_fingerprint / dedup_index.corpus_fingerprint)."""
+    r = docs.agg(
+        F.count("*").alias("n"),
+        F.max(id_col).alias("mx"),
+        F.sum(id_col).alias("sm"),
+    ).collect()[0]
+    return {"n": r["n"], "max_id": int(r["mx"]), "sum_id": int(r["sm"])}
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+
+
+def build_lm_model(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One corpus pass -> persisted add-one bigram model."""
+    marker = os.path.join(path, _MARKER)
+    os.makedirs(path, exist_ok=True)
+    if os.path.exists(marker):
+        os.remove(marker)
+    fp = corpus_fingerprint(docs, id_col)
+    grams = _doc_bigrams(docs, id_col, text_col)
+    grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/c12")
+    grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/c1")
+    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.countDistinct("tok").alias("V")
+    ).collect()[0]["V"]
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": fp, "V": int(vocab)}, f)
+
+
+def lm_model_is_current(docs: DataFrame, path: str, id_col: str = "doc_id") -> bool:
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        meta = json.load(f)
+    return meta["fingerprint"] == corpus_fingerprint(docs, id_col)
+
+
+def lm_score(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score new documents against the FROZEN persisted model.
+
+    Returns (id_col, n_bigrams, ppl) with the same determinism contract
+    as the in-lineage operator: exact integer ratios -> 6-dp DECIMAL log
+    terms -> order-independent sums -> one rounded double."""
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"no complete LM model at {path}")
+    with open(marker) as f:
+        v = int(json.load(f)["V"])
+    c12 = spark.read.parquet(f"{path}/c12")
+    c1 = spark.read.parquet(f"{path}/c1")
+    doc_grams = (
+        _doc_bigrams(new_docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    scored = (
+        doc_grams.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .na.fill({"n12": 0, "n1": 0})
+        .select(
+            id_col,
+            "k",
+            F.round(
+                F.log(
+                    (F.col("n12") + 1).cast("double")
+                    / (F.col("n1") + F.lit(v)).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("logp") * F.col("k")).alias("sum_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.exp(
+                -(F.col("sum_logp").cast("double")) / F.col("n_bigrams").cast("double")
+            ),
+            4,
+        ).alias("ppl"),
+    )

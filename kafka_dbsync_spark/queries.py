@@ -6311,3 +6311,86 @@ def q_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_fuzzy_pairs(
         part, "p_partkey", "p_name", blk, max_dist=3, block_cap=50
     )
+
+
+@query(
+    "lm_perplexity_served",
+    # Frozen-model proof (same shape as pq_index_add's half-train
+    # oracle): the model trains on EVEN doc_ids only; odd docs are
+    # scored against that frozen model — unseen bigrams get the add-one
+    # mass, unseen contexts degrade to 1/V, and NOTHING retrains at
+    # serve time. The oracle rebuilds the identical frozen model in SQL.
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0 AND {_SQL_NORM.format(c='text')} <> ''
+    ), tr_idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM train WHERE len(t) >= 2
+    ), tr_g AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(t) AS tok FROM train)
+    ), serve AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 1 AND {_SQL_NORM.format(c='text')} <> ''
+    ), sv_idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM serve WHERE len(t) >= 2
+    ), sv_g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM sv_idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM sv_g GROUP BY doc_id, w1, w2
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg
+      LEFT JOIN c12 ON dg.w1 = c12.w1 AND dg.w2 = c12.w2
+      LEFT JOIN c1 ON dg.w1 = c1.w1, v
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             sum(logp * k) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(exp(-(CAST(sum_logp AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)), 4) AS ppl
+    FROM per_doc
+    ORDER BY ppl DESC, doc_id LIMIT 30
+    """,
+)
+def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/score-forever LM quality gating (operators/
+    lm_index.py): the bigram model trains on the even-doc_id half of the
+    corpus and persists (vocab-sized parquet + fingerprinted marker);
+    the odd half is scored against the FROZEN model — the CCNet
+    deployment shape, and the serve-side twin of pq_index /
+    dedup_index. The model caches in /tmp keyed by dataset, validated
+    against the train-set fingerprint (stale-on-regeneration safe);
+    scoring is broadcast lookups + one map-side-combined doc-bigram
+    aggregate — nothing corpus-sized shuffles at serve time."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        lm_model_is_current,
+        lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    serve = docs_f.filter(F.col("doc_id") % 2 == 1)
+    cache = str(
+        Path(tempfile.gettempdir())
+        / f"kds_lm_model_{Path(sf_dir.rstrip('/')).name}"
+    )
+    if not lm_model_is_current(train, cache):
+        build_lm_model(spark, train, cache)
+    out = lm_score(spark, cache, serve)
+    return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)

@@ -1,0 +1,78 @@
+"""Tests: persisted bigram LM (train-once/score-forever)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.corpus import bigram_lm_perplexity
+from kafka_dbsync_spark.operators.lm_index import (
+    build_lm_model,
+    lm_model_is_current,
+    lm_score,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat on the mat"),
+        (2, "the cat sat on the mat and purred at the dog"),
+        (4, "the dog sat on the mat and barked at the cat"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_scoring_train_docs_matches_in_lineage_operator(spark, corpus, tmp_path):
+    # the persisted model scored over its own training docs must equal
+    # the one-pass operator exactly (same counts, same decimal contract)
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    served = sorted(map(tuple, lm_score(spark, path, corpus).collect()))
+    inline = sorted(map(tuple, bigram_lm_perplexity(corpus).collect()))
+    assert served == inline
+
+
+def test_unseen_text_gets_smoothed_not_retrained(spark, corpus, tmp_path):
+    # a doc of tokens the frozen model never saw: every bigram gets the
+    # fully-unseen mass 1/V, so ppl == V exactly — and the model files
+    # are untouched by scoring (no retrain-on-score)
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    import json
+
+    v = json.load(open(os.path.join(path, "_COMPLETE")))["V"]
+    new = spark.createDataFrame(
+        [(100, "zorp glarb snick plonk vex")], ["doc_id", "text"]
+    )
+    mtimes = {
+        d: os.path.getmtime(os.path.join(path, d)) for d in ("c12", "c1")
+    }
+    row = lm_score(spark, path, new).collect()[0]
+    assert row["ppl"] == pytest.approx(float(v), abs=0.01)
+    assert mtimes == {
+        d: os.path.getmtime(os.path.join(path, d)) for d in ("c12", "c1")
+    }
+
+
+def test_fingerprint_detects_changed_corpus(spark, corpus, tmp_path):
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    assert lm_model_is_current(corpus, path)
+    grown = corpus.unionByName(
+        spark.createDataFrame([(6, "a new document arrives")], ["doc_id", "text"])
+    )
+    assert not lm_model_is_current(grown, path)
+
+
+def test_score_without_complete_marker_raises(spark, corpus, tmp_path):
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    os.remove(os.path.join(path, "_COMPLETE"))
+    with pytest.raises(FileNotFoundError):
+        lm_score(spark, path, corpus)
+    # and a rebuild restores service
+    build_lm_model(spark, corpus, path)
+    assert lm_score(spark, path, corpus).count() == 3
