@@ -166,3 +166,58 @@ def lm_score(
             4,
         ).alias("ppl"),
     )
+
+
+def lm_gate_foreach_batch(
+    model_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Quality gating at ingest: a ``foreachBatch`` function that scores
+    each micro-batch against the FROZEN persisted model and routes docs
+    to ``accepted_dir`` (ppl <= max_ppl) or ``rejected_dir`` (ppl >
+    max_ppl, with the score attached for audit) — the CCNet head/tail
+    split applied as a streaming admission filter, and the quality twin
+    of ``dedup_index.dedup_ingest_foreach_batch``.
+
+    Replay safety: outputs land under ``e{epoch}`` subdirectories and a
+    redelivered epoch whose output already exists returns without
+    writing — so a crash between the two writes re-runs the whole epoch
+    (both dirs are rewritten deterministically), and a post-commit
+    replay is a no-op. Docs with < 2 tokens score NULL ppl and are
+    rejected with reason 'too_short'.
+    """
+    import os
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        acc = os.path.join(accepted_dir, f"e{epoch_id}")
+        rej = os.path.join(rejected_dir, f"e{epoch_id}")
+        done = os.path.join(acc, "_SUCCESS")
+        if os.path.exists(done) and os.path.exists(os.path.join(rej, "_SUCCESS")):
+            return  # replayed epoch: both outputs already committed
+        scored = batch_df.join(
+            lm_score(spark, model_path, batch_df, id_col, text_col),
+            id_col,
+            "left",
+        )
+        scored.filter(F.col("ppl") <= max_ppl).drop("n_bigrams").write.mode(
+            "overwrite"
+        ).parquet(acc)
+        (
+            scored.filter((F.col("ppl") > max_ppl) | F.col("ppl").isNull())
+            .withColumn(
+                "reject_reason",
+                F.when(F.col("ppl").isNull(), F.lit("too_short")).otherwise(
+                    F.lit("high_perplexity")
+                ),
+            )
+            .drop("n_bigrams")
+            .write.mode("overwrite")
+            .parquet(rej)
+        )
+
+    return fn

@@ -76,3 +76,35 @@ def test_score_without_complete_marker_raises(spark, corpus, tmp_path):
     # and a rebuild restores service
     build_lm_model(spark, corpus, path)
     assert lm_score(spark, path, corpus).count() == 3
+
+
+def test_lm_gate_routes_by_perplexity_and_replay_is_noop(spark, corpus, tmp_path):
+    from kafka_dbsync_spark.operators.lm_index import lm_gate_foreach_batch
+
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    arrivals = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),          # fluent -> accept
+            (101, "zorp glarb snick plonk vex"),      # gibberish -> reject
+            (102, "single"),                          # <2 tokens -> too_short
+        ],
+        ["doc_id", "text"],
+    )
+    # train vocab V=10, so fully-unseen gibberish scores ppl=V=10.0
+    # and the fluent doc ~3.3; gate between them
+    fn = lm_gate_foreach_batch(path, acc, rej, max_ppl=8.0)
+    fn(arrivals, 0)
+    import os
+
+    accepted = spark.read.parquet(os.path.join(acc, "e0"))
+    rejected = spark.read.parquet(os.path.join(rej, "e0"))
+    assert [r["doc_id"] for r in accepted.collect()] == [100]
+    got = {r["doc_id"]: r["reject_reason"] for r in rejected.collect()}
+    assert got == {101: "high_perplexity", 102: "too_short"}
+    # replay: outputs untouched (mtime of _SUCCESS markers stable)
+    marks = [os.path.join(acc, "e0", "_SUCCESS"), os.path.join(rej, "e0", "_SUCCESS")]
+    before = [os.path.getmtime(m) for m in marks]
+    fn(arrivals, 0)
+    assert before == [os.path.getmtime(m) for m in marks]
