@@ -12,17 +12,20 @@ shard against the frozen model).
 
 Artifacts under ``{path}``:
 
-    c12/            bigram counts  (w1, w2, n12)      — vocab² bound
-    c1/             context counts (w1, n1)           — vocab bound
-    meta + _COMPLETE marker: V (train vocab), the add-one smoothing
-    denominator pieces, and the train-corpus fingerprint
+    gen-{fingerprint}/c12   bigram counts  (w1, w2, n12)  — vocab² bound
+    gen-{fingerprint}/c1    context counts (w1, n1)       — vocab bound
+    _COMPLETE               marker: V (train vocab), the train-corpus
+                            fingerprint, and the current generation name
 
-Crash/staleness contract (the ADVICE-r4 lessons, applied from birth):
-the marker is removed at the start of a rebuild and recreated only
-after both tables land, so a crash mid-rebuild can never leave a stale
-marker over mixed-generation artifacts; the marker stores a cheap
-corpus fingerprint so a regenerated-in-place training corpus is
-detected by ``lm_model_is_current``.
+Crash/staleness/concurrency contract (the ADVICE-r4 lessons plus one
+more, applied from birth): artifacts are IMMUTABLE generation dirs
+published by an atomic staging-dir rename, and the marker flips to the
+new generation last — so a crash mid-rebuild leaves the old generation
+fully serving, mixed-generation state is unrepresentable, and two
+consumers cold-building the same cache concurrently cannot corrupt each
+other (the rename loser discards its identical staging copy). The
+fingerprint in the marker detects a regenerated-in-place training
+corpus (``lm_model_is_current``).
 
 Scoring semantics for NEW text (tokens the frozen model never saw):
 add-one smoothing already assigns every unseen bigram the mass
@@ -74,6 +77,10 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select(id_col, "g.w1", "g.w2")
 
 
+def _gen_name(fp: dict) -> str:
+    return f"gen-{fp['n']}_{fp['max_id']}_{fp['sum_id']}"
+
+
 def build_lm_model(
     spark: SparkSession,
     docs: DataFrame,
@@ -81,24 +88,53 @@ def build_lm_model(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """One corpus pass -> persisted add-one bigram model."""
+    """One corpus pass -> persisted add-one bigram model.
+
+    Publish protocol (concurrent-builder safe, unlike a rebuild-in-place
+    — two consumers cold-building the same cache must not corrupt each
+    other): artifacts land in an IMMUTABLE generation dir named by the
+    train-set fingerprint. The build writes into a pid-suffixed staging
+    dir and publishes with one atomic ``os.rename``; a loser whose
+    rename finds the generation already present just discards its
+    staging copy (the contents are deterministic, so the winner's copy
+    is identical). The marker flips to the new generation LAST
+    (atomic ``os.replace``), so readers only ever see complete
+    generations — the same staging-dir-rename primitive as the
+    versioned lake sink's put-if-absent commit."""
+    import shutil
+
     marker = os.path.join(path, _MARKER)
     os.makedirs(path, exist_ok=True)
-    if os.path.exists(marker):
-        os.remove(marker)
     fp = corpus_fingerprint(docs, id_col)
-    grams = _doc_bigrams(docs, id_col, text_col)
-    grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/c12")
-    grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/c1")
+    gen = _gen_name(fp)
+    final_dir = os.path.join(path, gen)
+    if not os.path.exists(final_dir):
+        stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
+        grams = _doc_bigrams(docs, id_col, text_col)
+        grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/c12")
+        grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/c1")
+        try:
+            os.rename(stage, final_dir)
+        except OSError:
+            # another builder published this generation first; contents
+            # are deterministic, so theirs is identical — discard ours
+            shutil.rmtree(stage, ignore_errors=True)
     vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
         F.countDistinct("tok").alias("V")
     ).collect()[0]["V"]
-    with open(marker, "w") as f:
-        json.dump({"fingerprint": fp, "V": int(vocab)}, f)
+    tmp = marker + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fp, "V": int(vocab), "gen": gen}, f)
+    os.replace(tmp, marker)
+    # retire superseded generations (best effort; current gen is pinned
+    # by the marker, and generations are immutable once published)
+    for name in os.listdir(path):
+        if (name.startswith("gen-") or name.startswith(".stage-")) and name != gen:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def lm_model_is_current(docs: DataFrame, path: str, id_col: str = "doc_id") -> bool:
@@ -107,6 +143,11 @@ def lm_model_is_current(docs: DataFrame, path: str, id_col: str = "doc_id") -> b
         return False
     with open(marker) as f:
         meta = json.load(f)
+    # a marker without a generation (or whose generation dir is gone)
+    # is not servable — report stale so the caller rebuilds
+    gen = meta.get("gen")
+    if gen is None or not os.path.isdir(os.path.join(path, gen)):
+        return False
     return meta["fingerprint"] == corpus_fingerprint(docs, id_col)
 
 
@@ -126,9 +167,11 @@ def lm_score(
     if not os.path.exists(marker):
         raise FileNotFoundError(f"no complete LM model at {path}")
     with open(marker) as f:
-        v = int(json.load(f)["V"])
-    c12 = spark.read.parquet(f"{path}/c12")
-    c1 = spark.read.parquet(f"{path}/c1")
+        meta = json.load(f)
+    v = int(meta["V"])
+    gen_dir = os.path.join(path, meta["gen"])
+    c12 = spark.read.parquet(f"{gen_dir}/c12")
+    c1 = spark.read.parquet(f"{gen_dir}/c1")
     doc_grams = (
         _doc_bigrams(new_docs, id_col, text_col)
         .groupBy(id_col, "w1", "w2")

@@ -43,17 +43,18 @@ def test_unseen_text_gets_smoothed_not_retrained(spark, corpus, tmp_path):
     build_lm_model(spark, corpus, path)
     import json
 
-    v = json.load(open(os.path.join(path, "_COMPLETE")))["V"]
+    meta = json.load(open(os.path.join(path, "_COMPLETE")))
+    v, gen = meta["V"], meta["gen"]
     new = spark.createDataFrame(
         [(100, "zorp glarb snick plonk vex")], ["doc_id", "text"]
     )
     mtimes = {
-        d: os.path.getmtime(os.path.join(path, d)) for d in ("c12", "c1")
+        d: os.path.getmtime(os.path.join(path, gen, d)) for d in ("c12", "c1")
     }
     row = lm_score(spark, path, new).collect()[0]
     assert row["ppl"] == pytest.approx(float(v), abs=0.01)
     assert mtimes == {
-        d: os.path.getmtime(os.path.join(path, d)) for d in ("c12", "c1")
+        d: os.path.getmtime(os.path.join(path, gen, d)) for d in ("c12", "c1")
     }
 
 
@@ -108,3 +109,41 @@ def test_lm_gate_routes_by_perplexity_and_replay_is_noop(spark, corpus, tmp_path
     before = [os.path.getmtime(m) for m in marks]
     fn(arrivals, 0)
     assert before == [os.path.getmtime(m) for m in marks]
+
+
+def test_rebuild_same_generation_is_safe(spark, corpus, tmp_path):
+    # a second build over the same corpus finds the generation already
+    # published and serves it unchanged — the fast path of the
+    # concurrent-cold-build protocol (the rename-collision path is the
+    # same outcome by construction: deterministic contents, loser
+    # discards)
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    before = sorted(map(tuple, lm_score(spark, path, corpus).collect()))
+    build_lm_model(spark, corpus, path)
+    after = sorted(map(tuple, lm_score(spark, path, corpus).collect()))
+    assert before == after
+    import json
+
+    gen = json.load(open(os.path.join(path, "_COMPLETE")))["gen"]
+    entries = sorted(os.listdir(path))
+    assert entries == ["_COMPLETE", gen]  # no staging leftovers
+
+
+def test_new_generation_supersedes_old(spark, corpus, tmp_path):
+    # corpus changes -> new fingerprint -> new generation; the old one
+    # is retired and the marker points at the new gen
+    import json
+
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    gen1 = json.load(open(os.path.join(path, "_COMPLETE")))["gen"]
+    grown = corpus.unionByName(
+        spark.createDataFrame([(6, "the mat sat on the cat")], ["doc_id", "text"])
+    )
+    assert not lm_model_is_current(grown, path)
+    build_lm_model(spark, grown, path)
+    meta = json.load(open(os.path.join(path, "_COMPLETE")))
+    assert meta["gen"] != gen1
+    assert not os.path.exists(os.path.join(path, gen1))
+    assert lm_score(spark, path, grown).count() == 4
