@@ -366,3 +366,104 @@ def test_triangle_join_matches_python_reference(spark, edges):
         .groupBy("part").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 phase-2 operator contracts
+# ---------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 400)), min_size=1, max_size=60
+    ),
+    mask=st.integers(min_value=0, max_value=2**60 - 1),
+)
+@SETTINGS
+def test_hll_merge_equals_oneshot_for_any_sharding(spark, rows, mask):
+    # the sharding/streaming claim: however rows are split into two
+    # shards, merging the shards' registers gives EXACTLY the one-shot
+    # sketch of the union
+    from kafka_dbsync_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(g, str(v)) for g, v in rows], "grp long, v string"
+    )
+    a = [(g, str(v)) for i, (g, v) in enumerate(rows) if (mask >> (i % 60)) & 1]
+    b = [(g, str(v)) for i, (g, v) in enumerate(rows) if not (mask >> (i % 60)) & 1]
+    schema = "grp long, v string"
+    one_shot = sorted(map(tuple, hll_distinct(df, ["grp"], "v", p=6).collect()))
+    ra = hll_registers(spark.createDataFrame(a, schema), ["grp"], "v", p=6)
+    rb = hll_registers(spark.createDataFrame(b, schema), ["grp"], "v", p=6)
+    merged = hll_estimate_from_registers(
+        hll_merge_registers(ra, rb, ["grp"]), ["grp"], p=6
+    )
+    assert sorted(map(tuple, merged.collect())) == one_shot
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(["ab", "abc", "abd", "xyz", "xy", "wxyz"]),
+        min_size=2,
+        max_size=12,
+    ),
+    max_dist=st.integers(min_value=0, max_value=3),
+)
+@SETTINGS
+def test_blocked_fuzzy_pairs_match_bruteforce_when_uncapped(spark, names, max_dist):
+    # with the cap above every block size, the blocked operator must
+    # produce exactly the brute-force within-block pair set
+    import itertools
+
+    from kafka_dbsync_spark.operators.linkage import blocked_fuzzy_pairs
+
+    def lev(s, t):
+        if not s:
+            return len(t)
+        if not t:
+            return len(s)
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, nm, nm[0]) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", F.col("blk"), max_dist=max_dist, block_cap=1000
+        ).collect()
+    )
+    want = sorted(
+        (a, b, lev(na, nb))
+        for (a, na, ba), (b, nb, bb) in itertools.combinations(rows, 2)
+        if ba == bb and lev(na, nb) <= max_dist
+    )
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=20), min_size=2, max_size=8
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_perplexity_invariant_to_partitioning(spark, texts, parts):
+    # the decimal log-sum contract: per-doc perplexity must not depend
+    # on physical row order or partition count (order-independent sums)
+    from kafka_dbsync_spark.operators.corpus import bigram_lm_perplexity
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    base = sorted(map(tuple, bigram_lm_perplexity(docs).collect()))
+    shuffled = sorted(
+        map(tuple, bigram_lm_perplexity(docs.repartition(parts)).collect())
+    )
+    assert base == shuffled
