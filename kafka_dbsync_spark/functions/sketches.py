@@ -70,7 +70,10 @@ def hll_registers(
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 12), 16, 10).cast(
         "bigint"
     )
-    hashed = df.select(*groups, h.alias("h48"))
+    # NULLs carry no distinct value (countDistinct ignores them too) and
+    # would otherwise create a NULL register that inflates m_seen while
+    # contributing nothing to the harmonic sum
+    hashed = df.filter(F.col(value_col).isNotNull()).select(*groups, h.alias("h48"))
     hashed = hashed.select(
         *groups,
         F.expr(f"h48 div {1 << q}").alias("idx"),
@@ -166,7 +169,7 @@ def hll_oracle_sql(
     hashed AS (
       SELECT {g},
              ('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 12))::BIGINT AS h48
-      FROM src
+      FROM src WHERE {value_expr} IS NOT NULL
     ), split_h AS (
       SELECT {g}, h48 // {1 << q} AS idx, h48 % {1 << q} AS w FROM hashed
     ), regs AS (
@@ -200,7 +203,7 @@ def _state_manifest(state_dir: str) -> str:
     return os.path.join(state_dir, "_CURRENT.json")
 
 
-def _current_epoch(state_dir: str) -> int | None:
+def _state_meta(state_dir: str) -> dict | None:
     import json
     import os
 
@@ -208,7 +211,7 @@ def _current_epoch(state_dir: str) -> int | None:
     if not os.path.exists(mf):
         return None
     with open(mf) as fh:
-        return json.load(fh)["epoch"]
+        return json.load(fh)
 
 
 def hll_ingest_foreach_batch(
@@ -223,55 +226,74 @@ def hll_ingest_foreach_batch(
     from ``groups x 2^p`` rows of state — never from the raw key stream.
 
     State layout (single-writer, the streaming contract everywhere in
-    this repo): ``registers_e{epoch}.parquet`` per applied epoch plus a
-    ``_CURRENT.json`` pointer updated atomically after the parquet
-    lands. EPOCH REPLAY IS A NO-OP: foreachBatch can redeliver a batch
-    after a failure (offset/commit bookkeeping, SURVEY.md §2.4 A4); an
-    epoch at or below the applied watermark returns without writing, so
-    the merge never double-counts — and HLL merge is idempotent by
-    construction anyway (max is), giving a second, independent layer of
-    replay safety.
+    this repo): ``registers_v{version}.parquet`` with a monotonically
+    increasing version counter, plus a ``_CURRENT.json`` pointer updated
+    atomically after the parquet lands. Replay safety comes from the
+    ALGEBRA, not from epoch bookkeeping: every batch is merged
+    unconditionally, and because the merge is a per-register ``max``, a
+    redelivered batch folds to exactly the state it already produced
+    (idempotent), while a NEW stream whose epoch counter restarted at 0
+    — a fresh checkpoint pointed at existing state — still has its data
+    folded in rather than silently discarded (an epoch-watermark skip
+    guard would drop it). The manifest records ``p`` and rejects a
+    mismatched sketch width at both ingest and estimate time — merging
+    registers of different widths is meaningless and would silently
+    corrupt the estimate.
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         import json
         import os
+        import shutil
 
         spark = batch_df.sparkSession
         os.makedirs(state_dir, exist_ok=True)
-        cur = _current_epoch(state_dir)
-        if cur is not None and epoch_id <= cur:
-            return  # replayed epoch: already folded in
+        meta = _state_meta(state_dir)
+        if meta is not None and meta["p"] != p:
+            raise ValueError(
+                f"HLL state at {state_dir} was built with p={meta['p']}, "
+                f"got p={p}: register widths cannot be merged"
+            )
         new = hll_registers(batch_df, group_cols, value_col, p)
-        if cur is not None:
+        ver = 0 if meta is None else meta["version"] + 1
+        if meta is not None:
             prev = spark.read.parquet(
-                os.path.join(state_dir, f"registers_e{cur}.parquet")
+                os.path.join(state_dir, f"registers_v{meta['version']}.parquet")
             )
             new = hll_merge_registers(prev, new, group_cols)
-        out = os.path.join(state_dir, f"registers_e{epoch_id}.parquet")
+        out = os.path.join(state_dir, f"registers_v{ver}.parquet")
         new.write.mode("overwrite").parquet(out)
         tmp = _state_manifest(state_dir) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"epoch": int(epoch_id), "p": p}, fh)
+            json.dump({"version": ver, "p": p, "last_epoch": int(epoch_id)}, fh)
         os.replace(tmp, _state_manifest(state_dir))
-        # retire superseded register generations (state stays 1 table)
+        # retire superseded versions (state stays 1 table)
         for name in os.listdir(state_dir):
-            if name.startswith("registers_e") and name != f"registers_e{epoch_id}.parquet":
-                import shutil
-
+            if (
+                name.startswith("registers_v")
+                and name != f"registers_v{ver}.parquet"
+            ):
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
 
     return fn
 
 
 def hll_stream_estimate(
-    spark, state_dir: str, group_cols: Sequence[str], p: int = 8
+    spark, state_dir: str, group_cols: Sequence[str], p: int | None = None
 ) -> DataFrame:
-    """Estimate from the persisted streaming register state."""
+    """Estimate from the persisted streaming register state. ``p`` is
+    read from the state's manifest; passing it explicitly just asserts
+    the expectation (mismatch raises instead of silently mis-scaling)."""
     import os
 
-    cur = _current_epoch(state_dir)
-    if cur is None:
+    meta = _state_meta(state_dir)
+    if meta is None:
         raise FileNotFoundError(f"no HLL state at {state_dir}")
-    regs = spark.read.parquet(os.path.join(state_dir, f"registers_e{cur}.parquet"))
-    return hll_estimate_from_registers(regs, group_cols, p)
+    if p is not None and p != meta["p"]:
+        raise ValueError(
+            f"HLL state at {state_dir} was built with p={meta['p']}, got p={p}"
+        )
+    regs = spark.read.parquet(
+        os.path.join(state_dir, f"registers_v{meta['version']}.parquet")
+    )
+    return hll_estimate_from_registers(regs, group_cols, meta["p"])

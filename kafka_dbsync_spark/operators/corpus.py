@@ -460,6 +460,27 @@ def _decimal_log_sum(col, scale: int = 6):
     return F.round(F.log(col), scale).cast("decimal(18,6)")
 
 
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) bigram stream of the normalized-token documents —
+    the SINGLE definition shared by the in-lineage scorer below and the
+    persisted model in operators/lm_index.py (they must tokenize
+    identically or their scores drift apart)."""
+    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+
+
 def bigram_lm_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -486,18 +507,7 @@ def bigram_lm_perplexity(
 
     Returns (id_col, n_bigrams, ppl).
     """
-    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-            )
-        ).alias("g"),
-    ).select(id_col, "g.w1", "g.w2")
+    grams = doc_bigrams(docs, id_col, text_col)
     # per-doc bigram multiplicity first: compresses repeats before joins.
     # c12 folds doc_grams' k (its exchange is REUSED — ReusedExchange in
     # the static plan); c1 aggregates the gram stream directly, because

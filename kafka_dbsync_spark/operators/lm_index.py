@@ -33,9 +33,12 @@ add-one smoothing already assigns every unseen bigram the mass
 ``1 / V`` (``c1 = 0``). No retrain-on-score, pinned by the half-train
 oracle in ``queries.py::lm_perplexity_served``.
 
-Scale: the model join broadcasts (vocab-sized) — scoring N new docs is
-one map-side-combined (doc, bigram) aggregate plus broadcast lookups;
-zero shuffles of anything corpus-sized.
+Scale: the model tables are vocab-bound (c1) and vocab²-bound (c12);
+the join strategy is left to the planner — AQE broadcasts them while
+they fit and shuffle-joins when a real vocabulary makes c12 too big to
+ship, which a forced broadcast hint would turn into an OOM. Scoring N
+new docs is one map-side-combined (doc, bigram) aggregate plus the
+model join; nothing corpus-sized shuffles at serve time.
 """
 
 from __future__ import annotations
@@ -47,38 +50,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import tokens
+from kafka_dbsync_spark.operators.corpus import doc_bigrams
 
 _MARKER = "_COMPLETE"
 
 
-def corpus_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> dict:
-    """Cheap train-set identity: count + max + sum of ids (same shape as
-    pq_index.dataset_fingerprint / dedup_index.corpus_fingerprint)."""
+def corpus_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Cheap train-set identity: count + max/sum of ids PLUS a content
+    term (sum of crc32(text)) — the id terms alone (the
+    pq_index/dedup_index shape) are blind to a corpus whose text was
+    regenerated in place under the same ids, which for a LANGUAGE model
+    is exactly the change that matters."""
     r = docs.agg(
         F.count("*").alias("n"),
         F.max(id_col).alias("mx"),
         F.sum(id_col).alias("sm"),
+        F.sum(F.crc32(F.col(text_col).cast("string"))).alias("ck"),
     ).collect()[0]
-    return {"n": r["n"], "max_id": int(r["mx"]), "sum_id": int(r["sm"])}
-
-
-def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    return toks.select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-            )
-        ).alias("g"),
-    ).select(id_col, "g.w1", "g.w2")
+    if r["n"] == 0:
+        raise ValueError("empty training corpus: nothing to fingerprint/train on")
+    return {
+        "n": r["n"],
+        "max_id": int(r["mx"]),
+        "sum_id": int(r["sm"]),
+        "content": int(r["ck"]),
+    }
 
 
 def _gen_name(fp: dict) -> str:
-    return f"gen-{fp['n']}_{fp['max_id']}_{fp['sum_id']}"
+    # every fingerprint term participates — two corpora with the same ids
+    # but different TEXT must land in different generation dirs
+    return f"gen-{fp['n']}_{fp['max_id']}_{fp['sum_id']}_{fp['content']}"
 
 
 def build_lm_model(
@@ -105,12 +109,12 @@ def build_lm_model(
 
     marker = os.path.join(path, _MARKER)
     os.makedirs(path, exist_ok=True)
-    fp = corpus_fingerprint(docs, id_col)
+    fp = corpus_fingerprint(docs, id_col, text_col)
     gen = _gen_name(fp)
     final_dir = os.path.join(path, gen)
     if not os.path.exists(final_dir):
         stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
-        grams = _doc_bigrams(docs, id_col, text_col)
+        grams = doc_bigrams(docs, id_col, text_col)
         grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
             "overwrite"
         ).parquet(f"{stage}/c12")
@@ -130,14 +134,27 @@ def build_lm_model(
     with open(tmp, "w") as f:
         json.dump({"fingerprint": fp, "V": int(vocab), "gen": gen}, f)
     os.replace(tmp, marker)
-    # retire superseded generations (best effort; current gen is pinned
-    # by the marker, and generations are immutable once published)
+    # retire ONLY generations the marker no longer references, plus THIS
+    # process's own stage leftovers — never another builder's in-flight
+    # .stage-* dir (deleting it mid-write would fail their build) and
+    # never a gen dir a racing newer build just published and pointed
+    # the marker at
+    try:
+        with open(marker) as f:
+            live_gen = json.load(f)["gen"]
+    except (OSError, ValueError, KeyError):
+        live_gen = gen
+    my_stage_suffix = f"-{os.getpid()}"
     for name in os.listdir(path):
-        if (name.startswith("gen-") or name.startswith(".stage-")) and name != gen:
+        stale_gen = name.startswith("gen-") and name not in (gen, live_gen)
+        my_stage = name.startswith(".stage-") and name.endswith(my_stage_suffix)
+        if stale_gen or my_stage:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
-def lm_model_is_current(docs: DataFrame, path: str, id_col: str = "doc_id") -> bool:
+def lm_model_is_current(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> bool:
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         return False
@@ -148,7 +165,7 @@ def lm_model_is_current(docs: DataFrame, path: str, id_col: str = "doc_id") -> b
     gen = meta.get("gen")
     if gen is None or not os.path.isdir(os.path.join(path, gen)):
         return False
-    return meta["fingerprint"] == corpus_fingerprint(docs, id_col)
+    return meta["fingerprint"] == corpus_fingerprint(docs, id_col, text_col)
 
 
 def lm_score(
@@ -173,13 +190,13 @@ def lm_score(
     c12 = spark.read.parquet(f"{gen_dir}/c12")
     c1 = spark.read.parquet(f"{gen_dir}/c1")
     doc_grams = (
-        _doc_bigrams(new_docs, id_col, text_col)
+        doc_bigrams(new_docs, id_col, text_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("k"))
     )
     scored = (
-        doc_grams.join(F.broadcast(c12), ["w1", "w2"], "left")
-        .join(F.broadcast(c1), "w1", "left")
+        doc_grams.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
         .na.fill({"n12": 0, "n1": 0})
         .select(
             id_col,
@@ -242,25 +259,32 @@ def lm_gate_foreach_batch(
         done = os.path.join(acc, "_SUCCESS")
         if os.path.exists(done) and os.path.exists(os.path.join(rej, "_SUCCESS")):
             return  # replayed epoch: both outputs already committed
+        # persist: the scoring lineage (batch scan + doc-bigram agg +
+        # model join) feeds BOTH writes — without it every epoch pays
+        # the whole pipeline twice (the dedup-index ingest learned this
+        # the hard way; see README's 17.9s note)
         scored = batch_df.join(
             lm_score(spark, model_path, batch_df, id_col, text_col),
             id_col,
             "left",
-        )
-        scored.filter(F.col("ppl") <= max_ppl).drop("n_bigrams").write.mode(
-            "overwrite"
-        ).parquet(acc)
-        (
-            scored.filter((F.col("ppl") > max_ppl) | F.col("ppl").isNull())
-            .withColumn(
-                "reject_reason",
-                F.when(F.col("ppl").isNull(), F.lit("too_short")).otherwise(
-                    F.lit("high_perplexity")
-                ),
+        ).persist()
+        try:
+            scored.filter(F.col("ppl") <= max_ppl).drop("n_bigrams").write.mode(
+                "overwrite"
+            ).parquet(acc)
+            (
+                scored.filter((F.col("ppl") > max_ppl) | F.col("ppl").isNull())
+                .withColumn(
+                    "reject_reason",
+                    F.when(F.col("ppl").isNull(), F.lit("too_short")).otherwise(
+                        F.lit("high_perplexity")
+                    ),
+                )
+                .drop("n_bigrams")
+                .write.mode("overwrite")
+                .parquet(rej)
             )
-            .drop("n_bigrams")
-            .write.mode("overwrite")
-            .parquet(rej)
-        )
+        finally:
+            scored.unpersist()
 
     return fn

@@ -147,3 +147,32 @@ def test_new_generation_supersedes_old(spark, corpus, tmp_path):
     assert meta["gen"] != gen1
     assert not os.path.exists(os.path.join(path, gen1))
     assert lm_score(spark, path, grown).count() == 4
+
+
+def test_fingerprint_detects_text_change_under_same_ids(spark, corpus, tmp_path):
+    # regenerated-in-place corpus: same doc_ids, different TEXT — the
+    # content term must flag it stale AND the rebuild must land in a
+    # DIFFERENT generation dir (same ids alone would collide)
+    import json
+
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, corpus, path)
+    gen1 = json.load(open(os.path.join(path, "_COMPLETE")))["gen"]
+    retexted = spark.createDataFrame(
+        [(0, "completely different words here"), (2, "another new text"),
+         (4, "the last doc changed too")],
+        ["doc_id", "text"],
+    )
+    assert not lm_model_is_current(retexted, path)
+    build_lm_model(spark, retexted, path)
+    meta = json.load(open(os.path.join(path, "_COMPLETE")))
+    assert meta["gen"] != gen1
+    assert lm_model_is_current(retexted, path)
+
+
+def test_empty_corpus_raises_clearly(spark, corpus, tmp_path):
+    from kafka_dbsync_spark.operators.lm_index import corpus_fingerprint
+
+    empty = corpus.filter(F.col("doc_id") < 0)
+    with pytest.raises(ValueError, match="empty training corpus"):
+        corpus_fingerprint(empty)

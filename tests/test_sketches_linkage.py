@@ -197,3 +197,34 @@ def test_hll_stream_ingest_accumulates_and_replay_is_noop(spark, tmp_path):
     assert tuple(after_two) == tuple(one_shot)
     # and the estimate is in the right ballpark
     assert abs(after_two["hll_est"] - 2000) / 2000 < 0.25
+
+
+def test_hll_stream_rejects_mismatched_p_and_reads_stored_p(spark, tmp_path):
+    from kafka_dbsync_spark.functions.sketches import (
+        hll_ingest_foreach_batch,
+        hll_stream_estimate,
+    )
+
+    state = str(tmp_path / "hll_p")
+    batch = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("v")
+    )
+    hll_ingest_foreach_batch(state, ["grp"], "v", p=10)(batch, 0)
+    # ingest with a different width refuses to merge
+    with pytest.raises(ValueError, match="p=10"):
+        hll_ingest_foreach_batch(state, ["grp"], "v", p=8)(batch, 1)
+    # estimate validates an explicit expectation...
+    with pytest.raises(ValueError, match="p=10"):
+        hll_stream_estimate(spark, state, ["grp"], p=8)
+    # ...and reads the stored width when unspecified
+    row = hll_stream_estimate(spark, state, ["grp"]).collect()[0]
+    assert abs(row["hll_est"] - 100) / 100 < 0.25
+
+
+def test_hll_nulls_are_ignored(spark):
+    # NULL values must not occupy a register (countDistinct ignores them)
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b"), ("g", None)], "grp string, v string"
+    )
+    row = hll_distinct(df, ["grp"], "v", p=8).collect()[0]
+    assert row["m_seen"] == 2 and row["hll_est"] == pytest.approx(2.0, abs=0.1)
