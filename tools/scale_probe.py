@@ -486,6 +486,33 @@ def main() -> None:
     finally:
         shutil.rmtree(ddx_dir, ignore_errors=True)
 
+    # Persisted LM build/score split at volume: train once over the
+    # replicated corpus, then score a 1k-doc arrival batch against the
+    # frozen model — the serve cost must track the ARRIVALS, not the
+    # corpus (same claim as the dedup index's build/check split).
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model, lm_score
+
+    lm_dir = tempfile.mkdtemp(prefix="probe_lm_")
+    try:
+        t0 = time.perf_counter()
+        build_lm_model(spark, bigdocs, lm_dir)
+        dt_build = time.perf_counter() - t0
+        arrivals = (
+            bigdocs.orderBy("doc_id").limit(1_000)
+            .withColumn("doc_id", F.col("doc_id") + 500_000_000)
+        )
+        lm_score(spark, lm_dir, arrivals).count()  # warm
+        t0 = time.perf_counter()
+        n_scored = lm_score(spark, lm_dir, arrivals).count()
+        dt_score = time.perf_counter() - t0
+        print(
+            f"lm_index: build {d0 * factor} docs {dt_build:.2f}s; "
+            f"score 1000 arrivals {dt_score:.2f}s ({n_scored} scored, "
+            f"{dt_build / max(dt_score, 1e-9):.0f}x build/score split)"
+        )
+    finally:
+        shutil.rmtree(lm_dir, ignore_errors=True)
+
     # HLL cardinality sketch vs exact distinct at volume: the sketch's
     # shuffle is FIXED at groups x 2^p register rows however large the
     # input (map-side partial max), while exact countDistinct shuffles
