@@ -61,7 +61,12 @@ def hll_registers(
     successive streaming micro-batches) combine by ``max(M)`` per
     (group, idx), which ``hll_merge_registers`` does; the estimate is a
     pure function of the merged state. At 100 TB you persist/shuffle
-    THIS (≤ groups x 2^p rows), never the raw keys."""
+    THIS (≤ groups x 2^p rows), never the raw keys.
+
+    NULL values carry no distinct identity and are dropped BEFORE the
+    group-by, so a group whose values are all NULL produces no register
+    row and no estimate row (estimate-0-by-absence) — join against your
+    group dimension if empty groups must appear explicitly."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
     q = 48 - p
@@ -203,6 +208,18 @@ def _state_manifest(state_dir: str) -> str:
     return os.path.join(state_dir, "_CURRENT.json")
 
 
+def _registers_path(state_dir: str, meta: dict) -> str:
+    """Resolve the current register table; understands both the
+    versioned layout and the short-lived epoch-keyed layout it replaced
+    (state written by that format keeps serving and is folded into the
+    first new-format version on the next ingest)."""
+    import os
+
+    if "version" in meta:
+        return os.path.join(state_dir, f"registers_v{meta['version']}.parquet")
+    return os.path.join(state_dir, f"registers_e{meta['epoch']}.parquet")
+
+
 def _state_meta(state_dir: str) -> dict | None:
     import json
     import os
@@ -255,11 +272,9 @@ def hll_ingest_foreach_batch(
                 f"got p={p}: register widths cannot be merged"
             )
         new = hll_registers(batch_df, group_cols, value_col, p)
-        ver = 0 if meta is None else meta["version"] + 1
+        ver = 0 if meta is None else meta.get("version", -1) + 1
         if meta is not None:
-            prev = spark.read.parquet(
-                os.path.join(state_dir, f"registers_v{meta['version']}.parquet")
-            )
+            prev = spark.read.parquet(_registers_path(state_dir, meta))
             new = hll_merge_registers(prev, new, group_cols)
         out = os.path.join(state_dir, f"registers_v{ver}.parquet")
         new.write.mode("overwrite").parquet(out)
@@ -270,7 +285,7 @@ def hll_ingest_foreach_batch(
         # retire superseded versions (state stays 1 table)
         for name in os.listdir(state_dir):
             if (
-                name.startswith("registers_v")
+                name.startswith("registers_")
                 and name != f"registers_v{ver}.parquet"
             ):
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
@@ -293,7 +308,5 @@ def hll_stream_estimate(
         raise ValueError(
             f"HLL state at {state_dir} was built with p={meta['p']}, got p={p}"
         )
-    regs = spark.read.parquet(
-        os.path.join(state_dir, f"registers_v{meta['version']}.parquet")
-    )
+    regs = spark.read.parquet(_registers_path(state_dir, meta))
     return hll_estimate_from_registers(regs, group_cols, meta["p"])

@@ -59,15 +59,23 @@ def corpus_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict:
     """Cheap train-set identity: count + max/sum of ids PLUS a content
-    term (sum of crc32(text)) — the id terms alone (the
-    pq_index/dedup_index shape) are blind to a corpus whose text was
-    regenerated in place under the same ids, which for a LANGUAGE model
-    is exactly the change that matters."""
+    term — the id terms alone (the pq_index/dedup_index shape) are blind
+    to a corpus whose text was regenerated in place under the same ids,
+    which for a LANGUAGE model is exactly the change that matters. The
+    content term hashes (id, text) TOGETHER (crc32 of the pair, summed)
+    so moving a text between ids or NULLing a different doc's text also
+    changes it; NULL text hashes as a sentinel rather than vanishing
+    from the sum."""
+    pair = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("\x00<null>")),
+    )
     r = docs.agg(
         F.count("*").alias("n"),
         F.max(id_col).alias("mx"),
         F.sum(id_col).alias("sm"),
-        F.sum(F.crc32(F.col(text_col).cast("string"))).alias("ck"),
+        F.sum(F.crc32(pair)).alias("ck"),
     ).collect()[0]
     if r["n"] == 0:
         raise ValueError("empty training corpus: nothing to fingerprint/train on")
@@ -91,6 +99,7 @@ def build_lm_model(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprint: dict | None = None,
 ) -> None:
     """One corpus pass -> persisted add-one bigram model.
 
@@ -109,8 +118,15 @@ def build_lm_model(
 
     marker = os.path.join(path, _MARKER)
     os.makedirs(path, exist_ok=True)
-    fp = corpus_fingerprint(docs, id_col, text_col)
+    # the caller may pass the fingerprint it just computed for the
+    # staleness check — recomputing would re-scan the whole text column
+    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
     gen = _gen_name(fp)
+    try:
+        with open(marker) as f:
+            prev_live_gen = json.load(f).get("gen")
+    except (OSError, ValueError):
+        prev_live_gen = None
     final_dir = os.path.join(path, gen)
     if not os.path.exists(final_dir):
         stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
@@ -134,26 +150,28 @@ def build_lm_model(
     with open(tmp, "w") as f:
         json.dump({"fingerprint": fp, "V": int(vocab), "gen": gen}, f)
     os.replace(tmp, marker)
-    # retire ONLY generations the marker no longer references, plus THIS
-    # process's own stage leftovers — never another builder's in-flight
-    # .stage-* dir (deleting it mid-write would fail their build) and
-    # never a gen dir a racing newer build just published and pointed
-    # the marker at
-    try:
-        with open(marker) as f:
-            live_gen = json.load(f)["gen"]
-    except (OSError, ValueError, KeyError):
-        live_gen = gen
+    # retire ONLY the generation THIS build positively superseded (the
+    # one the marker referenced when the build started), plus this
+    # process's own stage leftovers. Never another builder's in-flight
+    # .stage-* dir, and never a gen dir some racing build published —
+    # deleting by enumeration would let a slow stale builder destroy a
+    # newer build's generation. Unreferenced gens from pathological
+    # races may linger; they are bounded by corpus regenerations and
+    # harmless (immutable, marker never points at them).
     my_stage_suffix = f"-{os.getpid()}"
     for name in os.listdir(path):
-        stale_gen = name.startswith("gen-") and name not in (gen, live_gen)
+        superseded = prev_live_gen is not None and name == prev_live_gen and name != gen
         my_stage = name.startswith(".stage-") and name.endswith(my_stage_suffix)
-        if stale_gen or my_stage:
+        if superseded or my_stage:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def lm_model_is_current(
-    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: dict | None = None,
 ) -> bool:
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
@@ -165,7 +183,8 @@ def lm_model_is_current(
     gen = meta.get("gen")
     if gen is None or not os.path.isdir(os.path.join(path, gen)):
         return False
-    return meta["fingerprint"] == corpus_fingerprint(docs, id_col, text_col)
+    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
+    return meta["fingerprint"] == fp
 
 
 def lm_score(

@@ -6371,13 +6371,16 @@ def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment shape, and the serve-side twin of pq_index /
     dedup_index. The model caches in /tmp keyed by dataset, validated
     against the train-set fingerprint (stale-on-regeneration safe);
-    scoring is broadcast lookups + one map-side-combined doc-bigram
-    aggregate — nothing corpus-sized shuffles at serve time."""
+    scoring is one map-side-combined doc-bigram aggregate joined against
+    the model (planner-decided strategy: broadcast while the tables fit,
+    shuffle-join for a real vocabulary) — nothing corpus-sized shuffles
+    at serve time."""
     import tempfile
     from pathlib import Path
 
     from kafka_dbsync_spark.operators.lm_index import (
         build_lm_model,
+        corpus_fingerprint,
         lm_model_is_current,
         lm_score,
     )
@@ -6390,7 +6393,8 @@ def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         Path(tempfile.gettempdir())
         / f"kds_lm_model_{Path(sf_dir.rstrip('/')).name}"
     )
-    if not lm_model_is_current(train, cache):
-        build_lm_model(spark, train, cache)
+    fp = corpus_fingerprint(train)  # one text scan serves check AND build
+    if not lm_model_is_current(train, cache, fingerprint=fp):
+        build_lm_model(spark, train, cache, fingerprint=fp)
     out = lm_score(spark, cache, serve)
     return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)

@@ -228,3 +228,40 @@ def test_hll_nulls_are_ignored(spark):
     )
     row = hll_distinct(df, ["grp"], "v", p=8).collect()[0]
     assert row["m_seen"] == 2 and row["hll_est"] == pytest.approx(2.0, abs=0.1)
+
+
+def test_hll_stream_migrates_legacy_epoch_state(spark, tmp_path):
+    # state written by the short-lived epoch-keyed layout keeps serving
+    # and is folded into the first versioned write — not a crash loop
+    import json
+    import os
+
+    from kafka_dbsync_spark.functions.sketches import (
+        hll_ingest_foreach_batch,
+        hll_registers,
+        hll_stream_estimate,
+    )
+
+    state = str(tmp_path / "legacy")
+    os.makedirs(state)
+    first = spark.range(0, 500).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("v")
+    )
+    hll_registers(first, ["grp"], "v", p=8).write.parquet(
+        os.path.join(state, "registers_e5.parquet")
+    )
+    with open(os.path.join(state, "_CURRENT.json"), "w") as fh:
+        json.dump({"epoch": 5, "p": 8}, fh)
+    # estimate straight off the legacy layout
+    assert hll_stream_estimate(spark, state, ["grp"]).count() == 1
+    # ingest folds legacy state into the versioned layout
+    second = spark.range(500, 1000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("v")
+    )
+    hll_ingest_foreach_batch(state, ["grp"], "v", p=8)(second, 0)
+    row = hll_stream_estimate(spark, state, ["grp"]).collect()[0]
+    one_shot = hll_distinct(
+        first.unionByName(second), ["grp"], "v", p=8
+    ).collect()[0]
+    assert tuple(row) == tuple(one_shot)
+    assert not os.path.exists(os.path.join(state, "registers_e5.parquet"))

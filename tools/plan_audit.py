@@ -102,8 +102,9 @@ SHUFFLE_BUDGET = {
     "dsir_weights": 7,              # (doc,tok) agg + raw/tgt vocab aggs +
     # two 1-row totals + model join + per-doc agg; model broadcast
     "lm_perplexity_served": 2,      # serve side only: doc-bigram agg +
-    # per-doc agg; the frozen model joins broadcast (vocab-sized), the
-    # train pass runs at build time into the fingerprinted cache
+    # per-doc agg; the frozen-model joins are planner-decided and
+    # broadcast at audit SF (stats-based) — a real vocabulary would
+    # shuffle-join and this budget would need revisiting with it
     "fuzzy_match_pairs": 1,         # one block-key shuffle shared by the
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
     "min_price_suppliers": 3,       # offers agg + per-part min agg +
