@@ -26,11 +26,19 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # nothing), (c) the 32 queries whose latest green row is from round 2
 # (the stalest), (d) the oldest round-3 rows in registration order to
 # fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 55 long; the driver takes the FIRST 50, so the last
-# 5 r2-stale rows (topk_per_group, ivf_assign, ivf_search,
-# semantic_dedup, simhash) rotate into round 6's window instead.
+# NOTE: the list is 62 long; the driver takes the FIRST 50, so the last
+# 12 r2-stale rows (from tfidf_topterms on, in list order) rotate
+# into round 6's window instead — never-checked NEW queries outrank
+# stale-but-once-green rows.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
+    "order_priority_check",
+    "line_priority_classes",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "supplier_part_counts",
+    "small_qty_brand_revenue",
+    "discounted_brand_revenue",
     "hll_distinct_tokens",
     "lm_perplexity",
     "lm_perplexity_served",

@@ -6398,3 +6398,320 @@ def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_lm_model(spark, train, cache, fingerprint=fp)
     out = lm_score(spark, cache, serve)
     return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
+
+
+# ===========================================================================
+# Round-5 additions III: the remaining TPC-H plan shapes (Q4/Q12/Q13/
+# Q14/Q16/Q17/Q19 adapted to the available columns)
+# ===========================================================================
+@query(
+    "order_priority_check",
+    # TPC-H Q4 SHAPE: EXISTS decorrelated to a left-semi join (orders
+    # with at least one lineitem shipped > 60 days after the order).
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order priority check: orders having at least one
+    late-shipped line (> 60 days after order date), counted per
+    priority. The EXISTS becomes a LEFT-SEMI join — one orderkey
+    shuffle, no duplicate inflation, lineitem never materializes into
+    the aggregate; at 100 TB the semi join is the whole point (an inner
+    join + distinct would shuffle the multiplicity first)."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.datediff(
+        F.to_date(li["l_shipdate"]), F.to_date(od["o_orderdate"])
+    ) > 60
+    hits = od.join(li, (od["o_orderkey"] == li["l_orderkey"]) & late, "left_semi")
+    return hits.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "line_priority_classes",
+    # TPC-H Q12 SHAPE: conditional CASE-sums over a big join (high- vs
+    # low-priority late lines per line status).
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_line_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-delay accounting: for lines shipped
+    > 30 days after their order, how many belong to high- vs low-
+    priority orders, per line status. One lineitem⋈orders shuffle; the
+    two counts are CASE-sums inside a single aggregate (one pass, no
+    second join or union) — the map-side partials keep the shuffle at
+    group-cardinality rows."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(od, li["l_orderkey"] == od["o_orderkey"]).filter(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 30
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_lines"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_lines"),
+    )
+
+
+@query(
+    "customer_order_distribution",
+    # TPC-H Q13 SHAPE: outer join -> per-customer count -> distribution
+    # over the counts (two stacked aggregates, zero-count customers kept).
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join keeps zero-order customers (count(o_orderkey) counts non-null
+    only), then a second aggregate over the counts. Plan: one custkey
+    shuffle shared by the join and the first agg; the second agg's key
+    space is tiny (distinct counts). The outer join is the part an
+    inner-join rewrite silently gets wrong — pinned by the oracle."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "promo_revenue_share",
+    # TPC-H Q14 SHAPE: conditional-sum ratio (promo revenue share in
+    # floor-scaled basis points) per order year.
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS yr,
+             CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                     AS DECIMAL(18,4)) * 10000 ELSE 0 END)
+                  AS BIGINT) AS promo4,
+             CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4)) * 10000) AS BIGINT) AS total4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
+    )
+    SELECT yr, CAST((promo4 * 10000) // total4 AS BIGINT) AS promo_bp,
+           CAST(total4 // 10000 AS BIGINT) AS revenue_i
+    FROM rev
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share per order year: the
+    conditional-sum ratio pattern — promo and total revenue accumulate
+    in ONE aggregate pass (no second scan, no self-join), and the share
+    is exact BIGINT basis points over decimal-exact 4-dp revenue units
+    (the engine-portable division rule). part broadcasts; the only wide
+    shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    pt = load_table(spark, sf_dir, "part")
+    rev4 = (
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)") * F.lit(10000)
+        )
+    ).cast("long")
+    promo4 = (
+        F.sum(
+            F.when(
+                F.col("p_type") == "PROMO",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)") * F.lit(10000),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+    ).cast("long")
+    agg = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(promo4.alias("promo4"), rev4.alias("total4"))
+    )
+    return agg.select(
+        "yr",
+        F.expr("(promo4 * 10000) div total4").cast("long").alias("promo_bp"),
+        F.expr("total4 div 10000").cast("long").alias("revenue_i"),
+    )
+
+
+@query(
+    "supplier_part_counts",
+    # TPC-H Q16 SHAPE: distinct part-supplier pairs (lineitem stands in
+    # for partsupp), a NOT-IN supplier exclusion as an anti join, and a
+    # count-distinct per part attribute group.
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity per part attribute group:
+    distinct (part, supplier) pairs from lineitem (the partsupp stand-
+    in), minus one excluded brand, minus suppliers on a deny list
+    (negative balance) — the NOT IN becomes a broadcast LEFT-ANTI join
+    (NULL-safe by construction: keys are non-null ids). The distinct
+    pre-aggregate collapses lineitem's multiplicity BEFORE the joins,
+    so the expensive count-distinct runs on pair-cardinality rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    deny = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    kept = ps.join(
+        F.broadcast(deny), ps["l_suppkey"] == deny["s_suppkey"], "left_anti"
+    ).join(F.broadcast(pt), F.col("l_partkey") == pt["p_partkey"])
+    return kept.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "small_qty_brand_revenue",
+    # TPC-H Q17 SHAPE: correlated per-part average decorrelated to a
+    # per-part aggregate + join; the 0.2*avg threshold is EXACT integer
+    # arithmetic (5 * qty * n < sum), no floating-point average.
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS sq100,
+             count(*) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000)
+                     AS BIGINT) // 7 // 10000 AS BIGINT) AS avg_yearly_i,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN pq ON l.l_partkey = pq.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE 5 * CAST(l.l_quantity * 100 AS BIGINT) * pq.nq < pq.sq100
+    GROUP BY p.p_brand
+    """,
+)
+def q_small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity order revenue per brand: lines
+    whose quantity is below 20% of their part's average. The correlated
+    avg decorrelates into one per-part aggregate joined back on partkey
+    (both sides share the partkey shuffle), and the threshold compares
+    exact integers (5*qty*n < sum-of-qty, quantities scaled x100) so no
+    engine's avg() rounding can flip a boundary row. Revenue emitted as
+    floor(sum/7) whole units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    q100 = (F.col("l_quantity") * 100).cast("long")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(q100).alias("sq100"), F.count("*").alias("nq")
+    )
+    filtered = (
+        li.join(pq, "l_partkey")
+        .filter(F.lit(5) * q100 * F.col("nq") < F.col("sq100"))
+        .join(F.broadcast(pt), F.col("l_partkey") == pt["p_partkey"])
+    )
+    return filtered.groupBy("p_brand").agg(
+        F.expr(
+            "cast(cast(sum(cast(l_extendedprice as decimal(18,4)) * 10000) "
+            "as bigint) div 7 div 10000 as bigint)"
+        ).alias("avg_yearly_i"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "discounted_brand_revenue",
+    # TPC-H Q19 SHAPE: disjunctive multi-attribute predicates over a
+    # join — the planner must push the OR-of-ANDs to the scan and still
+    # broadcast the part side.
+    oracle="""
+    SELECT p.p_brand,
+           CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4)) * 10000) AS BIGINT) // 10000
+                AS BIGINT) AS revenue_i,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+)
+def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three brand/size/
+    quantity clauses OR'd across the lineitem⋈part join. The part-only
+    conjuncts (brand+size disjunction) are pushed to the part scan
+    before the broadcast, and the quantity bounds derivable from the OR
+    (1 <= qty <= 30) prune lineitem at its scan — the pattern where
+    naive predicate placement reads everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    joined = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).filter(cond)
+    rev4 = (
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)") * F.lit(10000)
+        )
+    ).cast("long")
+    return joined.groupBy("p_brand").agg(
+        F.expr(
+            "cast(cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)) "
+            "* 10000) as bigint) div 10000 as bigint)"
+        ).alias("revenue_i"),
+        F.count("*").alias("n_lines"),
+    )

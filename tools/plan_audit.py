@@ -107,6 +107,17 @@ SHUFFLE_BUDGET = {
     # shuffle-join and this budget would need revisiting with it
     "fuzzy_match_pairs": 1,         # one block-key shuffle shared by the
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
+    # the remaining TPC-H shapes (round-5 additions III); joins broadcast
+    # at audit SF (shuffle-join at scale), filters pushed to scans
+    "order_priority_check": 1,      # semi-join broadcasts; priority agg
+    "line_priority_classes": 1,     # one agg; CASE-sums in a single pass
+    "customer_order_distribution": 2,  # per-cust agg + distribution agg
+    "promo_revenue_share": 1,       # one (yr) agg; part broadcast
+    "supplier_part_counts": 3,      # pair distinct + expand for
+    # count-distinct (2); deny-list anti + part join broadcast
+    "small_qty_brand_revenue": 2,   # per-part qty agg + brand agg; the
+    # decorrelated join reuses the partkey partitioning
+    "discounted_brand_revenue": 1,  # one brand agg; disjunction pushed
     "min_price_suppliers": 3,       # offers agg + per-part min agg +
     # pick agg (all sharing the part-hash key); dims broadcast, top-k
     # is TakeOrdered
