@@ -26,12 +26,14 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # nothing), (c) the 32 queries whose latest green row is from round 2
 # (the stalest), (d) the oldest round-3 rows in registration order to
 # fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 62 long; the driver takes the FIRST 50, so the last
-# 12 r2-stale rows (from tfidf_topterms on, in list order) rotate
+# NOTE: the list is 64 long; the driver takes the FIRST 50, so the last
+# 14 r2-stale rows (from pii_scrub on, in list order) rotate
 # into round 6's window instead — never-checked NEW queries outrank
 # stale-but-once-green rows.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
+    "ppl_buckets",
+    "excess_promo_suppliers",
     "order_priority_check",
     "line_priority_classes",
     "customer_order_distribution",

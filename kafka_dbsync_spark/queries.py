@@ -6715,3 +6715,127 @@ def q_discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_i"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "ppl_buckets",
+    # CCNet's head/middle/tail split: rank docs by LM perplexity and
+    # cut at exact 1/3 boundaries of the ranked count — deterministic
+    # tie-break on (ppl, doc_id) so both engines cut identically.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM g GROUP BY doc_id, w1, w2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(t) AS tok FROM norm)
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ), per_doc AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE))
+                       / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, ppl,
+             row_number() OVER (ORDER BY ppl, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM per_doc
+    ), bucketed AS (
+      SELECT CASE WHEN rn * 3 <= n THEN 'head'
+                  WHEN rn * 3 <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             ppl
+      FROM ranked
+    )
+    SELECT bucket, count(*) AS n_docs,
+           round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    rank every document by LM perplexity, cut at exact count thirds
+    (rn*3 <= n / <= 2n — integer arithmetic, no percentile estimation),
+    deterministic (ppl, doc_id) tie-break. The global rank is the one
+    total-order operation in the pipeline; CCNet amortizes it the same
+    way (a single pass over per-shard score histograms) — at 100 TB the
+    cut points come from a histogram sketch and the bucketing becomes a
+    per-row comparison, which this query's output shape already is."""
+    from kafka_dbsync_spark.operators.corpus import bigram_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    ppl = bigram_lm_perplexity(docs_f).select("doc_id", "ppl")
+    w = W.orderBy("ppl", "doc_id")
+    ranked = ppl.select(
+        "ppl",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(bucket.alias("bucket"), "ppl").groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("ppl"), 4).alias("min_ppl"),
+        F.round(F.max("ppl"), 4).alias("max_ppl"),
+    )
+
+
+@query(
+    "excess_promo_suppliers",
+    # TPC-H Q20 SHAPE: aggregate-then-semi-join chain — suppliers
+    # qualified by an aggregate over their own shipments of a filtered
+    # part class, then the supplier dimension filtered BY that set.
+    oracle="""
+    WITH promo_parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    ), shipped AS (
+      SELECT l.l_suppkey, CAST(sum(CAST(l.l_quantity * 100 AS BIGINT)) AS BIGINT) AS q100
+      FROM lineitem l JOIN promo_parts p ON l.l_partkey = p.p_partkey
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, shipped.q100 // 100 AS promo_qty_i
+    FROM supplier s
+    JOIN shipped ON s.s_suppkey = shipped.l_suppkey
+    WHERE shipped.q100 > 50 * 100
+    """,
+)
+def q_excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped qualification chain: filter a part class (PROMO)
+    -> aggregate each supplier's shipped quantity of those parts ->
+    keep suppliers over a threshold -> join back to the supplier
+    dimension. Plan: part filter broadcasts into lineitem, ONE suppkey
+    aggregate, and the qualified set (threshold-filtered, tiny)
+    broadcasts into supplier — the nested-subquery chain becomes two
+    broadcasts and one aggregate, with quantities in exact x100
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    su = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(pt.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum((F.col("l_quantity") * 100).cast("long")).alias("q100"))
+        .filter(F.col("q100") > 50 * 100)
+    )
+    return su.join(
+        F.broadcast(shipped), su["s_suppkey"] == shipped["l_suppkey"]
+    ).select(
+        "s_suppkey", "s_name", F.expr("q100 div 100").alias("promo_qty_i")
+    )

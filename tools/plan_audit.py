@@ -109,6 +109,11 @@ SHUFFLE_BUDGET = {
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
     # the remaining TPC-H shapes (round-5 additions III); joins broadcast
     # at audit SF (shuffle-join at scale), filters pushed to scans
+    "ppl_buckets": 7,               # the lm_perplexity model (6) + the
+    # single-partition global rank (the ONE total-order op; at 100 TB
+    # the cut points come from a histogram sketch instead)
+    "excess_promo_suppliers": 1,    # one suppkey agg; part filter and
+    # the qualified set both broadcast
     "order_priority_check": 1,      # semi-join broadcasts; priority agg
     "line_priority_classes": 1,     # one agg; CASE-sums in a single pass
     "customer_order_distribution": 2,  # per-cust agg + distribution agg
