@@ -593,10 +593,13 @@ def dsir_importance_weights(
             ).alias("log_ratio"),
         )
     )
+    # the weight is emitted at the sum's NATIVE 6-dp decimal scale, cast
+    # to double with no re-rounding: the sum is exact on any engine, and
+    # re-rounding it would reintroduce half-boundary divergence (Spark
+    # rounds half-up, DuckDB half-even — a weight landing exactly on
+    # x.xxxx5 flips between them; observed in the wild at sf0.01)
     weighted = doc_toks.join(model, "tok").groupBy(id_col).agg(
         F.sum("k").alias("n_tokens"),
-        F.round(F.sum(F.col("log_ratio") * F.col("k")).cast("double"), 4).alias(
-            "dsir_weight"
-        ),
+        F.sum(F.col("log_ratio") * F.col("k")).cast("double").alias("dsir_weight"),
     )
     return weighted

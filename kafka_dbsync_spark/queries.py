@@ -6243,7 +6243,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw r LEFT JOIN tgt t USING (tok), tot
     ), w AS (
       SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-             round(CAST(sum(log_ratio * k) AS DOUBLE), 4) AS dsir_weight
+             CAST(sum(log_ratio * k) AS DOUBLE) AS dsir_weight
       FROM dt JOIN model USING (tok) GROUP BY doc_id
     )
     SELECT w.doc_id, d.source, w.n_tokens, w.dsir_weight
@@ -6838,4 +6838,147 @@ def q_excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(shipped), su["s_suppkey"] == shipped["l_suppkey"]
     ).select(
         "s_suppkey", "s_name", F.expr("q100 div 100").alias("promo_qty_i")
+    )
+
+
+@query(
+    "curation_pipeline_v2",
+    # The full curation stack composed: heuristic quality floor -> exact
+    # normalized dedup -> CCNet tail drop under a self-trained bigram LM
+    # -> DSIR ranking toward the src0 target domain. Every stage reuses
+    # an oracle fragment already proven on its standalone query.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, source, text,
+             {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS n_stop,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END AS n_tok,
+             md5({_SQL_NORM.format(c='text')}) AS dh
+      FROM documents
+    ), heur AS (
+      SELECT *,
+             least(CAST(n_tok AS DOUBLE), 100.0) / 100.0 * 0.4
+             + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+             + least(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3
+               AS q
+      FROM m
+    ), kept AS (
+      SELECT * FROM heur
+      WHERE floor(q * 10000) >= 5000 AND n_tok >= 10
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY doc_id) = 1
+    ), toks AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM kept WHERE t <> ''
+    ), idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2
+    ), g AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM g GROUP BY doc_id, w1, w2
+    ), c12 AS (SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2
+    ), c1 AS (SELECT w1, count(*) AS n1 FROM g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(tk) AS tok FROM toks)
+    ), ppl AS (
+      SELECT dg.doc_id,
+             round(exp(-(CAST(sum(CAST(round(ln(CAST(n12 + 1 AS DOUBLE)
+                      / CAST(n1 + V AS DOUBLE)), 6) AS DECIMAL(18,6)) * k) AS DOUBLE))
+                      / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM dg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+      GROUP BY dg.doc_id
+    ), ranked AS (
+      SELECT doc_id, ppl,
+             row_number() OVER (ORDER BY ppl, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM ppl
+    ), fluent AS (
+      SELECT doc_id, ppl FROM ranked WHERE rn * 3 <= 2 * n
+    ), surv AS (
+      SELECT k2.doc_id, k2.source, k2.t
+      FROM kept k2 JOIN fluent f ON k2.doc_id = f.doc_id
+    ), dtok AS (
+      SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM surv
+    ), dt AS (
+      SELECT doc_id, tok, count(*) AS kk FROM dtok GROUP BY doc_id, tok
+    ), raw AS (SELECT tok, sum(kk) AS cr FROM dt GROUP BY tok
+    ), tgt AS (
+      SELECT tok, count(*) AS ct FROM dtok WHERE source = 'src0' GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT sum(cr) FROM raw) AS Nr,
+             (SELECT count(*) FROM raw) AS V2,
+             (SELECT sum(ct) FROM tgt) AS Nt
+    ), model AS (
+      SELECT r.tok,
+             CAST(round(ln(CAST(coalesce(tg.ct, 0) + 1 AS DOUBLE)
+                           / CAST(tot.Nt + tot.V2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+             - CAST(round(ln(CAST(r.cr + 1 AS DOUBLE)
+                             / CAST(tot.Nr + tot.V2 AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS log_ratio
+      FROM raw r LEFT JOIN tgt tg USING (tok), tot
+    ), weighted AS (
+      SELECT dt.doc_id,
+             CAST(sum(model.log_ratio * dt.kk) AS DOUBLE) AS dsir_weight
+      FROM dt JOIN model USING (tok) GROUP BY dt.doc_id
+    )
+    SELECT w.doc_id, k.source, CAST(floor(k.q * 10000) AS BIGINT) AS quality_bp,
+           f.ppl, w.dsir_weight
+    FROM weighted w
+    JOIN fluent f ON w.doc_id = f.doc_id
+    JOIN kept k ON w.doc_id = k.doc_id
+    ORDER BY w.dsir_weight DESC, w.doc_id LIMIT 100
+    """,
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation stack a pretraining corpus actually runs,
+    as ONE lineage: heuristic quality floor + length filter -> exact
+    normalized dedup (lowest id survives) -> CCNet tail drop (the
+    highest-perplexity third under a bigram LM self-trained on the
+    SURVIVORS) -> DSIR importance ranking toward the src0 target
+    domain; top 100 selections with all three scores attached. Every
+    stage is the standalone operator reused (quality_score /
+    dedup_exact / bigram_lm_perplexity / dsir_importance_weights), so
+    the composition stays declarative and Catalyst pipelines the
+    filters before the shuffles. Scale: the heuristic+dedup stages are
+    the corpus-sized passes; the LM/DSIR stages run on survivors with
+    vocab-sized models."""
+    from kafka_dbsync_spark.operators.corpus import (
+        bigram_lm_perplexity,
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("q", quality_score("text")).withColumn(
+        "n_tok", token_count("text")
+    )
+    kept = dedup_exact(
+        scored.filter(
+            (F.floor(F.col("q") * 10000) >= 5000) & (F.col("n_tok") >= 10)
+        ),
+        normalize_text("text"),
+        ["doc_id"],
+    )
+    ppl = bigram_lm_perplexity(kept).select("doc_id", "ppl")
+    w = W.orderBy("ppl", "doc_id")
+    ranked = ppl.select(
+        "doc_id", "ppl",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    fluent = ranked.filter(F.col("rn") * 3 <= 2 * F.col("n")).select("doc_id", "ppl")
+    survivors = kept.join(fluent, "doc_id")
+    weights = dsir_importance_weights(
+        survivors, survivors.filter(F.col("source") == "src0")
+    ).select("doc_id", "dsir_weight")
+    return (
+        survivors.join(weights, "doc_id")
+        .select(
+            "doc_id", "source",
+            F.floor(F.col("q") * 10000).cast("long").alias("quality_bp"),
+            "ppl", "dsir_weight",
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(100)
     )

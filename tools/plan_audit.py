@@ -109,6 +109,10 @@ SHUFFLE_BUDGET = {
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
     # the remaining TPC-H shapes (round-5 additions III); joins broadcast
     # at audit SF (shuffle-join at scale), filters pushed to scans
+    "curation_pipeline_v2": 8,      # the composed stack: dedup digest
+    # window + the self-trained LM model aggs + per-doc DSIR agg + the
+    # global rank (the CCNet cut); every corpus-sized filter runs before
+    # the shuffles, model joins broadcast
     "ppl_buckets": 7,               # the lm_perplexity model (6) + the
     # single-partition global rank (the ONE total-order op; at 100 TB
     # the cut points come from a histogram sketch instead)
