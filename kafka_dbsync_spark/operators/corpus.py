@@ -45,24 +45,25 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
+    # score in EXACT integer parts-per-million: floor(tf*(N+1)*1e6/(df+1))
+    # via BIGINT division. The previous round(double, 6) form had a
+    # guaranteed cross-engine flip whenever the quotient terminated
+    # exactly on a 7th-decimal 5 (df+1 a power of two, odd numerator):
+    # Spark rounds half-up, DuckDB half-even. Integer floor has no
+    # boundary, and the ranking it induces is the same monotone order.
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(n)
         .withColumn(
-            "score_r",
-            F.round(
-                F.col("tf").cast("double")
-                * (F.col("__n") + F.lit(1.0))
-                / (F.col("df") + F.lit(1.0)),
-                6,
-            ),
+            "score_ppm",
+            F.expr("(tf * (__n + 1) * 1000000) div (df + 1)").cast("long"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score_r").desc(), F.col("term"))
+    w = Window.partitionBy(id_col).orderBy(F.col("score_ppm").desc(), F.col("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "term", "tf", "df", "score_r")
+        .select(id_col, "rank", "term", "tf", "df", "score_ppm")
     )
 
 

@@ -481,7 +481,11 @@ def envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-           round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_qty,
+           -- avg at EXACT 4-dp: integer division of the x10^4-scaled sum
+           -- (round(double,4) flips on x.xxxx5 boundaries: Spark half-up
+           -- vs DuckDB half-even; hit whenever count reduces to 2^a*5^b)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                // count(*) AS DOUBLE) / 10000.0 AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -507,10 +511,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price).cast("double").alias("sum_base_price"),
             F.sum(disc).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-                / F.count("*"),
-                4,
+            # exact truncated 4-dp average: integer division of the
+            # x10^4-scaled sum — round(double, 4) would flip on x.xxxx5
+            # half-boundaries between engines (Spark half-up, DuckDB
+            # half-even) whenever count reduces to 2^a*5^b
+            (
+                F.expr(
+                    "cast(sum(cast(l_quantity as decimal(18,4))) * 10000 as bigint) "
+                    "div count(*)"
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -1344,14 +1354,13 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT term, count(*) AS df FROM tf GROUP BY term
     ), scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             round(CAST(tf.tf AS DOUBLE)
-                   * ((SELECT count(*) FROM documents) + 1.0)
-                   / (dfreq.df + 1.0), 6) AS score_r
+             CAST((tf.tf * ((SELECT count(*) FROM documents) + 1) * 1000000)
+                  // (dfreq.df + 1) AS BIGINT) AS score_ppm
       FROM tf JOIN dfreq USING (term)
     )
-    SELECT doc_id, rank, term, tf, df, score_r FROM (
+    SELECT doc_id, rank, term, tf, df, score_ppm FROM (
       SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY score_r DESC, term) AS rank
+                                   ORDER BY score_ppm DESC, term) AS rank
       FROM scored
     ) WHERE rank <= 3
     """,
@@ -1506,7 +1515,17 @@ def q_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build step: per-cluster (label) elementwise centroid in
     long format (label, dim, value). Decimal-exact component sums keep the
-    result engine-portable; one shuffle on (label, dim)."""
+    result engine-portable; one shuffle on (label, dim).
+
+    Accepted residual: round(sum/count, 6) shares the cross-engine
+    half-boundary hazard fixed elsewhere (Spark half-up vs DuckDB
+    half-even), but a flip needs the 9-dp-exact quotient to TERMINATE on
+    a 7th-decimal 5 — count*10^9's reduced denominator must divide 10^7,
+    ~1/count odds per (label, dim) against arbitrary sums. Kept as
+    round (not integer floor) because half a dozen downstream oracles
+    (ivf_assign/search/cell_stats/outliers/kmeans_refine) embed this
+    exact formula, and rounding is the semantically right centroid for
+    the k-means math; any regenerated dataset re-runs the full gate."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "label", F.posexplode("embedding").alias("dim0", "v")
@@ -4618,7 +4637,7 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b2, count(*) AS cab FROM b GROUP BY a, b2 HAVING count(*) >= 5
     )
     SELECT a, b2 AS b, cab,
-           round(CAST(tot.n AS DOUBLE) * cab / (ua.c1 * ub.c1), 6) AS lift,
+           CAST((tot.n * cab * 1000000) // (ua.c1 * ub.c1) AS BIGINT) AS lift,
            CAST(row_number() OVER (
              ORDER BY round(CAST(tot.n AS DOUBLE) * cab / (ua.c1 * ub.c1), 6)
                       DESC, a, b2) AS BIGINT) AS rk
@@ -4658,9 +4677,11 @@ def q_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = b.groupBy("a", "b").agg(F.count("*").alias("cab")).filter(F.col("cab") >= 5)
     ua = uc.select(F.col("tok").alias("a"), F.col("c1").alias("ca"))
     ub = uc.select(F.col("tok").alias("b"), F.col("c1").alias("cb"))
-    lift = F.round(
-        F.col("n").cast("double") * F.col("cab") / (F.col("ca") * F.col("cb")), 6
-    )
+    # exact integer ppm — round(double, 6) of this small-integer ratio
+    # flips between engines whenever ca*cb reduces to a 2^a*5^b form
+    # (terminating quotient on a 7th-decimal 5); integer floor has no
+    # boundary and preserves the monotone ranking
+    lift = F.expr("(n * cab * 1000000) div (ca * cb)").cast("long")
     top = (
         bc.join(F.broadcast(ua), "a")
         .join(F.broadcast(ub), "b")
