@@ -26,15 +26,21 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # nothing), (c) the 32 queries whose latest green row is from round 2
 # (the stalest), (d) the oldest round-3 rows in registration order to
 # fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 65 long; the driver takes the FIRST 50, so the last
-# 15 r2-stale rows (from repetition_scores on, in list order) rotate
-# into round 6's window instead — never-checked NEW queries outrank
-# stale-but-once-green rows.
+# NOTE: the list is 67 unique entries; the driver takes the FIRST 50,
+# so the last 17 r2-stale rows (from vocab_topk on, in list order)
+# rotate into round 6's window instead — never-checked NEW queries and
+# this round's semantics-changed queries outrank stale-but-once-green
+# rows.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
     "curation_pipeline_v2",
     "ppl_buckets",
     "excess_promo_suppliers",
+    # (b, late round 5) output semantics changed by the determinism
+    # sweep — their older green rows prove nothing anymore
+    "tfidf_topterms",
+    "collocations_lift",
+    "q1_pricing_summary",
     "order_priority_check",
     "line_priority_classes",
     "customer_order_distribution",

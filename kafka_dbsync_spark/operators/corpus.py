@@ -40,7 +40,9 @@ def tfidf_top_terms(
     k: int = 3,
 ) -> DataFrame:
     """Top-``k`` terms per document by tf·(N+1)/(df+1), ties broken by
-    term. Output: (id, rank, term, tf, df, score_r)."""
+    term. The score is emitted as ``score_ppm`` — the EXACT integer
+    floor of the ratio scaled by 10^6 (engine-portable; see the inline
+    comment). Output: (id, rank, term, tf, df, score_ppm)."""
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -558,7 +560,8 @@ def dsir_importance_weights(
 
     Same determinism contract as ``bigram_lm_perplexity``: exact integer
     ratios -> 6-decimal DECIMAL log terms -> exact weighted sum; the
-    returned ``dsir_weight`` is the rounded double of that sum.
+    returned ``dsir_weight`` is that exact decimal sum cast to double at
+    its native 6-dp scale (never re-rounded — see the inline comment).
 
     Scale: the two unigram tables are vocab-sized and broadcastable; the
     raw corpus is touched by exactly one map-side-combined (doc, token)

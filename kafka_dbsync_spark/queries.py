@@ -4639,7 +4639,7 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a, b2 AS b, cab,
            CAST((tot.n * cab * 1000000) // (ua.c1 * ub.c1) AS BIGINT) AS lift,
            CAST(row_number() OVER (
-             ORDER BY round(CAST(tot.n AS DOUBLE) * cab / (ua.c1 * ub.c1), 6)
+             ORDER BY (tot.n * cab * 1000000) // (ua.c1 * ub.c1)
                       DESC, a, b2) AS BIGINT) AS rk
     FROM bc JOIN uc ua ON bc.a = ua.tok
             JOIN uc ub ON bc.b2 = ub.tok
@@ -6066,11 +6066,15 @@ def q_min_price_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (
       SELECT region, yr, sum(rev4) AS total4 FROM rev GROUP BY region, yr
     )
+    -- share over WHOLE-unit revenues: rev4*10000 overflows BIGINT once
+    -- 4-dp-scaled revenue passes ~9.2e14 (Spark wraps silently); whole
+    -- units are exact to ~1e15 currency units, and cents cannot move a
+    -- basis point
     SELECT rev.region, rev.yr, rev.nation,
            CAST(rev.rev4 // 10000 AS BIGINT) AS revenue_i,
-           CAST((rev.rev4 * 10000) // tot.total4 AS BIGINT) AS share_bp
+           CAST(((rev.rev4 // 10000) * 10000) // (tot.total4 // 10000) AS BIGINT) AS share_bp
     FROM rev JOIN tot ON rev.region = tot.region AND rev.yr = tot.yr
-    WHERE (rev.rev4 * 10000) // tot.total4 >= 1500
+    WHERE ((rev.rev4 // 10000) * 10000) // (tot.total4 // 10000) >= 1500
     """,
 )
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6110,8 +6114,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact BIGINT integer division (`div`), matching DuckDB's `//` —
     # floor of a double quotient loses precision once rev4*10000
     # exceeds 2^53 and can flip the floor at exact-division boundaries
-    # (ADVICE r4)
-    share = F.expr("(rev4 * 10000) div total4")
+    # (ADVICE r4). The share is taken over WHOLE-unit revenues: the
+    # 4-dp-scaled product itself overflows int64 at ~9.2e14 scaled
+    # units (Spark wraps silently, DuckDB raises), and sub-unit cents
+    # cannot move a basis point.
+    share = F.expr("((rev4 div 10000) * 10000) div (total4 div 10000)")
     return (
         rev4.join(tot, ["region", "yr"])
         .select(
@@ -6539,7 +6546,13 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
       JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY CAST(strftime(o.o_orderdate, '%Y') AS BIGINT)
     )
-    SELECT yr, CAST((promo4 * 10000) // total4 AS BIGINT) AS promo_bp,
+    -- bp over WHOLE-unit revenues: (promo4*10000) would overflow BIGINT
+    -- once 4-dp-scaled yearly revenue passes ~9.2e14 (Spark wraps
+    -- silently, DuckDB raises — either way the engines diverge); whole
+    -- units keep the product exact to ~1e15 currency units and sub-unit
+    -- cents cannot move a basis point
+    SELECT yr,
+           CAST(((promo4 // 10000) * 10000) // (total4 // 10000) AS BIGINT) AS promo_bp,
            CAST(total4 // 10000 AS BIGINT) AS revenue_i
     FROM rev
     """,
@@ -6575,9 +6588,14 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(promo4.alias("promo4"), rev4.alias("total4"))
     )
+    # bp over WHOLE-unit revenues — see the oracle comment: the 4-dp
+    # scaled product overflows int64 at ~9.2e14 scaled units and Spark
+    # wraps silently; whole units are exact to ~1e15 currency units and
+    # cents cannot move a basis point
     return agg.select(
         "yr",
-        F.expr("(promo4 * 10000) div total4").cast("long").alias("promo_bp"),
+        F.expr("((promo4 div 10000) * 10000) div (total4 div 10000)")
+        .cast("long").alias("promo_bp"),
         F.expr("total4 div 10000").cast("long").alias("revenue_i"),
     )
 
@@ -6632,7 +6650,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pq AS (
       SELECT l_partkey,
-             CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS sq100,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sq100,
              count(*) AS nq
       FROM lineitem GROUP BY l_partkey
     )
@@ -6643,7 +6661,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN pq ON l.l_partkey = pq.l_partkey
     JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE 5 * CAST(l.l_quantity * 100 AS BIGINT) * pq.nq < pq.sq100
+    WHERE 5 * CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) * pq.nq < pq.sq100
     GROUP BY p.p_brand
     """,
 )
@@ -6657,7 +6675,10 @@ def q_small_qty_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(sum/7) whole units."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
-    q100 = (F.col("l_quantity") * 100).cast("long")
+    # decimal hop: a bare double->long cast truncates in Spark but ROUNDS
+    # in DuckDB (1.18*100 = 117.999... -> 117 vs 118); the 2-dp decimal
+    # cast is exact on both engines for any 2-dp quantity
+    q100 = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
     pq = li.groupBy("l_partkey").agg(
         F.sum(q100).alias("sq100"), F.count("*").alias("nq")
     )
@@ -6827,7 +6848,8 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH promo_parts AS (
       SELECT p_partkey FROM part WHERE p_type = 'PROMO'
     ), shipped AS (
-      SELECT l.l_suppkey, CAST(sum(CAST(l.l_quantity * 100 AS BIGINT)) AS BIGINT) AS q100
+      SELECT l.l_suppkey,
+             CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS q100
       FROM lineitem l JOIN promo_parts p ON l.l_partkey = p.p_partkey
       GROUP BY l.l_suppkey
     )
@@ -6852,7 +6874,11 @@ def q_excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = (
         li.join(F.broadcast(pt.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum((F.col("l_quantity") * 100).cast("long")).alias("q100"))
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("q100")
+        )
         .filter(F.col("q100") > 50 * 100)
     )
     return su.join(
