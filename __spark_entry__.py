@@ -26,13 +26,14 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # nothing), (c) the 32 queries whose latest green row is from round 2
 # (the stalest), (d) the oldest round-3 rows in registration order to
 # fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 67 unique entries; the driver takes the FIRST 50,
-# so the last 17 r2-stale rows (from vocab_topk on, in list order)
+# NOTE: the list is 68 unique entries; the driver takes the FIRST 50,
+# so the last 18 r2-stale rows (from ngram_jaccard_dedup on, in list order)
 # rotate into round 6's window instead — never-checked NEW queries and
 # this round's semantics-changed queries outrank stale-but-once-green
 # rows.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 5
+    "ingest_quality_gate",
     "curation_pipeline_v2",
     "ppl_buckets",
     "excess_promo_suppliers",

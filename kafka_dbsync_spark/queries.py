@@ -7029,3 +7029,125 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "ingest_quality_gate",
+    # Streaming admission proved driver-green: three arrival batches run
+    # through the REAL foreachBatch machinery at construction time
+    # (frozen-LM gate + exact dedup against everything already
+    # admitted); the oracle is the batch-equivalent set algebra.
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, doc_id % 3 AS batch,
+             {_SQL_NORM.format(c='text')} AS t,
+             md5({_SQL_NORM.format(c='text')}) AS dh
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), firsts AS (
+      -- arrival order = batch asc, doc_id asc: only the FIRST holder of
+      -- a text hash is ever admitted (cross- and in-batch dedup)
+      SELECT * FROM b
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY batch, doc_id) = 1
+    ), train AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM b WHERE batch = 0
+    ), tr_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM train WHERE len(tk) >= 2
+    ), tr_g AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(tk) AS tok FROM train)
+    ), arrivals AS (
+      SELECT doc_id, source, batch, string_split(t, ' ') AS tk
+      FROM firsts WHERE batch > 0
+    ), ar_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      FROM arrivals WHERE len(tk) >= 2
+    ), ar_dg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS k
+      FROM ar_idx GROUP BY doc_id, tk[i], tk[i + 1]
+    ), scored AS (
+      SELECT ar_dg.doc_id, ar_dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM ar_dg
+      LEFT JOIN c12 ON ar_dg.w1 = c12.w1 AND ar_dg.w2 = c12.w2
+      LEFT JOIN c1 ON ar_dg.w1 = c1.w1, v
+    ), ppl AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE)) / CAST(sum(k) AS DOUBLE)), 4)
+               AS ppl
+      FROM scored GROUP BY doc_id
+    )
+    SELECT a.batch, a.doc_id, a.source, p.ppl
+    FROM arrivals a JOIN ppl p ON a.doc_id = p.doc_id
+    WHERE p.ppl <= 30.0
+    """,
+)
+def q_ingest_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission control, driver-green end to end: batch 0
+    seeds the corpus and trains the FROZEN LM; batches 1 and 2 then flow
+    through the real ingest machinery in arrival order — exact dedup
+    against everything already admitted (a later duplicate of an
+    admitted text is dropped, including duplicates admitted one batch
+    earlier) and the lm_gate perplexity filter against the frozen
+    model — with the admitted set growing batch over batch. Returns the
+    admitted additions (batch, doc_id, source, ppl). The oracle is the
+    batch-equivalent algebra: first-holder-per-hash in arrival order +
+    the half-train frozen-model scoring, proving the incremental
+    streaming path computes exactly the batch answer (the same proof
+    shape as lake_ordered_state). Scale: admitted-set membership is an
+    md5-key anti join (the dedup-index pattern); scoring is vocab-sized
+    broadcast lookups."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model, lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    base = docs.filter(norm != "").select(
+        "doc_id", "source", "text", (F.col("doc_id") % 3).alias("batch"),
+        F.md5(norm).alias("dh"),
+    )
+    seed = base.filter(F.col("batch") == 0)
+    model_dir = tempfile.mkdtemp(prefix="kds_ingest_lm_")
+    try:
+        build_lm_model(spark, seed, model_dir)
+        admitted_hashes = seed.select("dh").distinct().persist()
+        out = None
+        for b in (1, 2):
+                batch = base.filter(F.col("batch") == b)
+                # in-batch first-holder, then anti-join the admitted set
+                w = W.partitionBy("dh").orderBy("doc_id")
+                fresh = (
+                    batch.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                    .join(admitted_hashes, "dh", "left_anti")
+                )
+                gated = (
+                    fresh.join(lm_score(spark, model_dir, fresh), "doc_id")
+                    .filter(F.col("ppl") <= 30.0)
+                    .select("batch", "doc_id", "source", "ppl")
+                    .persist()
+                )
+                gated.count()  # materialize THIS batch before state grows
+                out = gated if out is None else out.unionByName(gated)
+                # every FRESH doc's hash joins the admitted set even if
+                # quality rejected it: the first HOLDER of a text owns
+                # the hash (matching the oracle's firsts-per-hash over
+                # all batches) — a later duplicate of a rejected doc
+                # must not be re-scored as if novel
+                admitted_hashes = admitted_hashes.unionByName(
+                    fresh.select("dh")
+                ).distinct().persist()
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch long, doc_id bigint, source string, ppl double"
+        )
+    finally:
+        shutil.rmtree(model_dir, ignore_errors=True)

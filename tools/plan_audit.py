@@ -73,6 +73,8 @@ SHUFFLE_BUDGET = {
     # list fusion join
     "dedup_incremental": 0,         # materialized rows (the index build +
     # band join ran at construction time against the tmp index dir)
+    "ingest_quality_gate": 0,       # materialized rows (the dedup +
+    # frozen-LM admission loop ran per batch at construction time)
     "lake_ordered_state": 0,        # materialized rows (3 out-of-order
     # ordered-sink applies + tombstone purge ran at construction time)
     "bpe_merges_k": 0,              # result is the collected 5-row merge trace;
