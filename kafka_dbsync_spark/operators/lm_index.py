@@ -100,6 +100,7 @@ def build_lm_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprint: dict | None = None,
+    src_path: str | None = None,
 ) -> None:
     """One corpus pass -> persisted add-one bigram model.
 
@@ -116,8 +117,14 @@ def build_lm_model(
     versioned lake sink's put-if-absent commit."""
     import shutil
 
+    from kafka_dbsync_spark.operators.cache_validation import (
+        files_signature,
+        invalidate_memo,
+    )
+
     marker = os.path.join(path, _MARKER)
     os.makedirs(path, exist_ok=True)
+    invalidate_memo(path)
     # the caller may pass the fingerprint it just computed for the
     # staleness check — recomputing would re-scan the whole text column
     fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
@@ -147,8 +154,14 @@ def build_lm_model(
         F.countDistinct("tok").alias("V")
     ).collect()[0]["V"]
     tmp = marker + f".tmp.{os.getpid()}"
+    rec: dict = {"fingerprint": fp, "V": int(vocab), "gen": gen}
+    if src_path is not None:
+        # metadata signature of the TRAINING SOURCE directory: serves
+        # validate from a file listing instead of re-scanning the
+        # corpus text on every call (VERDICT r5 #1)
+        rec["src_sig"] = files_signature(src_path)
     with open(tmp, "w") as f:
-        json.dump({"fingerprint": fp, "V": int(vocab), "gen": gen}, f)
+        json.dump(rec, f)
     os.replace(tmp, marker)
     # retire ONLY the generation THIS build positively superseded (the
     # one the marker referenced when the build started), plus this
@@ -172,19 +185,45 @@ def lm_model_is_current(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprint: dict | None = None,
+    src_path: str | None = None,
 ) -> bool:
+    """True iff the persisted model is servable AND trained on the
+    current corpus. With ``src_path`` the check is METADATA-ONLY on the
+    happy path (session memo / marker-recorded file-listing signature —
+    operators/cache_validation.py); the exact corpus fingerprint (a
+    full text scan) runs only when both metadata tiers miss, at most
+    once per marker/dataset state per session (VERDICT r5 #1). Without
+    ``src_path`` the behavior is the original exact comparison."""
+    from kafka_dbsync_spark.operators.cache_validation import (
+        validate_cached_artifact,
+    )
+
+    def _exact(meta: dict) -> bool:
+        # a marker without a generation (or whose generation dir is
+        # gone) is not servable — report stale so the caller rebuilds
+        gen = meta.get("gen")
+        if gen is None or not os.path.isdir(os.path.join(path, gen)):
+            return False
+        fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
+        return meta["fingerprint"] == fp
+
+    if src_path is not None:
+        # the metadata tiers can't see a vanished generation dir, so
+        # verify servability first (pure filesystem stat)
+        try:
+            with open(os.path.join(path, _MARKER)) as f:
+                gen = json.load(f).get("gen")
+        except (OSError, ValueError):
+            return False
+        if gen is None or not os.path.isdir(os.path.join(path, gen)):
+            return False
+        return validate_cached_artifact(path, _MARKER, src_path, _exact)
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         return False
     with open(marker) as f:
         meta = json.load(f)
-    # a marker without a generation (or whose generation dir is gone)
-    # is not servable — report stale so the caller rebuilds
-    gen = meta.get("gen")
-    if gen is None or not os.path.isdir(os.path.join(path, gen)):
-        return False
-    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
-    return meta["fingerprint"] == fp
+    return _exact(meta)
 
 
 def lm_score(

@@ -95,6 +95,7 @@ def build_pq_index(
     n_sub: int = 8,
     d_sub: int = 8,
     k: int = 16,
+    src_path: str | None = None,
 ) -> None:
     """Build and persist every index artifact under ``path`` (overwrite).
 
@@ -104,10 +105,19 @@ def build_pq_index(
     each cell directory is the unit a search lists/reads.
 
     The ``_COMPLETE`` marker is removed FIRST and re-created (with the
-    dataset fingerprint) only after every artifact lands, so a crash
-    mid-rebuild leaves the index unmistakably incomplete rather than a
-    stale marker over mixed-generation artifacts."""
+    dataset fingerprint, plus — when ``src_path`` is given — the source
+    directory's file-listing signature so serves validate from
+    metadata alone; see operators/cache_validation.py) only after every
+    artifact lands, so a crash mid-rebuild leaves the index
+    unmistakably incomplete rather than a stale marker over
+    mixed-generation artifacts."""
+    from kafka_dbsync_spark.operators.cache_validation import (
+        files_signature,
+        invalidate_memo,
+    )
+
     marker = os.path.join(path, _MARKER)
+    invalidate_memo(path)
     if os.path.exists(marker):
         os.remove(marker)
     fp = dataset_fingerprint(embeddings)
@@ -132,8 +142,36 @@ def build_pq_index(
     pq_encode(embeddings, fcb_r, d_sub=d_sub).write.mode("overwrite").parquet(
         f"{path}/flat_codes"
     )
+    rec: dict = {"fingerprint": fp}
+    if src_path is not None:
+        rec["src_sig"] = files_signature(src_path)
     with open(marker, "w") as f:
-        json.dump({"fingerprint": fp}, f)
+        json.dump(rec, f)
+
+
+def index_is_current(
+    path: str,
+    src_path: str | None,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+) -> bool:
+    """Serve-side staleness check with NO data scan on the happy path
+    (VERDICT r5 #1): session memo -> marker-recorded source-file
+    signature -> exact ``dataset_fingerprint`` comparison as the
+    last-resort fallback (runs at most once per marker/dataset state
+    per session, then memoizes). ``embeddings`` is only touched when
+    both metadata tiers miss."""
+    from kafka_dbsync_spark.operators.cache_validation import (
+        validate_cached_artifact,
+    )
+
+    return validate_cached_artifact(
+        path,
+        _MARKER,
+        src_path,
+        lambda rec: rec.get("fingerprint")
+        == dataset_fingerprint(embeddings, id_col),
+    )
 
 
 def index_is_built(path: str, fingerprint: dict | None = None) -> bool:
@@ -415,5 +453,13 @@ def pq_index_add(
             else None,
         }
     rec["fingerprint"] = add
+    # the folded fingerprint now covers build-time PLUS added rows, so
+    # it is no longer derivable from the source directory listing —
+    # drop the metadata signature; the next validation falls back to
+    # one exact check and re-memoizes (cache_validation tier 3)
+    rec.pop("src_sig", None)
     with open(marker, "w") as f:
         json.dump(rec, f)
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    invalidate_memo(path)
