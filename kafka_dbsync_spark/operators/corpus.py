@@ -607,3 +607,61 @@ def dsir_importance_weights(
         F.sum(F.col("log_ratio") * F.col("k")).cast("double").alias("dsir_weight"),
     )
     return weighted
+
+
+def score_bin(score_col, bin_decimals: int = 2):
+    """Fixed-width histogram bin of a rounded score: floor of the score
+    scaled to an integer at ``bin_decimals`` places, via a DECIMAL hop
+    so Spark and DuckDB bin identically (double->long truncation vs
+    rounding differs between the engines; double->DECIMAL(18,4) agrees,
+    and DECIMAL arithmetic from there is exact)."""
+    return F.floor(
+        F.col(score_col).cast("decimal(18,4)") * (10 ** bin_decimals)
+    ).cast("long")
+
+
+def histogram_cut_bins(
+    scores: DataFrame,
+    score_col: str,
+    cuts: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
+    bin_decimals: int = 2,
+) -> DataFrame:
+    """Corpus split cut points from a deterministic fixed-width
+    histogram — the scale-safe replacement for a global rank (VERDICT
+    r5 #2). CCNet's head/middle/tail split needs only the score VALUES
+    at the fraction boundaries, and those come from cumulative
+    histogram counts: one map-side-combined groupBy over the score bins
+    (the histogram is value-range-bounded metadata, ~10^4 rows for a
+    2-decimal bin over any realistic perplexity range), a bounded
+    triangular self-join for the running totals, and an argmin per
+    requested fraction. No window, no single-partition exchange, no
+    global sort — each input row is touched by exactly one parallel
+    aggregate, and assignment downstream is a per-row comparison
+    against the broadcast 1-row cut table.
+
+    ``cuts`` are exact integer fractions (numerator, denominator);
+    cut_i is the smallest bin whose cumulative count reaches
+    num/den of the total — integer arithmetic end to end, so a DuckDB
+    oracle reproduces it bit-for-bit. Returns ONE row:
+    (cut_0, ..., cut_{len(cuts)-1}, n)."""
+    binned = scores.select(score_bin(score_col, bin_decimals).alias("bin"))
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    # running totals on the sketch-sized histogram: triangular
+    # broadcast join (B^2 on metadata), NOT a window — a window here
+    # would reintroduce the single-partition WindowExec this operator
+    # exists to remove
+    h1 = hist.select(F.col("bin").alias("b1"))
+    cum = (
+        h1.join(F.broadcast(hist), F.col("bin") <= F.col("b1"))
+        .groupBy("b1")
+        .agg(F.sum("c").alias("cum"))
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    cum_n = cum.crossJoin(F.broadcast(total))
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * den >= F.col("n") * num, F.col("b1"))
+        ).alias(f"cut_{i}")
+        for i, (num, den) in enumerate(cuts)
+    ]
+    return cum_n.agg(*aggs, F.max("n").alias("n"))

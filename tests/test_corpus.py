@@ -241,3 +241,56 @@ def test_bpe_empty_and_degenerate_corpus(spark):
     toks = {r["token"]: r["n_occ"]
             for r in bpe_token_counts(singles, k=2).collect()}
     assert toks == {"a": 2, "b": 2, "c": 1}  # untouched char vocab
+
+
+def test_histogram_cut_bins_matches_exact_quantile_semantics(spark):
+    """histogram_cut_bins (VERDICT r5 #2): cut_i is the smallest bin
+    whose cumulative count reaches num/den of the total — checked
+    against a driver-side recomputation, with ties sharing a bin and
+    the derived bucketing non-decreasing in score."""
+    from kafka_dbsync_spark.operators.corpus import (
+        histogram_cut_bins,
+        score_bin,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [1.01, 1.01, 1.02, 2.5, 2.5, 2.5, 3.0, 7.77, 7.78, 9.99]
+    df = spark.createDataFrame([(float(v),) for v in vals], "s double")
+    row = histogram_cut_bins(df, "s").head()
+    # driver-side truth over integer bins (x100)
+    bins = sorted(round(v * 100) for v in vals)
+    n = len(bins)
+
+    def cut(num, den):
+        seen = 0
+        for b in sorted(set(bins)):
+            seen += bins.count(b)
+            if seen * den >= num * n:
+                return b
+        raise AssertionError("unreachable")
+
+    assert (row["cut_0"], row["cut_1"], row["n"]) == (cut(1, 3), cut(2, 3), n)
+    # bucketing by the cuts is monotone and covers every row
+    binned = df.select("s", score_bin("s").alias("bin")).crossJoin(
+        F.broadcast(histogram_cut_bins(df, "s"))
+    )
+    buckets = [
+        (r["s"], 0 if r["bin"] <= r["cut_0"] else 1 if r["bin"] <= r["cut_1"] else 2)
+        for r in binned.orderBy("s").collect()
+    ]
+    assert [b for _, b in buckets] == sorted(b for _, b in buckets)
+    # equal scores always share a bucket (value cuts, not count cuts)
+    assert len({b for s, b in buckets if s == 2.5}) == 1
+
+
+def test_histogram_cut_bins_plan_has_no_window(spark):
+    """The operator exists to remove the single-partition global rank:
+    its physical plan (and a consumer's) must contain no Window at all."""
+    from kafka_dbsync_spark.operators.corpus import histogram_cut_bins
+
+    df = spark.range(1000).selectExpr("cast(id % 37 as double) / 7 as s")
+    plan = (
+        histogram_cut_bins(df, "s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
