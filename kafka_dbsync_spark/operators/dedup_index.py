@@ -128,6 +128,7 @@ def build_dedup_index(
                 "num_hashes": num_hashes,
                 "rows_per_band": rows_per_band,
                 "k": k,
+                "max_bucket_size": max_bucket_size,
             },
             f,
         )
@@ -157,6 +158,7 @@ def dedup_check_incremental(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate check of NEW docs against the PERSISTED corpus
     index: signature the new docs with the same frozen hash family,
@@ -164,7 +166,13 @@ def dedup_check_incremental(
     then keep candidates whose signature-match estimate reaches
     ``threshold_bp`` (floor of 10000·matches/num_hashes — the same
     estimator discipline as minhash_jaccard_estimate). Returns
-    (new_id, corpus_id, est_bp). The corpus text is never read."""
+    (new_id, corpus_id, est_bp). The corpus text is never read.
+
+    ``cache_registry``: callers that fully materialize the result can
+    pass a list to receive the internally-persisted signature
+    DataFrame and unpersist it afterwards (VERDICT r5 #6 — unmatched
+    persists leak for the session; unpersisting is always
+    correctness-safe since the lineage recomputes)."""
     scols = _sig_cols(num_hashes)
     # the new-batch signatures feed BOTH the band probe and the verify
     # join; persist them so the caller's new_docs lineage (often a
@@ -178,6 +186,8 @@ def dedup_check_incremental(
         .select(id_col, *scols)
         .persist()
     )
+    if cache_registry is not None:
+        cache_registry.append(nsig)
     nband = _banded(nsig, id_col, num_hashes, rows_per_band).select(
         F.col(id_col).alias("new_id"), "band_idx", "band_val"
     )
@@ -244,10 +254,12 @@ def dedup_ingest_foreach_batch(
             .drop("__k")
         )
         batch = batch_df.join(keep, id_col, "left_semi").persist()
+        caches: list = []
         try:
             hits = dedup_check_incremental(
                 spark, path, batch, threshold_bp=threshold_bp,
-                id_col=id_col, text_col=text_col, **check_kw,
+                id_col=id_col, text_col=text_col,
+                cache_registry=caches, **check_kw,
             ).persist()
             try:
                 dup_ids = hits.select(
@@ -273,6 +285,8 @@ def dedup_ingest_foreach_batch(
                 hits.unpersist()
         finally:
             batch.unpersist()
+            for c in caches:
+                c.unpersist()
 
     return fn
 
@@ -284,16 +298,20 @@ def dedup_index_remove(
     id_col: str = "doc_id",
 ) -> dict:
     """Remove documents from the index (the takedown/right-to-erasure
-    path): anti-join both artifacts against the removal set and swap
-    the rewritten tables in, then recompute the fingerprint from what
-    remains. The rewrite touches only index METADATA (ids + 8 hex sigs
-    per doc — KBs per million docs), never corpus text.
+    path): anti-join the signature table against the removal set, then
+    RE-DERIVE the bucket table from the remaining signatures (re-band +
+    re-cap) — so survivors that the representative cap trimmed at
+    build/add time are promoted back into buckets their removed
+    representatives vacated (VERDICT r5 #7: an anti-join on buckets
+    alone shrank capped buckets permanently, and a bucket whose every
+    representative was removed went silently blind to content the
+    corpus still holds). The rewrite touches only index METADATA
+    (ids + 8 hex sigs per doc — KBs per million docs), never corpus
+    text; the banding/capping replay is the same bounded window the
+    build runs, on the signature table.
 
     Removal ids broadcast (a takedown batch is small by contract).
-    Note: bucket rows dropped by the representative cap at build/add
-    time are NOT re-promoted when a representative is removed — a
-    rebuild re-caps from the full signature table (the standard
-    compaction trade). Returns {"docs_removed": n}."""
+    Returns {"docs_removed": n}."""
     import shutil
 
     if not isinstance(remove_ids, DataFrame):
@@ -311,15 +329,26 @@ def dedup_index_remove(
         os.remove(marker)  # crash mid-rewrite leaves the index invalid,
         # not silently half-rewritten
     before = spark.read.parquet(f"{path}/signatures").count()
-    for artifact in ("signatures", "buckets"):
-        src = f"{path}/{artifact}"
-        staging = f"{path}/.{artifact}.rewrite"
-        spark.read.parquet(src).join(ids, id_col, "left_anti").write.mode(
-            "overwrite"
-        ).parquet(staging)
-        shutil.rmtree(src)
-        os.rename(staging, src)
-    remaining = spark.read.parquet(f"{path}/signatures")
+    sig_src = f"{path}/signatures"
+    sig_staging = f"{path}/.signatures.rewrite"
+    spark.read.parquet(sig_src).join(ids, id_col, "left_anti").write.mode(
+        "overwrite"
+    ).parquet(sig_staging)
+    shutil.rmtree(sig_src)
+    os.rename(sig_staging, sig_src)
+    remaining = spark.read.parquet(sig_src)
+    # buckets come back from the SURVIVING signatures, not an anti-join
+    # on the capped bucket rows — the signature table is the uncapped
+    # source of truth, so the re-cap admits previously-trimmed docs
+    num_hashes = int(rec.get("num_hashes", 8))
+    rows_per_band = int(rec.get("rows_per_band", 2))
+    cap = rec.get("max_bucket_size", 32)
+    bkt_staging = f"{path}/.buckets.rewrite"
+    _capped(
+        _banded(remaining, id_col, num_hashes, rows_per_band), id_col, cap
+    ).write.mode("overwrite").parquet(bkt_staging)
+    shutil.rmtree(f"{path}/buckets")
+    os.rename(bkt_staging, f"{path}/buckets")
     rec["fingerprint"] = corpus_fingerprint(remaining, id_col)
     with open(marker, "w") as f:
         json.dump(rec, f)

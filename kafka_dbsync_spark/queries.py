@@ -5224,13 +5224,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 != 0)
     idx = tempfile.mkdtemp(prefix="dedup_index_")
+    caches: list = []
     try:
         build_dedup_index(spark, even, idx)
-        out = dedup_check_incremental(spark, idx, odd, threshold_bp=5000)
+        out = dedup_check_incremental(
+            spark, idx, odd, threshold_bp=5000, cache_registry=caches
+        )
         rows = out.collect()
         schema = out.schema
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+        for c in caches:  # no leaked cached lineage after the query
+            c.unpersist()
     return spark.createDataFrame(rows, schema)
 
 
@@ -7157,55 +7162,50 @@ def q_ingest_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equivalent algebra: first-holder-per-hash in arrival order +
     the half-train frozen-model scoring, proving the incremental
     streaming path computes exactly the batch answer (the same proof
-    shape as lake_ordered_state). Scale: admitted-set membership is an
-    md5-key anti join (the dedup-index pattern); scoring is vocab-sized
-    broadcast lookups."""
+    shape as lake_ordered_state). The machinery is the REAL operator —
+    `operators/admission.py::admission_foreach_batch` (VERDICT r5 #5):
+    all cross-batch state lives in parquet epoch dirs (no growing
+    driver-side persisted lineage, nothing left cached after the query
+    returns — VERDICT r5 #6), so the same function restarted in a new
+    session continues from the committed epochs. Scale: admitted-set
+    membership is an md5-key anti join over hash-only state; scoring
+    is vocab-sized broadcast lookups."""
+    import os
     import shutil
     import tempfile
 
-    from kafka_dbsync_spark.operators.lm_index import build_lm_model, lm_score
+    from kafka_dbsync_spark.operators.admission import (
+        admission_foreach_batch,
+        seed_admitted_hashes,
+    )
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model
 
     docs = load_table(spark, sf_dir, "documents")
     norm = normalize_text(F.col("text"))
     base = docs.filter(norm != "").select(
         "doc_id", "source", "text", (F.col("doc_id") % 3).alias("batch"),
-        F.md5(norm).alias("dh"),
     )
     seed = base.filter(F.col("batch") == 0)
-    model_dir = tempfile.mkdtemp(prefix="kds_ingest_lm_")
+    work = tempfile.mkdtemp(prefix="kds_ingest_gate_")
+    model_dir = os.path.join(work, "lm")
+    state_dir = os.path.join(work, "state")
+    key_fn = lambda df: F.md5(normalize_text(F.col("text")))  # noqa: E731
     try:
         build_lm_model(spark, seed, model_dir)
-        admitted_hashes = seed.select("dh").distinct().persist()
-        out = None
+        # batch 0 seeds the corpus: its hashes are admitted ungated
+        seed_admitted_hashes(state_dir, seed, key_fn(seed), epoch=0)
+        fn = admission_foreach_batch(
+            model_dir, state_dir, max_ppl=30.0, key_fn=key_fn
+        )
         for b in (1, 2):
-                batch = base.filter(F.col("batch") == b)
-                # in-batch first-holder, then anti-join the admitted set
-                w = W.partitionBy("dh").orderBy("doc_id")
-                fresh = (
-                    batch.withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .drop("rn")
-                    .join(admitted_hashes, "dh", "left_anti")
-                )
-                gated = (
-                    fresh.join(lm_score(spark, model_dir, fresh), "doc_id")
-                    .filter(F.col("ppl") <= 30.0)
-                    .select("batch", "doc_id", "source", "ppl")
-                    .persist()
-                )
-                gated.count()  # materialize THIS batch before state grows
-                out = gated if out is None else out.unionByName(gated)
-                # every FRESH doc's hash joins the admitted set even if
-                # quality rejected it: the first HOLDER of a text owns
-                # the hash (matching the oracle's firsts-per-hash over
-                # all batches) — a later duplicate of a rejected doc
-                # must not be re-scored as if novel
-                admitted_hashes = admitted_hashes.unionByName(
-                    fresh.select("dh")
-                ).distinct().persist()
+            fn(base.filter(F.col("batch") == b), b)
+        out = spark.read.parquet(
+            os.path.join(state_dir, "accepted", "e1"),
+            os.path.join(state_dir, "accepted", "e2"),
+        ).select("batch", "doc_id", "source", "ppl")
         rows = out.collect()
         return spark.createDataFrame(
             rows, "batch long, doc_id bigint, source string, ppl double"
         )
     finally:
-        shutil.rmtree(model_dir, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,177 @@
+"""Composed admission pipeline (operators/admission.py, VERDICT r5 #5):
+exact dedup against persisted hash state + frozen-LM gating, with ALL
+cross-batch state on disk — so a restarted operator (new instance, same
+state_dir) rejects a duplicate of an earlier admission, replays are
+no-ops, and nothing stays persisted after a batch returns (r5 #6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.admission import (
+    admission_foreach_batch,
+    read_admitted,
+    seed_admitted_hashes,
+)
+from kafka_dbsync_spark.operators.lm_index import build_lm_model
+
+FLUENT = "the quick brown fox jumps over the lazy dog again and again"
+TRAIN = [
+    (i, f"{FLUENT} round {i % 4}") for i in range(12)
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def model(spark, tmp_path):
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, _df(spark, TRAIN), path)
+    return path
+
+
+def test_admission_routes_dedup_then_gate(spark, model, tmp_path):
+    state = str(tmp_path / "state")
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn(_df(spark, [
+        (100, f"{FLUENT} round 0 extra"),     # fluent, novel -> accepted
+        (101, f"{FLUENT} round 0 extra"),     # in-batch dup of 100
+        (102, "zzz qqq xxx vvv kkk www uuu"), # unseen tokens -> high ppl
+        (103, "one"),                          # < 2 tokens -> too_short
+    ]), 1)
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e1").collect()}
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(f"{state}/rejected/e1").collect()
+    }
+    dup = {
+        r["doc_id"]: r["dup_reason"]
+        for r in spark.read.parquet(f"{state}/duplicates/e1").collect()
+    }
+    assert acc == {100}
+    assert rej[102] == "high_perplexity" and rej[103] == "too_short"
+    assert dup == {101: "in_batch_duplicate"}
+
+
+def test_restart_rejects_duplicate_of_prior_admission(spark, model, tmp_path):
+    """The verdict's E2E: a batch-2 duplicate of a batch-1 admission is
+    rejected AFTER a restart (a brand-new operator instance over the
+    same state_dir), including duplicates of quality-REJECTED batch-1
+    docs (the first holder owns the hash)."""
+    state = str(tmp_path / "state")
+    fn1 = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn1(_df(spark, [
+        (200, f"{FLUENT} novel statement"),
+        (201, "zzz qqq xxx vvv kkk www uuu"),  # fresh but quality-rejected
+    ]), 1)
+    del fn1  # restart: nothing carried in memory
+    fn2 = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn2(_df(spark, [
+        (300, f"{FLUENT} novel statement"),    # dup of 200 (admitted)
+        (301, "zzz qqq xxx vvv kkk www uuu"),  # dup of 201 (rejected)
+        (302, f"{FLUENT} different words"),    # genuinely new
+    ]), 2)
+    dup = {
+        r["doc_id"]: r["dup_reason"]
+        for r in spark.read.parquet(f"{state}/duplicates/e2").collect()
+    }
+    acc2 = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e2").collect()}
+    assert dup == {300: "previously_seen", 301: "previously_seen"}
+    assert acc2 == {302}
+    admitted = read_admitted(spark, state)
+    assert {r["doc_id"] for r in admitted.collect()} == {200, 302}
+
+
+def test_replayed_epoch_is_noop_and_crash_replay_recovers(
+    spark, model, tmp_path
+):
+    state = str(tmp_path / "state")
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    batch = _df(spark, [(400, f"{FLUENT} replay test")])
+    fn(batch, 1)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted/e1").collect()
+    )
+    fn(batch, 1)  # redelivery after commit: must not rewrite anything
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted/e1").collect()
+    ) == first
+    # crash BEFORE the hash commit: outputs exist, commit dir doesn't —
+    # the replay must redo the epoch deterministically
+    import shutil
+
+    shutil.rmtree(f"{state}/admitted_hashes/e1")
+    fn(batch, 1)
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/accepted/e1").collect()
+    ) == first
+    assert os.path.exists(f"{state}/admitted_hashes/e1/_SUCCESS")
+
+
+def test_seeded_hashes_suppress_corpus_duplicates(spark, model, tmp_path):
+    state = str(tmp_path / "state")
+    seed = _df(spark, TRAIN)
+    seed_admitted_hashes(state, seed, F.md5(F.col("text")), epoch=0)
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn(_df(spark, [(500, TRAIN[3][1]), (501, f"{FLUENT} unseeded")]), 1)
+    dup = {r["doc_id"] for r in spark.read.parquet(f"{state}/duplicates/e1").collect()}
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e1").collect()}
+    assert dup == {500} and acc == {501}
+
+
+def test_no_persisted_rdds_leak_after_batches(spark, model, tmp_path):
+    """VERDICT r5 #6: the proof harness must not leave cached lineage
+    behind — every persist inside the operator is matched by an
+    unpersist before the batch function returns."""
+    state = str(tmp_path / "state")
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    fn(_df(spark, [(600, f"{FLUENT} leak check"), (601, "one")]), 1)
+    fn(_df(spark, [(602, f"{FLUENT} leak check two")]), 2)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) == len(before)
+
+
+def test_admission_wired_to_real_stream_with_restart(spark, model, tmp_path):
+    """Production wiring: a file-source stream driven availableNow with
+    foreachBatch, stopped, then RESTARTED with the same checkpoint on
+    new input containing a duplicate of the first run's admission."""
+    import json as _json
+
+    state = str(tmp_path / "state")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                admission_foreach_batch(model, state, max_ppl=8.0)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 700, "text": f"{FLUENT} stream one"}) + "\n")
+    run()
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 701, "text": f"{FLUENT} stream one"}) + "\n")
+        f.write(_json.dumps({"doc_id": 702, "text": f"{FLUENT} stream two"}) + "\n")
+    run()  # restart from checkpoint
+    admitted = {r["doc_id"] for r in read_admitted(spark, state).collect()}
+    dups = {
+        r["doc_id"]
+        for d in os.listdir(f"{state}/duplicates")
+        for r in spark.read.parquet(f"{state}/duplicates/{d}").collect()
+    }
+    assert admitted == {700, 702}
+    assert dups == {701}

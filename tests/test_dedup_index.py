@@ -185,3 +185,28 @@ def test_streaming_ingest_dedup_wired_to_real_stream(spark, tmp_path):
         (r["doc_id"], r["matched_corpus_id"])
         for r in spark.read.parquet(dup).collect()
     } == {(50, 4)}
+
+
+def test_remove_repromotes_cap_trimmed_survivors(spark, tmp_path):
+    """VERDICT r5 #7: buckets are re-derived from the surviving
+    signatures on remove() — when EVERY build-time representative of a
+    duplicate-heavy bucket is taken down, previously cap-trimmed
+    survivors take their place, so a new duplicate of content the
+    corpus still holds keeps flagging."""
+    from kafka_dbsync_spark.operators.dedup_index import dedup_index_remove
+
+    path = str(tmp_path / "capidx")
+    same = "identical boilerplate header repeated across every document"
+    corpus = [(i, same) for i in range(10)]        # 10 identical docs
+    build_dedup_index(spark, _df(spark, corpus), path, max_bucket_size=2)
+    # the cap kept only representatives {0, 1}; remove BOTH
+    res = dedup_index_remove(spark, path, [0, 1])
+    assert res == {"docs_removed": 2}
+    # docs 2..9 still hold this content — a new duplicate must flag,
+    # matched against re-promoted representatives (ids >= 2, capped)
+    got = dedup_check_incremental(
+        spark, path, _df(spark, [(100, same)]), threshold_bp=5000
+    ).collect()
+    assert got, "duplicate of surviving content went undetected"
+    assert all(r["est_bp"] == 10000 and r["corpus_id"] >= 2 for r in got)
+    assert len({r["corpus_id"] for r in got}) <= 2   # re-cap respected
