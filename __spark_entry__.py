@@ -19,76 +19,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-5 rotation (VERDICT r4 "Next round" #1 — FRESHNESS, not
-# first-time coverage: every query has been green at least once, so the
-# window now front-loads (a) queries NEW this round, (b) queries whose
-# CODE changed this round (green rows predating a change prove
-# nothing), (c) the 32 queries whose latest green row is from round 2
-# (the stalest), (d) the oldest round-3 rows in registration order to
-# fill the window. The remaining r3/r4 rows rotate in next round.
-# NOTE: the list is 68 unique entries; the driver takes the FIRST 50,
-# so the last 18 r2-stale rows (from ngram_jaccard_dedup on, in list order)
-# rotate into round 6's window instead — never-checked NEW queries and
-# this round's semantics-changed queries outrank stale-but-once-green
-# rows.
+# Round-6 rotation (VERDICT r5 "Next round" #3 — freshness): the window
+# front-loads (a) the 11 queries whose CODE or SEMANTICS changed this
+# round (histogram cut-point rewrite of ppl_buckets /
+# curation_pipeline_v2; metadata-only cache validation behind every
+# pq_index/lm_index served query; the admission-operator delegation of
+# ingest_quality_gate; the dedup_incremental cache registry), then
+# (b) the 17 queries whose latest driver row dates to round 2, then
+# (c) the first 22 round-3-stale rows in registration order. That
+# fills 50 exactly; the remaining 22 r3-stale rows (textrank_keywords
+# onward in registration order) plus the r4 rows rotate into round 7 —
+# 61 stale + 11 changed cannot fit one 50-slot window.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 5
-    "ingest_quality_gate",
-    "curation_pipeline_v2",
+    # (a) changed in round 6 — prior green rows prove nothing anymore
     "ppl_buckets",
-    "excess_promo_suppliers",
-    # (b, late round 5) output semantics changed by the determinism
-    # sweep — their older green rows prove nothing anymore
-    "tfidf_topterms",
-    "collocations_lift",
-    "q1_pricing_summary",
-    "order_priority_check",
-    "line_priority_classes",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "supplier_part_counts",
-    "small_qty_brand_revenue",
-    "discounted_brand_revenue",
-    "hll_distinct_tokens",
-    "lm_perplexity",
+    "curation_pipeline_v2",
+    "ingest_quality_gate",
     "lm_perplexity_served",
-    "dsir_weights",
-    "fuzzy_match_pairs",
-    "ivfpq_search_refined",
-    "hybrid_rank_fusion",
-    "ivfpq_search_multi",
-    "dedup_incremental",
-    "lake_ordered_state",
-    # (b) code touched in round 5 (ADC dense-lookup rewrite, recall
-    # report extension, index fingerprinting, lake sink hardening,
-    # gap-fill guard, integer-division share)
-    "ann_recall_report",
-    "pq_codebooks",
-    "pq_encode",
-    "pq_adc_search",
-    "ivfpq_search",
     "pq_index_build",
     "pq_adc_search_served",
     "ivfpq_search_served",
+    "ivfpq_search_refined",
+    "ivfpq_search_multi",
     "pq_index_add",
-    "lake_snapshot_read",
-    "timeseries_gap_fill",
-    "nation_market_share",
-    # (c) latest green row is round 2 — the stalest 32
-    "rollup_revenue",
-    "customers_without_orders",
-    "pivot_daily_events",
-    "segment_order_overlap",
-    "value_percentiles",
-    "user_value_trend",
-    "dedup_exact",
-    "dedup_normalized",
-    "token_stats",
-    "lang_id",
-    "quality_scores",
-    "doc_fingerprint",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
+    "dedup_incremental",
+    # (b) latest green row is round 2 — the stalest 17
     "ngram_jaccard_dedup",
     "vocab_topk",
     "ngram_bigrams",
@@ -96,7 +51,6 @@ _DRIVER_PRIORITY: list[str] = [
     "repetition_scores",
     "pii_scrub",
     "dedup_clusters",
-    "tfidf_topterms",
     "decontaminate",
     "pack_sequences",
     "quantize_embeddings",
@@ -107,8 +61,29 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_assign",
     "ivf_search",
     "semantic_dedup",
-    # (d) oldest round-3 rows, registration order
+    # (c) oldest round-3 rows, registration order (first 22)
     "simhash",
+    "simhash_neardup_pairs",
+    "similarity_topk",
+    "ann_blocked_topk",
+    "embedding_neardup_pairs",
+    "vector_lsh_buckets",
+    "customers_with_urgent_orders",
+    "running_revenue",
+    "curation_pipeline",
+    "datatype_matrix",
+    "multimodal_meta",
+    "salted_priority_revenue",
+    "incremental_hourly",
+    "bm25_search",
+    "zorder_values",
+    "rolling_1h_value",
+    "nation_pair_flows",
+    "hot_key_report",
+    "corpus_mixture_report",
+    "value_histogram",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -89,6 +89,51 @@ HEADLINE = [
 ]
 
 
+def _canary(spark) -> dict:
+    """Machine-contention canary (VERDICT r5 #4): three fixed,
+    dataset-independent micro-jobs — a whole-stage-codegen arithmetic
+    loop, a 1000-key shuffle, and a tiny parquet scan — run before the
+    suite. Their wall time moves with HOST LOAD, never with this repo's
+    code, so a round-over-round suite delta can be read against the
+    canary delta: if both drifted together, it was the machine. Each
+    job runs 3×; the median is recorded (same policy as the suite)."""
+
+    def med(job) -> float:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            job()
+            times.append(time.perf_counter() - t0)
+        return round(sorted(times)[1], 3)
+
+    out = {
+        "cpu": med(
+            lambda: spark.range(50_000_000)
+            .selectExpr("sum(id * 2654435761 % 1000003) AS s")
+            .head()
+        ),
+        "shuffle": med(
+            lambda: spark.range(5_000_000)
+            .selectExpr("id % 1000 AS k")
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+        "scan": med(
+            lambda: spark.read.parquet(
+                "/root/testdata/sf0.001/events.parquet"
+            )
+            .selectExpr("count(*) AS n")
+            .head()
+        ),
+    }
+    out["total"] = round(sum(out.values()), 3)
+    print(f"# canary: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +148,7 @@ def main() -> None:
     QUERIES["multimodal_meta"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    canary = _canary(spark)
 
     per_query: dict[str, float] = {}
     per_query_best: dict[str, float] = {}
@@ -167,6 +213,7 @@ def main() -> None:
         "cdc_apply_events_per_sec": apply_rate,
         "best_suite_wall_seconds": round(total_best, 3),
         "first_run_suite_wall_seconds": round(total_first, 3),
+        "canary": canary,
         "detail_file": detail_name,
     }
     detail = dict(
