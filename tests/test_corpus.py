@@ -294,3 +294,42 @@ def test_histogram_cut_bins_plan_has_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_histogram_cut_values_matches_dataframe_face(spark):
+    """histogram_cut_values (VERDICT r6 #1 + the O(B^2) advice): the
+    driver-side linear cumsum returns the same exact cut points the
+    1-row DataFrame face exposes, with custom fractions honored and
+    None cuts on empty input."""
+    from kafka_dbsync_spark.operators.corpus import (
+        histogram_cut_bins,
+        histogram_cut_values,
+    )
+
+    df = spark.range(1, 101).selectExpr("cast(id as double) / 10 as s")
+    vals, n = histogram_cut_values(df, "s", cuts=((1, 4), (1, 2), (3, 4)))
+    assert n == 100
+    # bins are s*100 as ints: 10..1000 step 10; quartile cuts land on
+    # the 25th/50th/75th values exactly
+    assert vals == [250, 500, 750]
+    row = histogram_cut_bins(df, "s", cuts=((1, 4), (1, 2), (3, 4))).head()
+    assert (row["cut_0"], row["cut_1"], row["cut_2"], row["n"]) == (
+        250, 500, 750, 100,
+    )
+    empty = df.filter("s < 0")
+    assert histogram_cut_values(empty, "s") == ([None, None], 0)
+
+
+def test_ppl_buckets_materializes_lineage_once(spark):
+    """VERDICT r6 #1: the returned ppl_buckets plan must read the
+    checkpointed score table (one Exchange for the bucket agg), not
+    re-derive the bigram-LM train+score subtree — previously the
+    lineage appeared ~4x (12 exchanges vs a budget of 7)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    df = QUERIES["ppl_buckets"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # bucket agg (+AQE wrapper noise)
+    assert "ExistingRDD" in plan  # the localCheckpoint scan
+    # and the result is still the three CCNet buckets
+    assert {r["bucket"] for r in df.collect()} <= {"head", "middle", "tail"}

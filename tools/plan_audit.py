@@ -111,13 +111,15 @@ SHUFFLE_BUDGET = {
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
     # the remaining TPC-H shapes (round-5 additions III); joins broadcast
     # at audit SF (shuffle-join at scale), filters pushed to scans
-    "curation_pipeline_v2": 8,      # the composed stack: dedup digest
-    # window + the self-trained LM model aggs + per-doc DSIR agg + the
-    # global rank (the CCNet cut); every corpus-sized filter runs before
-    # the shuffles, model joins broadcast
-    "ppl_buckets": 7,               # the lm_perplexity model (6) + the
-    # single-partition global rank (the ONE total-order op; at 100 TB
-    # the cut points come from a histogram sketch instead)
+    "curation_pipeline_v2": 8,      # returned plan reads the TWO
+    # localCheckpoints (dedup survivors + ppl scores, each materialized
+    # once at construction — VERDICT r6 #1): the DSIR stage's (doc,tok)
+    # agg + raw/tgt vocab aggs + two 1-row totals + per-doc agg + the
+    # survivor joins; model joins broadcast, top-100 is TakeOrdered
+    "ppl_buckets": 1,               # returned plan reads the ppl
+    # localCheckpoint (LM lineage materialized ONCE at construction —
+    # VERDICT r6 #1; cut points collected driver-side from the
+    # histogram): just the bucket agg remains
     "excess_promo_suppliers": 1,    # one suppkey agg; part filter and
     # the qualified set both broadcast
     "order_priority_check": 1,      # semi-join broadcasts; priority agg
