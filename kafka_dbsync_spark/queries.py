@@ -7208,8 +7208,10 @@ def q_ingest_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     key_fn = lambda df: F.md5(normalize_text(F.col("text")))  # noqa: E731
     try:
         build_lm_model(spark, seed, model_dir)
-        # batch 0 seeds the corpus: its hashes are admitted ungated
-        seed_admitted_hashes(state_dir, seed, key_fn(seed), epoch=0)
+        # batch 0 seeds the corpus: its hashes are admitted ungated,
+        # under the reserved seed/ namespace (never an epoch id — r6
+        # advice #1: e0 would collide with a stream's first batchId)
+        seed_admitted_hashes(state_dir, seed, key_fn(seed))
         fn = admission_foreach_batch(
             model_dir, state_dir, max_ppl=30.0, key_fn=key_fn
         )

@@ -114,12 +114,107 @@ def test_replayed_epoch_is_noop_and_crash_replay_recovers(
 def test_seeded_hashes_suppress_corpus_duplicates(spark, model, tmp_path):
     state = str(tmp_path / "state")
     seed = _df(spark, TRAIN)
-    seed_admitted_hashes(state, seed, F.md5(F.col("text")), epoch=0)
+    seed_admitted_hashes(state, seed, F.md5(F.col("text")))
     fn = admission_foreach_batch(model, state, max_ppl=8.0)
     fn(_df(spark, [(500, TRAIN[3][1]), (501, f"{FLUENT} unseeded")]), 1)
     dup = {r["doc_id"] for r in spark.read.parquet(f"{state}/duplicates/e1").collect()}
     acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e1").collect()}
     assert dup == {500} and acc == {501}
+
+
+def test_seed_does_not_swallow_stream_batch_zero(spark, model, tmp_path):
+    """r6 advice #1: the seed must live outside the epoch namespace —
+    a seeded operator attached to a fresh stream (first batchId 0)
+    must still process micro-batch 0, and the seed's hashes must still
+    suppress duplicates in it."""
+    state = str(tmp_path / "state")
+    seed_admitted_hashes(
+        state, _df(spark, TRAIN), F.md5(F.col("text"))
+    )
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn(_df(spark, [(550, TRAIN[0][1]), (551, f"{FLUENT} batch zero")]), 0)
+    dup = {r["doc_id"] for r in spark.read.parquet(f"{state}/duplicates/e0").collect()}
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e0").collect()}
+    assert dup == {550} and acc == {551}
+
+
+def test_compaction_preserves_state_and_replay_safety(spark, model, tmp_path):
+    """VERDICT r6 #4: folding committed epochs into a base snapshot
+    must (a) leave read_admitted identical, (b) keep suppressing
+    duplicates of pre-compaction admissions, (c) keep replays of
+    folded epochs no-ops, and (d) bound the visible state dirs."""
+    from kafka_dbsync_spark.operators.admission import (
+        _epoch_dirs,
+        compact_admission_state,
+    )
+
+    state = str(tmp_path / "state")
+    seed_admitted_hashes(state, _df(spark, TRAIN[:2]), F.md5(F.col("text")))
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    fn(_df(spark, [(800, f"{FLUENT} alpha")]), 0)
+    fn(_df(spark, [(801, f"{FLUENT} beta"), (802, "zzz qqq xxx vvv")]), 1)
+    fn(_df(spark, [(803, f"{FLUENT} gamma")]), 2)
+    before_admitted = sorted(
+        r["doc_id"] for r in read_admitted(spark, state).collect()
+    )
+    res = compact_admission_state(spark, state)
+    assert res == {"through": 2, "folded_epochs": 3}
+    # (d) one base dir visible per table, seed + epoch dirs retired
+    assert _epoch_dirs(state, "admitted_hashes") == [
+        f"{state}/admitted_hashes/base-2"
+    ]
+    assert not os.path.exists(f"{state}/admitted_hashes/seed")
+    # (a) identical admitted rows
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, state).collect()
+    ) == before_admitted
+    # (c) replay of a folded epoch is a no-op (no e1 dir reappears)
+    fn(_df(spark, [(999, f"{FLUENT} replay ghost")]), 1)
+    assert not os.path.exists(f"{state}/accepted/e1")
+    # (b) post-compaction batch still dedups against folded admissions
+    # (800's text, TRAIN[0]'s seeded text) and accepts novelty
+    fn(_df(spark, [
+        (900, f"{FLUENT} alpha"),   # dup of folded admission 800
+        (901, TRAIN[0][1]),          # dup of folded SEED hash
+        (902, f"{FLUENT} delta"),    # novel
+    ]), 3)
+    dup = {r["doc_id"] for r in spark.read.parquet(f"{state}/duplicates/e3").collect()}
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e3").collect()}
+    assert dup == {900, 901} and acc == {902}
+    # second compaction folds the new epoch into base-3
+    res2 = compact_admission_state(spark, state)
+    assert res2 == {"through": 3, "folded_epochs": 1}
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, state).collect()
+    ) == before_admitted + [902]
+
+
+def test_compaction_keep_last_and_pending_ceiling(spark, model, tmp_path):
+    """keep_last leaves recent epochs unfolded; an uncommitted (crash
+    mid-write) epoch dir caps T so its replay still runs for real."""
+    from kafka_dbsync_spark.operators.admission import (
+        compact_admission_state,
+    )
+
+    state = str(tmp_path / "state")
+    fn = admission_foreach_batch(model, state, max_ppl=8.0)
+    for e in range(4):
+        fn(_df(spark, [(850 + e, f"{FLUENT} doc {e}")]), e)
+    res = compact_admission_state(spark, state, keep_last=2)
+    assert res == {"through": 1, "folded_epochs": 2}
+    assert os.path.exists(f"{state}/accepted/e2")  # kept unfolded
+    # simulate a crashed epoch 4 (dir without _SUCCESS): T must not cross it
+    os.makedirs(f"{state}/admitted_hashes/e4")
+    fn(_df(spark, [(860, f"{FLUENT} doc five")]), 5)
+    res2 = compact_admission_state(spark, state)
+    assert res2 == {"through": 3, "folded_epochs": 2}
+    # the crashed epoch replays for real (not swallowed by the guard)
+    import shutil
+
+    shutil.rmtree(f"{state}/admitted_hashes/e4")
+    fn(_df(spark, [(861, f"{FLUENT} doc four")]), 4)
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{state}/accepted/e4").collect()}
+    assert acc == {861}
 
 
 def test_no_persisted_rdds_leak_after_batches(spark, model, tmp_path):
