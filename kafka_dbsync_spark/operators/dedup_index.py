@@ -325,6 +325,15 @@ def dedup_index_remove(
             rec = json.load(f)
     except (ValueError, OSError):
         rec = {}
+    if "max_bucket_size" not in rec:
+        # refuse BEFORE invalidating the marker (r6 advice #3): a
+        # legacy/absent marker leaves the build cap unknown and a
+        # default-capped rewrite would silently change bucket shape
+        raise ValueError(
+            f"dedup index marker at {path} is missing or predates the "
+            "max_bucket_size record; rebuild with build_dedup_index "
+            "before removing documents."
+        )
     if os.path.exists(marker):
         os.remove(marker)  # crash mid-rewrite leaves the index invalid,
         # not silently half-rewritten
@@ -340,19 +349,94 @@ def dedup_index_remove(
     # buckets come back from the SURVIVING signatures, not an anti-join
     # on the capped bucket rows — the signature table is the uncapped
     # source of truth, so the re-cap admits previously-trimmed docs
-    num_hashes = int(rec.get("num_hashes", 8))
-    rows_per_band = int(rec.get("rows_per_band", 2))
-    cap = rec.get("max_bucket_size", 32)
-    bkt_staging = f"{path}/.buckets.rewrite"
-    _capped(
-        _banded(remaining, id_col, num_hashes, rows_per_band), id_col, cap
-    ).write.mode("overwrite").parquet(bkt_staging)
-    shutil.rmtree(f"{path}/buckets")
-    os.rename(bkt_staging, f"{path}/buckets")
+    _rebuild_buckets(spark, path, remaining, rec, id_col)
     rec["fingerprint"] = corpus_fingerprint(remaining, id_col)
     with open(marker, "w") as f:
         json.dump(rec, f)
     return {"docs_removed": before - remaining.count()}
+
+
+def _rebuild_buckets(
+    spark: SparkSession, path: str, signatures: DataFrame, rec: dict,
+    id_col: str,
+) -> None:
+    """Staging-swap rewrite of the bucket table from a signature table,
+    using the marker-recorded hash family and cap. The cap is REQUIRED
+    in the marker (r6 advice #3): a legacy marker without the key may
+    describe an uncapped or custom-cap build, and silently re-capping
+    at the current default would change the bucket table's shape
+    relative to its build — refuse and point at a rebuild instead."""
+    import shutil
+
+    if "max_bucket_size" not in rec:
+        raise ValueError(
+            f"dedup index marker at {path} predates the max_bucket_size "
+            "record; its build cap is unknown, so a bucket rewrite could "
+            "silently re-cap it differently. Rebuild the index with "
+            "build_dedup_index to upgrade the marker."
+        )
+    num_hashes = int(rec.get("num_hashes", 8))
+    rows_per_band = int(rec.get("rows_per_band", 2))
+    cap = rec["max_bucket_size"]
+    bkt_staging = f"{path}/.buckets.rewrite"
+    _capped(
+        _banded(signatures, id_col, num_hashes, rows_per_band), id_col, cap
+    ).write.mode("overwrite").parquet(bkt_staging)
+    shutil.rmtree(f"{path}/buckets")
+    os.rename(bkt_staging, f"{path}/buckets")
+
+
+def dedup_index_compact(
+    spark: SparkSession,
+    path: str,
+    num_files: int | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold an append-grown index back to freshly-built shape (VERDICT
+    r6 #4: every `dedup_index_add` appends parquet files to both
+    tables and caps buckets only per-batch, so a long ingest stream
+    accumulates O(batches) small files and up to cap x batches rows
+    per bucket). Rewrites the signature table (coalesced to
+    ``num_files`` when given) and re-derives the bucket table from it
+    with ONE global re-cap — the same staging-swap + marker-out/
+    marker-in crash discipline as `dedup_index_remove`. Contents are
+    unchanged, so the stored fingerprint carries over; the membership/
+    check results before and after are identical by construction
+    (asserted in tests).
+
+    Returns {"signature_files": n} (the post-compaction file count)."""
+    import shutil
+
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        rec = {}
+    if "max_bucket_size" not in rec:
+        raise ValueError(
+            f"dedup index marker at {path} is missing or predates the "
+            "max_bucket_size record; rebuild with build_dedup_index "
+            "before compacting."
+        )
+    if os.path.exists(marker):
+        os.remove(marker)  # crash mid-rewrite leaves the index invalid
+    sig_src = f"{path}/signatures"
+    sig_staging = f"{path}/.signatures.rewrite"
+    sig = spark.read.parquet(sig_src)
+    if num_files is not None:
+        sig = sig.coalesce(num_files)
+    sig.write.mode("overwrite").parquet(sig_staging)
+    shutil.rmtree(sig_src)
+    os.rename(sig_staging, sig_src)
+    compacted = spark.read.parquet(sig_src)
+    _rebuild_buckets(spark, path, compacted, rec, id_col)
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    n_files = len(
+        [n for n in os.listdir(sig_src) if n.endswith(".parquet")]
+    )
+    return {"signature_files": n_files}
 
 
 def dedup_index_add(

@@ -210,3 +210,74 @@ def test_remove_repromotes_cap_trimmed_survivors(spark, tmp_path):
     assert got, "duplicate of surviving content went undetected"
     assert all(r["est_bp"] == 10000 and r["corpus_id"] >= 2 for r in got)
     assert len({r["corpus_id"] for r in got}) <= 2   # re-cap respected
+
+
+def test_compact_folds_append_files_and_preserves_checks(spark, tmp_path):
+    """VERDICT r6 #4: after many appends the index holds O(batches)
+    parquet files and per-batch-capped buckets; compaction folds both
+    back to built shape with identical check results."""
+    import os
+
+    from kafka_dbsync_spark.operators.dedup_index import dedup_index_compact
+
+    path = str(tmp_path / "growidx")
+    build_dedup_index(spark, _df(spark, CORPUS), path)
+    for b in range(4):
+        dedup_index_add(
+            spark, path,
+            _df(spark, [(100 + b, f"appended batch {b} novel text here")]),
+        )
+    probe = _df(spark, [
+        (900, CORPUS[0][1]),                  # dup of a built doc
+        (901, "appended batch 2 novel text here"),  # dup of an added doc
+        (902, "matches nothing in this corpus at all"),
+    ])
+    before = sorted(
+        tuple(r) for r in dedup_check_incremental(
+            spark, path, probe, threshold_bp=5000
+        ).collect()
+    )
+    files_before = len([
+        n for n in os.listdir(f"{path}/signatures") if n.endswith(".parquet")
+    ])
+    res = dedup_index_compact(spark, path, num_files=1)
+    assert res == {"signature_files": 1}
+    assert files_before > 1  # the appends really had grown the table
+    after = sorted(
+        tuple(r) for r in dedup_check_incremental(
+            spark, path, probe, threshold_bp=5000
+        ).collect()
+    )
+    assert after == before and before  # identical hits, and hits exist
+    assert dedup_index_is_built(path)
+
+
+def test_remove_and_compact_refuse_legacy_marker(spark, tmp_path):
+    """r6 advice #3: a marker without max_bucket_size leaves the build
+    cap unknown — bucket rewrites must refuse (marker intact) instead
+    of silently re-capping at the default."""
+    import json
+    import os
+
+    from kafka_dbsync_spark.operators.dedup_index import (
+        dedup_index_compact,
+        dedup_index_remove,
+    )
+
+    path = str(tmp_path / "legacyidx")
+    build_dedup_index(spark, _df(spark, CORPUS), path)
+    marker = os.path.join(path, "_COMPLETE")
+    with open(marker) as f:
+        rec = json.load(f)
+    del rec["max_bucket_size"]
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup_index_remove(spark, path, [0])
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup_index_compact(spark, path)
+    # the refusal left the marker (and thus the index) intact
+    assert os.path.exists(marker)
+    assert dedup_check_incremental(
+        spark, path, _df(spark, [(50, CORPUS[0][1])]), threshold_bp=5000
+    ).collect()
