@@ -31,6 +31,17 @@ The staleness GUARANTEE is unchanged: a dataset regenerated in place
 changes its file listing (tier 2 miss) and its content fingerprint
 (tier 3 miss), so the caller rebuilds. Only the cost moved — from
 O(dataset) per serve to O(file count) per serve.
+
+Granularity assumption (r6 advice #4): tier 2 trusts ``(relative
+path, size, mtime_ns)`` per file. Local filesystems give nanosecond
+mtimes, but some object stores / network filesystems round to whole
+seconds — there, an in-place regeneration completing within one
+timestamp tick with identical file names AND identical byte sizes
+would pass tier 2 with stale content. Spark parquet rewrites
+randomize part-file names (UUID task suffixes), so the listing moves
+in practice even at coarse granularity; callers on stores where that
+does not hold can pass ``force_exact=True`` to skip both metadata
+tiers and run the content check every call.
 """
 
 from __future__ import annotations
@@ -81,18 +92,29 @@ def validate_cached_artifact(
     marker_name: str,
     src_path: str | None,
     exact_check: Callable[[dict], bool],
+    force_exact: bool = False,
 ) -> bool:
     """True iff the cache at ``index_path`` is current for the dataset
     at ``src_path``. ``exact_check(marker_record) -> bool`` is the
     caller's data-aggregate comparison — invoked only when both
     metadata tiers miss, and at most once per (marker state, dataset
-    listing) per session."""
+    listing) per session. ``force_exact=True`` is the escape hatch for
+    stores with coarse mtime granularity (see module docstring): it
+    bypasses the memo and listing tiers and runs ``exact_check`` on
+    every call, never memoizing."""
     marker = os.path.join(index_path, marker_name)
     try:
         mtime = os.stat(marker).st_mtime_ns
     except OSError:
         _MEMO.pop(index_path, None)
         return False
+    if force_exact:
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+        except (ValueError, OSError):
+            return False
+        return bool(exact_check(rec))
     sig = files_signature(src_path) if src_path else None
     if sig is not None and _MEMO.get(index_path) == (mtime, sig):
         return True

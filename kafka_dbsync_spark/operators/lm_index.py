@@ -186,6 +186,7 @@ def lm_model_is_current(
     text_col: str = "text",
     fingerprint: dict | None = None,
     src_path: str | None = None,
+    force_exact: bool = False,
 ) -> bool:
     """True iff the persisted model is servable AND trained on the
     current corpus. With ``src_path`` the check is METADATA-ONLY on the
@@ -193,7 +194,9 @@ def lm_model_is_current(
     operators/cache_validation.py); the exact corpus fingerprint (a
     full text scan) runs only when both metadata tiers miss, at most
     once per marker/dataset state per session (VERDICT r5 #1). Without
-    ``src_path`` the behavior is the original exact comparison."""
+    ``src_path`` the behavior is the original exact comparison.
+    ``force_exact=True`` skips the metadata tiers every call — the
+    coarse-mtime-store escape hatch (cache_validation docstring)."""
     from kafka_dbsync_spark.operators.cache_validation import (
         validate_cached_artifact,
     )
@@ -217,7 +220,9 @@ def lm_model_is_current(
             return False
         if gen is None or not os.path.isdir(os.path.join(path, gen)):
             return False
-        return validate_cached_artifact(path, _MARKER, src_path, _exact)
+        return validate_cached_artifact(
+            path, _MARKER, src_path, _exact, force_exact=force_exact
+        )
     marker = os.path.join(path, _MARKER)
     if not os.path.exists(marker):
         return False

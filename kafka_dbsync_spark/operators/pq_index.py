@@ -154,13 +154,16 @@ def index_is_current(
     src_path: str | None,
     embeddings: DataFrame,
     id_col: str = "vec_id",
+    force_exact: bool = False,
 ) -> bool:
     """Serve-side staleness check with NO data scan on the happy path
     (VERDICT r5 #1): session memo -> marker-recorded source-file
     signature -> exact ``dataset_fingerprint`` comparison as the
     last-resort fallback (runs at most once per marker/dataset state
     per session, then memoizes). ``embeddings`` is only touched when
-    both metadata tiers miss."""
+    both metadata tiers miss. ``force_exact=True`` runs the exact
+    comparison every call — the coarse-mtime-store escape hatch
+    (cache_validation docstring)."""
     from kafka_dbsync_spark.operators.cache_validation import (
         validate_cached_artifact,
     )
@@ -171,6 +174,7 @@ def index_is_current(
         src_path,
         lambda rec: rec.get("fingerprint")
         == dataset_fingerprint(embeddings, id_col),
+        force_exact=force_exact,
     )
 
 

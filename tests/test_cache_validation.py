@@ -121,6 +121,31 @@ def test_touched_but_identical_dataset_revalidates_without_rebuild(
     assert index_is_current(idx, src, emb)
 
 
+def test_force_exact_catches_listing_preserving_regeneration(spark, ds):
+    """r6 advice #4: on a coarse-mtime store an in-place regeneration
+    can preserve the (path, size, mtime) listing; force_exact bypasses
+    the memo and listing tiers, so the content check still catches it
+    — simulated by swapping the marker's recorded fingerprint while
+    pinning the listing signature to the current dataset."""
+    src, idx = ds
+    emb = spark.read.parquet(src)
+    cv.invalidate_memo(idx)
+    assert index_is_current(idx, src, emb)   # warm the memo
+    marker = os.path.join(idx, "_COMPLETE")
+    with open(marker) as f:
+        rec = json.load(f)
+    rec["fingerprint"] = {"n": -1}           # stale content, same listing
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    # tier 2 would still accept (src unchanged, sig matches record) —
+    # the exact hatch must not
+    cv.invalidate_memo(idx)
+    assert index_is_current(idx, src, emb)
+    assert not index_is_current(idx, src, emb, force_exact=True)
+    # repeatable: force_exact neither reads nor writes the memo
+    assert not index_is_current(idx, src, emb, force_exact=True)
+
+
 def test_missing_marker_is_stale(spark, ds):
     src, idx = ds
     os.remove(os.path.join(idx, "_COMPLETE"))
