@@ -275,8 +275,16 @@ def ivfpq_search(
         embeddings, centroids_long, id_col=id_col, vec_col=vec_col,
         keep_cols=keep_cols,
     )
-    cb = pq_codebooks(resid, n_sub=n_sub, d_sub=d_sub, k=k,
-                      id_col=id_col, vec_col="resid")
+    # the trained codebook is n_sub x k rows of KB-sized metadata, but
+    # its lineage is a full residual pass; it feeds BOTH the encode's
+    # broadcast row and the ADC books row, so checkpoint it (VERDICT
+    # r6 #7 — the static plan otherwise re-derives the train subtree
+    # per consumer; the operator already runs eager driver work for
+    # the probe selection, so the one extra tiny job is in character)
+    cb = pq_codebooks(
+        resid, n_sub=n_sub, d_sub=d_sub, k=k, id_col=id_col,
+        vec_col="resid",
+    ).localCheckpoint(eager=True)
 
     cents = centroid_arrays(centroids_long)  # ONE driver collect of the
     # B×dim metadata, shared by probe selection and the query residuals

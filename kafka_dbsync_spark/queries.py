@@ -3745,7 +3745,12 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivfpq_search(emb, q_ivf_centroids(spark, sf_dir), [float(x) for x in qv])
+    # the coarse centroids are B x dim KB-sized metadata derived from a
+    # corpus agg; the fused search consumes them in three places
+    # (assign fold, cell vectors, probe collect) — checkpoint so the
+    # agg runs once (VERDICT r6 #7)
+    cents = q_ivf_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    return ivfpq_search(emb, cents, [float(x) for x in qv])
 
 
 @query(

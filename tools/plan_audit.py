@@ -224,11 +224,12 @@ SHUFFLE_BUDGET = {
     # exchanges + parallelism repartition; DATA side is map-only (broadcast
     # nested-loop against the single codebook row)
     "pq_adc_search": 4,          # same metadata side; top-k is TakeOrdered
-    "ivfpq_search": 11,          # ALL metadata-side: centroid agg + cents-row
-    # (2) + cell-vectors (1) + residual-PQ codebook agg + books-row (2) +
-    # their static-plan re-derivations feeding qres/probe (AQE reuses at
-    # runtime). The candidate DATA path is map-only: cell filter →
-    # broadcast joins (qres, books) → TakeOrdered.
+    "ivfpq_search": 9,           # ALL metadata-side: the centroid table
+    # and trained codebook are localCheckpointed KB-sized metadata
+    # (VERDICT r6 #7 — their corpus-sized train lineages run ONCE at
+    # construction), leaving the cents-row/cell-vectors/books-row
+    # restructure aggs. The candidate DATA path is map-only: cell
+    # filter → broadcast joins (qres, books) → TakeOrdered.
     "late_sole_suppliers": 3,    # lineitem⋈orders keyed shuffle + late-set
     # distinct + final agg; semi/anti/supplier joins all broadcast
     "idle_rich_customers": 2,    # scalar-avg SinglePartition agg + final agg;
