@@ -19,71 +19,71 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-6 rotation (VERDICT r5 "Next round" #3 — freshness): the window
-# front-loads (a) the 11 queries whose CODE or SEMANTICS changed this
-# round (histogram cut-point rewrite of ppl_buckets /
-# curation_pipeline_v2; metadata-only cache validation behind every
-# pq_index/lm_index served query; the admission-operator delegation of
-# ingest_quality_gate; the dedup_incremental cache registry), then
-# (b) the 17 queries whose latest driver row dates to round 2, then
-# (c) the first 22 round-3-stale rows in registration order. That
-# fills 50 exactly; the remaining 22 r3-stale rows (textrank_keywords
-# onward in registration order) plus the r4 rows rotate into round 7 —
-# 61 stale + 11 changed cannot fit one 50-slot window.
+# Round-7 rotation (VERDICT r6 "Next round" #3 — freshness): the window
+# front-loads (a) the 4 queries whose code or semantics changed this
+# round (the localCheckpoint rewrite of ppl_buckets /
+# curation_pipeline_v2 with driver-side histogram cut points; the
+# reserved-seed-namespace change under ingest_quality_gate; the
+# codebook/centroid checkpointing inside the fused ivfpq_search), then
+# (b) ALL 22 queries whose latest driver row still dates to round 3,
+# then (c) the 24 oldest round-4 rows in registration order. That
+# fills 50 exactly; after this gate no query's newest driver row is
+# older than round 4 (the remaining 15 r4 rows + the r5 rows rotate
+# in round 8).
 _DRIVER_PRIORITY: list[str] = [
-    # (a) changed in round 6 — prior green rows prove nothing anymore
+    # (a) changed in round 7 — prior green rows prove nothing anymore
     "ppl_buckets",
     "curation_pipeline_v2",
     "ingest_quality_gate",
-    "lm_perplexity_served",
-    "pq_index_build",
-    "pq_adc_search_served",
-    "ivfpq_search_served",
-    "ivfpq_search_refined",
-    "ivfpq_search_multi",
-    "pq_index_add",
-    "dedup_incremental",
-    # (b) latest green row is round 2 — the stalest 17
-    "ngram_jaccard_dedup",
-    "vocab_topk",
-    "ngram_bigrams",
-    "ivf_centroids",
-    "repetition_scores",
-    "pii_scrub",
-    "dedup_clusters",
-    "decontaminate",
-    "pack_sequences",
-    "quantize_embeddings",
-    "doc_chunks",
-    "hash_sample",
-    "balanced_sample",
-    "topk_per_group",
-    "ivf_assign",
-    "ivf_search",
-    "semantic_dedup",
-    # (c) oldest round-3 rows, registration order (first 22)
-    "simhash",
-    "simhash_neardup_pairs",
-    "similarity_topk",
-    "ann_blocked_topk",
-    "embedding_neardup_pairs",
-    "vector_lsh_buckets",
-    "customers_with_urgent_orders",
-    "running_revenue",
-    "curation_pipeline",
-    "datatype_matrix",
-    "multimodal_meta",
-    "salted_priority_revenue",
-    "incremental_hourly",
-    "bm25_search",
-    "zorder_values",
-    "rolling_1h_value",
-    "nation_pair_flows",
-    "hot_key_report",
-    "corpus_mixture_report",
-    "value_histogram",
-    "funnel_conversion",
-    "retention_cohorts",
+    "ivfpq_search",
+    # (b) every remaining round-3-stale row (22)
+    "textrank_keywords",
+    "multimodal_resize",
+    "multimodal_frames",
+    "mixture_sample",
+    "duplicate_ngram_spans",
+    "cdc_state_at",
+    "cube_revenue",
+    "schema_embedded_decode",
+    "ivf_cell_stats",
+    "stratified_quantiles",
+    "minhash_jaccard_est",
+    "late_data_watermark",
+    "shipping_priority",
+    "large_volume_customers",
+    "late_sole_suppliers",
+    "idle_rich_customers",
+    "props_json_stats",
+    "kmeans_refine",
+    "user_value_regression",
+    "winnowing_fingerprints",
+    "skipping_index",
+    "bloom_decontaminate",
+    # (c) oldest round-4 rows, registration order (first 24)
+    "cdc_final_state",
+    "cdc_corrupt_events",
+    "dlq_records",
+    "cdc_op_counts",
+    "cdc_route_stats",
+    "iidr_ts_normalize",
+    "type_coercion",
+    "cdc_backfill_then_stream",
+    "table_profile",
+    "scd2_history",
+    "envelope_unwrap",
+    "top_customers",
+    "events_hourly",
+    "events_sessionize",
+    "asof_join",
+    "local_supplier_revenue",
+    "range_join_active_orders",
+    "inverted_index",
+    "snapshot_diff",
+    "label_pca",
+    "bpe_merge_step",
+    "rarity_scores",
+    "countmin_counts",
+    "dataset_splits",
 ]
 
 

@@ -257,6 +257,7 @@ def admission_foreach_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     key_fn: Callable[[DataFrame], Column] | None = None,
+    compact_every: int | None = 16,
 ):
     """``foreachBatch`` function chaining exact dedup-at-ingest with
     frozen-LM quality gating. Per micro-batch, in arrival order:
@@ -274,7 +275,15 @@ def admission_foreach_batch(
 
     Every cached DataFrame is unpersisted before return (VERDICT r5
     #6); cross-batch state lives only in the parquet hash table, so a
-    restarted query (or a different session) continues seamlessly."""
+    restarted query (or a different session) continues seamlessly.
+
+    ``compact_every``: after committing an epoch whose id is a
+    multiple of this, fold the accumulated epoch dirs into a base
+    snapshot (``compact_admission_state`` with ``keep_last=1``), so a
+    long-running stream's per-batch state reads stay O(1) dirs without
+    an external maintenance job. Compaction after the commit point is
+    crash-safe by the same argument as the manual call. ``None``
+    disables (call ``compact_admission_state`` yourself)."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -350,5 +359,7 @@ def admission_foreach_batch(
                 fresh.unpersist()
         finally:
             firsts.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_admission_state(spark, state_dir, keep_last=1)
 
     return fn

@@ -625,6 +625,7 @@ def histogram_cut_values(
     score_col: str,
     cuts: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
     bin_decimals: int = 2,
+    max_bins: int = 1_000_000,
 ) -> tuple[list[int | None], int]:
     """Corpus split cut points from a deterministic fixed-width
     histogram — the scale-safe replacement for a global rank (VERDICT
@@ -649,13 +650,30 @@ def histogram_cut_values(
     the scores lineage first so it materializes exactly once.
 
     Returns ``([cut_0, ..., cut_{len(cuts)-1}], n)``; each cut is
-    None when the input is empty."""
+    None when the input is empty.
+
+    ``max_bins`` bounds the driver-side collect: scores are unbounded
+    above (unseen-token-heavy docs can push perplexity — and hence the
+    bin count — arbitrarily high), and silently collecting a
+    pathological histogram would trade the old O(B^2) cliff for a
+    driver-memory one. Exceeding the bound raises with guidance
+    (coarsen ``bin_decimals``) instead of degrading quietly."""
+    # one action: fetch at most max_bins+1 aggregated rows — when the
+    # cap holds that IS the whole histogram, when it doesn't we raise
+    # without ever materializing the pathological remainder
     hist = (
         scores.select(score_bin(score_col, bin_decimals).alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("c"))
+        .limit(max_bins + 1)
         .collect()
     )
+    if len(hist) > max_bins:
+        raise ValueError(
+            f"score histogram exceeds max_bins={max_bins} distinct "
+            f"{bin_decimals}-decimal bins; coarsen bin_decimals (each "
+            "step divides the bin count by 10) or raise max_bins"
+        )
     pairs = sorted((r["bin"], r["c"]) for r in hist)
     n = sum(c for _, c in pairs)
     out: list[int | None] = []

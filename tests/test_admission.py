@@ -217,6 +217,33 @@ def test_compaction_keep_last_and_pending_ceiling(spark, model, tmp_path):
     assert acc == {861}
 
 
+def test_auto_compaction_bounds_state_dirs(spark, model, tmp_path):
+    """compact_every folds state inline from the batch function: after
+    many epochs the visible hash-state dirs stay O(1) and the admitted
+    set equals the no-compaction twin's."""
+    from kafka_dbsync_spark.operators.admission import _epoch_dirs
+
+    state_a = str(tmp_path / "auto")
+    state_b = str(tmp_path / "manual")
+    fn_a = admission_foreach_batch(model, state_a, max_ppl=8.0, compact_every=2)
+    fn_b = admission_foreach_batch(model, state_b, max_ppl=8.0, compact_every=None)
+    for e in range(6):
+        batch = _df(spark, [
+            (1000 + e, f"{FLUENT} unique {e}"),
+            (2000 + e, f"{FLUENT} unique {max(0, e - 1)}"),  # dup of prior
+        ])
+        fn_a(batch, e)
+        fn_b(batch, e)
+    got_a = sorted(r["doc_id"] for r in read_admitted(spark, state_a).collect())
+    got_b = sorted(r["doc_id"] for r in read_admitted(spark, state_b).collect())
+    assert got_a == got_b
+    # compaction last fired at epoch 4 (keep_last=1 leaves e4? no —
+    # keep_last counts committed epochs at fire time, so at least the
+    # newest stays); bound: 1 base + the few epochs since the last fold
+    assert len(_epoch_dirs(state_a, "admitted_hashes")) <= 3
+    assert len(_epoch_dirs(state_b, "admitted_hashes")) == 6
+
+
 def test_no_persisted_rdds_leak_after_batches(spark, model, tmp_path):
     """VERDICT r5 #6: the proof harness must not leave cached lineage
     behind — every persist inside the operator is matched by an
