@@ -228,6 +228,7 @@ def dedup_ingest_foreach_batch(
     threshold_bp: int = 5000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 16,
     **check_kw,
 ):
     """Streaming dedup-at-ingest: a ``foreachBatch`` function that, per
@@ -243,7 +244,15 @@ def dedup_ingest_foreach_batch(
     band probe + signature verify (corpus text never read); the
     admission is a frozen-family append. State across batches lives in
     the index artifacts, not in Spark state — restarts pick up where
-    the index left off."""
+    the index left off.
+
+    ``compact_every``: every Nth epoch (by the streaming batchId), the
+    append-grown index is folded back to built shape via
+    ``dedup_index_compact`` (VERDICT r6 #4 — each append adds parquet
+    files to both tables and caps buckets only per-batch, so a long
+    stream otherwise accumulates O(batches) files and cap x batches
+    bucket rows). ``None`` disables (run the compaction as an external
+    maintenance job instead)."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -287,6 +296,8 @@ def dedup_ingest_foreach_batch(
             batch.unpersist()
             for c in caches:
                 c.unpersist()
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            dedup_index_compact(spark, path, id_col=id_col)
 
     return fn
 

@@ -281,3 +281,43 @@ def test_remove_and_compact_refuse_legacy_marker(spark, tmp_path):
     assert dedup_check_incremental(
         spark, path, _df(spark, [(50, CORPUS[0][1])]), threshold_bp=5000
     ).collect()
+
+
+def test_streaming_ingest_auto_compacts_and_keeps_detecting(spark, tmp_path):
+    """compact_every folds the append-grown index inline from the batch
+    function: after the fold the file count is back to built shape and
+    duplicates of pre-compaction admissions still flag."""
+    import os
+
+    from kafka_dbsync_spark.operators.dedup_index import (
+        dedup_ingest_foreach_batch,
+    )
+
+    path = str(tmp_path / "sidx")
+    acc = str(tmp_path / "acc")
+    dup = str(tmp_path / "dup")
+    build_dedup_index(spark, _df(spark, CORPUS), path)
+    fn = dedup_ingest_foreach_batch(
+        path, acc, dup, threshold_bp=5000, compact_every=2
+    )
+    fn(_df(spark, [(20, "stream doc about one topic entirely new")]), 1)
+    fn(_df(spark, [(21, "another stream doc nothing like the rest")]), 2)
+    # epoch 2 triggered compaction: every signature file carries ONE
+    # write's UUID (a single rewrite replaced build + 2 append writes —
+    # the file COUNT follows data size via maxPartitionBytes, which is
+    # the scale-correct bound, so assert the write identity instead)
+    files = [
+        n for n in os.listdir(f"{path}/signatures") if n.endswith(".parquet")
+    ]
+    write_ids = {"-".join(n.split("-")[2:7]) for n in files}
+    assert len(write_ids) == 1 and files
+    # post-compaction: dups of both a built doc and a pre-fold admission
+    fn(_df(spark, [
+        (30, CORPUS[1][1]),
+        (31, "stream doc about one topic entirely new"),
+    ]), 3)
+    dups = {
+        (r["doc_id"], r["matched_corpus_id"])
+        for r in spark.read.parquet(dup).collect()
+    }
+    assert (30, 2) in dups and (31, 20) in dups
