@@ -217,6 +217,49 @@ def test_compaction_keep_last_and_pending_ceiling(spark, model, tmp_path):
     assert acc == {861}
 
 
+def test_compaction_crash_between_base_write_and_cleanup(
+    spark, model, tmp_path
+):
+    """Crash window: a base snapshot landed but the folded dirs were
+    not yet retired (or only SOME tables folded). Visible state must
+    not double-count, membership must stay exact, and the next
+    compaction must converge and clean up."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.admission import (
+        _epoch_dirs,
+        compact_admission_state,
+    )
+
+    state = str(tmp_path / "state")
+    fn = admission_foreach_batch(model, state, max_ppl=8.0, compact_every=None)
+    fn(_df(spark, [(700, f"{FLUENT} one")]), 0)
+    fn(_df(spark, [(701, f"{FLUENT} two")]), 1)
+    expected = sorted(
+        r["doc_id"] for r in read_admitted(spark, state).collect()
+    )
+    # simulate the crash: copy what a completed hashes base-1 would hold,
+    # while every epoch dir (all tables) remains on disk
+    hroot = f"{state}/admitted_hashes"
+    spark.read.parquet(f"{hroot}/e0", f"{hroot}/e1").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{hroot}/base-1")
+    # visible dirs: the base plus NOTHING at or below T=1 → no dup
+    assert _epoch_dirs(state, "admitted_hashes") == [f"{hroot}/base-1"]
+    # a new batch still dedups correctly against the half-compacted state
+    fn(_df(spark, [(702, f"{FLUENT} one"), (703, f"{FLUENT} three")]), 2)
+    dup = {r["doc_id"] for r in spark.read.parquet(f"{state}/duplicates/e2").collect()}
+    assert dup == {702}
+    # the next compaction folds epoch 2 and retires every leftover
+    res = compact_admission_state(spark, state)
+    assert res == {"through": 2, "folded_epochs": 1}
+    assert not os.path.exists(f"{hroot}/e0")
+    assert not os.path.exists(f"{hroot}/base-1")
+    assert sorted(
+        r["doc_id"] for r in read_admitted(spark, state).collect()
+    ) == expected + [703]
+
+
 def test_auto_compaction_bounds_state_dirs(spark, model, tmp_path):
     """compact_every folds state inline from the batch function: after
     many epochs the visible hash-state dirs stay O(1) and the admitted
