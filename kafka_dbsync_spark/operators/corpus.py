@@ -689,6 +689,66 @@ def histogram_cut_values(
     return out, n
 
 
+def grouped_budget_cut_values(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    weight_col: str,
+    budget: int,
+    max_rows: int = 1_000_000,
+) -> dict:
+    """Per-group budgeted-head cut points: for each group, the LARGEST
+    integer bin value ``c`` such that the rows with ``bin_col >= c``
+    carry at least ``budget`` total weight — i.e. take bins from the
+    top until the budget is met; None when the group's total weight is
+    under budget (keep everything). The budgeted-curation operator: a
+    pretraining mix wants "the highest-quality documents from each
+    source up to N tokens", and at 100 TB that selection cannot be a
+    per-source ORDER BY — here it is ONE map-side-combined
+    (group, bin) weighted histogram (groups x distinct-bins rows of
+    metadata; for floor-scaled basis-point scores that is at most
+    10001 bins per group), collected and folded driver-side with an
+    exact integer cumsum, the same discipline as
+    :func:`histogram_cut_values`. Assignment downstream is a per-row
+    comparison against the broadcast per-group cut table.
+
+    Value-cut semantics (shared with histogram_cut_values): every row
+    in the cut bin is kept, so the selected weight may overshoot the
+    budget by at most one bin's weight — deterministic and
+    oracle-reproducible, unlike a row-level greedy cutoff whose
+    tie-break inside the boundary bin an engine-portable oracle cannot
+    express cheaply.
+
+    ``max_rows`` guards the driver collect (groups x bins is metadata
+    by contract; raise rather than degrade if a caller feeds an
+    unbounded bin domain)."""
+    hist = (
+        df.groupBy(group_col, bin_col)
+        .agg(F.sum(weight_col).alias("w"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_rows:
+        raise ValueError(
+            f"(group, bin) histogram exceeds max_rows={max_rows}; "
+            "coarsen the bin column or raise max_rows"
+        )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((r[bin_col], r["w"]))
+    cuts: dict = {}
+    for g, pairs in by_group.items():
+        cum = 0
+        cut = None
+        for b, w in sorted(pairs, reverse=True):
+            cum += w
+            if cum >= budget:
+                cut = b
+                break
+        cuts[g] = cut
+    return cuts
+
+
 def histogram_cut_bins(
     scores: DataFrame,
     score_col: str,

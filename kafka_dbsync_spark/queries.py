@@ -7232,3 +7232,94 @@ def q_ingest_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "token_budget_selection",
+    # Budgeted curation: per source, the highest-quality docs (floor
+    # basis-point score) until >= 800 tokens — value-cut semantics (the
+    # whole boundary bin is kept), mirrored by a per-source weighted
+    # histogram cumsum in SQL.
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source, text, {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split(t, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS DOUBLE) AS n_stop,
+             n_char
+      FROM n
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(floor((least(n_tok, 100.0) / 100.0 * 0.4
+                   + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3)
+                   * 10000) AS BIGINT) AS qbp,
+             CAST(n_tok AS BIGINT) AS n_tok
+      FROM m
+    ), hist AS (
+      SELECT source, qbp, sum(n_tok) AS w FROM s GROUP BY source, qbp
+    ), cum AS (
+      SELECT h1.source, h1.qbp, CAST(sum(h2.w) AS BIGINT) AS cum
+      FROM hist h1 JOIN hist h2 ON h2.source = h1.source AND h2.qbp >= h1.qbp
+      GROUP BY h1.source, h1.qbp
+    ), cuts AS (
+      SELECT source, max(CASE WHEN cum >= 800 THEN qbp END) AS cut_bp
+      FROM cum GROUP BY source
+    ), sel AS (
+      SELECT s.source, s.qbp, s.n_tok, c.cut_bp
+      FROM s JOIN cuts c USING (source)
+      WHERE c.cut_bp IS NULL OR s.qbp >= c.cut_bp
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           min(qbp) AS min_quality_bp, max(cut_bp) AS cut_bp
+    FROM sel GROUP BY source
+    """,
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation — "the best documents from each source, up to
+    N tokens" (the per-domain token budget every pretraining mixture
+    spec ends in, e.g. The Pile / DoReMi domain caps): per source, keep
+    docs from the highest quality bin downward until the selected
+    token mass reaches the budget (800 here). No per-source ORDER BY
+    and no window: ONE (source, quality_bp) token-weighted histogram
+    aggregate (at most 10001 bins per source — bounded metadata), an
+    exact integer cumsum folded driver-side
+    (operators/corpus.py::grouped_budget_cut_values, the grouped twin
+    of histogram_cut_values), and a per-row comparison against the
+    broadcast per-source cut table. Value-cut semantics: the boundary
+    bin is kept whole, so the selection may overshoot by at most one
+    bin — deterministic on any engine. The per-doc metadata (id,
+    source, quality, tokens) is localCheckpointed so the corpus text
+    pass runs once (VERDICT r6 #1 discipline)."""
+    from kafka_dbsync_spark.operators.corpus import grouped_budget_cut_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.floor(quality_score("text") * 10000).cast("long").alias("qbp"),
+            token_count("text").cast("long").alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cuts = grouped_budget_cut_values(scored, "source", "qbp", "n_tok", budget=800)
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(cuts.items()), "source string, cut_bp long"
+        )
+    )
+    sel = scored.join(cut_df, "source").filter(
+        F.col("cut_bp").isNull() | (F.col("qbp") >= F.col("cut_bp"))
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.min("qbp").alias("min_quality_bp"),
+        F.max("cut_bp").alias("cut_bp"),
+    )

@@ -333,3 +333,45 @@ def test_ppl_buckets_materializes_lineage_once(spark):
     assert "ExistingRDD" in plan  # the localCheckpoint scan
     # and the result is still the three CCNet buckets
     assert {r["bucket"] for r in df.collect()} <= {"head", "middle", "tail"}
+
+
+def test_grouped_budget_cut_values_semantics(spark):
+    """grouped_budget_cut_values: per group, cut = largest bin whose
+    top-down cumulative weight reaches the budget; None when the group
+    total is under budget; boundary bin kept whole (value cuts)."""
+    from kafka_dbsync_spark.operators.corpus import grouped_budget_cut_values
+
+    rows = [
+        # group a: bins 9(w=5), 7(w=4), 5(w=10) — budget 8 -> cut 7 (5+4=9)
+        ("a", 9, 5), ("a", 7, 4), ("a", 5, 10),
+        # group b: total 6 < budget -> None (keep all)
+        ("b", 3, 6),
+        # group c: first bin alone covers it -> cut 8
+        ("c", 8, 12), ("c", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, bin long, w long")
+    cuts = grouped_budget_cut_values(df, "g", "bin", "w", budget=8)
+    assert cuts == {"a": 7, "b": None, "c": 8}
+    # max_rows guard raises rather than degrading
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        grouped_budget_cut_values(df, "g", "bin", "w", budget=8, max_rows=2)
+
+
+def test_token_budget_selection_respects_budget(spark):
+    """The registry query: every source's selection reaches the budget
+    unless the source's whole corpus is smaller, and never drops a doc
+    above the cut."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    rows = QUERIES["token_budget_selection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["cut_bp"] is not None:
+            assert r["tok_sum"] >= 800      # budget met
+        assert r["n_docs"] >= 1
+        if r["cut_bp"] is not None:
+            assert r["min_quality_bp"] >= r["cut_bp"]

@@ -116,6 +116,9 @@ SHUFFLE_BUDGET = {
     # once at construction — VERDICT r6 #1): the DSIR stage's (doc,tok)
     # agg + raw/tgt vocab aggs + two 1-row totals + per-doc agg + the
     # survivor joins; model joins broadcast, top-100 is TakeOrdered
+    "token_budget_selection": 1,    # returned plan reads the scored
+    # checkpoint: per-source agg only; the (source, bin) histogram and
+    # cut fold ran driver-side at construction, cuts broadcast back
     "ppl_buckets": 1,               # returned plan reads the ppl
     # localCheckpoint (LM lineage materialized ONCE at construction —
     # VERDICT r6 #1; cut points collected driver-side from the
