@@ -214,22 +214,43 @@ def compact_admission_state(
     if not cand:
         return {"through": through, "folded_epochs": 0}
     new_through = cand[-1]
-    for sub in (_HASHES, _ACCEPTED, _REJECTED, _DUPLICATES):
+    _fold_tables(
+        spark, state_dir, (_HASHES, _ACCEPTED, _REJECTED, _DUPLICATES),
+        new_through, {_HASHES: lambda df: df.distinct()},
+    )
+    return {"through": new_through, "folded_epochs": len(cand)}
+
+
+def _fold_tables(
+    spark: SparkSession,
+    state_dir: str,
+    subs: tuple[str, ...],
+    new_through: int,
+    transforms: dict | None = None,
+) -> None:
+    """Fold each table's visible dirs at or below ``new_through`` into
+    ``base-{new_through}`` (per-sub optional transform, e.g. distinct
+    for hash sets, re-aggregation for counters), then retire the
+    covered dirs — the shared write-base-then-clean step of every
+    compaction here."""
+    import shutil
+
+    for sub in subs:
         base_dir, sub_through, seed_dir, sub_committed, _ = _scan_root(
             state_dir, sub
         )
         srcs = [d for d in (base_dir, seed_dir) if d is not None]
-        folded = [
+        srcs += [
             d for e, d in sorted(sub_committed)
             if sub_through < e <= new_through
         ]
-        srcs += folded
         if not srcs:
             continue
         root = os.path.join(state_dir, sub)
         df = spark.read.parquet(*srcs)
-        if sub == _HASHES:
-            df = df.distinct()  # seed/epoch hash sets may overlap
+        fn = (transforms or {}).get(sub)
+        if fn is not None:
+            df = fn(df)
         df.write.mode("overwrite").parquet(
             os.path.join(root, f"base-{new_through}")
         )
@@ -247,7 +268,6 @@ def compact_admission_state(
                     continue
                 if epoch <= new_through and _committed(d):
                     shutil.rmtree(d, ignore_errors=True)
-    return {"through": new_through, "folded_epochs": len(cand)}
 
 
 def admission_foreach_batch(
@@ -363,3 +383,143 @@ def admission_foreach_batch(
             compact_admission_state(spark, state_dir, keep_last=1)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Per-group token-budget admission — the streaming twin of
+# queries.py::token_budget_selection (corpus.grouped_budget_cut_values)
+# ---------------------------------------------------------------------------
+_SPENT = "spent"
+_ADMITTED = "admitted"
+_DEFERRED = "deferred"
+
+
+def read_budget_spent(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Per-group weight admitted so far across committed epochs (None
+    before the first commit). Rows are per-epoch partials; sum per
+    group for the live counter."""
+    return _read_state(spark, state_dir, _SPENT)
+
+
+def budget_admission_foreach_batch(
+    state_dir: str,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    compact_every: int | None = 16,
+):
+    """``foreachBatch`` function capping each group's ADMITTED weight at
+    ``budget`` across an unbounded stream — "ingest at most N tokens
+    per source", the arrival-order twin of the batch
+    `token_budget_selection` operator (there quality picks the docs;
+    here arrival order does, which is the streaming contract). Per
+    micro-batch:
+
+    1. read the per-group spent counters (sum over committed epoch
+       partials — KB-sized state, groups x epochs rows, compacted to
+       one base row set);
+    2. order the batch within each group by ``id_col`` and running-sum
+       the weights (a batch-local keyed window — bounded by the batch,
+       never corpus-sized);
+    3. admit a row iff its group's spent-before-it is still under
+       budget (the boundary row is admitted whole, the overshoot-by-
+       at-most-one-row twin of the value-cut semantics in
+       grouped_budget_cut_values); the rest land in ``deferred/`` with
+       the group's pre-batch spent attached;
+    4. commit the epoch by writing the per-group admitted-weight
+       partial to ``spent/`` LAST.
+
+    Replay/crash contract is the admission operator's: outputs are
+    deterministic overwrites into epoch dirs, ``spent`` is the commit
+    point, a committed (or compacted-away) epoch no-ops, and the
+    counter read isolates to earlier epochs so replays see exactly the
+    state the first attempt saw. ``compact_every`` folds the epoch
+    dirs into per-table base snapshots (spent partials re-aggregate to
+    one row per group)."""
+    from pyspark.sql.window import Window as W
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        commit = os.path.join(state_dir, _SPENT, f"e{epoch}")
+        if _committed(commit):
+            return
+        _, through, _, _, _ = _scan_root(state_dir, _SPENT)
+        if epoch <= through:
+            return  # compacted away: already committed
+        prior = _read_state(spark, state_dir, _SPENT, before_epoch=epoch)
+        if prior is None:
+            spent = None
+        else:
+            spent = prior.groupBy(group_col).agg(
+                F.sum("w").alias("__spent")
+            )
+        w = W.partitionBy(group_col).orderBy(id_col)
+        ranked = batch_df.withColumn(
+            "__cum", F.sum(F.col(weight_col)).over(w)
+        )
+        if spent is not None:
+            ranked = ranked.join(F.broadcast(spent), group_col, "left")
+        else:
+            ranked = ranked.withColumn("__spent", F.lit(None).cast("long"))
+        ranked = ranked.withColumn(
+            "__before", F.coalesce("__spent", F.lit(0)) + F.col("__cum")
+            - F.col(weight_col)
+        ).persist()
+        try:
+            admitted = ranked.filter(F.col("__before") < budget)
+            (
+                admitted.drop("__cum", "__spent", "__before")
+                .write.mode("overwrite")
+                .parquet(os.path.join(state_dir, _ADMITTED, f"e{epoch}"))
+            )
+            (
+                ranked.filter(F.col("__before") >= budget)
+                .withColumnRenamed("__before", "spent_before")
+                .drop("__cum", "__spent")
+                .write.mode("overwrite")
+                .parquet(os.path.join(state_dir, _DEFERRED, f"e{epoch}"))
+            )
+            # commit point: this epoch's per-group admitted weight
+            (
+                admitted.groupBy(group_col)
+                .agg(F.sum(F.col(weight_col)).cast("long").alias("w"))
+                .write.mode("overwrite")
+                .parquet(commit)
+            )
+        finally:
+            ranked.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_budget_state(spark, state_dir, group_col, keep_last=1)
+
+    return fn
+
+
+def compact_budget_state(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str,
+    keep_last: int = 0,
+) -> dict:
+    """Fold the budget-admission state (same protocol as
+    :func:`compact_admission_state`; the ``spent`` partials
+    re-aggregate to one row per group in the base)."""
+    _, through, _, committed, pending = _scan_root(state_dir, _SPENT)
+    ceiling = min(pending) if pending else None
+    cand = sorted(
+        e for e, _ in committed
+        if e > through and (ceiling is None or e < ceiling)
+    )
+    if keep_last > 0:
+        cand = cand[: max(0, len(cand) - keep_last)]
+    if not cand:
+        return {"through": through, "folded_epochs": 0}
+    new_through = cand[-1]
+    _fold_tables(
+        spark, state_dir, (_SPENT, _ADMITTED, _DEFERRED), new_through,
+        {_SPENT: lambda df: df.groupBy(group_col).agg(
+            F.sum("w").cast("long").alias("w")
+        )},
+    )
+    return {"through": new_through, "folded_epochs": len(cand)}

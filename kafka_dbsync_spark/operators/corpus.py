@@ -689,6 +689,57 @@ def histogram_cut_values(
     return out, n
 
 
+def grouped_histogram_cut_values(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    cuts: tuple[tuple[int, int], ...] = ((1, 3), (2, 3)),
+    bin_decimals: int = 2,
+    max_rows: int = 1_000_000,
+) -> dict:
+    """Per-group fraction cut points — the grouped twin of
+    :func:`histogram_cut_values` (CCNet computes its perplexity
+    thresholds PER LANGUAGE, not over the pooled corpus): for each
+    group, cut_i is the smallest bin whose cumulative count reaches
+    num/den of the group's total. ONE map-side-combined (group, bin)
+    histogram aggregate is the only data-sized work; the cumsum and
+    argmin fold driver-side in exact integer arithmetic over
+    groups x bins rows of metadata (``max_rows``-guarded collect).
+
+    Returns ``{group: [cut_0, ..., cut_{len(cuts)-1}]}``; a group with
+    no rows is simply absent."""
+    hist = (
+        df.select(group_col, score_bin(score_col, bin_decimals).alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("c"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(hist) > max_rows:
+        raise ValueError(
+            f"(group, bin) histogram exceeds max_rows={max_rows}; "
+            "coarsen bin_decimals or raise max_rows"
+        )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((r["bin"], r["c"]))
+    out: dict = {}
+    for g, pairs in by_group.items():
+        n = sum(c for _, c in pairs)
+        gcuts: list = []
+        for num, den in cuts:
+            cut = None
+            seen = 0
+            for b, c in sorted(pairs):
+                seen += c
+                if seen * den >= n * num:
+                    cut = b
+                    break
+            gcuts.append(cut)
+        out[g] = gcuts
+    return out
+
+
 def grouped_budget_cut_values(
     df: DataFrame,
     group_col: str,

@@ -340,3 +340,111 @@ def test_admission_wired_to_real_stream_with_restart(spark, model, tmp_path):
     }
     assert admitted == {700, 702}
     assert dups == {701}
+
+
+# ---------------------------------------------------------------------------
+# Per-group token-budget admission (the streaming budget cap)
+# ---------------------------------------------------------------------------
+def _bdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, src string, w long")
+
+
+def test_budget_admission_caps_per_group_across_batches(spark, tmp_path):
+    from kafka_dbsync_spark.operators.admission import (
+        budget_admission_foreach_batch,
+        read_budget_spent,
+    )
+
+    state = str(tmp_path / "bstate")
+    fn = budget_admission_foreach_batch(
+        state, "src", "w", budget=100, compact_every=None
+    )
+    # batch 0: a fills 60/100; b fills 90/100
+    fn(_bdf(spark, [(1, "a", 60), (2, "b", 90)]), 0)
+    # batch 1: a's id-3 row (30) fits (60<100), its id-4 row starts at
+    # 90 < 100 so it is admitted WHOLE (boundary-row overshoot); id-5
+    # starts at 140 -> deferred. b's row starts at 90 < 100 -> admitted.
+    fn(_bdf(spark, [
+        (3, "a", 30), (4, "a", 50), (5, "a", 10), (6, "b", 25),
+    ]), 1)
+    adm = {
+        r["doc_id"]
+        for e in ("e0", "e1")
+        for r in spark.read.parquet(f"{state}/admitted/{e}").collect()
+    }
+    dfr = {
+        r["doc_id"]: r["spent_before"]
+        for r in spark.read.parquet(f"{state}/deferred/e1").collect()
+    }
+    assert adm == {1, 2, 3, 4, 6}
+    assert dfr == {5: 140}
+    spent = {
+        r["src"]: r["w"]
+        for r in read_budget_spent(spark, state)
+        .groupBy("src").sum("w")
+        .withColumnRenamed("sum(w)", "w").collect()
+    }
+    assert spent == {"a": 140, "b": 115}
+    # batch 2: both groups over budget -> everything deferred
+    fn(_bdf(spark, [(7, "a", 1), (8, "b", 1)]), 2)
+    assert spark.read.parquet(f"{state}/admitted/e2").count() == 0
+    assert spark.read.parquet(f"{state}/deferred/e2").count() == 2
+
+
+def test_budget_admission_replay_and_restart(spark, tmp_path):
+    from kafka_dbsync_spark.operators.admission import (
+        budget_admission_foreach_batch,
+    )
+
+    state = str(tmp_path / "bstate")
+    fn1 = budget_admission_foreach_batch(state, "src", "w", budget=50)
+    b0 = _bdf(spark, [(1, "a", 40)])
+    fn1(b0, 0)
+    first = sorted(tuple(r) for r in spark.read.parquet(f"{state}/admitted/e0").collect())
+    fn1(b0, 0)  # replay after commit: no-op
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{state}/admitted/e0").collect()
+    ) == first
+    del fn1
+    fn2 = budget_admission_foreach_batch(state, "src", "w", budget=50)
+    fn2(_bdf(spark, [(2, "a", 30), (3, "a", 5)]), 1)  # 40<50 -> 2 whole; 3 at 70 -> deferred
+    adm1 = {r["doc_id"] for r in spark.read.parquet(f"{state}/admitted/e1").collect()}
+    dfr1 = {r["doc_id"] for r in spark.read.parquet(f"{state}/deferred/e1").collect()}
+    assert adm1 == {2} and dfr1 == {3}
+
+
+def test_budget_admission_compaction_equivalence(spark, tmp_path):
+    from kafka_dbsync_spark.operators.admission import (
+        budget_admission_foreach_batch,
+        compact_budget_state,
+        read_budget_spent,
+    )
+
+    state = str(tmp_path / "bstate")
+    fn = budget_admission_foreach_batch(
+        state, "src", "w", budget=100, compact_every=None
+    )
+    for e in range(4):
+        fn(_bdf(spark, [(10 + e, "a", 30), (20 + e, "b", 10)]), e)
+    before = sorted(
+        (r["src"], r["w"]) for r in read_budget_spent(spark, state)
+        .groupBy("src").agg({"w": "sum"})
+        .withColumnRenamed("sum(w)", "w").collect()
+    )
+    res = compact_budget_state(spark, state, "src")
+    assert res == {"through": 3, "folded_epochs": 4}
+    after = sorted(
+        (r["src"], r["w"]) for r in read_budget_spent(spark, state)
+        .groupBy("src").agg({"w": "sum"})
+        .withColumnRenamed("sum(w)", "w").collect()
+    )
+    assert after == before
+    # post-fold: counters still enforce the cap (a at 120 -> deferred;
+    # b at 40 -> admitted) and replay of a folded epoch no-ops
+    fn(_bdf(spark, [(90, "a", 5), (91, "b", 5)]), 4)
+    adm = {r["doc_id"] for r in spark.read.parquet(f"{state}/admitted/e4").collect()}
+    assert adm == {91}
+    import os as _os
+
+    fn(_bdf(spark, [(99, "b", 1)]), 2)
+    assert not _os.path.exists(f"{state}/spent/e2")

@@ -375,3 +375,24 @@ def test_token_budget_selection_respects_budget(spark):
         assert r["n_docs"] >= 1
         if r["cut_bp"] is not None:
             assert r["min_quality_bp"] >= r["cut_bp"]
+
+
+def test_grouped_histogram_cut_values_per_group_thirds(spark):
+    """grouped_histogram_cut_values: cuts computed independently per
+    group with the same smallest-bin-reaching-fraction semantics as the
+    ungrouped operator."""
+    from kafka_dbsync_spark.operators.corpus import (
+        grouped_histogram_cut_values,
+        histogram_cut_values,
+    )
+
+    rows = [("x", float(v)) for v in range(1, 10)] + [
+        ("y", 5.0), ("y", 5.0), ("y", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, s double")
+    got = grouped_histogram_cut_values(df, "g", "s")
+    # each group's cuts equal the ungrouped operator run on that group
+    for g in ("x", "y"):
+        solo, _ = histogram_cut_values(df.filter(f"g = '{g}'"), "s")
+        assert got[g] == solo, g
+    assert got["y"] == [500, 500]  # two of three rows share bin 500

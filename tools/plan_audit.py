@@ -116,6 +116,12 @@ SHUFFLE_BUDGET = {
     # once at construction — VERDICT r6 #1): the DSIR stage's (doc,tok)
     # agg + raw/tgt vocab aggs + two 1-row totals + per-doc agg + the
     # survivor joins; model joins broadcast, top-100 is TakeOrdered
+    "token_budget_admission": 0,    # materialized rows (3 budget-capped
+    # admission batches ran through the foreachBatch machinery at
+    # construction time — same proof shape as ingest_quality_gate)
+    "ppl_buckets_by_lang": 1,       # returned plan reads the scored
+    # (doc, lang, ppl) checkpoint: the (lang, bucket) agg only; the
+    # per-lang histogram + cut fold ran driver-side at construction
     "token_budget_selection": 1,    # returned plan reads the scored
     # checkpoint: per-source agg only; the (source, bin) histogram and
     # cut fold ran driver-side at construction, cuts broadcast back
