@@ -21,22 +21,25 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-7 rotation (VERDICT r6 "Next round" #3 — freshness): the window
 # front-loads (a) the new token_budget_selection /
-# ppl_buckets_by_lang / token_budget_admission plus the 4 queries
+# ppl_buckets_by_lang / token_budget_admission /
+# quality_drift_psi / ppl_buckets_lang_models plus the 4 queries
 # whose code or semantics changed this
 # round (the localCheckpoint rewrite of ppl_buckets /
 # curation_pipeline_v2 with driver-side histogram cut points; the
 # reserved-seed-namespace change under ingest_quality_gate; the
 # codebook/centroid checkpointing inside the fused ivfpq_search), then
 # (b) ALL 22 queries whose latest driver row still dates to round 3,
-# then (c) the 21 oldest round-4 rows in registration order. That
+# then (c) the 19 oldest round-4 rows in registration order. That
 # fills 50 exactly; after this gate no query's newest driver row is
-# older than round 4 (the remaining 18 r4 rows + the r5 rows rotate
+# older than round 4 (the remaining 20 r4 rows + the r5 rows rotate
 # in round 8).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new or changed in round 7 — no/stale green rows
     "token_budget_selection",
     "ppl_buckets_by_lang",
     "token_budget_admission",
+    "quality_drift_psi",
+    "ppl_buckets_lang_models",
     "ppl_buckets",
     "curation_pipeline_v2",
     "ingest_quality_gate",
@@ -64,7 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "skipping_index",
     "bloom_decontaminate",
-    # (c) oldest round-4 rows, registration order (first 21)
+    # (c) oldest round-4 rows, registration order (first 19)
     "cdc_final_state",
     "cdc_corrupt_events",
     "dlq_records",
@@ -84,8 +87,6 @@ _DRIVER_PRIORITY: list[str] = [
     "range_join_active_orders",
     "inverted_index",
     "snapshot_diff",
-    "label_pca",
-    "bpe_merge_step",
 ]
 
 

@@ -464,30 +464,37 @@ def _decimal_log_sum(col, scale: int = 6):
 
 
 def doc_bigrams(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, w1, w2) bigram stream of the normalized-token documents —
-    the SINGLE definition shared by the in-lineage scorer below and the
-    persisted model in operators/lm_index.py (they must tokenize
-    identically or their scores drift apart)."""
-    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
+    """(id, *extra, w1, w2) bigram stream of the normalized-token
+    documents — the SINGLE definition shared by the in-lineage scorer
+    below and the persisted model in operators/lm_index.py (they must
+    tokenize identically or their scores drift apart). ``extra_cols``
+    ride along unchanged (e.g. a language column for per-group
+    models)."""
+    toks = docs.select(id_col, *extra_cols, tokens(text_col).alias("toks")).filter(
         F.size("toks") >= 2
     )
     return toks.select(
         id_col,
+        *extra_cols,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1), "
                 "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
             )
         ).alias("g"),
-    ).select(id_col, "g.w1", "g.w2")
+    ).select(id_col, *extra_cols, "g.w1", "g.w2")
 
 
 def bigram_lm_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -508,41 +515,64 @@ def bigram_lm_perplexity(
     of per-doc bigram counts joined against the model — the model tables
     broadcast when small, shuffle-join when not. No Python UDFs.
 
-    Returns (id_col, n_bigrams, ppl).
+    ``group_col`` trains a SEPARATE model per group (CCNet's actual
+    per-language design — Wenzek et al. train one KenLM per language):
+    every model key gains the group column (counts, vocab, smoothing
+    all per group), at the same vocab-sized cost summed over groups.
+    Documents are assumed to belong to one group (the column rides the
+    doc rows).
+
+    Returns (id_col, n_bigrams, ppl) — plus ``group_col`` when given.
     """
-    grams = doc_bigrams(docs, id_col, text_col)
+    gcols = [group_col] if group_col else []
+    grams = doc_bigrams(docs, id_col, text_col, extra_cols=tuple(gcols))
     # per-doc bigram multiplicity first: compresses repeats before joins.
     # c12 folds doc_grams' k (its exchange is REUSED — ReusedExchange in
     # the static plan); c1 aggregates the gram stream directly, because
     # deriving it from c12 breaks exchange reuse (different column
     # pruning) and re-runs both upstream shuffles in that branch.
-    doc_grams = grams.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k"))
-    c12 = doc_grams.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
-    c1 = grams.groupBy("w1").agg(F.count("*").alias("n1"))
-    vocab = (
-        docs.select(F.explode(tokens(text_col)).alias("tok"))
-        .agg(F.countDistinct("tok").alias("V"))
+    doc_grams = grams.groupBy(id_col, *gcols, "w1", "w2").agg(
+        F.count("*").alias("k")
     )
-    scored = (
-        doc_grams.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            id_col,
-            "k",
-            _decimal_log_sum(
-                (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("V")).cast("double")
-            ).alias("logp"),
+    c12 = doc_grams.groupBy(*gcols, "w1", "w2").agg(F.sum("k").alias("n12"))
+    c1 = grams.groupBy(*gcols, "w1").agg(F.count("*").alias("n1"))
+    if group_col:
+        vocab = (
+            docs.select(group_col, F.explode(tokens(text_col)).alias("tok"))
+            .groupBy(group_col)
+            .agg(F.countDistinct("tok").alias("V"))
         )
+        with_model = (
+            doc_grams.join(c12, [*gcols, "w1", "w2"])
+            .join(c1, [*gcols, "w1"])
+            .join(F.broadcast(vocab), group_col)
+        )
+    else:
+        vocab = (
+            docs.select(F.explode(tokens(text_col)).alias("tok"))
+            .agg(F.countDistinct("tok").alias("V"))
+        )
+        with_model = (
+            doc_grams.join(c12, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+        )
+    scored = with_model.select(
+        id_col,
+        *gcols,
+        "k",
+        _decimal_log_sum(
+            (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("V")).cast("double")
+        ).alias("logp"),
     )
-    per_doc = scored.groupBy(id_col).agg(
+    per_doc = scored.groupBy(id_col, *gcols).agg(
         F.sum("k").alias("n_bigrams"),
         F.sum(F.col("logp") * F.col("k")).alias("sum_logp"),
     )
     ppl = F.round(
         F.exp(-(F.col("sum_logp").cast("double")) / F.col("n_bigrams").cast("double")), 4
     )
-    return per_doc.select(id_col, "n_bigrams", ppl.alias("ppl"))
+    return per_doc.select(id_col, *gcols, "n_bigrams", ppl.alias("ppl"))
 
 
 def dsir_importance_weights(

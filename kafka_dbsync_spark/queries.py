@@ -7392,9 +7392,10 @@ def q_ppl_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paper's actual design (Wenzek et al. 2020 compute perplexity
     percentiles per language, since fluency scales differ across
     languages; the pooled variant is `ppl_buckets`). The scoring model
-    here stays the single corpus-trained bigram LM (the synthetic
-    corpus shares one vocabulary across langs; per-language LMs are a
-    per-group replay of the same train lineage — documented swap).
+    here stays the single corpus-trained bigram LM — the fully
+    faithful per-language-model form is `ppl_buckets_lang_models`
+    (bigram_lm_perplexity(group_col='lang')); keeping both shows how a
+    shared model distorts per-language fluency ranking.
     Scale shape: the per-(lang, bin) histogram is ONE
     map-side-combined aggregate over langs x <=10^4-bin metadata; the
     cumsum/argmin fold driver-side
@@ -7523,3 +7524,235 @@ def q_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "quality_drift_psi",
+    # Population Stability Index between the reference window (even
+    # doc_ids) and the current window (odd doc_ids), per source, over a
+    # FIXED 11-bin quality domain (bp // 1000 for bp in [0, 10000]) with
+    # add-one smoothing so empty bins stay finite. Determinism: the
+    # smoothed shares are exact small-integer ratios (identical IEEE
+    # doubles on both engines), ln is rounded to 6 decimals, each term
+    # to 10 — summed as DECIMAL, order-independent.
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source, text, {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split(t, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS DOUBLE) AS n_stop,
+             n_char
+      FROM n
+    ), s AS (
+      SELECT doc_id, source, doc_id % 2 AS win,
+             CAST(floor((least(n_tok, 100.0) / 100.0 * 0.4
+                   + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3)
+                   * 10000) AS BIGINT) // 1000 AS qbin
+      FROM m
+    ), dom AS (
+      SELECT DISTINCT source, unnest(range(0, 11)) AS qbin FROM s
+    ), cnt AS (
+      SELECT source, qbin,
+             sum(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS k_ref,
+             sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS k_cur
+      FROM s GROUP BY source, qbin
+    ), filled AS (
+      SELECT d.source, d.qbin,
+             coalesce(c.k_ref, 0) AS k_ref, coalesce(c.k_cur, 0) AS k_cur
+      FROM dom d LEFT JOIN cnt c ON d.source = c.source AND d.qbin = c.qbin
+    ), tot AS (
+      SELECT source, sum(k_ref) AS n_ref, sum(k_cur) AS n_cur
+      FROM filled GROUP BY source
+    ), terms AS (
+      SELECT f.source,
+             CAST((k_ref + 1) AS DOUBLE) / CAST(n_ref + 11 AS DOUBLE) AS pr,
+             CAST((k_cur + 1) AS DOUBLE) / CAST(n_cur + 11 AS DOUBLE) AS pc,
+             t.n_ref, t.n_cur
+      FROM filled f JOIN tot t ON f.source = t.source
+    )
+    SELECT source,
+           CAST(sum(CAST(round((pc - pr)
+                 * CAST(round(ln(pc / pr), 6) AS DECIMAL(18,6)), 10)
+                 AS DECIMAL(28,10))) AS DOUBLE) AS psi,
+           CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur
+    FROM terms GROUP BY source
+    """,
+)
+def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score drift monitoring — Population Stability Index per
+    source between a reference corpus window (even doc_ids, the
+    stand-in for 'the snapshot the curation thresholds were tuned on')
+    and the current window (odd doc_ids): PSI = sum over bins of
+    (p_cur - p_ref) * ln(p_cur / p_ref), the standard alarm metric for
+    'has this source's quality distribution shifted enough to re-tune
+    the gates'. The bin domain is FIXED (11 coarse bins of the
+    basis-point score), both shares add-one smoothed so empty bins
+    contribute finite terms. Plan shape: one (source, win, bin)
+    map-side-combined aggregate over the corpus, then all arithmetic
+    happens on sources x 11 rows of metadata (the fixed domain is
+    generated, not collected); exact-decimal term sums make the result
+    bit-identical on any engine. PSI > 0.25 is the conventional
+    re-tune alarm."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("win"),
+        (F.floor(quality_score("text") * 10000).cast("long") / F.lit(1000))
+        .cast("long").alias("qbin"),
+    )
+    cnt = s.groupBy("source", "qbin").agg(
+        F.sum(F.when(F.col("win") == 0, 1).otherwise(0)).alias("k_ref"),
+        F.sum(F.when(F.col("win") == 1, 1).otherwise(0)).alias("k_cur"),
+    )
+    dom = (
+        s.select("source").distinct()
+        .crossJoin(spark.range(0, 11).select(F.col("id").alias("qbin")))
+    )
+    filled = (
+        dom.join(cnt, ["source", "qbin"], "left")
+        .na.fill({"k_ref": 0, "k_cur": 0})
+    )
+    tot = filled.groupBy("source").agg(
+        F.sum("k_ref").alias("n_ref"), F.sum("k_cur").alias("n_cur")
+    )
+    terms = filled.join(F.broadcast(tot), "source").select(
+        "source", "n_ref", "n_cur",
+        ((F.col("k_ref") + 1).cast("double")
+         / (F.col("n_ref") + 11).cast("double")).alias("pr"),
+        ((F.col("k_cur") + 1).cast("double")
+         / (F.col("n_cur") + 11).cast("double")).alias("pc"),
+    )
+    term = F.round(
+        (F.col("pc") - F.col("pr"))
+        * F.round(F.log(F.col("pc") / F.col("pr")), 6).cast("decimal(18,6)"),
+        10,
+    ).cast("decimal(28,10)")
+    return terms.groupBy("source").agg(
+        F.sum(term).cast("double").alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+
+
+@query(
+    "ppl_buckets_lang_models",
+    # Fully-faithful CCNet: ONE BIGRAM LM PER LANGUAGE (Wenzek et al.
+    # train a KenLM per language) and per-language thresholds — every
+    # model key (bigram counts, unigram counts, vocab, smoothing) is
+    # scoped by lang, then the same per-lang histogram value cuts.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), idx AS (
+      SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+      FROM norm WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM idx
+    ), dg AS (
+      SELECT doc_id, lang, w1, w2, count(*) AS k FROM g
+      GROUP BY doc_id, lang, w1, w2
+    ), c12 AS (
+      SELECT lang, w1, w2, count(*) AS n12 FROM g GROUP BY lang, w1, w2
+    ), c1 AS (
+      SELECT lang, w1, count(*) AS n1 FROM g GROUP BY lang, w1
+    ), v AS (
+      SELECT lang, count(DISTINCT tok) AS V
+      FROM (SELECT lang, unnest(t) AS tok FROM norm) GROUP BY lang
+    ), scored AS (
+      SELECT dg.doc_id, dg.lang, dg.k,
+             CAST(round(ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg
+      JOIN c12 ON dg.lang = c12.lang AND dg.w1 = c12.w1 AND dg.w2 = c12.w2
+      JOIN c1 ON dg.lang = c1.lang AND dg.w1 = c1.w1
+      JOIN v ON dg.lang = v.lang
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE))
+                       / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM scored GROUP BY doc_id, lang
+    ), binned AS (
+      SELECT doc_id, lang, ppl,
+             CAST(floor(CAST(ppl AS DECIMAL(18,4)) * 100) AS BIGINT) AS bin
+      FROM per_doc
+    ), hist AS (
+      SELECT lang, bin, count(*) AS c FROM binned GROUP BY lang, bin
+    ), cum AS (
+      SELECT h1.lang, h1.bin AS b1, CAST(sum(h2.c) AS BIGINT) AS cum
+      FROM hist h1 JOIN hist h2 ON h2.lang = h1.lang AND h2.bin <= h1.bin
+      GROUP BY h1.lang, h1.bin
+    ), tot AS (SELECT lang, count(*) AS n FROM binned GROUP BY lang
+    ), cuts AS (
+      SELECT cum.lang,
+             min(CASE WHEN cum * 3 >= n THEN b1 END) AS c1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN b1 END) AS c2
+      FROM cum JOIN tot ON cum.lang = tot.lang
+      GROUP BY cum.lang
+    ), bucketed AS (
+      SELECT b.lang,
+             CASE WHEN bin <= c.c1 THEN 'head'
+                  WHEN bin <= c.c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             ppl
+      FROM binned b JOIN cuts c ON b.lang = c.lang
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def q_ppl_buckets_lang_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet exactly as published: a SEPARATE bigram LM per language
+    (bigram_lm_perplexity(group_col='lang') — every count table, the
+    vocabulary, and the add-one smoothing are lang-scoped, matching
+    Wenzek et al.'s per-language KenLMs) and per-language histogram
+    thresholds. The pooled-model variant is `ppl_buckets_by_lang`;
+    comparing the two shows how much a shared model distorts
+    per-language fluency ranking. Scale: identical shape to the pooled
+    form — the per-lang models stay vocab-sized summed over langs, the
+    corpus pays the same one bigram shuffle (now keyed by (lang, doc)),
+    cuts fold driver-side from the (lang, bin) histogram, and the
+    scored table localCheckpoints so the train+score lineage
+    materializes once."""
+    from kafka_dbsync_spark.operators.corpus import (
+        bigram_lm_perplexity,
+        grouped_histogram_cut_values,
+        score_bin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    ppl = (
+        bigram_lm_perplexity(docs_f, group_col="lang")
+        .select("doc_id", "lang", "ppl")
+        .localCheckpoint(eager=True)
+    )
+    cuts = grouped_histogram_cut_values(ppl, "lang", "ppl")
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, c[0], c[1]) for g, c in sorted(cuts.items())],
+            "lang string, c1 long, c2 long",
+        )
+    )
+    binned = ppl.withColumn("bin", score_bin("ppl")).join(cut_df, "lang")
+    bucket = (
+        F.when(F.col("bin") <= F.col("c1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        binned.select("lang", bucket.alias("bucket"), "ppl")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+        )
+    )

@@ -396,3 +396,33 @@ def test_grouped_histogram_cut_values_per_group_thirds(spark):
         solo, _ = histogram_cut_values(df.filter(f"g = '{g}'"), "s")
         assert got[g] == solo, g
     assert got["y"] == [500, 500]  # two of three rows share bin 500
+
+
+def test_grouped_lm_isolates_groups(spark):
+    """bigram_lm_perplexity(group_col=...): each group's model trains
+    only on that group — a group's scores are identical to running the
+    ungrouped operator on that group alone, and unseen-in-group tokens
+    are penalized even when another group saw them."""
+    from kafka_dbsync_spark.operators.corpus import bigram_lm_perplexity
+
+    a = [(1, "the cat sat on the mat"), (2, "the cat sat on the rug")]
+    b = [(3, "completely different language entirely"),
+         (4, "the cat sat on the mat")]  # same text as doc 1, other group
+    df = spark.createDataFrame(
+        [(i, t, "A") for i, t in a] + [(i, t, "B") for i, t in b],
+        "doc_id long, text string, lang string",
+    )
+    grouped = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_lm_perplexity(df, group_col="lang").collect()
+    }
+    solo_a = {
+        r["doc_id"]: r["ppl"]
+        for r in bigram_lm_perplexity(
+            spark.createDataFrame(a, "doc_id long, text string")
+        ).collect()
+    }
+    assert grouped[1] == solo_a[1] and grouped[2] == solo_a[2]
+    # doc 4's text is fluent under A's model but its group is B, where
+    # those bigrams are rare relative to B's model — scores must differ
+    assert grouped[4] != grouped[1]

@@ -116,9 +116,15 @@ SHUFFLE_BUDGET = {
     # once at construction — VERDICT r6 #1): the DSIR stage's (doc,tok)
     # agg + raw/tgt vocab aggs + two 1-row totals + per-doc agg + the
     # survivor joins; model joins broadcast, top-100 is TakeOrdered
+    "quality_drift_psi": 2,         # the (source, win, bin) corpus agg
+    # + the metadata-domain distinct; everything after runs on
+    # sources x 11 fixed-domain rows, totals broadcast
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
     # admission batches ran through the foreachBatch machinery at
     # construction time — same proof shape as ingest_quality_gate)
+    "ppl_buckets_lang_models": 1,   # same checkpoint-read shape as
+    # ppl_buckets_by_lang; the per-lang model lineage ran once at
+    # construction
     "ppl_buckets_by_lang": 1,       # returned plan reads the scored
     # (doc, lang, ppl) checkpoint: the (lang, bucket) agg only; the
     # per-lang histogram + cut fold ran driver-side at construction
