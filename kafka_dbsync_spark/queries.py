@@ -7756,3 +7756,115 @@ def q_ppl_buckets_lang_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("ppl"), 4).alias("max_ppl"),
         )
     )
+
+
+@query(
+    "drift_monitor_series",
+    # Streaming drift proved batch-equivalently: batch 0 (doc_id%3==0)
+    # seeds the frozen reference histogram; batches 1 and 2 each emit a
+    # per-source PSI row vs that reference (fixed 11-bin domain,
+    # add-one smoothing, decimal-exact term sums).
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, source, text, {_SQL_NORM.format(c='text')} AS t,
+             CAST(length(text) AS DOUBLE) AS n_char FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS DOUBLE) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(string_split(t, ' '),
+                 x -> x IN {tuple(QUALITY_STOPWORDS)!r:s})) AS DOUBLE) AS n_stop,
+             n_char
+      FROM n
+    ), s AS (
+      SELECT doc_id, source, doc_id % 3 AS batch,
+             CAST(floor((least(n_tok, 100.0) / 100.0 * 0.4
+                   + (1.0 - least(CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END * 5.0, 1.0)) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 10.0, 1.0) * 0.3)
+                   * 10000) AS BIGINT) // 1000 AS qbin
+      FROM m
+    ), refdom AS (
+      SELECT DISTINCT source, unnest(range(0, 11)) AS qbin
+      FROM s WHERE batch = 0
+    ), refh AS (
+      SELECT d.source, d.qbin, CAST(coalesce(c.k, 0) AS BIGINT) AS k_ref
+      FROM refdom d LEFT JOIN (
+        SELECT source, qbin, count(*) AS k FROM s WHERE batch = 0
+        GROUP BY source, qbin
+      ) c ON d.source = c.source AND d.qbin = c.qbin
+    ), curdom AS (
+      SELECT DISTINCT batch AS epoch, source, unnest(range(0, 11)) AS qbin
+      FROM s WHERE batch > 0
+    ), curh AS (
+      SELECT d.epoch, d.source, d.qbin,
+             CAST(coalesce(c.k, 0) AS BIGINT) AS k
+      FROM curdom d LEFT JOIN (
+        SELECT batch AS epoch, source, qbin, count(*) AS k
+        FROM s WHERE batch > 0 GROUP BY batch, source, qbin
+      ) c ON d.epoch = c.epoch AND d.source = c.source AND d.qbin = c.qbin
+    ), joined AS (
+      SELECT cu.epoch, cu.source, cu.qbin, cu.k,
+             coalesce(r.k_ref, 0) AS k_ref
+      FROM curh cu LEFT JOIN refh r
+        ON cu.source = r.source AND cu.qbin = r.qbin
+    ), tot AS (
+      SELECT epoch, source, sum(k) AS n_cur, sum(k_ref) AS n_ref
+      FROM joined GROUP BY epoch, source
+    ), terms AS (
+      SELECT j.epoch, j.source, t.n_cur,
+             CAST(k_ref + 1 AS DOUBLE) / CAST(n_ref + 11 AS DOUBLE) AS pr,
+             CAST(k + 1 AS DOUBLE) / CAST(n_cur + 11 AS DOUBLE) AS pc
+      FROM joined j JOIN tot t ON j.epoch = t.epoch AND j.source = t.source
+    )
+    SELECT epoch, source,
+           CAST(sum(CAST(round((pc - pr)
+                 * CAST(round(ln(pc / pr), 6) AS DECIMAL(18,6)), 10)
+                 AS DECIMAL(28,10))) AS DOUBLE) AS psi,
+           CAST(max(n_cur) AS BIGINT) AS n
+    FROM terms GROUP BY epoch, source
+    """,
+)
+def q_drift_monitor_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring E2E through the REAL operator
+    (operators/drift.py): batch 0 freezes the per-source reference
+    quality histogram, batches 1 and 2 run through
+    drift_monitor_foreach_batch, and the committed (epoch, source,
+    psi, n) series is compared against the batch-equivalent PSI
+    algebra. The streaming-state twin of `quality_drift_psi` — the
+    monitor a long-running admission pipeline attaches to see 'this
+    source no longer looks like what the thresholds were tuned on'.
+    Scale: per batch one histogram aggregate + groups x 11 metadata
+    arithmetic; the reference never grows; PSI rows are per-epoch
+    facts."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.drift import (
+        drift_monitor_foreach_batch,
+        read_drift_series,
+        seed_drift_reference,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 3).alias("batch"),
+        (F.floor(quality_score("text") * 10000).cast("long") / F.lit(1000))
+        .cast("long").alias("qbin"),
+    )
+    work = tempfile.mkdtemp(prefix="kds_drift_")
+    try:
+        seed_drift_reference(
+            work, s.filter(F.col("batch") == 0), "source", "qbin", n_bins=11
+        )
+        fn = drift_monitor_foreach_batch(work, "source", "qbin", n_bins=11)
+        for b in (1, 2):
+            fn(s.filter(F.col("batch") == b), b)
+        out = read_drift_series(spark, work).select(
+            "epoch", "source", "psi", "n"
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

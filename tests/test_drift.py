@@ -1,0 +1,64 @@
+"""Streaming PSI drift monitor (operators/drift.py): frozen reference
+histogram, per-batch PSI rows, replay no-op, identical-distribution
+near-zero and shifted-distribution alarm behavior."""
+
+import os
+
+import pytest
+
+from kafka_dbsync_spark.operators.drift import (
+    drift_monitor_foreach_batch,
+    read_drift_series,
+    seed_drift_reference,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, src string, qbin long")
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    state = str(tmp_path / "drift")
+    ref = _df(spark, [(i, "a", i % 3) for i in range(30)])  # uniform 0-2
+    seed_drift_reference(state, ref, "src", "qbin", n_bins=5)
+    return state
+
+
+def test_identical_distribution_scores_near_zero(spark, seeded):
+    fn = drift_monitor_foreach_batch(seeded, "src", "qbin", n_bins=5)
+    fn(_df(spark, [(100 + i, "a", i % 3) for i in range(30)]), 1)
+    rows = {r["src"]: r for r in spark.read.parquet(f"{seeded}/psi/e1").collect()}
+    assert rows["a"]["n"] == 30 and rows["a"]["epoch"] == 1
+    assert abs(rows["a"]["psi"]) < 0.01
+
+
+def test_shifted_distribution_alarms(spark, seeded):
+    fn = drift_monitor_foreach_batch(seeded, "src", "qbin", n_bins=5)
+    # everything lands in a bin the reference never used
+    fn(_df(spark, [(200 + i, "a", 4) for i in range(30)]), 1)
+    psi = spark.read.parquet(f"{seeded}/psi/e1").head()["psi"]
+    assert psi > 0.25  # the conventional re-tune alarm threshold
+
+
+def test_unseen_group_reads_vs_uniform_and_series_accumulates(spark, seeded):
+    fn = drift_monitor_foreach_batch(seeded, "src", "qbin", n_bins=5)
+    fn(_df(spark, [(300 + i, "a", i % 3) for i in range(12)]), 1)
+    fn(_df(spark, [(400 + i, "zz", 0) for i in range(12)]), 2)  # new group
+    series = read_drift_series(spark, seeded)
+    got = {(r["epoch"], r["src"]): r["psi"] for r in series.collect()}
+    assert set(got) == {(1, "a"), (2, "zz")}
+    assert got[(2, "zz")] > 0.25  # concentrated vs uniform reference
+    # replay no-op: epoch 1 rows unchanged after redelivery
+    fn(_df(spark, [(999, "a", 4)]), 1)
+    again = {
+        (r["epoch"], r["src"]): r["psi"]
+        for r in read_drift_series(spark, seeded).collect()
+    }
+    assert again == got
+
+
+def test_monitor_without_reference_raises(spark, tmp_path):
+    fn = drift_monitor_foreach_batch(str(tmp_path / "none"), "src", "qbin")
+    with pytest.raises(FileNotFoundError, match="seed_drift_reference"):
+        fn(_df(spark, [(1, "a", 0)]), 0)
