@@ -448,3 +448,53 @@ def test_budget_admission_compaction_equivalence(spark, tmp_path):
 
     fn(_bdf(spark, [(99, "b", 1)]), 2)
     assert not _os.path.exists(f"{state}/spent/e2")
+
+
+def test_budget_admission_wired_to_real_stream(spark, tmp_path):
+    """Production wiring: file-source stream + foreachBatch
+    (availableNow), stopped and restarted with the same checkpoint —
+    the per-group cap holds across the restart."""
+    import json as _json
+
+    from kafka_dbsync_spark.operators.admission import (
+        budget_admission_foreach_batch,
+    )
+
+    state = str(tmp_path / "bstate")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, src string, w long"
+        ).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                budget_admission_foreach_batch(state, "src", "w", budget=100)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(src / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "src": "a", "w": 70}) + "\n")
+    run()
+    with open(src / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 2, "src": "a", "w": 20}) + "\n")  # 70<100: whole
+        f.write(_json.dumps({"doc_id": 3, "src": "a", "w": 20}) + "\n")  # 90<100: whole
+        f.write(_json.dumps({"doc_id": 4, "src": "a", "w": 20}) + "\n")  # 110: deferred
+    run()  # restart from checkpoint
+    adm = {
+        r["doc_id"]
+        for d in os.listdir(f"{state}/admitted")
+        for r in spark.read.parquet(f"{state}/admitted/{d}").collect()
+    }
+    dfr = {
+        r["doc_id"]
+        for d in os.listdir(f"{state}/deferred")
+        for r in spark.read.parquet(f"{state}/deferred/{d}").collect()
+    }
+    assert adm == {1, 2, 3} and dfr == {4}
