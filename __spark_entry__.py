@@ -23,16 +23,16 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # front-loads (a) the new token_budget_selection /
 # ppl_buckets_by_lang / token_budget_admission /
 # quality_drift_psi / ppl_buckets_lang_models /
-# drift_monitor_series plus the 4 queries
+# drift_monitor_series / streaming_curation_gate plus the 4 queries
 # whose code or semantics changed this
 # round (the localCheckpoint rewrite of ppl_buckets /
 # curation_pipeline_v2 with driver-side histogram cut points; the
 # reserved-seed-namespace change under ingest_quality_gate; the
 # codebook/centroid checkpointing inside the fused ivfpq_search), then
 # (b) ALL 22 queries whose latest driver row still dates to round 3,
-# then (c) the 18 oldest round-4 rows in registration order. That
+# then (c) the 17 oldest round-4 rows in registration order. That
 # fills 50 exactly; after this gate no query's newest driver row is
-# older than round 4 (the remaining 21 r4 rows + the r5 rows rotate
+# older than round 4 (the remaining 22 r4 rows + the r5 rows rotate
 # in round 8).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new or changed in round 7 — no/stale green rows
@@ -42,6 +42,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_drift_psi",
     "ppl_buckets_lang_models",
     "drift_monitor_series",
+    "streaming_curation_gate",
     "ppl_buckets",
     "curation_pipeline_v2",
     "ingest_quality_gate",
@@ -69,7 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "skipping_index",
     "bloom_decontaminate",
-    # (c) oldest round-4 rows, registration order (first 18)
+    # (c) oldest round-4 rows, registration order (first 17)
     "cdc_final_state",
     "cdc_corrupt_events",
     "dlq_records",
@@ -87,7 +88,6 @@ _DRIVER_PRIORITY: list[str] = [
     "asof_join",
     "local_supplier_revenue",
     "range_join_active_orders",
-    "inverted_index",
 ]
 
 

@@ -7868,3 +7868,133 @@ def q_drift_monitor_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "streaming_curation_gate",
+    # The full streaming ingest-control stack composed: exact dedup +
+    # frozen-LM gate (the ingest_quality_gate chain) THEN the per-source
+    # token budget in arrival order — each stage the real foreachBatch
+    # operator, state chained on disk. Oracle = the proven gate algebra
+    # extended with a running-sum cap over its admitted set.
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, doc_id % 3 AS batch,
+             {_SQL_NORM.format(c='text')} AS t,
+             md5({_SQL_NORM.format(c='text')}) AS dh
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), firsts AS (
+      SELECT * FROM b
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY batch, doc_id) = 1
+    ), train AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM b WHERE batch = 0
+    ), tr_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM train WHERE len(tk) >= 2
+    ), tr_g AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(tk) AS tok FROM train)
+    ), arrivals AS (
+      SELECT doc_id, source, batch, t, string_split(t, ' ') AS tk
+      FROM firsts WHERE batch > 0
+    ), ar_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      FROM arrivals WHERE len(tk) >= 2
+    ), ar_dg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS k
+      FROM ar_idx GROUP BY doc_id, tk[i], tk[i + 1]
+    ), scored AS (
+      SELECT ar_dg.doc_id, ar_dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM ar_dg
+      LEFT JOIN c12 ON ar_dg.w1 = c12.w1 AND ar_dg.w2 = c12.w2
+      LEFT JOIN c1 ON ar_dg.w1 = c1.w1, v
+    ), ppl AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE)) / CAST(sum(k) AS DOUBLE)), 4)
+               AS ppl
+      FROM scored GROUP BY doc_id
+    ), gated AS (
+      SELECT a.batch, a.doc_id, a.source, p.ppl,
+             CAST(CASE WHEN a.t = '' THEN 0
+                  ELSE len(string_split(a.t, ' ')) END AS BIGINT) AS n_tok
+      FROM arrivals a JOIN ppl p ON a.doc_id = p.doc_id
+      WHERE p.ppl <= 30.0
+    ), capped AS (
+      SELECT *,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY batch, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n_tok AS spent_before
+      FROM gated
+    )
+    SELECT batch, doc_id, source, ppl, n_tok
+    FROM capped WHERE spent_before < 300
+    """,
+)
+def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED streaming ingest-control stack — what a production
+    corpus ingest actually runs per micro-batch, as a chain of the real
+    operators with state handed off on disk: batch 0 seeds the
+    admitted set and trains the frozen LM; each later batch flows
+    through (1) `admission_foreach_batch` (exact dedup against
+    everything previously seen + perplexity gate) and (2) its accepted
+    output through `budget_admission_foreach_batch` (per-source token
+    cap in arrival order). Every stage keeps its own commit-last epoch
+    state, so the composition inherits replay safety stage by stage —
+    a redelivered batch no-ops in BOTH stages. The oracle is the
+    proven ingest_quality_gate algebra extended with the running-sum
+    cap over its admitted set. Scale: hash-only membership state,
+    vocab-sized frozen model, groups x epochs counter rows — nothing
+    corpus-sized between batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.admission import (
+        admission_foreach_batch,
+        budget_admission_foreach_batch,
+        seed_admitted_hashes,
+    )
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    base = docs.filter(norm != "").select(
+        "doc_id", "source", "text", (F.col("doc_id") % 3).alias("batch"),
+    )
+    seed = base.filter(F.col("batch") == 0)
+    work = tempfile.mkdtemp(prefix="kds_stream_cur_")
+    model_dir = os.path.join(work, "lm")
+    gate_state = os.path.join(work, "gate")
+    budget_state = os.path.join(work, "budget")
+    key_fn = lambda df: F.md5(normalize_text(F.col("text")))  # noqa: E731
+    try:
+        build_lm_model(spark, seed, model_dir)
+        seed_admitted_hashes(gate_state, seed, key_fn(seed))
+        fn_gate = admission_foreach_batch(
+            model_dir, gate_state, max_ppl=30.0, key_fn=key_fn
+        )
+        fn_budget = budget_admission_foreach_batch(
+            budget_state, "source", "n_tok", budget=300, id_col="doc_id"
+        )
+        for b in (1, 2):
+            fn_gate(base.filter(F.col("batch") == b), b)
+            accepted = spark.read.parquet(
+                os.path.join(gate_state, "accepted", f"e{b}")
+            ).withColumn("n_tok", token_count("text").cast("long"))
+            fn_budget(accepted, b)
+        out = spark.read.parquet(
+            *(os.path.join(budget_state, "admitted", f"e{b}") for b in (1, 2))
+        ).select("batch", "doc_id", "source", "ppl", "n_tok")
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch long, doc_id bigint, source string, ppl double, n_tok bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

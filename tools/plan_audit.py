@@ -119,6 +119,8 @@ SHUFFLE_BUDGET = {
     "quality_drift_psi": 2,         # the (source, win, bin) corpus agg
     # + the metadata-domain distinct; everything after runs on
     # sources x 11 fixed-domain rows, totals broadcast
+    "streaming_curation_gate": 0,   # materialized rows (the composed
+    # gate->budget foreachBatch chain ran per batch at construction)
     "drift_monitor_series": 0,      # materialized rows (reference seed +
     # 2 monitored batches ran through the drift operator at construction)
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
