@@ -575,6 +575,136 @@ def bigram_lm_perplexity(
     return per_doc.select(id_col, *gcols, "n_bigrams", ppl.alias("ppl"))
 
 
+def doc_trigrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, w1, w2, w3) trigram stream of the normalized-token documents
+    (docs with >= 3 tokens) — same tokenization as ``doc_bigrams`` so the
+    bigram and trigram models of one corpus agree on vocabulary."""
+    toks = docs.select(id_col, tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    return toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2, "
+                "element_at(toks, i + 2) AS w3))"
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2", "g.w3")
+
+
+def trigram_backoff_perplexity(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the backoff designed FOR
+    distributed count-table LMs: no discounting pass, just relative
+    frequencies and a fixed backoff factor, which is why it MapReduces
+    and why it Sparks). Score of a trigram under the model trained on
+    ``train_docs``:
+
+        s(w3 | w1 w2) = n123 / n12                     if n123 > 0
+                      = alpha * n23 / n2               elif n23 > 0
+                      = alpha^2 * (n3 + 1) / (N + V)   otherwise
+
+    (the last line is an add-one unigram floor so out-of-vocabulary
+    tokens score finitely). Per-doc score is the perplexity-style
+    exp(-mean log s) over the doc's trigrams, so low = fluent-under-
+    the-model, same polarity as ``bigram_lm_perplexity``.
+
+    Train/score are SEPARATE inputs — the frozen-model deployment shape
+    (train on yesterday's corpus, score today's): unseen trigrams
+    actually back off, which never happens when a model scores its own
+    training set.
+
+    Determinism contract: all counts are exact integers; each CASE arm
+    is a fixed left-associated chain of IEEE-correctly-rounded * and /
+    (alpha enters as the same literal on both engines), ln is rounded
+    to 6 decimals and summed as DECIMAL per doc — order-independent,
+    bit-identical across engines.
+
+    Scale: the model is three vocab-sized count tables (trigram, bigram,
+    unigram) + one 1-row total; the score-side cost is one map-side-
+    combined per-doc trigram aggregate and five model joins that the
+    planner broadcasts while the tables fit (shuffle-hash beyond).
+    Nothing corpus-sized joins corpus-sized; no Python UDFs.
+
+    Returns (id_col, n_trigrams, ppl).
+    """
+    tri = doc_trigrams(train_docs, id_col, text_col)
+    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n123"))
+    big = doc_bigrams(train_docs, id_col, text_col)
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    uni = train_docs.select(F.explode(tokens(text_col)).alias("w"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(
+        F.count("*").alias("N"), F.countDistinct("w").alias("V")
+    )
+
+    dg = (
+        doc_trigrams(score_docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").alias("k"))
+    )
+    ctx = cb.select("w1", "w2", F.col("n").alias("n12"))
+    b23 = cb.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("n").alias("n23")
+    )
+    u2 = cu.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    u3 = cu.select(F.col("w").alias("w3"), F.col("n").alias("n3"))
+    joined = (
+        dg.join(c123, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    # n123 non-null implies n12 non-null (a train trigram at position i
+    # contributes its context bigram at i), and n23 non-null implies n2
+    # non-null — the CASE arms never divide by NULL.
+    p = (
+        F.when(
+            F.col("n123").isNotNull(),
+            F.col("n123").cast("double") / F.col("n12").cast("double"),
+        )
+        .when(
+            F.col("n23").isNotNull(),
+            F.lit(alpha) * F.col("n23").cast("double") / F.col("n2").cast("double"),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * F.lit(alpha)
+            * (F.coalesce(F.col("n3"), F.lit(0)) + 1).cast("double")
+            / (F.col("N") + F.col("V")).cast("double")
+        )
+    )
+    scored = joined.select(
+        id_col, "k", _decimal_log_sum(p).alias("logp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_trigrams"),
+        F.sum(F.col("logp") * F.col("k")).alias("sum_logp"),
+    )
+    ppl = F.round(
+        F.exp(
+            -(F.col("sum_logp").cast("double")) / F.col("n_trigrams").cast("double")
+        ),
+        4,
+    )
+    return per_doc.select(id_col, "n_trigrams", ppl.alias("ppl"))
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target_docs: DataFrame,

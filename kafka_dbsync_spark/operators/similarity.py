@@ -168,6 +168,77 @@ def cosine_topk_blocked(
     )
 
 
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    score_decimals: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every query (anchor) row,
+    the ``k`` vectors most cosine-similar to it whose ``label_col``
+    DIFFERS from the anchor's — the "hard" negatives that dominate the
+    gradient in contrastive/triplet training (the near-boundary
+    examples random negative sampling almost never draws).
+
+    Plan shape: the anchors broadcast (a training batch is KBs); the
+    corpus streams once through a broadcast nested-loop join whose only
+    condition is the label inequality, scoring every (anchor, candidate)
+    pair JVM-side. The per-anchor top-k runs in TWO window stages —
+    partial top-k per (anchor, input partition), then exact top-k over
+    the ≤ partitions × k survivors — so no task ever holds one anchor's
+    full candidate set and parallelism is not capped at the number of
+    anchors (same distributed top-k as
+    pq_index.ivfpq_search_multi_index). At 100 TB the corpus side
+    should be the blocked/IVF-pruned candidate set rather than the full
+    table; the mining math is unchanged.
+
+    Returns (q_id, rank, neg_id, neg_label, cos_sim), rank 1..k per
+    anchor by rounded score desc then candidate id.
+    """
+    from pyspark.sql.window import Window as W
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    scored = (
+        embeddings.join(q, F.col(label_col) != F.col("q_label"))
+        .withColumn("cos_sim", F.round(cosine(vec_col, "__qv"), score_decimals))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            "cos_sim",
+        )
+    )
+    order = (F.col("cos_sim").desc(), F.col("neg_id"))
+    w_part = W.partitionBy("q_id", "__pid").orderBy(*order)
+    partial = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rk", F.row_number().over(w_part))
+        .filter(F.col("__rk") <= k)
+        .drop("__pid", "__rk")
+    )
+    w_q = W.partitionBy("q_id").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neg_id",
+            "neg_label",
+            "cos_sim",
+        )
+    )
+
+
 def centroid_arrays(
     centroids_long: DataFrame,
     cell_col: str = "label",

@@ -1980,6 +1980,49 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_blocked(emb, "label", 0.3, salt=2)
 
 
+@query(
+    "hard_negative_mining",
+    # Contrastive hard negatives (operators/similarity.py::
+    # hard_negative_topk): anchors = vec_id < 4; per anchor the 5
+    # most-similar DIFFERENT-label vectors, rounded-score-desc then id.
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 4
+    ), e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS neg_id, e.label AS neg_label,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * qv[i])), (a,b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> v[i] * v[i])), (a,b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> qv[i] * qv[i])), (a,b) -> a + b))),
+               4) AS cos_sim
+      FROM e, q WHERE e.label <> q.q_label
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, neg_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, neg_id, neg_label, cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of 4
+    anchor vectors, the 5 most-similar vectors with a DIFFERENT label —
+    the near-boundary negatives that carry the training signal. Anchors
+    broadcast; the corpus streams once through a broadcast
+    nested-loop join; per-anchor top-k is a two-stage partial+exact
+    window so no task holds an anchor's full candidate set."""
+    from kafka_dbsync_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
+
+
 def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
     from kafka_dbsync_spark.operators.similarity import random_hyperplanes
 
@@ -6454,6 +6497,95 @@ def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not lm_model_is_current(train, cache, src_path=src):
         build_lm_model(spark, train, cache, src_path=src)
     out = lm_score(spark, cache, serve)
+    return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
+
+
+@query(
+    "lm_trigram_backoff",
+    # Stupid-backoff trigram LM (operators/corpus.py::
+    # trigram_backoff_perplexity): model trains on EVEN doc_ids, odd
+    # docs score against the frozen counts — trigram hit backs off to
+    # 0.4 * bigram, then 0.16 * add-one unigram for OOV. Same
+    # decimal-exact log-sum contract as lm_perplexity_served.
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0 AND {_SQL_NORM.format(c='text')} <> ''
+    ), tr3 AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+            FROM train WHERE len(t) >= 3)
+    ), c123 AS (
+      SELECT w1, w2, w3, count(*) AS n123 FROM tr3 GROUP BY w1, w2, w3
+    ), tr2 AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i
+            FROM train WHERE len(t) >= 2)
+    ), cb AS (
+      SELECT w1, w2, count(*) AS n FROM tr2 GROUP BY w1, w2
+    ), tu AS (
+      SELECT unnest(t) AS w FROM train
+    ), cu AS (
+      SELECT w, count(*) AS n FROM tu GROUP BY w
+    ), tot AS (
+      SELECT (SELECT count(*) FROM tu) AS N,
+             (SELECT count(DISTINCT w) FROM tu) AS V
+    ), serve AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 2 = 1 AND {_SQL_NORM.format(c='text')} <> ''
+    ), sv3 AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+            FROM serve WHERE len(t) >= 3)
+    ), dg AS (
+      SELECT doc_id, w1, w2, w3, count(*) AS k
+      FROM sv3 GROUP BY doc_id, w1, w2, w3
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(
+               CASE WHEN c123.n123 IS NOT NULL
+                      THEN CAST(c123.n123 AS DOUBLE) / CAST(ctx.n AS DOUBLE)
+                    WHEN b23.n IS NOT NULL
+                      THEN 0.4 * CAST(b23.n AS DOUBLE) / CAST(u2.n AS DOUBLE)
+                    ELSE 0.4 * 0.4 * CAST(coalesce(u3.n, 0) + 1 AS DOUBLE)
+                         / CAST(tot.N + tot.V AS DOUBLE) END
+             ), 6) AS DECIMAL(18,6)) AS logp
+      FROM dg
+      LEFT JOIN c123 ON dg.w1 = c123.w1 AND dg.w2 = c123.w2 AND dg.w3 = c123.w3
+      LEFT JOIN cb ctx ON dg.w1 = ctx.w1 AND dg.w2 = ctx.w2
+      LEFT JOIN cb b23 ON dg.w2 = b23.w1 AND dg.w3 = b23.w2
+      LEFT JOIN cu u2 ON dg.w2 = u2.w
+      LEFT JOIN cu u3 ON dg.w3 = u3.w, tot
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+             sum(logp * k) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams,
+           round(exp(-(CAST(sum_logp AS DOUBLE)) / CAST(n_trigrams AS DOUBLE)), 4) AS ppl
+    FROM per_doc
+    ORDER BY ppl DESC, doc_id LIMIT 30
+    """,
+)
+def q_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM quality scoring (Brants et al. 2007 —
+    the LM smoothing built FOR distributed count tables: relative
+    frequencies + a fixed 0.4 backoff, no discounting pass). The model
+    trains on the even-doc_id half and the odd half scores against the
+    FROZEN counts, so unseen trigrams genuinely back off (trigram →
+    0.4·bigram → 0.16·add-one unigram for OOV) — the sharper quality
+    axis CCNet gets from KenLM, one order up from bigram_lm_perplexity.
+    The model is three vocab-sized count tables + a 1-row total; the
+    corpus side pays one map-side-combined per-doc trigram aggregate
+    and planner-broadcast model joins. 30 highest-perplexity serve
+    docs."""
+    from kafka_dbsync_spark.operators.corpus import trigram_backoff_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    serve = docs_f.filter(F.col("doc_id") % 2 == 1)
+    out = trigram_backoff_perplexity(train, serve)
     return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
 
 

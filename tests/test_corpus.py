@@ -426,3 +426,44 @@ def test_grouped_lm_isolates_groups(spark):
     # doc 4's text is fluent under A's model but its group is B, where
     # those bigrams are rare relative to B's model — scores must differ
     assert grouped[4] != grouped[1]
+
+
+def test_trigram_backoff_arms_by_hand(spark):
+    """trigram_backoff_perplexity: each CASE arm checked against a
+    hand-computed score. Train corpus 'a b c a b d': trigram (a,b,c)
+    count 1 with context (a,b) count 2 -> p=0.5; unseen trigram
+    (x,b,c) backs off to 0.4 * n(b,c)/n(b) = 0.4 * 1/2 = 0.2; unseen
+    bigram (c,x) bottoms out at 0.16 * (0+1)/(N=6 + V=4) = 0.016."""
+    from kafka_dbsync_spark.operators.corpus import trigram_backoff_perplexity
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "x b c"), (12, "b c x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["ppl"])
+        for r in trigram_backoff_perplexity(train, score).collect()
+    }
+    assert got == {10: (1, 2.0), 11: (1, 5.0), 12: (1, 62.5)}
+
+
+def test_trigram_backoff_short_docs_absent(spark):
+    """Score docs with fewer than 3 tokens have no trigrams and emit no
+    row (matching the oracle's len(t) >= 3 guard)."""
+    from kafka_dbsync_spark.operators.corpus import trigram_backoff_perplexity
+
+    train = spark.createDataFrame(
+        [(0, "a b c a b d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "c"), (12, "a b c d")],
+        "doc_id long, text string",
+    )
+    ids = {
+        r["doc_id"]
+        for r in trigram_backoff_perplexity(train, score).collect()
+    }
+    assert ids == {12}

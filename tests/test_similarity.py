@@ -328,3 +328,47 @@ def test_pca_matches_numpy_eigh(spark):
         assert got[lab]["n"] == len(vecs)
         assert abs(got[lab]["ev_share"] - round(float(share), 4)) <= 1e-4
         assert got[lab]["top_dim"] == int(np.abs(V[:, -1]).argmax())
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """Every mined negative has a label different from its anchor, and
+    ranks are dense 1..k per anchor."""
+    from kafka_dbsync_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)], i % 3)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(
+        emb, emb.filter("vec_id < 2"), k=4
+    ).collect()
+    anchors = {i: lab for i, _, lab in rows if i < 2}
+    by_q = {}
+    for r in out:
+        assert r["neg_label"] != anchors[r["q_id"]]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+
+def test_hard_negative_topk_orders_by_similarity(spark):
+    """The rank-1 negative is the most cosine-similar different-label
+    vector: an identical-direction vector with another label beats an
+    orthogonal one."""
+    from kafka_dbsync_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor, label 0
+            (1, [2.0, 0.0, 0.0, 0.0], 1),   # same direction, label 1
+            (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal, label 1
+            (3, [1.0, 0.0, 0.0, 0.0], 0),   # same label -> excluded
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negative_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    got = [(r["rank"], r["neg_id"], r["cos_sim"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 1, 1.0), (2, 2, 0.0)]
