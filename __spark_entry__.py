@@ -20,22 +20,29 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-7 rotation (VERDICT r6 "Next round" #3 — freshness): the window
-# front-loads (a) the new token_budget_selection /
-# ppl_buckets_by_lang / token_budget_admission /
-# quality_drift_psi / ppl_buckets_lang_models /
-# drift_monitor_series / streaming_curation_gate plus the 4 queries
-# whose code or semantics changed this
-# round (the localCheckpoint rewrite of ppl_buckets /
-# curation_pipeline_v2 with driver-side histogram cut points; the
-# reserved-seed-namespace change under ingest_quality_gate; the
-# codebook/centroid checkpointing inside the fused ivfpq_search), then
-# (b) ALL 22 queries whose latest driver row still dates to round 3,
-# then (c) the 17 oldest round-4 rows in registration order. That
+# front-loads (a) the 11 queries new in round 7's first half
+# (token_budget_selection / ppl_buckets_by_lang /
+# token_budget_admission / quality_drift_psi / ppl_buckets_lang_models
+# / drift_monitor_series / streaming_curation_gate) plus the 4 added
+# in its second half (lm_trigram_backoff / hard_negative_mining /
+# embedding_drift_psi / dedup_span_rewrite) plus the 4 queries whose
+# code or semantics changed this round (the localCheckpoint rewrite of
+# ppl_buckets / curation_pipeline_v2 with driver-side histogram cut
+# points; the reserved-seed-namespace change under ingest_quality_gate;
+# the codebook/centroid checkpointing inside the fused ivfpq_search),
+# then (b) ALL 22 queries whose latest driver row still dates to round
+# 3, then (c) the oldest round-4 rows in registration order. That
 # fills 50 exactly; after this gate no query's newest driver row is
-# older than round 4 (the remaining 22 r4 rows + the r5 rows rotate
-# in round 8).
+# older than round 4 (the remaining r4 rows — now including
+# events_sessionize / asof_join / local_supplier_revenue /
+# range_join_active_orders bumped by the second-half additions — plus
+# the r5 rows rotate in round 8).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new or changed in round 7 — no/stale green rows
+    "lm_trigram_backoff",
+    "hard_negative_mining",
+    "embedding_drift_psi",
+    "dedup_span_rewrite",
     "token_budget_selection",
     "ppl_buckets_by_lang",
     "token_budget_admission",
@@ -84,10 +91,6 @@ _DRIVER_PRIORITY: list[str] = [
     "envelope_unwrap",
     "top_customers",
     "events_hourly",
-    "events_sessionize",
-    "asof_join",
-    "local_supplier_revenue",
-    "range_join_active_orders",
 ]
 
 

@@ -86,6 +86,15 @@ HEADLINE = [
     "dsir_weights",
     "hll_distinct_tokens",
     "fuzzy_match_pairs",
+    # r7 second half: the trigram backoff LM (one n-gram order up from
+    # lm_perplexity), the ExactSubstr span rewrite (one shingle
+    # count-distinct shuffle + higher-order rewrite), embedding-space
+    # PSI drift (one corpus agg + metadata arithmetic), and per-anchor
+    # hard-negative mining (broadcast anchors, two-stage top-k)
+    "lm_trigram_backoff",
+    "dedup_span_rewrite",
+    "embedding_drift_psi",
+    "hard_negative_mining",
 ]
 
 

@@ -647,9 +647,9 @@ def trigram_backoff_perplexity(
     cb = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     uni = train_docs.select(F.explode(tokens(text_col)).alias("w"))
     cu = uni.groupBy("w").agg(F.count("*").alias("n"))
-    tot = uni.agg(
-        F.count("*").alias("N"), F.countDistinct("w").alias("V")
-    )
+    # N and V fold from the vocab-sized count table, not the corpus-sized
+    # token stream — one fewer full-corpus pass in the model lineage
+    tot = cu.agg(F.sum("n").alias("N"), F.count("*").alias("V"))
 
     dg = (
         doc_trigrams(score_docs, id_col, text_col)

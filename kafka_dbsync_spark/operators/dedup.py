@@ -572,3 +572,73 @@ def winnowing_fingerprints(
             F.col("__p.m").alias("fp"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (the cleaning step of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    their ExactSubstr removes every duplicated 50-token span from the
+    corpus rather than dropping whole documents; token-k-gram spans
+    stand in for the suffix-array substrings): every token position
+    covered by a k-gram that appears in >= ``min_docs`` distinct
+    documents is removed, and the surviving tokens are re-joined in
+    order. Detection twin: queries.py::duplicate_ngram_spans surfaces
+    the spans; this operator performs the edit.
+
+    Plan shape: positioned shingles explode once; duplicated shingles
+    come from ONE map-side-combined count-distinct on the uniform
+    shingle key (the only corpus-wide shuffle); each affected doc gets
+    its duplicated span STARTS back as one array (spans per doc are
+    few), and coverage + rewrite run JVM-side with higher-order
+    functions — no all-pairs join, no Python UDF, no per-token shuffle.
+    Docs with no duplicated span are absent from the output (nothing to
+    rewrite), matching the inner join on affected docs.
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text) for affected
+    docs; ``cleaned_text`` is the normalized-token respelling ('' when
+    the whole doc was duplicated spans).
+    """
+    d = docs.select(id_col, tokens(text_col).alias("toks"))
+    posed = (
+        ensure_parallelism(d.filter(F.size("toks") >= k))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1), "
+                    f"i -> struct(i AS i, concat_ws(' ', slice(toks, i, {k})) AS sh))"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.i", "g.sh")
+    )
+    dup = (
+        posed.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("sh")
+    )
+    starts = (
+        posed.join(dup, "sh")
+        .groupBy(id_col)
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    joined = d.join(starts, id_col)
+    kept = F.expr(
+        "transform(filter(transform(sequence(1, size(toks)), "
+        "p -> struct(p AS p, element_at(toks, p) AS w)), "
+        f"x -> NOT exists(starts, s -> x.p >= s AND x.p <= s + {k} - 1)), "
+        "x -> x.w)"
+    )
+    return joined.withColumn("kept", kept).select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
+    )

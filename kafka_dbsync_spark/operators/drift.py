@@ -153,3 +153,93 @@ def read_drift_series(spark: SparkSession, state_dir: str) -> DataFrame | None:
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def psi_over_fixed_bins(
+    assign: DataFrame,
+    group_col: str,
+    bin_col: str,
+    win_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Batch PSI between window 0 (reference) and window 1 (current) of
+    ``assign`` rows (group, bin, win), per group, over the FIXED integer
+    bin domain 0..n_bins-1 — the shared arithmetic behind
+    queries.py::quality_drift_psi and embedding_drift_psi.
+
+    Both shares are add-one smoothed over the full domain so empty bins
+    contribute finite terms; ln is rounded to 6 decimals and each term
+    to 10, summed as DECIMAL — deterministic on any engine. Plan shape:
+    ONE map-side-combined (group, bin) aggregate over the input; all
+    further arithmetic happens on groups x n_bins rows of metadata (the
+    domain is generated, not collected).
+
+    Returns (group_col, psi, n_ref, n_cur).
+    """
+    spark = assign.sparkSession
+    cnt = assign.groupBy(group_col, bin_col).agg(
+        F.sum(F.when(F.col(win_col) == 0, 1).otherwise(0)).alias("k_ref"),
+        F.sum(F.when(F.col(win_col) == 1, 1).otherwise(0)).alias("k_cur"),
+    )
+    dom = (
+        assign.select(group_col).distinct()
+        .crossJoin(spark.range(0, n_bins).select(F.col("id").alias(bin_col)))
+    )
+    filled = (
+        dom.join(cnt, [group_col, bin_col], "left")
+        .na.fill({"k_ref": 0, "k_cur": 0})
+    )
+    tot = filled.groupBy(group_col).agg(
+        F.sum("k_ref").alias("n_ref"), F.sum("k_cur").alias("n_cur")
+    )
+    terms = filled.join(F.broadcast(tot), group_col).select(
+        group_col, "n_ref", "n_cur",
+        ((F.col("k_ref") + 1).cast("double")
+         / (F.col("n_ref") + n_bins).cast("double")).alias("pr"),
+        ((F.col("k_cur") + 1).cast("double")
+         / (F.col("n_cur") + n_bins).cast("double")).alias("pc"),
+    )
+    term = F.round(
+        (F.col("pc") - F.col("pr"))
+        * F.round(F.log(F.col("pc") / F.col("pr")), 6).cast("decimal(18,6)"),
+        10,
+    ).cast("decimal(28,10)")
+    return terms.groupBy(group_col).agg(
+        F.sum(term).cast("double").alias("psi"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+
+
+def embedding_drift_psi(
+    embeddings: DataFrame,
+    num_planes: int = 4,
+    dim: int = 64,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift per group: PSI between the even-``id_col``
+    window (reference — the snapshot retrieval/curation thresholds were
+    tuned on) and the odd window (current) over a FIXED cell domain of
+    2^num_planes random-hyperplane LSH buckets. The scalar-PSI monitors
+    can't see a shift that preserves every scalar marginal but moves
+    vectors between regions of embedding space; bucketing by frozen
+    hyperplanes makes exactly that shift visible as a histogram change.
+
+    Plan shape: the hyperplanes ride in one broadcast row (O(1) plan
+    size), cell assignment is a JVM-side fold per row, then the PSI is
+    one (group, cell) map-side-combined aggregate + metadata-sized
+    arithmetic — the corpus is scanned ONCE regardless of groups or
+    cells.
+
+    Returns (group_col, psi, n_ref, n_cur).
+    """
+    from kafka_dbsync_spark.operators.similarity import with_lsh_buckets
+
+    a = with_lsh_buckets(embeddings, vec_col, num_planes, dim).select(
+        group_col,
+        (F.col(id_col) % 2).alias("win"),
+        F.col("bucket").alias("cell"),
+    )
+    return psi_over_fixed_bins(a, group_col, "cell", "win", 2 ** num_planes)

@@ -2862,6 +2862,64 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_rewrite",
+    # Exact-substring dedup rewrite (operators/dedup.py::
+    # remove_duplicate_spans): token positions covered by an 8-gram
+    # appearing in >= 2 docs are removed; affected docs only.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+            FROM norm WHERE len(t) >= 8)
+    ), dup AS (
+      SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), starts AS (
+      SELECT doc_id, i FROM sh JOIN dup USING (g)
+    ), docs_with AS (
+      SELECT DISTINCT doc_id FROM starts
+    ), tokpos AS (
+      SELECT n.doc_id, t[p] AS w, p
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+            FROM norm) n JOIN docs_with USING (doc_id)
+    ), kept AS (
+      SELECT tp.doc_id, tp.p, tp.w
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM starts s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.p >= s.i AND tp.p <= s.i + 7)
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY doc_id
+    ), n AS (
+      SELECT doc_id, len(t) AS n_tokens
+      FROM norm JOIN docs_with USING (doc_id)
+    )
+    SELECT n.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.cleaned, '') AS cleaned_text
+    FROM n LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 ExactSubstr CLEANING step: duplicate_ngram_
+    spans finds cross-doc 8-token spans; this query performs the edit —
+    every covered token position is removed and the survivors re-joined,
+    per affected doc (n_tokens, n_removed, cleaned_text). One
+    corpus-wide shuffle (the shingle count-distinct); span starts come
+    back per doc as one small array and the rewrite is a JVM-side
+    higher-order filter — no all-pairs join, no Python UDF."""
+    from kafka_dbsync_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    return remove_duplicate_spans(docs_f, k=8)
+
+
+@query(
     "cdc_state_at",
     oracle=f"""
     WITH cut AS (SELECT (max(event_id) * 3) // 5 AS k FROM events),
@@ -7770,6 +7828,63 @@ def q_quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
     )
+
+
+def _sql_embedding_drift_psi() -> str:
+    # cells = 4-plane (16-bucket) random-hyperplane LSH over the same
+    # md5-derived planes as the Spark side; PSI arithmetic mirrors
+    # quality_drift_psi with the 16-cell fixed domain.
+    return f"""
+    WITH a AS ({_sql_vector_lsh(4, 64)}),
+    s AS (
+      SELECT label, vec_id % 2 AS win, bucket AS cell FROM a
+    ), dom AS (
+      SELECT DISTINCT label, unnest(range(0, 16)) AS cell FROM s
+    ), cnt AS (
+      SELECT label, cell,
+             sum(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS k_ref,
+             sum(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS k_cur
+      FROM s GROUP BY label, cell
+    ), filled AS (
+      SELECT d.label, d.cell,
+             coalesce(c.k_ref, 0) AS k_ref, coalesce(c.k_cur, 0) AS k_cur
+      FROM dom d LEFT JOIN cnt c ON d.label = c.label AND d.cell = c.cell
+    ), tot AS (
+      SELECT label, sum(k_ref) AS n_ref, sum(k_cur) AS n_cur
+      FROM filled GROUP BY label
+    ), terms AS (
+      SELECT f.label,
+             CAST((k_ref + 1) AS DOUBLE) / CAST(n_ref + 16 AS DOUBLE) AS pr,
+             CAST((k_cur + 1) AS DOUBLE) / CAST(n_cur + 16 AS DOUBLE) AS pc,
+             t.n_ref, t.n_cur
+      FROM filled f JOIN tot t ON f.label = t.label
+    )
+    SELECT label,
+           CAST(sum(CAST(round((pc - pr)
+                 * CAST(round(ln(pc / pr), 6) AS DECIMAL(18,6)), 10)
+                 AS DECIMAL(28,10))) AS DOUBLE) AS psi,
+           CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur
+    FROM terms GROUP BY label
+    """
+
+
+@query("embedding_drift_psi", oracle=_sql_embedding_drift_psi())
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: PSI between the even-vec_id
+    reference window and the odd-vec_id current window over 16 frozen
+    random-hyperplane LSH cells (operators/drift.py::
+    embedding_drift_psi). Scalar monitors (quality_drift_psi) can't see
+    a shift that preserves every scalar marginal but moves vectors
+    between regions of embedding space; frozen-hyperplane cells make
+    exactly that shift visible. One corpus scan (broadcast planes,
+    JVM-side fold per row), then metadata-sized PSI arithmetic over
+    labels x 16 cells — same add-one-smoothed decimal-exact contract as
+    quality_drift_psi."""
+    from kafka_dbsync_spark.operators.drift import embedding_drift_psi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift_psi(emb, num_planes=4, dim=64)
 
 
 @query(

@@ -291,3 +291,45 @@ def test_winnowing_null_text_contributes_nothing(spark):
     rows = winnowing_fingerprints(df).collect()
     assert all(r["doc_id"] == 3 for r in rows)
     assert all(r["pos"] >= 1 and r["fp"] != "~" for r in rows)
+
+
+def test_remove_duplicate_spans_edits_covered_positions(spark):
+    """Two docs sharing an 8-token span both lose exactly that span;
+    a doc with no shared span is absent from the output."""
+    from kafka_dbsync_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"{shared} gamma delta"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (10, 8, "alpha beta")
+    assert got[2] == (10, 8, "gamma delta")
+
+
+def test_remove_duplicate_spans_full_doc_duplicate(spark):
+    """A doc that is entirely a duplicated span cleans to the empty
+    string with n_removed == n_tokens; overlapping spans coalesce
+    (coverage, not per-span subtraction)."""
+    from kafka_dbsync_spark.operators.dedup import remove_duplicate_spans
+
+    nine = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [(1, nine), (2, nine)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    # both 8-gram spans (positions 1-8 and 2-9) are duplicated; their
+    # union covers all 9 tokens exactly once
+    assert got == {1: (9, 9, ""), 2: (9, 9, "")}

@@ -62,3 +62,43 @@ def test_monitor_without_reference_raises(spark, tmp_path):
     fn = drift_monitor_foreach_batch(str(tmp_path / "none"), "src", "qbin")
     with pytest.raises(FileNotFoundError, match="seed_drift_reference"):
         fn(_df(spark, [(1, "a", 0)]), 0)
+
+
+def test_psi_over_fixed_bins_zero_when_identical(spark):
+    """Identical reference/current histograms give PSI exactly 0 (the
+    smoothed shares cancel term by term)."""
+    from kafka_dbsync_spark.operators.drift import psi_over_fixed_bins
+
+    rows = [("g", b % 4, w) for b in range(12) for w in (0, 1)]
+    assign = spark.createDataFrame(rows, "grp string, cell long, win int")
+    out = psi_over_fixed_bins(assign, "grp", "cell", "win", 4).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_ref"] == 12 and out[0]["n_cur"] == 12
+
+
+def test_embedding_drift_psi_detects_rotation(spark):
+    """A current window whose vectors moved to a different region of
+    embedding space (axis flip) alarms, while an unchanged window stays
+    near zero — the shift scalar marginal monitors can miss."""
+    from kafka_dbsync_spark.operators.drift import embedding_drift_psi
+
+    dim = 8
+    stable = [
+        (i, [1.0 + 0.01 * (i % 3)] + [0.0] * (dim - 1), 0)
+        for i in range(40)
+    ]
+    # label 1: even (reference) ids point +x, odd (current) ids point -x
+    moved = [
+        (100 + i, [(1.0 if i % 2 == 0 else -1.0)] + [0.0] * (dim - 1), 1)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        stable + moved, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: r["psi"]
+        for r in embedding_drift_psi(emb, num_planes=3, dim=dim).collect()
+    }
+    assert got[1] > 0.25, got
+    assert abs(got[0]) < 0.05, got

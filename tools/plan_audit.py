@@ -107,6 +107,20 @@ SHUFFLE_BUDGET = {
     # per-doc agg; the frozen-model joins are planner-decided and
     # broadcast at audit SF (stats-based) — a real vocabulary would
     # shuffle-join and this budget would need revisiting with it
+    "lm_trigram_backoff": 7,        # fused train+score: serve trigram agg
+    # + trigram/bigram/unigram model count aggs (bigram reused across its
+    # two join roles where pruning allows) + vocab-sized totals fold +
+    # per-doc agg; model joins broadcast at audit SF. The frozen-model
+    # deployment (train once, persist, score forever) is the scale path,
+    # same split as lm_perplexity_served.
+    "hard_negative_mining": 2,      # the two-stage per-anchor top-k
+    # windows only; anchors broadcast, corpus streams once
+    "embedding_drift_psi": 2,       # one (label, cell) corpus agg + the
+    # label-domain distinct; PSI arithmetic runs on labels x 16 rows of
+    # metadata, planes ride one broadcast row
+    "dedup_span_rewrite": 5,        # positioned-shingle count-distinct
+    # (expand: 2) + per-doc span-starts agg + doc join + parallelism
+    # repartition; the rewrite itself is a narrow higher-order filter
     "fuzzy_match_pairs": 1,         # one block-key shuffle shared by the
     # cap window and the self-join; Levenshtein JVM-side on capped pairs
     # the remaining TPC-H shapes (round-5 additions III); joins broadcast
