@@ -23,9 +23,10 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # front-loads (a) the 11 queries new in round 7's first half
 # (token_budget_selection / ppl_buckets_by_lang /
 # token_budget_admission / quality_drift_psi / ppl_buckets_lang_models
-# / drift_monitor_series / streaming_curation_gate) plus the 4 added
-# in its second half (lm_trigram_backoff / hard_negative_mining /
-# embedding_drift_psi / dedup_span_rewrite) plus the 4 queries whose
+# / drift_monitor_series / streaming_curation_gate) plus the 5 added
+# in its second half (lm_trigram_backoff / lm_trigram_served /
+# hard_negative_mining / embedding_drift_psi / dedup_span_rewrite)
+# plus the 4 queries whose
 # code or semantics changed this round (the localCheckpoint rewrite of
 # ppl_buckets / curation_pipeline_v2 with driver-side histogram cut
 # points; the reserved-seed-namespace change under ingest_quality_gate;
@@ -34,12 +35,13 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # 3, then (c) the oldest round-4 rows in registration order. That
 # fills 50 exactly; after this gate no query's newest driver row is
 # older than round 4 (the remaining r4 rows — now including
-# events_sessionize / asof_join / local_supplier_revenue /
-# range_join_active_orders bumped by the second-half additions — plus
-# the r5 rows rotate in round 8).
+# events_hourly / events_sessionize / asof_join /
+# local_supplier_revenue / range_join_active_orders bumped by the
+# second-half additions — plus the r5 rows rotate in round 8).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new or changed in round 7 — no/stale green rows
     "lm_trigram_backoff",
+    "lm_trigram_served",
     "hard_negative_mining",
     "embedding_drift_psi",
     "dedup_span_rewrite",
@@ -90,7 +92,6 @@ _DRIVER_PRIORITY: list[str] = [
     "scd2_history",
     "envelope_unwrap",
     "top_customers",
-    "events_hourly",
 ]
 
 

@@ -92,6 +92,7 @@ HEADLINE = [
     # PSI drift (one corpus agg + metadata arithmetic), and per-anchor
     # hard-negative mining (broadcast anchors, two-stage top-k)
     "lm_trigram_backoff",
+    "lm_trigram_served",
     "dedup_span_rewrite",
     "embedding_drift_psi",
     "hard_negative_mining",

@@ -298,6 +298,7 @@ def lm_gate_foreach_batch(
     max_ppl: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scorer=None,
 ):
     """Quality gating at ingest: a ``foreachBatch`` function that scores
     each micro-batch against the FROZEN persisted model and routes docs
@@ -305,6 +306,11 @@ def lm_gate_foreach_batch(
     max_ppl, with the score attached for audit) — the CCNet head/tail
     split applied as a streaming admission filter, and the quality twin
     of ``dedup_index.dedup_ingest_foreach_batch``.
+
+    ``scorer`` is any frozen-model scoring function with the
+    ``lm_score`` signature returning (id_col, <count>, ppl) — pass
+    ``trigram_score`` to gate on the persisted order-3 model instead
+    (the gate reads only the ppl column, so scorers are drop-in).
 
     Replay safety: outputs land under ``e{epoch}`` subdirectories and a
     redelivered epoch whose output already exists returns without
@@ -315,6 +321,8 @@ def lm_gate_foreach_batch(
     """
     import os
 
+    score_fn = scorer or lm_score
+
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         acc = os.path.join(accepted_dir, f"e{epoch_id}")
@@ -322,12 +330,14 @@ def lm_gate_foreach_batch(
         done = os.path.join(acc, "_SUCCESS")
         if os.path.exists(done) and os.path.exists(os.path.join(rej, "_SUCCESS")):
             return  # replayed epoch: both outputs already committed
-        # persist: the scoring lineage (batch scan + doc-bigram agg +
+        # persist: the scoring lineage (batch scan + doc-n-gram agg +
         # model join) feeds BOTH writes — without it every epoch pays
         # the whole pipeline twice (the dedup-index ingest learned this
         # the hard way; see README's 17.9s note)
         scored = batch_df.join(
-            lm_score(spark, model_path, batch_df, id_col, text_col),
+            score_fn(spark, model_path, batch_df, id_col, text_col).select(
+                id_col, "ppl"
+            ),
             id_col,
             "left",
         ).persist()
@@ -351,3 +361,171 @@ def lm_gate_foreach_batch(
             scored.unpersist()
 
     return fn
+
+
+def build_trigram_model(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+) -> None:
+    """One corpus pass -> persisted stupid-backoff trigram model
+    (operators/corpus.py::trigram_backoff_perplexity, frozen): the
+    order-3 serve twin, with the SAME publish protocol as
+    ``build_lm_model`` (immutable generation dir, staging rename,
+    marker-flips-last, loser-discards) and the same metadata-only
+    staleness via ``lm_model_is_current`` — the marker shape (gen +
+    fingerprint + src_sig) is model-agnostic, so the bigram checker
+    validates this cache unchanged.
+
+    Artifacts under ``gen-*/``: c123 (w1,w2,w3,n123), cb (w1,w2,n —
+    both the trigram context and the backoff bigram read this one
+    table), cu (w,n). N and V fold from the VOCAB-sized cu parquet
+    after publish (never a second corpus pass) and land in the marker
+    with ``alpha`` so the scorer is self-describing."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import (
+        files_signature,
+        invalidate_memo,
+    )
+    from kafka_dbsync_spark.operators.corpus import doc_trigrams
+
+    marker = os.path.join(path, _MARKER)
+    os.makedirs(path, exist_ok=True)
+    invalidate_memo(path)
+    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
+    gen = _gen_name(fp)
+    try:
+        with open(marker) as f:
+            prev_live_gen = json.load(f).get("gen")
+    except (OSError, ValueError):
+        prev_live_gen = None
+    final_dir = os.path.join(path, gen)
+    if not os.path.exists(final_dir):
+        stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
+        tri = doc_trigrams(docs, id_col, text_col)
+        tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n123")).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/c123")
+        doc_bigrams(docs, id_col, text_col).groupBy("w1", "w2").agg(
+            F.count("*").alias("n")
+        ).write.mode("overwrite").parquet(f"{stage}/cb")
+        docs.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
+            F.count("*").alias("n")
+        ).write.mode("overwrite").parquet(f"{stage}/cu")
+        try:
+            os.rename(stage, final_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    r = (
+        spark.read.parquet(f"{final_dir}/cu")
+        .agg(F.sum("n").alias("N"), F.count("*").alias("V"))
+        .collect()[0]
+    )
+    rec: dict = {
+        "fingerprint": fp,
+        "N": int(r["N"]),
+        "V": int(r["V"]),
+        "alpha": float(alpha),
+        "gen": gen,
+    }
+    if src_path is not None:
+        rec["src_sig"] = files_signature(src_path)
+    tmp = marker + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, marker)
+    my_stage_suffix = f"-{os.getpid()}"
+    for name in os.listdir(path):
+        superseded = (
+            prev_live_gen is not None and name == prev_live_gen and name != gen
+        )
+        my_stage = name.startswith(".stage-") and name.endswith(my_stage_suffix)
+        if superseded or my_stage:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def trigram_score(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score new documents against the FROZEN persisted trigram model:
+    identical arithmetic to the in-lineage operator (trigram relative
+    frequency, else alpha * bigram, else alpha^2 * add-one unigram),
+    with the model read from vocab-sized parquet and N/V/alpha from the
+    marker — nothing corpus-sized shuffles at serve time. Returns
+    (id_col, n_trigrams, ppl)."""
+    from kafka_dbsync_spark.operators.corpus import (
+        _decimal_log_sum,
+        doc_trigrams,
+    )
+
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"no complete trigram model at {path}")
+    with open(marker) as f:
+        meta = json.load(f)
+    alpha = float(meta["alpha"])
+    nv = int(meta["N"]) + int(meta["V"])
+    gen_dir = os.path.join(path, meta["gen"])
+    c123 = spark.read.parquet(f"{gen_dir}/c123")
+    cb = spark.read.parquet(f"{gen_dir}/cb")
+    cu = spark.read.parquet(f"{gen_dir}/cu")
+    dg = (
+        doc_trigrams(new_docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").alias("k"))
+    )
+    ctx = cb.select("w1", "w2", F.col("n").alias("n12"))
+    b23 = cb.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("n").alias("n23")
+    )
+    u2 = cu.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    u3 = cu.select(F.col("w").alias("w3"), F.col("n").alias("n3"))
+    joined = (
+        dg.join(c123, ["w1", "w2", "w3"], "left")
+        .join(ctx, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+    )
+    p = (
+        F.when(
+            F.col("n123").isNotNull(),
+            F.col("n123").cast("double") / F.col("n12").cast("double"),
+        )
+        .when(
+            F.col("n23").isNotNull(),
+            F.lit(alpha) * F.col("n23").cast("double") / F.col("n2").cast("double"),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * F.lit(alpha)
+            * (F.coalesce(F.col("n3"), F.lit(0)) + 1).cast("double")
+            / F.lit(nv).cast("double")
+        )
+    )
+    scored = joined.select(id_col, "k", _decimal_log_sum(p).alias("logp"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_trigrams"),
+        F.sum(F.col("logp") * F.col("k")).alias("sum_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_trigrams",
+        F.round(
+            F.exp(
+                -(F.col("sum_logp").cast("double"))
+                / F.col("n_trigrams").cast("double")
+            ),
+            4,
+        ).alias("ppl"),
+    )

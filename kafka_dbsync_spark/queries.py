@@ -6647,6 +6647,40 @@ def q_lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
 
 
+@query("lm_trigram_served", oracle=ORACLES["lm_trigram_backoff"])
+def q_lm_trigram_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram model as a PERSISTED artifact (operators/
+    lm_index.py::build_trigram_model / trigram_score): the even-half
+    counts train once into an immutable generation dir (same atomic
+    staging-rename + marker-flips-last publish and metadata-only
+    staleness as the bigram model — the marker shape is model-agnostic,
+    so lm_model_is_current validates it unchanged), and the odd half
+    scores against the frozen parquet tables. Same oracle as the fused
+    lm_trigram_backoff — build/serve must be arithmetic-identical."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_trigram_model,
+        lm_model_is_current,
+        trigram_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    serve = docs_f.filter(F.col("doc_id") % 2 == 1)
+    cache = str(
+        Path(tempfile.gettempdir())
+        / f"kds_lm3_model_{Path(sf_dir.rstrip('/')).name}"
+    )
+    src = _table_path(sf_dir, "documents")
+    if not lm_model_is_current(train, cache, src_path=src):
+        build_trigram_model(spark, train, cache, src_path=src)
+    out = trigram_score(spark, cache, serve)
+    return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
+
+
 # ===========================================================================
 # Round-5 additions III: the remaining TPC-H plan shapes (Q4/Q12/Q13/
 # Q14/Q16/Q17/Q19 adapted to the available columns)

@@ -176,3 +176,53 @@ def test_empty_corpus_raises_clearly(spark, corpus, tmp_path):
     empty = corpus.filter(F.col("doc_id") < 0)
     with pytest.raises(ValueError, match="empty training corpus"):
         corpus_fingerprint(empty)
+
+
+def test_trigram_served_matches_in_lineage_operator(spark, corpus, tmp_path):
+    """The persisted trigram model scoring a held-out doc set must equal
+    the fused train+score operator exactly (same counts, same backoff
+    arms, same decimal contract)."""
+    from kafka_dbsync_spark.operators.corpus import trigram_backoff_perplexity
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_trigram_model,
+        trigram_score,
+    )
+
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),      # in-model trigrams
+            (3, "zebra cat sat elsewhere now"), # backoff + OOV arms
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "lm3")
+    build_trigram_model(spark, corpus, path)
+    served = sorted(map(tuple, trigram_score(spark, path, score).collect()))
+    inline = sorted(
+        map(tuple, trigram_backoff_perplexity(corpus, score).collect())
+    )
+    assert served == inline
+    assert served  # the comparison is not vacuous
+
+
+def test_trigram_model_staleness_and_rebuild(spark, corpus, tmp_path):
+    """lm_model_is_current validates the trigram marker unchanged (the
+    marker shape is model-agnostic): current after build, stale after
+    the corpus changes, and the rebuild publishes a new generation."""
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_trigram_model,
+        lm_model_is_current,
+        trigram_score,
+    )
+
+    path = str(tmp_path / "lm3")
+    build_trigram_model(spark, corpus, path)
+    assert lm_model_is_current(corpus, path)
+    grown = corpus.union(
+        spark.createDataFrame([(6, "a brand new document")], ["doc_id", "text"])
+    )
+    assert not lm_model_is_current(grown, path)
+    build_trigram_model(spark, grown, path)
+    assert lm_model_is_current(grown, path)
+    # the new model actually serves (scores a doc without error)
+    assert trigram_score(spark, path, corpus).count() == 3

@@ -113,6 +113,9 @@ SHUFFLE_BUDGET = {
     # per-doc agg; model joins broadcast at audit SF. The frozen-model
     # deployment (train once, persist, score forever) is the scale path,
     # same split as lm_perplexity_served.
+    "lm_trigram_served": 2,         # serve side only: doc-trigram agg +
+    # per-doc agg; the frozen model tables join broadcast at audit SF
+    # (same note as lm_perplexity_served re: a real vocabulary)
     "hard_negative_mining": 2,      # the two-stage per-anchor top-k
     # windows only; anchors broadcast, corpus streams once
     "embedding_drift_psi": 2,       # one (label, cell) corpus agg + the
