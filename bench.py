@@ -96,6 +96,11 @@ HEADLINE = [
     "dedup_span_rewrite",
     "embedding_drift_psi",
     "hard_negative_mining",
+    # r7 late additions: dual-LM Moore-Lewis selection (two vocab-sized
+    # models, dg exchange reused) and the exact prefix-filtered
+    # set-similarity join (the completeness-guaranteed dedup path)
+    "moore_lewis_selection",
+    "setsim_exact_join",
 ]
 
 

@@ -976,3 +976,107 @@ def histogram_cut_bins(
     return scores.sparkSession.createDataFrame(
         [tuple(vals) + (n if n > 0 else None,)], fields
     )
+
+
+def moore_lewis_scores(
+    seed: DataFrame,
+    pool: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-entropy difference data selection (Moore & Lewis 2010,
+    "Intelligent Selection of Language Model Training Data"): score
+    every pool document by H_in(d) - H_out(d), the per-token
+    cross-entropy under an in-domain LM (trained on ``seed``) minus
+    that under a general LM (trained on ``pool``). Documents that the
+    in-domain model finds easy RELATIVE to the general model rank first
+    — the classic trick that beats a raw in-domain perplexity cut,
+    which just rewards short common words.
+
+    Both models are the engine's standard add-one-smoothed bigram LM
+    (the same tokenization and decimal contract as
+    ``bigram_lm_perplexity`` — the scores are comparable). Unseen
+    events degrade gracefully through the smoothing:
+    p = (n12 + 1) / (n1 + V) with missing counts as 0.
+
+    Determinism: exact integer-ratio probabilities, ln rounded to 6
+    decimals summed as DECIMAL (order-independent); only the final
+    per-token difference is a rounded double.
+
+    Scale: both models are VOCAB-sized count tables (broadcastable);
+    the pool pays ONE per-doc bigram shuffle and the seed one model
+    aggregation pass — no all-pairs, no corpus-sized join sides.
+
+    Returns (id_col, n_bigrams, ced) — ced in nats/token, ascending =
+    most in-domain. Pool docs with < 2 tokens produce no bigrams and
+    are excluded (no LM opinion exists for them).
+    """
+
+    def vocab(d: DataFrame, tag: str):
+        # V covers ALL tokens (single-token docs too), so it cannot fold
+        # from the bigram tables — one narrow pass each side, same as
+        # bigram_lm_perplexity
+        return d.select(F.explode(tokens(text_col)).alias("tok")).agg(
+            F.countDistinct("tok").alias(f"V_{tag}")
+        )
+
+    gi = doc_bigrams(seed, id_col, text_col)
+    c12_in = gi.groupBy("w1", "w2").agg(F.count("*").alias("n12_in"))
+    c1_in = gi.groupBy("w1").agg(F.count("*").alias("n1_in"))
+    v_in = vocab(seed, "in")
+    v_out = vocab(pool, "out")
+    dg = (
+        doc_bigrams(pool, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    # the pool model folds from dg (its exchange is REUSED, so the pool
+    # gram stream shuffles once, not three times); c1_out aggregates the
+    # gram stream directly — deriving it from c12_out breaks reuse via
+    # column pruning, exactly as documented in bigram_lm_perplexity
+    c12_out = dg.groupBy("w1", "w2").agg(F.sum("k").alias("n12_out"))
+    c1_out = (
+        doc_bigrams(pool, id_col, text_col)
+        .groupBy("w1")
+        .agg(F.count("*").alias("n1_out"))
+    )
+    # out-model joins are INNER: every pool bigram is in the pool model
+    # by construction, and inner joins push identical isnotnull filters
+    # to both sides so the dg subtree stays canonical and its exchange
+    # is REUSED (left joins filter only the build side, which breaks
+    # the match). The in-model joins are genuinely left (seed gaps).
+    joined = (
+        dg.join(c12_out, ["w1", "w2"])
+        .join(c1_out, "w1")
+        .join(c12_in, ["w1", "w2"], "left")
+        .join(c1_in, "w1", "left")
+        .crossJoin(F.broadcast(v_in))
+        .crossJoin(F.broadcast(v_out))
+    )
+
+    def logp(tag: str):
+        return _decimal_log_sum(
+            (F.coalesce(F.col(f"n12_{tag}"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col(f"n1_{tag}"), F.lit(0)) + F.col(f"V_{tag}")).cast(
+                "double"
+            )
+        )
+
+    scored = joined.select(
+        id_col, "k", logp("in").alias("lp_in"), logp("out").alias("lp_out")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("lp_in") * F.col("k")).alias("s_in"),
+        F.sum(F.col("lp_out") * F.col("k")).alias("s_out"),
+    )
+    # H_in - H_out = (-s_in + s_out) / n
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            (F.col("s_out") - F.col("s_in")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+            4,
+        ).alias("ced"),
+    )

@@ -642,3 +642,92 @@ def remove_duplicate_spans(
         (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
         F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
     )
+
+
+def setsim_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    SSJoin/PPJoin family: Chaudhuri et al. 2006, Xiao et al. 2011):
+    every pair of documents whose k-gram shingle sets have Jaccard >=
+    ``threshold`` — with a COMPLETENESS guarantee the MinHash-LSH path
+    deliberately trades away (LSH misses pairs with band-collision
+    probability < 1).
+
+    Prefix filter: order the shingle universe by (document frequency
+    asc, shingle asc) — a total order that puts the rarest shingles
+    first — and keep each document's first ``|s| - ceil(t*|s|) + 1``
+    shingles under that order. Completeness: J >= t gives
+    |A inter B| >= ceil(t*max(|A|,|B|)) = a; if the prefixes were
+    disjoint then (taking x = max of A's prefix <= y = max of B's
+    prefix) any intersection element <= x would sit in both prefixes,
+    so the whole intersection lies in A's (a-1)-element suffix — a
+    contradiction. So the candidate equi-join on prefix shingles
+    finds every qualifying pair; a length filter
+    (t*|b| <= |a| for |a| <= |b|) prunes further, and the exact
+    verifier keeps only true pairs.
+
+    Scale: the shingle stream shuffles twice (df counts, per-doc prefix
+    assembly); candidates join on PREFIX shingles only — the rarest per
+    doc, so bucket sizes stay near 1 even when the corpus shares a head
+    vocabulary (joining on ALL shingles would square the head bucket).
+    No Python UDFs; the per-doc prefix sort is a narrow ``sort_array``
+    over that document's own shingles.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col), F.array_distinct("shingles").alias("sh")
+    )
+    exploded = sh.select(
+        id_col, F.size("sh").alias("s"), F.explode("sh").alias("g")
+    )
+    dfreq = exploded.groupBy("g").agg(F.count("*").alias("df"))
+    # per-doc prefix under the global (df, g) order: attach df, fold the
+    # doc's shingles back together sorted, slice the prefix
+    pref = (
+        exploded.join(dfreq, "g")
+        .groupBy(id_col, "s")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("g")))
+            ).alias("ordered")
+        )
+        .select(
+            id_col,
+            "s",
+            F.explode(
+                F.slice(
+                    F.col("ordered.g"),
+                    1,
+                    (
+                        F.col("s")
+                        - F.ceil(F.lit(threshold) * F.col("s"))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("g"),
+        )
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("s").alias("sa"), "g"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("s").alias("sb"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard >= t forces t*max <= min of the sizes
+        .filter(
+            F.least("sa", "sb").cast("double")
+            >= F.lit(threshold) * F.greatest("sa", "sb").cast("double")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_pairs(df, cand, id_col, text_col, k=k, threshold=threshold)

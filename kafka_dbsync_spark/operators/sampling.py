@@ -117,3 +117,37 @@ def balanced_sample(
         .filter(hv * F.col("__cnt") < F.col("__min_cnt") * F.lit(1 << 32))
         .select(*df.columns)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, no shuffle of
+    the table (Efraimidis & Spirakis 2006, "Weighted random sampling
+    with a reservoir"): each row draws key = u^(1/w) from its own
+    deterministic uniform u and the k LARGEST keys are exactly a
+    weighted sample — P(row enters first) = w_i / sum(w).
+
+    Ordering happens on ln(u)/w (monotone in u^(1/w), no tiny-exponent
+    underflow); u = (hash32 + 1) / 2^32 comes from md5 of the row id,
+    so the sample is reproducible across engines, runs, retries, and
+    partitionings — same contract as every sampler in this module.
+    Rows with non-positive weight never qualify (u <= 1 makes ln(u)/w
+    flip sign there; they are filtered, not sampled).
+
+    Scale: narrow per-row arithmetic + a global top-k (TakeOrdered =
+    per-partition partial top-k, only k rows per partition move) — the
+    corpus is never shuffled. This is the operator behind "sample 1M
+    training docs proportional to quality score" at 100 TB.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    hv = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u = (hv + 1).cast("double") / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(key, 6))
+        .orderBy(key.desc(), F.col(id_col))
+        .limit(k)
+    )

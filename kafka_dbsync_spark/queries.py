@@ -8279,3 +8279,161 @@ def q_streaming_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ===========================================================================
+# Round-7 additions IV: Moore-Lewis selection, exact set-similarity
+# join (prefix filter), weighted reservoir sampling
+# ===========================================================================
+@query(
+    "moore_lewis_selection",
+    # Cross-entropy difference selection (operators/corpus.py::
+    # moore_lewis_scores): in-domain LM on source 'src0', general LM on
+    # the rest; 30 most in-domain pool docs.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ),
+    gi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM norm
+            WHERE source = 'src0' AND len(t) >= 2)
+    ),
+    go AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm
+            WHERE source <> 'src0' AND len(t) >= 2)
+    ),
+    c12i AS (SELECT w1, w2, count(*) AS n12i FROM gi GROUP BY w1, w2),
+    c1i  AS (SELECT w1, count(*) AS n1i FROM gi GROUP BY w1),
+    c12o AS (SELECT w1, w2, count(*) AS n12o FROM go GROUP BY w1, w2),
+    c1o  AS (SELECT w1, count(*) AS n1o FROM go GROUP BY w1),
+    vi AS (SELECT count(DISTINCT tok) AS V
+           FROM (SELECT unnest(t) AS tok FROM norm WHERE source = 'src0')),
+    vo AS (SELECT count(DISTINCT tok) AS V
+           FROM (SELECT unnest(t) AS tok FROM norm WHERE source <> 'src0')),
+    dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM go GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(coalesce(n12i, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(n1i, 0) + vi.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp_in,
+             CAST(round(ln(CAST(coalesce(n12o, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(n1o, 0) + vo.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp_out
+      FROM dg LEFT JOIN c12i USING (w1, w2) LEFT JOIN c1i USING (w1)
+              LEFT JOIN c12o USING (w1, w2) LEFT JOIN c1o USING (w1), vi, vo
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             sum(lp_in * k) AS s_in, sum(lp_out * k) AS s_out
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(s_out - s_in AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4)
+             AS ced
+    FROM per_doc ORDER BY ced, doc_id LIMIT 30
+    """,
+)
+def q_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy difference selection (Moore & Lewis
+    2010): treat source 'src0' as the in-domain seed, rank every other
+    document by H_in - H_out and keep the head — the standard recipe for
+    mining general crawl data that "sounds like" a target domain. Both
+    LMs are vocab-sized broadcastable count tables; the pool pays one
+    bigram shuffle (operators/corpus.py::moore_lewis_scores)."""
+    from kafka_dbsync_spark.operators.corpus import moore_lewis_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    seed = docs_f.filter(F.col("source") == "src0")
+    pool = docs_f.filter(F.col("source") != "src0")
+    out = moore_lewis_scores(seed, pool)
+    return out.orderBy("ced", "doc_id").limit(30)
+
+
+@query(
+    "setsim_exact_join",
+    # EXACT set-similarity join (operators/dedup.py::setsim_prefix_join):
+    # the oracle is the ALL-PAIRS shared-shingle join — completeness of
+    # the prefix filter is exactly what the value-hash match proves.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+      FROM ({_SQL_PLANTED})
+    ), shd AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM t
+    ), sz AS (
+      SELECT doc_id, len(sh) AS s FROM shd
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS g FROM shd
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(inter * 10000 / (sa.s + sb.s - inter)) AS BIGINT)
+             AS jaccard_bp
+    FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE floor(inter * 10000 / (sa.s + sb.s - inter)) >= 5000
+    """,
+)
+def q_setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (SSJoin /
+    PPJoin family): every pair with 3-gram-shingle Jaccard >= 0.5,
+    GUARANTEED complete — the candidate join runs on each document's
+    rarest shingles only, never on the head vocabulary and never
+    all-pairs. The LSH twin (ngram_jaccard_dedup) is the
+    recall-trading fast path; this is the exact one. The oracle
+    computes the truth by brute force, so a value-hash match IS the
+    completeness proof."""
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+
+    return setsim_prefix_join(
+        _planted_docs(spark, sf_dir), "doc_id", "text", k=3, threshold=0.5
+    )
+
+
+@query(
+    "weighted_sample_tokens",
+    # Efraimidis-Spirakis weighted reservoir sample (operators/
+    # sampling.py::weighted_sample_topk): 50 docs, weight = n_chars.
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) + 1) / 4294967296.0)
+                 / n_chars, 6) AS es_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) + 1) / 4294967296.0)
+             / n_chars DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample without replacement (Efraimidis &
+    Spirakis 2006): 50 documents drawn with probability proportional to
+    n_chars, deterministically (md5-derived uniforms). Narrow per-row
+    arithmetic + TakeOrdered — the corpus never shuffles
+    (operators/sampling.py::weighted_sample_topk)."""
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)

@@ -467,3 +467,55 @@ def test_trigram_backoff_short_docs_absent(spark):
         for r in trigram_backoff_perplexity(train, score).collect()
     }
     assert ids == {12}
+
+
+def test_moore_lewis_prefers_seed_like_docs(spark):
+    """A pool doc built from the seed's bigrams must score a lower
+    (more in-domain) cross-entropy difference than a pool doc the seed
+    has never seen; OOV-heavy docs still score (add-one smoothing) and
+    sub-bigram docs are excluded."""
+    from kafka_dbsync_spark.operators.corpus import moore_lewis_scores
+
+    seed = spark.createDataFrame(
+        [
+            (101, "the model reads the data and the model learns"),
+            (102, "the model learns and the data grows"),
+        ],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "the model reads the data"),       # seed-like
+            (2, "purple walrus sings jazz loudly"),  # nothing shared
+            (3, "onetoken"),                        # < 2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in moore_lewis_scores(seed, pool).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 4 and got[2]["n_bigrams"] == 4
+    assert got[1]["ced"] < got[2]["ced"]
+
+
+def test_moore_lewis_matches_hand_computation(spark):
+    """One-bigram pool doc, tiny models: verify the exact arithmetic
+    (add-one ratios under both models, 6-dp decimal logs, 4-dp ced)."""
+    import math
+
+    from kafka_dbsync_spark.operators.corpus import moore_lewis_scores
+
+    seed = spark.createDataFrame(
+        [(10, "a b a b")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ced"] for r in moore_lewis_scores(seed, pool).collect()}
+    # seed grams: (a,b)x2, (b,a)x1 ; c1_in: a->2, b->1 ; V_in = 2
+    # pool grams: (a,b)x1, (c,d)x1 ; c1_out: a->1, c->1 ; V_out = 4
+    def ced(n12i, n1i, n12o, n1o):
+        lp_in = round(math.log((n12i + 1) / (n1i + 2)), 6)
+        lp_out = round(math.log((n12o + 1) / (n1o + 4)), 6)
+        return round(lp_out - lp_in, 4)
+
+    assert got == {1: ced(2, 2, 1, 1), 2: ced(0, 0, 1, 1)}

@@ -333,3 +333,63 @@ def test_remove_duplicate_spans_full_doc_duplicate(spark):
     # both 8-gram spans (positions 1-8 and 2-9) are duplicated; their
     # union covers all 9 tokens exactly once
     assert got == {1: (9, 9, ""), 2: (9, 9, "")}
+
+
+def test_setsim_prefix_join_complete_vs_bruteforce(spark):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    all-pairs result — completeness is the operator's whole claim."""
+    from kafka_dbsync_spark.operators.dedup import (
+        jaccard_pairs,
+        setsim_prefix_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (4, "one two three four five six seven"),
+            (5, "totally different words here now ok"),
+            (6, "one two three four five six eight"),    # near-dup of 4
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, setsim_prefix_join(docs, "doc_id", "text", 3, 0.5).collect())
+    )
+    ids = [r.doc_id for r in docs.collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    want = sorted(
+        map(tuple, jaccard_pairs(docs, all_pairs, "doc_id", "text", 3, 0.5).collect())
+    )
+    assert got == want
+    assert (1, 3, 10000) in got       # the exact dup
+    assert any(p[:2] == (1, 2) for p in got)
+    assert not any(5 in p[:2] for p in got)
+
+
+def test_setsim_prefix_join_threshold_validation(spark):
+    import pytest
+
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        setsim_prefix_join(docs, threshold=0.0)
+
+
+def test_setsim_prefix_join_short_docs_whole_text_shingle(spark):
+    """Docs shorter than k tokens dedup on their whole text (the
+    shared single-shingle convention) — and never crash the slice."""
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, "bye now")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, setsim_prefix_join(docs, "doc_id", "text", 3, 0.9).collect())
+    )
+    assert got == [(1, 2, 10000)]

@@ -467,3 +467,41 @@ def test_perplexity_invariant_to_partitioning(spark, texts, parts):
         map(tuple, bigram_lm_perplexity(docs.repartition(parts)).collect())
     )
     assert base == shuffled
+
+
+def test_weighted_sample_topk_matches_direct_recomputation(spark):
+    """The ES selection must equal a driver-side recomputation of
+    ln(u)/w from the same md5-derived uniforms (exactness), k > n keeps
+    every positive-weight row, non-positive weights never qualify."""
+    import hashlib
+    import math
+
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(40)] + [(100, 0), (101, -5)]
+    df = spark.createDataFrame(rows, "id long, w long")
+
+    def key(i, w):
+        hv = int(hashlib.md5(f":{i}".encode()).hexdigest()[:8], 16)
+        return math.log((hv + 1) / 2**32) / w
+
+    want = sorted(
+        ((i, w) for i, w in rows if w > 0), key=lambda r: (-key(*r), r[0])
+    )[:10]
+    got = weighted_sample_topk(df, "id", "w", k=10).collect()
+    assert [(r["id"], r["w"]) for r in got] == want
+    for r in got:
+        assert r["es_key"] == round(key(r["id"], r["w"]), 6)
+    # k > n: every positive-weight row, none of the non-positive ones
+    all_got = {r["id"] for r in weighted_sample_topk(df, "id", "w", k=999).collect()}
+    assert all_got == {i for i, w in rows if w > 0}
+
+
+def test_weighted_sample_topk_k_validation(spark):
+    import pytest
+
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(1, 2)], "id long, w long")
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_topk(df, "id", "w", k=0)

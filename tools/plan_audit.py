@@ -121,6 +121,14 @@ SHUFFLE_BUDGET = {
     "embedding_drift_psi": 2,       # one (label, cell) corpus agg + the
     # label-domain distinct; PSI arithmetic runs on labels x 16 rows of
     # metadata, planes ride one broadcast row
+    "moore_lewis_selection": 10,    # pool: dg partial + c12_out fold
+    # (dg exchange REUSED) + c1_out + per-doc agg; seed: c12/c1; one
+    # countDistinct V pair per side (2 exch each). All model tables
+    # vocab-sized and broadcast; only dg/c1_out/per-doc are corpus-sized
+    "setsim_exact_join": 6,         # shingle df counts + per-doc prefix
+    # assembly + prefix self-join (2 sides) + candidate distinct +
+    # verify join; all keyed on rare-prefix shingles, never all-pairs
+    "weighted_sample_tokens": 0,    # narrow key arithmetic + TakeOrdered
     "dedup_span_rewrite": 5,        # positioned-shingle count-distinct
     # (expand: 2) + per-doc span-starts agg + doc join + parallelism
     # repartition; the rewrite itself is a narrow higher-order filter
