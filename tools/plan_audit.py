@@ -125,9 +125,11 @@ SHUFFLE_BUDGET = {
     # (dg exchange REUSED) + c1_out + per-doc agg; seed: c12/c1; one
     # countDistinct V pair per side (2 exch each). All model tables
     # vocab-sized and broadcast; only dg/c1_out/per-doc are corpus-sized
-    "setsim_exact_join": 6,         # shingle df counts + per-doc prefix
-    # assembly + prefix self-join (2 sides) + candidate distinct +
-    # verify join; all keyed on rare-prefix shingles, never all-pairs
+    "setsim_exact_join": 3,         # df-counts agg + prefix assembly +
+    # count-join verify agg in the returned plan; the per-doc shingle
+    # table materializes ONCE at construction (eager localCheckpoint —
+    # disclosed, same pattern as dedup_incremental/ppl_buckets) and all
+    # five consumers re-derive their explodes narrowly from it
     "weighted_sample_tokens": 0,    # narrow key arithmetic + TakeOrdered
     "dedup_span_rewrite": 5,        # positioned-shingle count-distinct
     # (expand: 2) + per-doc span-starts agg + doc join + parallelism
