@@ -100,6 +100,7 @@ HEADLINE = [
     # models, dg exchange reused) and the exact prefix-filtered
     # set-similarity join (the completeness-guaranteed dedup path)
     "moore_lewis_selection",
+    "moore_lewis_served",
     "setsim_exact_join",
 ]
 

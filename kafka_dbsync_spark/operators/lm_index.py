@@ -529,3 +529,88 @@ def trigram_score(
             4,
         ).alias("ppl"),
     )
+
+
+def moore_lewis_score_served(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Moore-Lewis cross-entropy difference against TWO frozen persisted
+    bigram models (operators/corpus.py::moore_lewis_scores is the fused
+    twin): ced = H_in - H_out from the in-domain model at ``in_path``
+    and the general model at ``out_path``, arithmetic-identical to the
+    in-lineage operator (add-one integer ratios, 6-dp DECIMAL logs,
+    4-dp final double). This is how the selection DEPLOYS: both models
+    train once offline; every new crawl shard pays one doc-bigram agg
+    plus two vocab-sized model joins, never a corpus pass.
+
+    Returns (id_col, n_bigrams, ced) — ascending ced = most in-domain.
+    """
+
+    def read_model(path: str, tag: str):
+        marker = os.path.join(path, _MARKER)
+        if not os.path.exists(marker):
+            raise FileNotFoundError(f"no complete LM model at {path}")
+        with open(marker) as f:
+            meta = json.load(f)
+        gen_dir = os.path.join(path, meta["gen"])
+        c12 = spark.read.parquet(f"{gen_dir}/c12").select(
+            "w1", "w2", F.col("n12").alias(f"n12_{tag}")
+        )
+        c1 = spark.read.parquet(f"{gen_dir}/c1").select(
+            "w1", F.col("n1").alias(f"n1_{tag}")
+        )
+        return c12, c1, int(meta["V"])
+
+    c12_in, c1_in, v_in = read_model(in_path, "in")
+    c12_out, c1_out, v_out = read_model(out_path, "out")
+    dg = (
+        doc_bigrams(new_docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    joined = (
+        dg.join(c12_in, ["w1", "w2"], "left")
+        .join(c1_in, "w1", "left")
+        .join(c12_out, ["w1", "w2"], "left")
+        .join(c1_out, "w1", "left")
+    )
+
+    def logp(tag: str, v: int):
+        return (
+            F.round(
+                F.log(
+                    (F.coalesce(F.col(f"n12_{tag}"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col(f"n1_{tag}"), F.lit(0)) + F.lit(v)).cast(
+                        "double"
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+        )
+
+    scored = joined.select(
+        id_col,
+        "k",
+        logp("in", v_in).alias("lp_in"),
+        logp("out", v_out).alias("lp_out"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("k").alias("n_bigrams"),
+        F.sum(F.col("lp_in") * F.col("k")).alias("s_in"),
+        F.sum(F.col("lp_out") * F.col("k")).alias("s_out"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            (F.col("s_out") - F.col("s_in")).cast("double")
+            / F.col("n_bigrams").cast("double"),
+            4,
+        ).alias("ced"),
+    )

@@ -151,3 +151,37 @@ def weighted_sample_topk(
         .orderBy(key.desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the k largest
+    Efraimidis-Spirakis keys WITHIN each group — "sample k docs per
+    language, proportional to quality/length", the per-domain quota
+    primitive with weighting that ``topk_per_group``'s deterministic
+    rank lacks. Same md5-derived uniforms as ``weighted_sample_topk``.
+
+    Scale: one shuffle on the group column; Spark pushes the rank<=k
+    filter into the window sort as a per-group TopK, so no task
+    materializes a full stratum sort output.
+    """
+    from pyspark.sql import Window as W
+
+    if k <= 0:
+        raise ValueError(f"k must be positive (got {k})")
+    hv = hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    u = (hv + 1).cast("double") / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = W.partitionBy(group_col).orderBy(key.desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(key, 6))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -8437,3 +8437,75 @@ def q_weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+@query("moore_lewis_served", oracle=ORACLES["moore_lewis_selection"])
+def q_moore_lewis_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis selection as it DEPLOYS (operators/lm_index.py::
+    moore_lewis_score_served): the in-domain (source 'src0') and
+    general (rest) bigram models each train ONCE into persisted
+    generation dirs (build_lm_model's atomic publish + metadata-only
+    staleness), and the pool scores against both frozen parquet model
+    tables — one doc-bigram agg + two vocab-sized joins, no corpus
+    pass at serve time. Same oracle as the fused moore_lewis_selection:
+    build/serve must be arithmetic-identical."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        lm_model_is_current,
+        moore_lewis_score_served,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    seed = docs_f.filter(F.col("source") == "src0")
+    pool = docs_f.filter(F.col("source") != "src0")
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    caches = []
+    for tag, train in (("in", seed), ("out", pool)):
+        cache = str(Path(tempfile.gettempdir()) / f"kds_ml_{tag}_{sf_tag}")
+        if not lm_model_is_current(train, cache, src_path=src):
+            build_lm_model(spark, train, cache, src_path=src)
+        caches.append(cache)
+    out = moore_lewis_score_served(spark, caches[0], caches[1], pool)
+    return out.orderBy("ced", "doc_id").limit(30)
+
+
+@query(
+    "weighted_sample_by_lang",
+    # per-stratum Efraimidis-Spirakis (operators/sampling.py::
+    # weighted_sample_per_group): 5 docs per language, weight = n_chars.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) + 1) / 4294967296.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, lang, n_chars, round(key, 6) AS es_key,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+                  AS BIGINT) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, es_key, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def q_weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample: 5 docs per language drawn with
+    probability proportional to n_chars (Efraimidis-Spirakis keys,
+    md5-deterministic) — the per-domain quota primitive with weighting
+    that plain topk_per_group lacks. One group shuffle; the rank<=k
+    filter pushes into the window sort as per-group TopK
+    (operators/sampling.py::weighted_sample_per_group)."""
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", k=5)

@@ -226,3 +226,48 @@ def test_trigram_model_staleness_and_rebuild(spark, corpus, tmp_path):
     assert lm_model_is_current(grown, path)
     # the new model actually serves (scores a doc without error)
     assert trigram_score(spark, path, corpus).count() == 3
+
+
+def test_moore_lewis_served_matches_fused_operator(spark, corpus, tmp_path):
+    """Scoring a pool against two persisted models must equal the fused
+    moore_lewis_scores(seed, pool) exactly — same add-one arithmetic,
+    same decimal contract (the pool model is trained on the pool itself,
+    mirroring the fused operator's construction)."""
+    from kafka_dbsync_spark.operators.corpus import moore_lewis_scores
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        moore_lewis_score_served,
+    )
+
+    pool = spark.createDataFrame(
+        [
+            (11, "the cat sat on the mat"),
+            (12, "zebra cat sat elsewhere now"),
+        ],
+        ["doc_id", "text"],
+    )
+    p_in, p_out = str(tmp_path / "in"), str(tmp_path / "out")
+    build_lm_model(spark, corpus, p_in)
+    build_lm_model(spark, pool, p_out)
+    served = sorted(
+        map(tuple, moore_lewis_score_served(spark, p_in, p_out, pool).collect())
+    )
+    inline = sorted(map(tuple, moore_lewis_scores(corpus, pool).collect()))
+    assert served == inline
+    assert served
+
+
+def test_moore_lewis_served_requires_both_models(spark, corpus, tmp_path):
+    import pytest
+
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        moore_lewis_score_served,
+    )
+
+    p_in = str(tmp_path / "in")
+    build_lm_model(spark, corpus, p_in)
+    with pytest.raises(FileNotFoundError, match="no complete LM model"):
+        moore_lewis_score_served(
+            spark, p_in, str(tmp_path / "missing"), corpus
+        )

@@ -505,3 +505,37 @@ def test_weighted_sample_topk_k_validation(spark):
     df = spark.createDataFrame([(1, 2)], "id long, w long")
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_topk(df, "id", "w", k=0)
+
+
+def test_weighted_sample_per_group_matches_direct_recomputation(spark):
+    """Per-group ES sample: exactly the k largest keys within each
+    group, ranks correct, zero-weight rows never qualify."""
+    import hashlib
+    import math
+
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(i, "g" + str(i % 3), (i * 17) % 7 + 1) for i in range(30)]
+    rows += [(100, "g0", 0)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+
+    def key(i, w):
+        hv = int(hashlib.md5(f":{i}".encode()).hexdigest()[:8], 16)
+        return math.log((hv + 1) / 2**32) / w
+
+    want = {}
+    for g in ("g0", "g1", "g2"):
+        members = sorted(
+            ((i, w) for i, g2, w in rows if g2 == g and w > 0),
+            key=lambda r: (-key(*r), r[0]),
+        )[:4]
+        want[g] = [(i, rk + 1) for rk, (i, _) in enumerate(members)]
+    got = weighted_sample_per_group(df, "grp", "id", "w", k=4).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["grp"], []).append((r["id"], r["rk"]))
+    assert {g: sorted(v, key=lambda x: x[1]) for g, v in by_group.items()} == want
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_per_group(df, "grp", "id", "w", k=-1)

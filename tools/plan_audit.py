@@ -131,6 +131,11 @@ SHUFFLE_BUDGET = {
     # disclosed, same pattern as dedup_incremental/ppl_buckets) and all
     # five consumers re-derive their explodes narrowly from it
     "weighted_sample_tokens": 0,    # narrow key arithmetic + TakeOrdered
+    "moore_lewis_served": 2,        # serve side only: doc-bigram agg +
+    # per-doc agg; both frozen models join broadcast at audit SF (same
+    # note as lm_perplexity_served re: a real vocabulary)
+    "weighted_sample_by_lang": 1,   # the one group shuffle; rank<=k
+    # pushes into the window sort as per-group TopK
     "dedup_span_rewrite": 5,        # positioned-shingle count-distinct
     # (expand: 2) + per-doc span-starts agg + doc join + parallelism
     # repartition; the rewrite itself is a narrow higher-order filter
