@@ -102,6 +102,11 @@ HEADLINE = [
     "moore_lewis_selection",
     "moore_lewis_served",
     "setsim_exact_join",
+    # composition + classification capstones: the v3 curation chain
+    # (ML select -> exact dedup -> per-lang weighted quota) and the
+    # C-fanned naive-Bayes domain classifier
+    "curation_pipeline_v3",
+    "nb_source_predict",
 ]
 
 

@@ -1080,3 +1080,84 @@ def moore_lewis_scores(
             4,
         ).alias("ced"),
     )
+
+
+def nb_domain_classify(
+    train: DataFrame,
+    score: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial naive-Bayes domain classification (the fastText-less
+    stand-in for the quality/domain classifiers every curation pipeline
+    runs — e.g. GPT-3/LLaMA's CommonCrawl-vs-reference classifier):
+    train per-class token likelihoods with add-one smoothing on a
+    labeled corpus, then label new documents with the argmax class of
+    ``ln prior + sum_tok k * ln p(tok|class)``.
+
+    Determinism: priors and likelihoods are exact integer ratios, their
+    logs 6-dp DECIMALs, so per-(doc, class) scores are EXACT decimal
+    sums — the argmax (score desc, class asc) is engine-portable even
+    at ties, no float-ordering hazard.
+
+    Scale: the model is (vocab x classes)-bound counts plus one prior
+    row per class — broadcastable; scoring explodes each doc's DISTINCT
+    tokens once and crosses them with the class list (a C-way fanout of
+    the token stream, the standard NB cost; C is small). One map-side-
+    combined (doc, token) agg, one (doc, class) agg, one per-doc argmax
+    window over C rows. No Python UDFs.
+
+    Returns (id_col, pred) — add the true label downstream for
+    confusion reporting.
+    """
+    from pyspark.sql import Window as W
+
+    toks_tr = train.select(
+        F.col(class_col).alias("cls"), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks_tr.groupBy("cls", "tok").agg(F.count("*").alias("ct"))
+    totals = counts.groupBy("cls").agg(F.sum("ct").alias("tc"))
+    vocab = counts.select("tok").distinct().agg(F.count("*").alias("V"))
+    priors = (
+        train.groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count("*").alias("nc"))
+        .crossJoin(F.broadcast(train.agg(F.count("*").alias("N"))))
+        .select(
+            "cls",
+            _decimal_log_sum(
+                F.col("nc").cast("double") / F.col("N").cast("double")
+            ).alias("lprior"),
+        )
+    )
+    dt = (
+        score.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    classes = totals.join(F.broadcast(vocab.crossJoin(priors.select("cls", "lprior"))), "cls")
+    fanned = (
+        dt.join(F.broadcast(classes.select("cls", "tc", "V")), how="cross")
+        .join(counts, ["cls", "tok"], "left")
+        .select(
+            id_col,
+            "cls",
+            "k",
+            _decimal_log_sum(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                / (F.col("tc") + F.col("V")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc_class = (
+        fanned.groupBy(id_col, "cls")
+        .agg(F.sum(F.col("lp") * F.col("k")).alias("s"))
+        .join(F.broadcast(priors), "cls")
+        .select(id_col, "cls", (F.col("s") + F.col("lprior")).alias("score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cls"))
+    return (
+        per_doc_class.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("cls").alias("pred"))
+    )

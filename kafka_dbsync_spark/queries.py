@@ -8509,3 +8509,207 @@ def q_weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars"
     )
     return weighted_sample_per_group(docs, "lang", "doc_id", "n_chars", k=5)
+
+
+@query(
+    "nb_source_predict",
+    # Multinomial naive-Bayes domain classification (operators/corpus.py::
+    # nb_domain_classify): train on even doc_ids, label the odd half.
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ),
+    tr AS (SELECT * FROM norm WHERE doc_id % 2 = 0),
+    sc AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+    toks_tr AS (SELECT source AS cls, unnest(t) AS tok FROM tr),
+    counts AS (SELECT cls, tok, count(*) AS ct FROM toks_tr GROUP BY cls, tok),
+    totals AS (SELECT cls, CAST(sum(ct) AS BIGINT) AS tc FROM counts GROUP BY cls),
+    vocab AS (SELECT count(DISTINCT tok) AS V FROM toks_tr),
+    priors AS (
+      SELECT cls,
+             CAST(round(ln(CAST(nc AS DOUBLE) / CAST(N AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lprior
+      FROM (SELECT source AS cls, count(*) AS nc FROM tr GROUP BY source),
+           (SELECT count(*) AS N FROM tr)
+    ),
+    dt AS (
+      SELECT doc_id, tok, count(*) AS k
+      FROM (SELECT doc_id, unnest(t) AS tok FROM sc) GROUP BY doc_id, tok
+    ),
+    fanned AS (
+      SELECT dt.doc_id, c.cls, dt.k,
+             CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                           / CAST(tc + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM dt CROSS JOIN totals c CROSS JOIN vocab
+           LEFT JOIN counts ON counts.cls = c.cls AND counts.tok = dt.tok
+    ),
+    pdc AS (SELECT doc_id, cls, sum(lp * k) AS s FROM fanned GROUP BY doc_id, cls),
+    scored AS (
+      SELECT pdc.doc_id, pdc.cls, s + lprior AS score
+      FROM pdc JOIN priors USING (cls)
+    ),
+    ranked AS (
+      SELECT doc_id, cls,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+      FROM scored
+    )
+    SELECT doc_id, cls AS pred FROM ranked WHERE rk = 1
+    """,
+)
+def q_nb_source_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain labeling at corpus scale: a multinomial naive-Bayes
+    classifier (the shape of GPT-3/LLaMA's quality classifier, modulo
+    fastText embeddings) trained on the even half of the corpus labels
+    the odd half. The model is (vocab x classes) count tables +
+    class priors (broadcastable); scoring is one (doc, token) agg
+    fanned C ways. EXACT decimal scores make the argmax
+    engine-portable even at ties
+    (operators/corpus.py::nb_domain_classify)."""
+    from kafka_dbsync_spark.operators.corpus import nb_domain_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    score = docs_f.filter(F.col("doc_id") % 2 == 1)
+    return nb_domain_classify(train, score)
+
+
+@query(
+    "curation_pipeline_v3",
+    # Full-stack composition of the round-7 operators: Moore-Lewis
+    # selection (200 most in-domain pool docs) -> exact prefix-filtered
+    # setsim dedup (drop docs near-dupping a lower id at J>=0.5) ->
+    # per-language ES weighted sample (3 per lang by n_chars).
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, lang, n_chars,
+             string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE {_SQL_NORM.format(c='text')} <> ''
+    ),
+    gi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM norm
+            WHERE source = 'src0' AND len(t) >= 2)
+    ),
+    go AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm
+            WHERE source <> 'src0' AND len(t) >= 2)
+    ),
+    c12i AS (SELECT w1, w2, count(*) AS n12i FROM gi GROUP BY w1, w2),
+    c1i  AS (SELECT w1, count(*) AS n1i FROM gi GROUP BY w1),
+    c12o AS (SELECT w1, w2, count(*) AS n12o FROM go GROUP BY w1, w2),
+    c1o  AS (SELECT w1, count(*) AS n1o FROM go GROUP BY w1),
+    vi AS (SELECT count(DISTINCT tok) AS V
+           FROM (SELECT unnest(t) AS tok FROM norm WHERE source = 'src0')),
+    vo AS (SELECT count(DISTINCT tok) AS V
+           FROM (SELECT unnest(t) AS tok FROM norm WHERE source <> 'src0')),
+    dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM go GROUP BY doc_id, w1, w2
+    ),
+    mls AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(coalesce(n12i, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(n1i, 0) + vi.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp_in,
+             CAST(round(ln(CAST(coalesce(n12o, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(n1o, 0) + vo.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp_out
+      FROM dg LEFT JOIN c12i USING (w1, w2) LEFT JOIN c1i USING (w1)
+              LEFT JOIN c12o USING (w1, w2) LEFT JOIN c1o USING (w1), vi, vo
+    ),
+    mlp AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             sum(lp_in * k) AS s_in, sum(lp_out * k) AS s_out
+      FROM mls GROUP BY doc_id
+    ),
+    sel AS (
+      SELECT doc_id,
+             round(CAST(s_out - s_in AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 4)
+               AS ced
+      FROM mlp ORDER BY ced, doc_id LIMIT 200
+    ),
+    seldocs AS (
+      SELECT norm.doc_id, lang, n_chars, ced, t FROM sel JOIN norm USING (doc_id)
+    ),
+    shd AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END) AS sh
+      FROM seldocs
+    ), sz AS (
+      SELECT doc_id, len(sh) AS s FROM shd
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS g FROM shd
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dup AS (
+      SELECT DISTINCT id_b FROM pr
+      JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id
+      WHERE floor(inter * 10000 / (sa.s + sb.s - inter)) >= 5000
+    ),
+    keyed AS (
+      SELECT doc_id, lang, n_chars, ced,
+             ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+                 (a, b) -> a * 16 + b) + 1) / 4294967296.0) / n_chars AS key
+      FROM seldocs
+      WHERE n_chars > 0 AND doc_id NOT IN (SELECT id_b FROM dup)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, ced, round(key, 6) AS es_key,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+                  AS BIGINT) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, ced, es_key, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 operators composed as one curation pass over a raw
+    pool: (1) Moore-Lewis cross-entropy difference against the 'src0'
+    seed keeps the 200 most in-domain docs; (2) the EXACT
+    prefix-filtered set-similarity join removes every doc that
+    near-dups (J >= 0.5) a lower-id survivor; (3) per-language
+    Efraimidis-Spirakis sampling draws 3 docs per language
+    proportional to length. Stage handoffs localCheckpoint (the
+    in-session stand-in for the materialized inter-stage tables a real
+    pipeline writes), so no stage's lineage re-derives another's.
+    The oracle replays the whole stack, so the driver's value-hash
+    match gates the COMPOSITION, not just the parts."""
+    from kafka_dbsync_spark.operators.corpus import moore_lewis_scores
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+    from kafka_dbsync_spark.operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    seed = docs_f.filter(F.col("source") == "src0")
+    pool = docs_f.filter(F.col("source") != "src0")
+    sel = (
+        moore_lewis_scores(seed, pool)
+        .orderBy("ced", "doc_id")
+        .limit(200)
+        .select("doc_id", "ced")
+    )
+    selected = (
+        sel.join(docs_f.select("doc_id", "lang", "n_chars", "text"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = setsim_prefix_join(selected, "doc_id", "text", k=3, threshold=0.5)
+    survivors = selected.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    out = weighted_sample_per_group(
+        survivors.drop("text"), "lang", "doc_id", "n_chars", k=3
+    )
+    return out.select("doc_id", "lang", "n_chars", "ced", "es_key", "rk")

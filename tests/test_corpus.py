@@ -519,3 +519,30 @@ def test_moore_lewis_matches_hand_computation(spark):
         return round(lp_out - lp_in, 4)
 
     assert got == {1: ced(2, 2, 1, 1), 2: ced(0, 0, 1, 1)}
+
+
+def test_nb_domain_classify_separable_and_tie_break(spark):
+    """Clearly separable classes classify correctly; an all-OOV doc with
+    symmetric models lands on the lexicographically first class (exact
+    decimal scores make the tie deterministic, not float luck)."""
+    from kafka_dbsync_spark.operators.corpus import nb_domain_classify
+
+    train = spark.createDataFrame(
+        [
+            (1, "a", "apple banana apple banana"),
+            (2, "b", "zebra yak zebra yak"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (11, "apple banana"),      # -> a
+            (12, "yak zebra yak"),     # -> b
+            (13, "qqq rrr"),           # all-OOV, symmetric -> tie -> a
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["pred"] for r in nb_domain_classify(train, score).collect()
+    }
+    assert got == {11: "a", 12: "b", 13: "a"}

@@ -136,6 +136,15 @@ SHUFFLE_BUDGET = {
     # note as lm_perplexity_served re: a real vocabulary)
     "weighted_sample_by_lang": 1,   # the one group shuffle; rank<=k
     # pushes into the window sort as per-group TopK
+    "nb_source_predict": 11,        # corpus-sized: ONE train-token agg
+    # (totals + vocab fold from it, exchanges REUSED) + one score-token
+    # agg + the C-fanned per-(doc,class) agg + per-doc argmax window;
+    # the rest are vocab- or class-sized model folds and scalar priors
+    "curation_pipeline_v3": 6,      # returned plan: the survivor
+    # anti-join + per-lang TopK window over the 200-doc checkpoint;
+    # the Moore-Lewis selection and setsim dedup stages materialize at
+    # construction (eager localCheckpoint stage handoffs — disclosed,
+    # same pattern as curation_pipeline_v2/dedup_incremental)
     "dedup_span_rewrite": 5,        # positioned-shingle count-distinct
     # (expand: 2) + per-doc span-starts agg + doc join + parallelism
     # repartition; the rewrite itself is a narrow higher-order filter
