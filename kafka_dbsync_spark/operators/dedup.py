@@ -684,6 +684,13 @@ def setsim_prefix_join(
     tight there and that row always survives (an epsilon keeps float
     boundaries conservative). No Python UDFs; the per-doc prefix sort
     is a narrow ``sort_array`` over that document's own shingles.
+
+    Honest bound: an EXACT join is output-bound — a corpus where k
+    docs are mutual near-dups has k(k-1)/2 TRUE pairs and every
+    complete algorithm must emit them (measured in SCALE_TREND_r07:
+    10x-replicated data grows true pairs 296x, wall only 27x). When
+    only cluster membership is needed downstream, feed these pairs to
+    connected_components instead of materializing the full pair list.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
