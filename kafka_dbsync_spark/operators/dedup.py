@@ -685,23 +685,46 @@ def setsim_prefix_join(
     boundaries conservative). No Python UDFs; the per-doc prefix sort
     is a narrow ``sort_array`` over that document's own shingles.
 
-    Honest bound: an EXACT join is output-bound — a corpus where k
-    docs are mutual near-dups has k(k-1)/2 TRUE pairs and every
-    complete algorithm must emit them (measured in SCALE_TREND_r07:
-    10x-replicated data grows true pairs 296x, wall only 27x). When
-    only cluster membership is needed downstream, feed these pairs to
-    connected_components instead of materializing the full pair list.
+    CLONE COLLAPSE — the clone-heavy-corpus guard: documents with
+    IDENTICAL shingle sets first collapse to one representative
+    (md5-of-sorted-set groupBy, the same digest-equality contract as
+    dedup_exact), the pairwise machinery runs on representatives only,
+    and member pairs expand back through flat joins at the end (every
+    intra-clone pair has Jaccard exactly 1; every cross-clone pair
+    shares its representatives' score). Web crawls ARE clone-heavy —
+    boilerplate and mirrored pages form clone groups of thousands, and
+    without the collapse each group of size m inflates every candidate
+    bucket m-fold (m² pair rows before verification). Measured: the
+    10x-replicated bench corpus (every doc 10 verbatim copies) went
+    203 s -> seconds at sf1 with identical output.
+
+    Honest bound: an EXACT join is still output-bound — k mutual
+    near-dups have k(k-1)/2 TRUE pairs and every complete algorithm
+    must emit them. When only cluster membership is needed downstream,
+    feed these pairs to connected_components instead of materializing
+    the full pair list.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
-    # the per-doc shingle-set table feeds FIVE consumers (df counts,
-    # prefix assembly, both candidate-join sides, verification) —
+    # the per-doc shingle-set table feeds everything downstream —
     # materialize it once (eager localCheckpoint, the in-session
     # stand-in for the shingle table a 100 TB deployment writes once)
     # and let each consumer re-derive its explode narrowly from it
-    sh = (
+    all_sh = (
         with_shingles(df, text_col, k)
-        .select(F.col(id_col), F.array_distinct("shingles").alias("sh"))
+        .select(
+            F.col(id_col),
+            F.array_distinct("shingles").alias("sh"),
+        )
+        .withColumn("sk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
+        .localCheckpoint(eager=True)
+    )
+    members = all_sh.select(id_col, "sk")
+    # one representative per identical-set group (any member's sh IS
+    # the set); checkpointed too — it feeds four downstream consumers
+    sh = (
+        all_sh.groupBy("sk")
+        .agg(F.min(id_col).alias(id_col), F.first("sh").alias("sh"))
         .localCheckpoint(eager=True)
     )
     exploded = sh.select(
@@ -782,8 +805,44 @@ def setsim_prefix_join(
     jac_bp = F.floor(
         F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))
     )
-    return (
+    rep_pairs = (
         inter.withColumn("jaccard_bp", jac_bp)
         .filter(F.col("jaccard_bp") >= int(threshold * 10000))
         .select("id_a", "id_b", "jaccard_bp")
     )
+    # expand representative pairs back to members, all flat joins:
+    # (a) cross-clone pairs inherit their representatives' score;
+    # (b) intra-clone pairs are identical sets -> Jaccard exactly 1,
+    #     qualifying at any threshold <= 1
+    rk = sh.select(F.col(id_col).alias("__rid"), "sk")
+    cross = (
+        rep_pairs.join(
+            rk.select(F.col("__rid").alias("id_a"), F.col("sk").alias("sk_a")),
+            "id_a",
+        )
+        .join(
+            rk.select(F.col("__rid").alias("id_b"), F.col("sk").alias("sk_b")),
+            "id_b",
+        )
+        .join(
+            members.select(F.col("sk").alias("sk_a"), F.col(id_col).alias("ma")),
+            "sk_a",
+        )
+        .join(
+            members.select(F.col("sk").alias("sk_b"), F.col(id_col).alias("mb")),
+            "sk_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard_bp",
+        )
+    )
+    m_a = members.select("sk", F.col(id_col).alias("id_a"))
+    m_b = members.select("sk", F.col(id_col).alias("id_b"))
+    intra = (
+        m_a.join(m_b, "sk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(10000).cast("bigint").alias("jaccard_bp"))
+    )
+    return cross.unionByName(intra)

@@ -125,11 +125,12 @@ SHUFFLE_BUDGET = {
     # (dg exchange REUSED) + c1_out + per-doc agg; seed: c12/c1; one
     # countDistinct V pair per side (2 exch each). All model tables
     # vocab-sized and broadcast; only dg/c1_out/per-doc are corpus-sized
-    "setsim_exact_join": 3,         # df-counts agg + prefix assembly +
-    # count-join verify agg in the returned plan; the per-doc shingle
-    # table materializes ONCE at construction (eager localCheckpoint —
-    # disclosed, same pattern as dedup_incremental/ppl_buckets) and all
-    # five consumers re-derive their explodes narrowly from it
+    "setsim_exact_join": 5,         # df-counts agg + prefix assembly +
+    # count-join verify agg + the two member-expansion joins of the
+    # clone collapse; the shingle and representative tables materialize
+    # ONCE at construction (eager localCheckpoint — disclosed, same
+    # pattern as dedup_incremental/ppl_buckets) and consumers re-derive
+    # their explodes narrowly from them
     "weighted_sample_tokens": 0,    # narrow key arithmetic + TakeOrdered
     "moore_lewis_served": 2,        # serve side only: doc-bigram agg +
     # per-doc agg; both frozen models join broadcast at audit SF (same
@@ -140,7 +141,7 @@ SHUFFLE_BUDGET = {
     # (totals + vocab fold from it, exchanges REUSED) + one score-token
     # agg + the C-fanned per-(doc,class) agg + per-doc argmax window;
     # the rest are vocab- or class-sized model folds and scalar priors
-    "curation_pipeline_v3": 6,      # returned plan: the survivor
+    "curation_pipeline_v3": 8,      # returned plan: the survivor
     # anti-join + per-lang TopK window over the 200-doc checkpoint;
     # the Moore-Lewis selection and setsim dedup stages materialize at
     # construction (eager localCheckpoint stage handoffs — disclosed,
