@@ -539,3 +539,44 @@ def test_weighted_sample_per_group_matches_direct_recomputation(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_per_group(df, "grp", "id", "w", k=-1)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=7),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+@SETTINGS
+def test_setsim_prefix_join_complete_on_random_corpora(spark, docs, threshold):
+    """Randomized completeness: on tiny-vocab corpora (maximal shingle
+    collisions, verbatim clones likely) the prefix-filtered join must
+    equal brute-force all-pairs Jaccard at every threshold — the
+    prefix, positional, length, and clone-collapse optimizations may
+    only prune work, never pairs."""
+    from kafka_dbsync_spark.operators.dedup import (
+        jaccard_pairs,
+        setsim_prefix_join,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            setsim_prefix_join(df, "doc_id", "text", 3, threshold).collect(),
+        )
+    )
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a, _ in rows for b, _ in rows if a < b],
+        "id_a long, id_b long",
+    )
+    want = sorted(
+        map(
+            tuple,
+            jaccard_pairs(df, all_pairs, "doc_id", "text", 3, threshold).collect(),
+        )
+    )
+    assert got == want
