@@ -716,6 +716,11 @@ def setsim_prefix_join(
             F.col(id_col),
             F.array_distinct("shingles").alias("sh"),
         )
+        # NULL-text docs shingle to [NULL]: a NULL join key can never
+        # match, so they pair with nothing — but concat_ws SKIPS nulls,
+        # which would clone-group them with EMPTY-text docs ([''])
+        # under md5(""). Drop them here to keep the no-pairs contract.
+        .filter(F.exists("sh", lambda x: x.isNotNull()))
         .withColumn("sk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
         .localCheckpoint(eager=True)
     )

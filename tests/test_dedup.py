@@ -393,3 +393,20 @@ def test_setsim_prefix_join_short_docs_whole_text_shingle(spark):
         map(tuple, setsim_prefix_join(docs, "doc_id", "text", 3, 0.9).collect())
     )
     assert got == [(1, 2, 10000)]
+
+
+def test_setsim_prefix_join_null_vs_empty_text(spark):
+    """NULL-text docs pair with NOTHING (their only shingle is a NULL
+    join key — and the clone collapse must not group them with
+    empty-text docs just because concat_ws skips nulls); EMPTY-text
+    docs are genuinely identical sets and pair at Jaccard 1."""
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "real words here now")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, setsim_prefix_join(docs, "doc_id", "text", 3, 0.5).collect())
+    )
+    assert got == [(3, 4, 10000)]
