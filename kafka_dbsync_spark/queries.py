@@ -8713,3 +8713,154 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.drop("text"), "lang", "doc_id", "n_chars", k=3
     )
     return out.select("doc_id", "lang", "n_chars", "ced", "es_key", "rk")
+
+
+# ===========================================================================
+# Round-7 additions V: the last TPC-H plan shapes (Q9/Q11/Q15 adapted
+# to the available columns — no partsupp table, so Q11's stock value
+# becomes revenue share and Q9's supplycost margin becomes revenue)
+# ===========================================================================
+@query(
+    "important_parts",
+    # TPC-H Q11 SHAPE: per-group value vs a scalar-subquery threshold
+    # (parts whose revenue exceeds 1.5x the average part's share).
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4)) * 10000) AS BIGINT) AS rev4
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT sum(rev4) AS tot, count(*) AS np FROM r)
+    SELECT r.l_partkey AS partkey, p.p_brand,
+           CAST(rev4 // 10000 AS BIGINT) AS revenue_i
+    FROM r JOIN part p ON r.l_partkey = p.p_partkey, t
+    WHERE rev4 * np * 10 > tot * 15
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped 'important stock': parts whose revenue exceeds
+    1.5x the average traded part's share — one per-part aggregate plus
+    a scalar total folded from it (the static plan re-derives the agg
+    for the total branch; AQE reuses the exchange at runtime — same
+    pattern as hot_key_report), exact BIGINT threshold arithmetic on
+    4-dp-scaled decimal revenue (rev4*np stays exact to ~1e15 scaled
+    units; cents cannot flip the comparison). part broadcasts for the
+    brand label."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev4 = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        * F.lit(10000)
+    ).cast("long")
+    r = li.groupBy("l_partkey").agg(rev4.alias("rev4"))
+    t = r.agg(F.sum("rev4").alias("tot"), F.count("*").alias("np"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("rev4") * F.col("np") * 10 > F.col("tot") * 15)
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "p_brand",
+            F.expr("rev4 div 10000").cast("long").alias("revenue_i"),
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    # TPC-H Q15 SHAPE: windowed revenue view + keep the max-revenue
+    # supplier(s) via a scalar max (ties all surface, no LIMIT races).
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4)) * 10000) AS BIGINT) AS rev4
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    ), m AS (SELECT max(rev4) AS mx FROM r)
+    SELECT s.s_suppkey, s.s_name, CAST(rev4 // 10000 AS BIGINT) AS revenue_i
+    FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey, m
+    WHERE rev4 = mx
+    """,
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier
+    (the shipdate filter pushes to the scan), the scalar max folded
+    from the same aggregate (statically re-derived, AQE-reused at
+    runtime), equality keeps ALL tied winners — exact BIGINT revenue
+    so ties are real ties, not float accidents. supplier broadcasts
+    for the name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev4 = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        * F.lit(10000)
+    ).cast("long")
+    r = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(rev4.alias("rev4"))
+    )
+    m = r.agg(F.max("rev4").alias("mx"))
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("rev4") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("rev4 div 10000").cast("long").alias("revenue_i"),
+        )
+    )
+
+
+@query(
+    "nation_year_profit",
+    # TPC-H Q9 SHAPE: multi-dimension join (lineitem x part x supplier
+    # x nation) + (nation, year) rollup, filtered to one part type.
+    oracle="""
+    SELECT n.n_name, CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS yr,
+           -- BIGINT cast FIRST (the 4-dp-scaled sum is integer-valued,
+           -- so the cast is exact), then integer floor-div: DuckDB's
+           -- // on a DECIMAL operand is plain division, and a final
+           -- BIGINT cast would ROUND the .505 tail up
+           CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4)) * 10000) AS BIGINT) // 10000
+                AS BIGINT) AS profit_i
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'STANDARD'
+    GROUP BY n.n_name, CAST(strftime(l.l_shipdate, '%Y') AS BIGINT)
+    """,
+)
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: revenue for one part type grouped
+    by supplier nation x ship year. All three dimension tables
+    broadcast (part/supplier/nation are dimensions at any scale); the
+    fact table pays one scan and one (nation, year) aggregate —
+    map-side combined, 25 x years groups. Decimal-exact 4-dp revenue
+    folded to whole units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev4 = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        * F.lit(10000)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(rev4.alias("rev4"))
+        .select(
+            "n_name", "yr", F.expr("rev4 div 10000").cast("long").alias("profit_i")
+        )
+    )

@@ -141,6 +141,13 @@ SHUFFLE_BUDGET = {
     # (totals + vocab fold from it, exchanges REUSED) + one score-token
     # agg + the C-fanned per-(doc,class) agg + per-doc argmax window;
     # the rest are vocab- or class-sized model folds and scalar priors
+    "important_parts": 3,           # per-part agg + its re-derivation
+    # feeding the scalar total + the total's SinglePartition exchange
+    # (AQE reuses the shared agg at runtime — hot_key_report pattern)
+    "top_revenue_supplier": 3,      # same shape: per-supplier agg +
+    # re-derived branch feeding the scalar max + its exchange
+    "nation_year_profit": 1,        # one (nation, year) fact agg; all
+    # three dimension joins broadcast
     "curation_pipeline_v3": 8,      # returned plan: the survivor
     # anti-join + per-lang TopK window over the 200-doc checkpoint;
     # the Moore-Lewis selection and setsim dedup stages materialize at
