@@ -23,13 +23,13 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # front-loads (a) the 11 queries new in round 7's first half
 # (token_budget_selection / ppl_buckets_by_lang /
 # token_budget_admission / quality_drift_psi / ppl_buckets_lang_models
-# / drift_monitor_series / streaming_curation_gate) plus the 15 added
+# / drift_monitor_series / streaming_curation_gate) plus the 16 added
 # in its second half (lm_trigram_backoff / lm_trigram_served /
 # hard_negative_mining / embedding_drift_psi / dedup_span_rewrite /
 # moore_lewis_selection / moore_lewis_served / setsim_exact_join /
 # weighted_sample_tokens / weighted_sample_by_lang / nb_source_predict
 # / curation_pipeline_v3 / important_parts / top_revenue_supplier /
-# nation_year_profit) plus the 4 queries whose
+# nation_year_profit / lsh_dedup_recall) plus the 4 queries whose
 # code or semantics changed this round (the localCheckpoint rewrite of
 # ppl_buckets / curation_pipeline_v2 with driver-side histogram cut
 # points; the reserved-seed-namespace change under ingest_quality_gate;
@@ -38,7 +38,8 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # 3, then (c) the oldest round-4 rows in registration order. That
 # fills 50 exactly; after this gate no query's newest driver row is
 # older than round 4 (the remaining r4 rows — now including
-# dlq_records / cdc_op_counts / cdc_route_stats / iidr_ts_normalize /
+# cdc_corrupt_events / dlq_records / cdc_op_counts / cdc_route_stats /
+# iidr_ts_normalize /
 # type_coercion / cdc_backfill_then_stream / table_profile /
 # scd2_history / envelope_unwrap / top_customers / events_hourly /
 # events_sessionize / asof_join / local_supplier_revenue /
@@ -58,6 +59,7 @@ _DRIVER_PRIORITY: list[str] = [
     "important_parts",
     "top_revenue_supplier",
     "nation_year_profit",
+    "lsh_dedup_recall",
     "hard_negative_mining",
     "embedding_drift_psi",
     "dedup_span_rewrite",
@@ -95,9 +97,8 @@ _DRIVER_PRIORITY: list[str] = [
     "winnowing_fingerprints",
     "skipping_index",
     "bloom_decontaminate",
-    # (c) oldest round-4 rows, registration order (first 2)
+    # (c) oldest round-4 row, registration order (first 1)
     "cdc_final_state",
-    "cdc_corrupt_events",
 ]
 
 

@@ -8864,3 +8864,69 @@ def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", "yr", F.expr("rev4 div 10000").cast("long").alias("profit_i")
         )
     )
+
+
+@query(
+    "lsh_dedup_recall",
+    # Dedup-method evaluation (the dedup twin of ann_recall_report):
+    # verified-LSH pairs measured against the EXACT prefix-filtered
+    # join as ground truth at the same threshold. Verification makes
+    # precision 1 by construction; the number that matters is recall.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+      FROM ({_SQL_PLANTED})
+    ), shd AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM t
+    ), sz AS (
+      SELECT doc_id, len(sh) AS s FROM shd
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS g FROM shd
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT count(*) AS n_true
+      FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+      WHERE floor(inter * 10000 / (sa.s + sb.s - inter)) >= 5000
+    ), found AS (
+      SELECT count(*) AS n_found FROM ({_sql_ngram_jaccard()})
+    )
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_found * 10000 // n_true AS BIGINT) AS recall_bp
+    FROM truth, found
+    """,
+)
+def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does the fast dedup path give up? The verified
+    MinHash-LSH pipeline (ngram_jaccard_dedup's exact shape) scored
+    against the EXACT prefix-filtered set-similarity join at the same
+    threshold: verified pairs are a subset of the truth (verification
+    is exact), so precision is 1 by construction and the report is
+    (n_true, n_found, recall_bp). This is the measurement behind every
+    'LSH trades recall' claim in the dedup docstrings — and the dedup
+    twin of ann_recall_report."""
+    from kafka_dbsync_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        setsim_prefix_join,
+    )
+
+    docs = _planted_docs(spark, sf_dir)
+    truth = setsim_prefix_join(docs, "doc_id", "text", k=3, threshold=0.5)
+    cand = minhash_lsh_candidates(docs, "doc_id", "text", 8, 2)
+    found = jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.5)
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    return n_true.crossJoin(n_found).select(
+        "n_true",
+        "n_found",
+        F.expr("(n_found * 10000) div n_true").cast("long").alias("recall_bp"),
+    )

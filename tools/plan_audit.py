@@ -141,6 +141,9 @@ SHUFFLE_BUDGET = {
     # (totals + vocab fold from it, exchanges REUSED) + one score-token
     # agg + the C-fanned per-(doc,class) agg + per-doc argmax window;
     # the rest are vocab- or class-sized model folds and scalar priors
+    "lsh_dedup_recall": 11,         # two independent pair pipelines
+    # (exact join's post-checkpoint stages + the LSH candidate/verify
+    # shape) each ending in a scalar count; metadata-sized cross join
     "important_parts": 3,           # per-part agg + its re-derivation
     # feeding the scalar total + the total's SinglePartition exchange
     # (AQE reuses the shared agg at runtime — hot_key_report pattern)
