@@ -710,28 +710,41 @@ def setsim_prefix_join(
     # materialize it once (eager localCheckpoint, the in-session
     # stand-in for the shingle table a 100 TB deployment writes once)
     # and let each consumer re-derive its explode narrowly from it
+    # NULL-text docs shingle to [NULL]: a NULL join key can never
+    # match, so they pair with nothing — but concat_ws SKIPS nulls,
+    # which would clone-group them with EMPTY-text docs ([''])
+    # under md5(""). Drop them at the SOURCE (pushes to the scan; an
+    # exists() filter on the shingle array instead gets pushed below
+    # the projection and re-evaluates the whole shingle transform
+    # per row — measured 9x the cost).
     all_sh = (
-        with_shingles(df, text_col, k)
+        with_shingles(df.filter(F.col(text_col).isNotNull()), text_col, k)
         .select(
             F.col(id_col),
             F.array_distinct("shingles").alias("sh"),
         )
-        # NULL-text docs shingle to [NULL]: a NULL join key can never
-        # match, so they pair with nothing — but concat_ws SKIPS nulls,
-        # which would clone-group them with EMPTY-text docs ([''])
-        # under md5(""). Drop them here to keep the no-pairs contract.
-        .filter(F.exists("sh", lambda x: x.isNotNull()))
         .withColumn("sk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
         .localCheckpoint(eager=True)
     )
     members = all_sh.select(id_col, "sk")
-    # one representative per identical-set group (any member's sh IS
-    # the set); checkpointed too — it feeds four downstream consumers
-    sh = (
-        all_sh.groupBy("sk")
-        .agg(F.min(id_col).alias(id_col), F.first("sh").alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    # adaptive: one cheap aggregate over the checkpointed table decides
+    # whether any clones exist at all — a clone-free corpus (the common
+    # case once upstream exact-dedup ran) skips the representative
+    # shuffle, the second checkpoint, AND the member-expansion joins
+    stats = all_sh.agg(
+        F.count("*").alias("n"), F.countDistinct("sk").alias("ns")
+    ).collect()[0]
+    has_clones = stats["n"] != stats["ns"]
+    if has_clones:
+        # one representative per identical-set group (any member's sh
+        # IS the set); checkpointed too — four downstream consumers
+        sh = (
+            all_sh.groupBy("sk")
+            .agg(F.min(id_col).alias(id_col), F.first("sh").alias("sh"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        sh = all_sh  # every doc is its own representative
     exploded = sh.select(
         id_col, F.size("sh").alias("s"), F.explode("sh").alias("g")
     )
@@ -815,6 +828,8 @@ def setsim_prefix_join(
         .filter(F.col("jaccard_bp") >= int(threshold * 10000))
         .select("id_a", "id_b", "jaccard_bp")
     )
+    if not has_clones:
+        return rep_pairs  # expansion would be the identity
     # expand representative pairs back to members, all flat joins:
     # (a) cross-clone pairs inherit their representatives' score;
     # (b) intra-clone pairs are identical sets -> Jaccard exactly 1,

@@ -126,11 +126,12 @@ SHUFFLE_BUDGET = {
     # countDistinct V pair per side (2 exch each). All model tables
     # vocab-sized and broadcast; only dg/c1_out/per-doc are corpus-sized
     "setsim_exact_join": 5,         # df-counts agg + prefix assembly +
-    # count-join verify agg + the two member-expansion joins of the
-    # clone collapse; the shingle and representative tables materialize
-    # ONCE at construction (eager localCheckpoint — disclosed, same
-    # pattern as dedup_incremental/ppl_buckets) and consumers re-derive
-    # their explodes narrowly from them
+    # count-join verify agg (3 — what a clone-free audit corpus shows,
+    # the adaptive fast path) plus up to two member-expansion joins
+    # when clones exist; the shingle and representative tables
+    # materialize ONCE at construction (eager localCheckpoint —
+    # disclosed, same pattern as dedup_incremental/ppl_buckets) and
+    # consumers re-derive their explodes narrowly from them
     "weighted_sample_tokens": 0,    # narrow key arithmetic + TakeOrdered
     "moore_lewis_served": 2,        # serve side only: doc-bigram agg +
     # per-doc agg; both frozen models join broadcast at audit SF (same
