@@ -834,6 +834,12 @@ def histogram_cut_values(
             f"{bin_decimals}-decimal bins; coarsen bin_decimals (each "
             "step divides the bin count by 10) or raise max_bins"
         )
+    if any(r["bin"] is None for r in hist):
+        raise ValueError(
+            "NULL score bin in histogram (a NULL score column value, "
+            "e.g. from a NULL-text document); filter or score NULLs "
+            "upstream — a fraction cut over NULL bins is undefined"
+        )
     pairs = sorted((r["bin"], r["c"]) for r in hist)
     n = sum(c for _, c in pairs)
     out: list[int | None] = []
@@ -879,6 +885,12 @@ def grouped_histogram_cut_values(
         raise ValueError(
             f"(group, bin) histogram exceeds max_rows={max_rows}; "
             "coarsen bin_decimals or raise max_rows"
+        )
+    if any(r[group_col] is None or r["bin"] is None for r in hist):
+        raise ValueError(
+            f"NULL {group_col} or score bin in grouped histogram; "
+            "filter or score NULLs upstream — the driver-side fold "
+            "cannot order NULL against integer bins"
         )
     by_group: dict = {}
     for r in hist:
@@ -943,6 +955,12 @@ def grouped_budget_cut_values(
         raise ValueError(
             f"(group, bin) histogram exceeds max_rows={max_rows}; "
             "coarsen the bin column or raise max_rows"
+        )
+    if any(r[group_col] is None or r[bin_col] is None for r in hist):
+        raise ValueError(
+            f"NULL {group_col} or {bin_col} in grouped weighted "
+            "histogram; filter or bin NULLs upstream — the driver-side "
+            "fold cannot order NULL against integer bins"
         )
     by_group: dict = {}
     for r in hist:

@@ -681,9 +681,15 @@ def setsim_prefix_join(
     J >= t needs overlap >= t/(1+t)*(|A|+|B|); rows under the bound
     are dropped. Complete, because a qualifying pair's FIRST shared
     prefix element has no shared elements before it, so the bound is
-    tight there and that row always survives (an epsilon keeps float
-    boundaries conservative). No Python UDFs; the per-doc prefix sort
-    is a narrow ``sort_array`` over that document's own shingles.
+    tight there and that row always survives. Every filter (length,
+    prefix slice, positional) runs in EXACT integer basis-point
+    arithmetic against the same ``tbp = int(threshold * 10000)``
+    contract the verifier enforces — no float threshold ever touches
+    a pruning comparison, so a pair exactly at the bp boundary can
+    never be pruned by a filter yet accepted by the verifier (the
+    double for e.g. 0.34 rounds UP, so ``t * s`` float arithmetic
+    would over-prune). No Python UDFs; the per-doc prefix sort is a
+    narrow ``sort_array`` over that document's own shingles.
 
     CLONE COLLAPSE — the clone-heavy-corpus guard: documents with
     IDENTICAL shingle sets first collapse to one representative
@@ -706,6 +712,9 @@ def setsim_prefix_join(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1] (got {threshold})")
+    # the ONE threshold contract, shared by every filter and the
+    # verifier: Jaccard qualifies iff floor(inter*1e4/union) >= tbp
+    tbp = int(threshold * 10000)
     # the per-doc shingle-set table feeds everything downstream —
     # materialize it once (eager localCheckpoint, the in-session
     # stand-in for the shingle table a 100 TB deployment writes once)
@@ -766,9 +775,15 @@ def setsim_prefix_join(
                 F.slice(
                     F.col("ordered.g"),
                     1,
+                    # |s| - ceil(tbp*|s|/1e4) + 1, exact integer ceil:
+                    # a qualifying pair has inter*1e4 >= tbp*union and
+                    # union >= |s|, so inter >= ceil(tbp*|s|/1e4)
                     (
                         F.col("s")
-                        - F.ceil(F.lit(threshold) * F.col("s"))
+                        - F.floor(
+                            (F.col("s") * F.lit(tbp) + F.lit(9999))
+                            / F.lit(10000)
+                        )
                         + 1
                     ).cast("int"),
                 )
@@ -786,21 +801,22 @@ def setsim_prefix_join(
     ubound = F.lit(1) + F.least(
         F.col("sa") - F.col("pa"), F.col("sb") - F.col("pb")
     )
-    required = (
-        F.lit(threshold)
-        * (F.col("sa") + F.col("sb")).cast("double")
-        / F.lit(1.0 + threshold)
-    )
     cand = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: Jaccard >= t forces t*max <= min of the sizes
+        # length filter in exact bp: qualifying forces
+        # floor(min*1e4/max) >= tbp, i.e. min*1e4 >= tbp*max
         .filter(
-            F.least("sa", "sb").cast("double")
-            >= F.lit(threshold) * F.greatest("sa", "sb").cast("double")
+            F.least("sa", "sb") * F.lit(10000)
+            >= F.lit(tbp) * F.greatest("sa", "sb")
         )
-        # positional filter (epsilon-conservative on float boundaries)
-        .filter(ubound.cast("double") + F.lit(1e-9) >= required)
+        # positional filter in exact bp: inter*1e4 >= tbp*union with
+        # union = sa+sb-inter gives inter*(1e4+tbp) >= tbp*(sa+sb);
+        # a surviving pair needs the overlap upper bound to allow it
+        .filter(
+            ubound * F.lit(10000 + tbp)
+            >= F.lit(tbp) * (F.col("sa") + F.col("sb"))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -825,7 +841,7 @@ def setsim_prefix_join(
     )
     rep_pairs = (
         inter.withColumn("jaccard_bp", jac_bp)
-        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+        .filter(F.col("jaccard_bp") >= tbp)
         .select("id_a", "id_b", "jaccard_bp")
     )
     if not has_clones:

@@ -42,16 +42,37 @@ def _committed(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
+def _checked_bin(bin_col: str, n_bins: int):
+    """Bin-domain contract enforcement (the domain join would otherwise
+    silently DROP out-of-domain rows from n_cur/n_ref — understating
+    PSI exactly when an upstream binning bug should make it alarm): a
+    NULL bin raises (broken binning contract, not evidence of drift);
+    an out-of-domain bin clamps into the nearest EDGE bin, so a binning
+    shift moves probability mass to the edge and the PSI rises."""
+    b = F.col(bin_col)
+    checked = F.when(b.isNotNull(), b.cast("long")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"NULL {bin_col} in drift histogram: the caller owns "
+                "the binning contract; bin or filter NULLs upstream"
+            )
+        )
+    )
+    return F.least(F.greatest(checked, F.lit(0)), F.lit(n_bins - 1))
+
+
 def _histogram(
     df: DataFrame, group_col: str, bin_col: str, n_bins: int,
     spark: SparkSession,
 ) -> DataFrame:
     """(group, bin, k) over the FIXED domain [0, n_bins) — observed
     groups x all bins, zero-filled (the fixed domain is generated, not
-    collected)."""
-    cnt = df.groupBy(group_col, bin_col).agg(F.count("*").alias("k"))
+    collected). Bin values outside the domain clamp to the edges via
+    :func:`_checked_bin`; NULL bins raise."""
+    src = df.select(group_col, _checked_bin(bin_col, n_bins).alias(bin_col))
+    cnt = src.groupBy(group_col, bin_col).agg(F.count("*").alias("k"))
     dom = (
-        df.select(group_col).distinct()
+        src.select(group_col).distinct()
         .crossJoin(spark.range(0, n_bins).select(F.col("id").alias(bin_col)))
     )
     return (
@@ -177,6 +198,9 @@ def psi_over_fixed_bins(
     Returns (group_col, psi, n_ref, n_cur).
     """
     spark = assign.sparkSession
+    assign = assign.select(
+        group_col, _checked_bin(bin_col, n_bins).alias(bin_col), win_col
+    )
     cnt = assign.groupBy(group_col, bin_col).agg(
         F.sum(F.when(F.col(win_col) == 0, 1).otherwise(0)).alias("k_ref"),
         F.sum(F.when(F.col(win_col) == 1, 1).otherwise(0)).alias("k_cur"),

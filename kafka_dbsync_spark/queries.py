@@ -8734,7 +8734,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.l_partkey AS partkey, p.p_brand,
            CAST(rev4 // 10000 AS BIGINT) AS revenue_i
     FROM r JOIN part p ON r.l_partkey = p.p_partkey, t
-    WHERE rev4 * np * 10 > tot * 15
+    WHERE CAST(rev4 AS HUGEINT) * np * 10 > CAST(tot AS HUGEINT) * 15
     """,
 )
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8742,10 +8742,13 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5x the average traded part's share — one per-part aggregate plus
     a scalar total folded from it (the static plan re-derives the agg
     for the total branch; AQE reuses the exchange at runtime — same
-    pattern as hot_key_report), exact BIGINT threshold arithmetic on
-    4-dp-scaled decimal revenue (rev4*np stays exact to ~1e15 scaled
-    units; cents cannot flip the comparison). part broadcasts for the
-    brand label."""
+    pattern as hot_key_report). The threshold comparison runs in EXACT
+    wide arithmetic — decimal(38,0) here, HUGEINT in the oracle —
+    because rev4 * np * 10 exceeds int64 at large scale factors
+    (~1e14 * 2e7 parts * 10 ≈ 2e22), where Spark would wrap silently
+    and flip the comparison while DuckDB raises; both wide forms are
+    exact to 1e38, far above any reachable magnitude. part broadcasts
+    for the brand label."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     rev4 = F.sum(
@@ -8756,7 +8759,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = r.agg(F.sum("rev4").alias("tot"), F.count("*").alias("np"))
     return (
         r.crossJoin(F.broadcast(t))
-        .filter(F.col("rev4") * F.col("np") * 10 > F.col("tot") * 15)
+        .filter(
+            F.col("rev4").cast("decimal(38,0)") * F.col("np") * 10
+            > F.col("tot").cast("decimal(38,0)") * 15
+        )
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("l_partkey").alias("partkey"),

@@ -546,3 +546,34 @@ def test_nb_domain_classify_separable_and_tie_break(spark):
         r["doc_id"]: r["pred"] for r in nb_domain_classify(train, score).collect()
     }
     assert got == {11: "a", 12: "b", 13: "a"}
+
+
+def test_cut_value_folds_reject_null_bins_and_groups(spark):
+    """The driver-side cut-value folds fail CLEANLY on NULL bin/group
+    values (e.g. a NULL-text doc whose score bin is NULL) instead of
+    crashing with a bare TypeError ordering None against int."""
+    import pytest as _pytest
+
+    from kafka_dbsync_spark.operators.corpus import (
+        grouped_budget_cut_values,
+        grouped_histogram_cut_values,
+        histogram_cut_values,
+    )
+
+    null_score = spark.createDataFrame(
+        [("x", 1.0), ("x", None)], "g string, s double"
+    )
+    with _pytest.raises(ValueError, match="NULL score bin"):
+        histogram_cut_values(null_score, "s")
+    with _pytest.raises(ValueError, match="NULL g or score bin"):
+        grouped_histogram_cut_values(null_score, "g", "s")
+    null_group = spark.createDataFrame(
+        [("x", 1.0), (None, 2.0)], "g string, s double"
+    )
+    with _pytest.raises(ValueError, match="NULL g or score bin"):
+        grouped_histogram_cut_values(null_group, "g", "s")
+    wdf = spark.createDataFrame(
+        [("x", 5, 3), ("x", None, 2)], "g string, bin long, w long"
+    )
+    with _pytest.raises(ValueError, match="NULL g or bin"):
+        grouped_budget_cut_values(wdf, "g", "bin", "w", budget=4)

@@ -370,6 +370,26 @@ def test_setsim_prefix_join_complete_vs_bruteforce(spark):
     assert not any(5 in p[:2] for p in got)
 
 
+def test_setsim_prefix_join_bp_boundary_threshold(spark):
+    """A pair EXACTLY at the basis-point boundary under a threshold
+    whose double rounds UP (0.34 -> 0.34000000000000002) must survive:
+    |A|=17 subset of |B|=50 has J = 17/50 = 0.34 = 3400bp precisely.
+    Float filters would prune it (17 < 0.34000...2 * 50 = 17.000...4)
+    while the bp verifier accepts it; the filters now share the exact
+    integer tbp contract, so the pair comes back."""
+    from kafka_dbsync_spark.operators.dedup import setsim_prefix_join
+
+    words = [f"w{i:02d}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words[:17])), (2, " ".join(words))],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, setsim_prefix_join(docs, "doc_id", "text", 1, 0.34).collect())
+    )
+    assert got == [(1, 2, 3400)]
+
+
 def test_setsim_prefix_join_threshold_validation(spark):
     import pytest
 

@@ -102,3 +102,26 @@ def test_embedding_drift_psi_detects_rotation(spark):
     }
     assert got[1] > 0.25, got
     assert abs(got[0]) < 0.05, got
+
+
+def test_psi_bin_domain_guard_clamps_and_null_raises(spark):
+    """Out-of-domain bins CLAMP into the nearest edge bin (an upstream
+    binning shift must raise PSI, not silently vanish from n_cur); a
+    NULL bin raises — it is a broken binning contract, not drift."""
+    from kafka_dbsync_spark.operators.drift import psi_over_fixed_bins
+
+    # reference (win 0) fills bins 0..3; current (win 1) emits bin 99
+    # and bin -2, which clamp to 3 and 0 — n_cur must count them all
+    rows = [("g", b, 0) for b in (0, 1, 2, 3)] + [
+        ("g", 99, 1), ("g", -2, 1), ("g", 1, 1), ("g", 2, 1),
+    ]
+    assign = spark.createDataFrame(rows, "grp string, cell long, win int")
+    out = psi_over_fixed_bins(assign, "grp", "cell", "win", 4).collect()
+    assert len(out) == 1
+    assert out[0]["n_cur"] == 4          # clamped rows still counted
+    assert out[0]["n_ref"] == 4
+    nulls = spark.createDataFrame(
+        [("g", 1, 0), ("g", None, 1)], "grp string, cell long, win int"
+    )
+    with pytest.raises(Exception, match="NULL cell"):
+        psi_over_fixed_bins(nulls, "grp", "cell", "win", 4).collect()
