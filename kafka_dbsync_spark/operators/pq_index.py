@@ -467,3 +467,139 @@ def pq_index_add(
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
 
     invalidate_memo(path)
+
+
+def pq_index_remove(
+    spark: SparkSession,
+    path: str,
+    remove_ids,
+) -> dict:
+    """Remove vectors from the persisted index WITHOUT retraining — the
+    FAISS ``remove_ids`` shape, and the index-side half of a
+    right-to-erasure request (the dedup index has had this since r5;
+    a 100 TB serving deployment cannot answer a takedown with a full
+    retrain). Quantizers stay FROZEN (centroids and both codebook
+    tables are untouched — retraining them would invalidate every
+    other vector's codes); only the code rows disappear:
+
+    - ``codes/`` is partitioned by ``centroid_id``, so the rewrite
+      touches ONLY the cells the removed vectors live in — one
+      column-pruned scan finds the affected cells, then each is
+      staging-swap rewritten (write survivors aside, rename into
+      place; a cell whose every vector is removed is deleted). The
+      other B - k cell directories are never read or written.
+    - ``flat_codes/`` (the non-IVF demo pair) is staging-swap
+      rewritten whole — the honest cost of deleting from ANY flat
+      index (FAISS ``remove_ids`` on IndexFlat is O(n) for the same
+      reason); at scale the IVF path is the serving path.
+
+    Marker discipline matches ``dedup_index_remove``: refuse when no
+    complete index exists, marker OUT before the rewrite and back IN
+    only after every artifact lands (a crash mid-rewrite leaves the
+    index unmistakably incomplete, never silently half-rewritten).
+    The recorded fingerprint is refreshed from the SURVIVING codes
+    (one column-pruned aggregate), the source-listing signature moves
+    to ``built_src_sig`` (the index now intentionally diverges from
+    the source table, so metadata-vs-source validation must not
+    resurrect the vector via a "stale, rebuild" path the caller did
+    not ask for — serve helpers that manage removal validate against
+    ``built_src_sig`` + ``removed_ids`` instead), and the cumulative
+    ``removed_ids`` list is recorded for exactly that validation.
+
+    Removal ids ride the plan as a small ``isin`` literal list (a
+    takedown batch is small by contract, same as the dedup index).
+    Returns ``{"vectors_removed": n, "cells_rewritten": k}``.
+    """
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    if isinstance(remove_ids, DataFrame):
+        remove_ids = [r[0] for r in remove_ids.collect()]
+    ids = sorted({int(i) for i in remove_ids})
+    if not ids:
+        raise ValueError("remove_ids must be non-empty")
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"no complete index at {path} (missing {_MARKER}); removing "
+            "from an absent or mid-build index is a caller bug — build "
+            "with build_pq_index first."
+        )
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except ValueError:
+        rec = {}
+    invalidate_memo(path)
+    os.remove(marker)  # crash window: no marker -> index invalid
+    codes = spark.read.parquet(f"{path}/codes")
+    hit = codes.filter(F.col("vec_id").isin(ids))
+    # one column-pruned scan: which cells hold the victims, how many rows
+    cells_rows = (
+        hit.groupBy("centroid_id").agg(F.count("*").alias("k")).collect()
+    )
+    affected = sorted(int(r["centroid_id"]) for r in cells_rows)
+    n_removed = int(sum(r["k"] for r in cells_rows))
+    for c in affected:
+        cell_dir = f"{path}/codes/centroid_id={c}"
+        staging = f"{path}/codes/.centroid_id={c}.rewrite"
+        survivors = spark.read.parquet(cell_dir).filter(
+            ~F.col("vec_id").isin(ids)
+        )
+        if survivors.isEmpty():
+            shutil.rmtree(cell_dir)
+            continue
+        survivors.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(cell_dir)
+        os.rename(staging, cell_dir)
+    flat_src = f"{path}/flat_codes"
+    flat_staging = f"{path}/.flat_codes.rewrite"
+    spark.read.parquet(flat_src).filter(
+        ~F.col("vec_id").isin(ids)
+    ).write.mode("overwrite").parquet(flat_staging)
+    shutil.rmtree(flat_src)
+    os.rename(flat_staging, flat_src)
+    # refresh bookkeeping from the SURVIVING codes (column-pruned agg)
+    rec["fingerprint"] = dataset_fingerprint(
+        spark.read.parquet(f"{path}/codes")
+    )
+    if "src_sig" in rec:
+        rec["built_src_sig"] = rec.pop("src_sig")
+    rec["removed_ids"] = sorted(set(rec.get("removed_ids", [])) | set(ids))
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    invalidate_memo(path)
+    return {"vectors_removed": n_removed, "cells_rewritten": len(affected)}
+
+
+def index_serves_removal(
+    path: str, src_path: str | None, removed_ids
+) -> bool:
+    """Metadata-only validity check for a serve path that MANAGES
+    removals (e.g. a registry query that builds, removes, then
+    serves): True iff the marker exists, records EXACTLY the expected
+    cumulative removal set, and was built from the source directory's
+    current file listing (``built_src_sig``, stashed by
+    :func:`pq_index_remove`). A post-removal index intentionally fails
+    :func:`index_is_current` against the source table — that check
+    would trigger a rebuild and resurrect the removed vectors — so
+    removal-managing callers validate with THIS instead. No Spark job
+    runs: marker JSON + one os.scandir of the source."""
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
+
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        return False
+    if rec.get("removed_ids") != sorted({int(i) for i in removed_ids}):
+        return False
+    if src_path is not None:
+        sig = files_signature(src_path)
+        if sig is None or rec.get("built_src_sig") != sig:
+            return False
+    return True

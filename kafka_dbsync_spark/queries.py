@@ -5752,6 +5752,54 @@ def q_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivfpq_remove_serve",
+    # Same encoding + probe chain as the fused search — quantizers are
+    # trained on the FULL corpus (removal never retrains) — with the
+    # removed vectors excluded from the candidate set. vec_id 0 is by
+    # construction the #1 hit of its own query, so its absence from
+    # the top-10 is the strongest possible erasure proof, and every
+    # other neighbor's relative order must be untouched (the oracle IS
+    # the full ranking minus the removed ids).
+    oracle=_SQL_IVFPQ_CTES
+    + """
+    SELECT vec_id, label, centroid_id, adc_dist
+    FROM adc WHERE vec_id NOT IN (0, 1)
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_ivfpq_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index takedown (FAISS ``remove_ids`` / right-to-erasure): build
+    the persisted IVF-PQ index, REMOVE vec_ids {0, 1} without retrain
+    (operators/pq_index.py::pq_index_remove — staging-swap rewrite of
+    ONLY the affected cell partitions, quantizers frozen), then serve
+    the vec_id=0 query against it. The removed vectors must never
+    appear while every surviving neighbor keeps its rank. Uses its own
+    cache dir (the full-index served queries are never contaminated),
+    validated metadata-only via ``index_serves_removal`` — a
+    post-removal index intentionally fails the source-table staleness
+    check, which would otherwise rebuild and resurrect the vectors."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        index_path_for,
+        index_serves_removal,
+        ivfpq_search_index,
+        pq_index_remove,
+    )
+
+    removed = [0, 1]
+    path = index_path_for(sf_dir) + "_remove"
+    src = _table_path(sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not index_serves_removal(path, src, removed):
+        build_pq_index(
+            spark, emb, q_ivf_centroids(spark, sf_dir), path, src_path=src
+        )
+        pq_index_remove(spark, path, removed)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_search_index(spark, path, [float(x) for x in qv])
+
+
+@query(
     "fingerprint_overlap_pairs",
     oracle=_SQL_WINNOW_PREFIX
     + """

@@ -234,3 +234,177 @@ def test_multi_query_search_equals_per_query(built, spark):
             for i, r in enumerate(single.collect())
         ]
         assert sorted(got[qid]) == want, f"query {qid}"
+
+
+@pytest.fixture(scope="module")
+def removable(spark, tmp_path_factory):
+    """A private index + the pre-removal top-10, for the erasure tests
+    (the shared `built` fixture must never be mutated)."""
+    from kafka_dbsync_spark.operators.pq_index import pq_index_remove
+
+    path = str(tmp_path_factory.mktemp("pqrm") / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb, cents, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    before = ivfpq_search_index(spark, path, qv, k_top=10).collect()
+    victims = [int(before[0]["vec_id"]), int(before[2]["vec_id"])]
+    stats = pq_index_remove(spark, path, victims)
+    return path, qv, before, victims, stats
+
+
+def test_remove_erases_from_single_and_flat_search(removable, spark):
+    """The removed vectors never appear in the served IVF search OR the
+    flat-PQ search, and every surviving neighbor keeps its relative
+    order — removal only deletes candidates, never rescores."""
+    path, qv, before, victims, stats = removable
+    assert stats["vectors_removed"] == 2
+    assert 1 <= stats["cells_rewritten"] <= 2
+    after = ivfpq_search_index(spark, path, qv, k_top=10).collect()
+    got = [r["vec_id"] for r in after]
+    assert not set(victims) & set(got)
+    surviving_before = [r["vec_id"] for r in before if r["vec_id"] not in victims]
+    assert got[: len(surviving_before)] == surviving_before
+    flat = [r["vec_id"] for r in pq_adc_search_index(spark, path, qv).collect()]
+    assert not set(victims) & set(flat)
+
+
+def test_remove_erases_from_multi_and_refined(removable, spark):
+    from kafka_dbsync_spark.operators.pq_index import (
+        ivfpq_search_multi_index,
+        ivfpq_search_refined_index,
+    )
+
+    path, qv, _, victims, _ = removable
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    multi = ivfpq_search_multi_index(spark, path, [(0, qv)], k_top=10).collect()
+    assert multi and not set(victims) & {r["vec_id"] for r in multi}
+    # the refined re-rank draws candidates from the INDEX, so the
+    # removed vector stays gone even though the raw table still has it
+    ref = ivfpq_search_refined_index(spark, path, emb, qv, k_top=10).collect()
+    assert ref and not set(victims) & {r["vec_id"] for r in ref}
+
+
+def test_remove_quantizers_frozen_and_staleness_contract(removable, spark):
+    """Quantizers are untouched (FAISS remove_ids semantics); the index
+    intentionally fails the source-table staleness check (a rebuild
+    would resurrect the vectors) but validates via
+    index_serves_removal with the exact removal set."""
+    import json
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        index_is_current,
+        index_serves_removal,
+    )
+
+    path, _, _, victims, _ = removable
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert rec["removed_ids"] == sorted(victims)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = spark.read.parquet(f"{path}/codes").count()
+    assert n == emb.count() - 2
+    assert spark.read.parquet(f"{path}/flat_codes").count() == n
+    # quantizer artifacts byte-identical would be overkill; row counts
+    # and the marker's silence about them prove no retrain ran
+    assert spark.read.parquet(f"{path}/pq_codebooks").count() == 8 * 16 * 8
+    assert not index_is_current(path, None, emb)
+    assert index_serves_removal(path, None, victims)
+    assert not index_serves_removal(path, None, victims + [999999])
+
+
+def test_remove_touches_only_affected_cells(spark, tmp_path):
+    """The codes rewrite is per-partition: cell directories that hold no
+    removed vector keep their exact file listing (same names, same
+    bytes) — the 100 TB cost bound."""
+    from kafka_dbsync_spark.operators.pq_index import pq_index_remove
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_pq_index(spark, emb, QUERIES["ivf_centroids"](spark, SF), path)
+    victim = int(
+        spark.read.parquet(f"{path}/codes").select("vec_id").head()["vec_id"]
+    )
+    vcell = int(
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("vec_id") == victim)
+        .select("centroid_id").head()["centroid_id"]
+    )
+
+    def listing(cell_dir):
+        return sorted(
+            (f, os.path.getsize(os.path.join(cell_dir, f)), os.path.getmtime(os.path.join(cell_dir, f)))
+            for f in os.listdir(cell_dir)
+        )
+
+    cells = {
+        d: listing(os.path.join(path, "codes", d))
+        for d in os.listdir(f"{path}/codes")
+        if d.startswith("centroid_id=")
+    }
+    pq_index_remove(spark, path, [victim])
+    for d, before in cells.items():
+        cur = listing(os.path.join(path, "codes", d))
+        if d == f"centroid_id={vcell}":
+            assert cur != before
+        else:
+            assert cur == before, f"untouched cell {d} was rewritten"
+
+
+def test_remove_refuses_without_marker_and_rejects_empty(spark, tmp_path):
+    from kafka_dbsync_spark.operators.pq_index import pq_index_remove
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_pq_index(spark, emb, QUERIES["ivf_centroids"](spark, SF), path)
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_index_remove(spark, path, [])
+    os.remove(os.path.join(path, "_COMPLETE"))
+    with pytest.raises(ValueError, match="no complete index"):
+        pq_index_remove(spark, path, [0])
+
+
+def test_remove_crash_window_leaves_index_invalid(spark, tmp_path, monkeypatch):
+    """Marker OUT before the rewrite, back IN only after every artifact
+    lands: a crash mid-removal leaves the index unmistakably incomplete
+    (index_is_built False), never silently half-rewritten; recovery is
+    a rebuild + re-remove."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb, cents, path)
+
+    real_fp = m.dataset_fingerprint
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-removal")
+
+    monkeypatch.setattr(m, "dataset_fingerprint", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.pq_index_remove(spark, path, [0])
+    assert not index_is_built(path)
+    monkeypatch.setattr(m, "dataset_fingerprint", real_fp)
+    build_pq_index(spark, emb, cents, path)
+    stats = m.pq_index_remove(spark, path, [0])
+    assert stats["vectors_removed"] == 1
+
+
+def test_remove_replay_is_noop(spark, tmp_path):
+    """Removing the same ids again removes nothing and leaves the
+    served answer byte-identical — the idempotence a retried takedown
+    job relies on."""
+    from kafka_dbsync_spark.operators.pq_index import pq_index_remove
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_pq_index(spark, emb, QUERIES["ivf_centroids"](spark, SF), path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    first = pq_index_remove(spark, path, [0, 1])
+    assert first["vectors_removed"] == 2
+    a1 = [tuple(r) for r in ivfpq_search_index(spark, path, qv).collect()]
+    again = pq_index_remove(spark, path, [0, 1])
+    assert again == {"vectors_removed": 0, "cells_rewritten": 0}
+    a2 = [tuple(r) for r in ivfpq_search_index(spark, path, qv).collect()]
+    assert a1 == a2
