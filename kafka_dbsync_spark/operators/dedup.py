@@ -644,6 +644,103 @@ def remove_duplicate_spans(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    mode: str = "keep_first",
+) -> DataFrame:
+    """Paragraph-level dedup — the ACTUAL first step of CCNet (Wenzek
+    et al. 2020, "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", §3: paragraphs are hashed and duplicated
+    hashes dropped BEFORE LM scoring) and the most common production
+    dedup granularity, sitting between whole-document dedup
+    (dedup_exact/minhash/setsim) and duplicated-span rewriting
+    (remove_duplicate_spans): split each document on ``sep``, hash the
+    NORMALIZED paragraph (lowercase, whitespace-collapsed — the
+    engine-portable core of CCNet's normalization), and remove
+    duplicated paragraph instances corpus-wide:
+
+    - ``mode="keep_first"`` (CCNet's behavior): the globally first
+      instance — smallest (doc, position) — of each duplicated hash
+      survives; every other instance is removed.
+    - ``mode="drop_all"``: every instance of a hash that occurs more
+      than once is removed (the strict form: boilerplate vanishes
+      entirely, including its first occurrence).
+
+    Duplicates WITHIN one document count — CCNet hashes over the whole
+    corpus, so a document repeating its own paragraph loses the repeat
+    (keep_first) or both copies (drop_all). Paragraphs whose normalized
+    form is EMPTY (blank lines, runs of separators) are kept verbatim
+    and never dedup'd — they are formatting, not content, and their
+    shared hash would otherwise be the corpus's hottest key.
+
+    Plan shape (the remove_duplicate_spans discipline): paragraphs
+    posexplode once; ONE map-side-combined aggregate on the paragraph
+    hash (count + min-(doc,pos) struct — both partial-aggregable, so
+    boilerplate hashes collapse map-side and never skew the shuffle)
+    finds the duplicated hashes and their first holders; each affected
+    doc gets its doomed paragraph POSITIONS back as one small array;
+    the rewrite (filter positions, re-join survivors with ``sep``) is
+    a JVM-side higher-order expression over the doc's own paragraph
+    array. No all-pairs join, no Python UDF; corpus text shuffles
+    zero times (only hashes and positions move).
+
+    Returns (id_col, n_paras, n_removed, cleaned_text) for AFFECTED
+    docs only (inner-join semantics, matching remove_duplicate_spans);
+    ``cleaned_text`` is '' when every paragraph was removed.
+    """
+    import re
+
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"mode must be keep_first or drop_all (got {mode!r})")
+    d = docs.select(
+        id_col, F.split(F.col(text_col), re.escape(sep)).alias("paras")
+    )
+    norm = F.trim(F.regexp_replace("para", r"\s+", " "))
+    cand = (
+        ensure_parallelism(d)
+        .select(id_col, F.posexplode("paras").alias("idx0", "para"))
+        .select(
+            id_col,
+            (F.col("idx0") + 1).alias("i"),
+            F.md5(F.lower(norm)).alias("key"),
+            F.length(norm).alias("nlen"),
+        )
+        .filter(F.col("nlen") > 0)
+        .drop("nlen")
+    )
+    agg = cand.groupBy("key").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct(F.col(id_col).alias("fd"), F.col("i").alias("fi"))).alias(
+            "first"
+        ),
+    )
+    dup = agg.filter(F.col("c") >= 2)
+    doomed = cand.join(dup, "key")
+    if mode == "keep_first":
+        doomed = doomed.filter(
+            ~(
+                (F.col(id_col) == F.col("first.fd"))
+                & (F.col("i") == F.col("first.fi"))
+            )
+        )
+    drops = doomed.groupBy(id_col).agg(F.collect_set("i").alias("drop_idx"))
+    joined = d.join(drops, id_col)
+    kept = F.expr(
+        "transform(filter(transform(sequence(1, size(paras)), "
+        "p -> struct(p AS p, element_at(paras, p) AS q)), "
+        "x -> NOT array_contains(drop_idx, x.p)), x -> x.q)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("paras").cast("long").alias("n_paras"),
+        F.size("drop_idx").cast("long").alias("n_removed"),
+        F.array_join(kept, sep).alias("cleaned_text"),
+    )
+
+
 def setsim_prefix_join(
     df: DataFrame,
     id_col: str = "doc_id",

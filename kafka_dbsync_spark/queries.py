@@ -2920,6 +2920,83 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "paragraph_dedup",
+    # The corpus has no newlines, so the query synthesizes CCNet's
+    # paragraph structure deterministically (8-token chunks joined by
+    # \n) and the oracle replays the synthesis plus the full keep-first
+    # semantics: hash the normalized paragraph, keep the globally first
+    # (doc, position) instance of each duplicated hash, reassemble
+    # survivors in order. The encoded min (doc_id*100000 + i) is the
+    # oracle's stand-in for the engine's struct-min (positions are far
+    # below 100000 at gate scale).
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+    ), d AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
+               i -> array_to_string(list_slice(tk, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+             ) AS paras
+      FROM t
+    ), p AS (
+      SELECT doc_id, u.i AS i, u.para FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(paras) + 1),
+                 i -> {'i': i, 'para': paras[i]})) AS u
+        FROM d)
+    ), c AS (
+      SELECT doc_id, i,
+             md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS key
+      FROM p
+      WHERE length(trim(regexp_replace(para, '\s+', ' ', 'g'))) > 0
+    ), k AS (
+      SELECT key, count(*) AS cnt, min(doc_id * 100000 + i) AS fe
+      FROM c GROUP BY key
+    ), rem AS (
+      SELECT c.doc_id, c.i FROM c JOIN k USING (key)
+      WHERE k.cnt >= 2 AND c.doc_id * 100000 + c.i <> k.fe
+    ), rl AS (
+      SELECT doc_id, list(i) AS drop_idx, count(*) AS n_rem
+      FROM rem GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.paras) AS BIGINT) AS n_paras,
+           CAST(rl.n_rem AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(d.paras) + 1),
+                 i -> NOT list_contains(rl.drop_idx, i)),
+               i -> d.paras[i]),
+             chr(10)), '') AS cleaned_text
+    FROM d JOIN rl USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's first pipeline step (Wenzek et al. 2020 §3): paragraph-
+    hash dedup BEFORE LM scoring — the production granularity between
+    whole-doc dedup and span rewriting. Paragraphs are synthesized as
+    8-token chunks (the corpus has none), then
+    operators/dedup.py::paragraph_dedup runs in keep_first mode: one
+    map-side-combined hash aggregate finds duplicated paragraphs and
+    their first holders, doomed positions come back per affected doc
+    as one small array, and the rewrite is a JVM-side higher-order
+    filter over the doc's own paragraph array — corpus text never
+    shuffles."""
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text")
+    )
+    return paragraph_dedup(chunked, "doc_id", "text", sep="\n", mode="keep_first")
+
+
+@query(
     "cdc_state_at",
     oracle=f"""
     WITH cut AS (SELECT (max(event_id) * 3) // 5 AS k FROM events),

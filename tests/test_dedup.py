@@ -430,3 +430,86 @@ def test_setsim_prefix_join_null_vs_empty_text(spark):
         map(tuple, setsim_prefix_join(docs, "doc_id", "text", 3, 0.5).collect())
     )
     assert got == [(3, 4, 10000)]
+
+
+def test_paragraph_dedup_keep_first_vs_drop_all(spark):
+    """CCNet paragraph-hash dedup: keep_first leaves exactly the
+    globally-first (doc, position) instance of each duplicated
+    paragraph; drop_all removes every instance. Unaffected docs are
+    absent (inner-join semantics, like remove_duplicate_spans)."""
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared para\nunique to one"),
+            (2, "also original\nshared para\nmore text"),
+            (3, "completely standalone document"),
+        ],
+        "doc_id long, text string",
+    )
+    kf = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in paragraph_dedup(docs, mode="keep_first").collect()
+    }
+    # doc 1 holds the first instance -> doc 2 loses its copy; doc 1 and
+    # doc 3 are untouched and therefore absent
+    assert kf == {2: (3, 1, "also original\nmore text")}
+    da = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in paragraph_dedup(docs, mode="drop_all").collect()
+    }
+    assert da == {
+        1: (2, 1, "unique to one"),
+        2: (3, 1, "also original\nmore text"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        paragraph_dedup(docs, mode="bogus")
+
+
+def test_paragraph_dedup_within_doc_and_normalization(spark):
+    """A doc repeating its own paragraph loses the repeat (keep_first)
+    or both copies (drop_all) — CCNet hashes corpus-wide; matching is
+    on the NORMALIZED form (case / internal whitespace folded); empty
+    paragraphs (blank lines) are formatting, kept verbatim and never
+    dedup'd."""
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "repeat me\nrepeat me\nkeep this"),
+            (2, "  REPEAT   me \nother text"),
+            (3, "a\n\n\nb"),   # blank paragraphs, no duplicates
+            (4, "c\n\n\nd"),   # blank paragraphs in another doc too
+        ],
+        "doc_id long, text string",
+    )
+    kf = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in paragraph_dedup(docs, mode="keep_first").collect()
+    }
+    # doc 1 pos 1 is the global first; doc 1 pos 2 and doc 2 pos 1 go.
+    # docs 3/4 share only EMPTY paragraphs -> untouched, absent.
+    assert kf == {
+        1: (1, "repeat me\nkeep this"),
+        2: (1, "other text"),
+    }
+    da = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in paragraph_dedup(docs, mode="drop_all").collect()
+    }
+    assert da == {1: (2, "keep this"), 2: (1, "other text")}
+
+
+def test_paragraph_dedup_whole_doc_removed_empties_text(spark):
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "only para"), (2, "only para")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in paragraph_dedup(docs, mode="drop_all").collect()
+    }
+    assert got == {1: (1, 1, ""), 2: (1, 1, "")}
