@@ -1232,17 +1232,27 @@ def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(mutated)
 
 
-def _sql_lsh_pairs(num_hashes: int = 8, max_bucket_size: int = 32) -> str:
+def _sql_lsh_pairs(
+    num_hashes: int = 8, max_bucket_size: int = 32, rows_per_band: int = 2
+) -> str:
     # Mirrors minhash_lsh_candidates' hybrid pair generation: all pairs
     # for buckets ≤ max_bucket_size, star pairs (to the bucket min id)
-    # above — see operators/dedup.py:minhash_lsh_candidates.
+    # above — see operators/dedup.py:minhash_lsh_candidates. The band
+    # grouping mirrors lsh_bands for any rows_per_band.
     base = _sql_minhash(num_hashes).replace("FROM documents", f"FROM ({_SQL_PLANTED})")
-    bands = "[sig_0 || sig_1, sig_2 || sig_3, sig_4 || sig_5, sig_6 || sig_7]"
+    groups = [
+        " || ".join(
+            f"sig_{i}"
+            for i in range(b, min(b + rows_per_band, num_hashes))
+        )
+        for b in range(0, num_hashes, rows_per_band)
+    ]
+    bands = "[" + ", ".join(groups) + "]"
     return f"""
     WITH sig AS ({base}),
     bands AS (
       SELECT doc_id, i.band_idx, ({bands})[i.band_idx] AS band_val
-      FROM sig, (SELECT unnest(range(1, 5)) AS band_idx) i
+      FROM sig, (SELECT unnest(range(1, {len(groups) + 1})) AS band_idx) i
     ),
     sized AS (
       SELECT doc_id, band_idx, band_val,
@@ -1304,7 +1314,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ngram_jaccard() -> str:
+def _sql_ngram_jaccard(rows_per_band: int = 2) -> str:
     shingle_docs = f"""
       WITH t AS (
         SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
@@ -1318,7 +1328,7 @@ def _sql_ngram_jaccard() -> str:
       FROM t
     """
     return f"""
-    WITH cand AS ({_sql_lsh_pairs()}),
+    WITH cand AS ({_sql_lsh_pairs(rows_per_band=rows_per_band)}),
     sh AS ({shingle_docs}),
     j AS (
       SELECT cand.id_a, cand.id_b,
@@ -9061,3 +9071,115 @@ def q_lsh_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         F.expr("(n_found * 10000) div n_true").cast("long").alias("recall_bp"),
     )
+
+
+# The exact-join ground-truth count (shared by the recall curve): the
+# brute-force all-pairs Jaccard over 3-gram shingle sets at 0.5.
+_SQL_SETSIM_TRUTH_CTES = f"""
+    t AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS w
+      FROM ({_SQL_PLANTED})
+    ), shd AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sh
+      FROM t
+    ), sz AS (
+      SELECT doc_id, len(sh) AS s FROM shd
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS g FROM shd
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT count(*) AS n_true
+      FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+      WHERE floor(inter * 10000 / (sa.s + sb.s - inter)) >= 5000
+    )
+"""
+
+_SQL_RECALL_POINTS = " UNION ALL ".join(
+    f"SELECT {r} AS rows_per_band, {8 // r} AS n_bands, "
+    f"(SELECT count(*) FROM ({_sql_ngram_jaccard(rows_per_band=r)})) AS n_found"
+    for r in (1, 2, 4, 8)
+)
+
+
+@query(
+    "lsh_recall_curve",
+    # The tunable form of lsh_dedup_recall (the dedup analogue of
+    # ann_recall_report's nprobe sweep): every banding of the SAME 8
+    # minhashes, scored against ONE exact-join ground truth. Fewer rows
+    # per band = more, looser bands = higher collision probability =
+    # higher recall (1 - (1 - J^r)^b), at more candidate-verification
+    # cost; the curve is what makes the tradeoff tunable.
+    oracle=f"""
+    WITH {_SQL_SETSIM_TRUTH_CTES},
+    pts AS ({_SQL_RECALL_POINTS})
+    SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_found * 10000 // n_true AS BIGINT) AS recall_bp
+    FROM pts, truth
+    """,
+)
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-banding curve for the verified MinHash-LSH dedup path:
+    signatures are computed ONCE (8 minhashes, checkpointed) and
+    re-banded per configuration (8×1, 4×2, 2×4, 1×8 bands×rows), each
+    banding's verified pairs counted against ONE shared exact
+    set-similarity ground-truth pass (setsim_prefix_join, also
+    checkpointed). Verification is exact so precision is 1 everywhere;
+    the output is the recall frontier (rows_per_band, n_bands, n_true,
+    n_found, recall_bp) a deployment tunes against — exactly how
+    ann_recall_report sweeps nprobe. Per-config verification re-derives
+    candidate shingles from the checkpointed docs (narrow; at 100 TB
+    the persisted shingle table the setsim join materializes once
+    would be reused)."""
+    from kafka_dbsync_spark.operators.dedup import (
+        banded_pairs,
+        jaccard_pairs,
+        lsh_bands,
+        setsim_prefix_join,
+        with_minhash_signatures,
+    )
+
+    docs = _planted_docs(spark, sf_dir).localCheckpoint(eager=True)
+    truth_n = (
+        setsim_prefix_join(docs, "doc_id", "text", k=3, threshold=0.5)
+        .agg(F.count("*").alias("n_true"))
+        .localCheckpoint(eager=True)
+    )
+    sig_cols = [f"sig_{i}" for i in range(8)]
+    sig = (
+        with_minhash_signatures(docs, "text", 8, 3)
+        .select("doc_id", *sig_cols)
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for r in (1, 2, 4, 8):
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(lsh_bands(sig_cols, r)).alias("band_idx", "band_val"),
+        )
+        cand = banded_pairs(banded, "doc_id", 32)
+        found = jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.5)
+        point = (
+            found.agg(F.count("*").alias("n_found"))
+            .crossJoin(F.broadcast(truth_n))
+            .select(
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(8 // r).cast("long").alias("n_bands"),
+                "n_true",
+                "n_found",
+                F.expr("(n_found * 10000) div n_true")
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+        out = point if out is None else out.unionByName(point)
+    return out

@@ -513,3 +513,22 @@ def test_paragraph_dedup_whole_doc_removed_empties_text(spark):
         for r in paragraph_dedup(docs, mode="drop_all").collect()
     }
     assert got == {1: (1, 1, ""), 2: (1, 1, "")}
+
+
+def test_lsh_recall_curve_monotone_in_bands(spark):
+    """More, looser bands can only ADD candidate pairs (a pair collides
+    if ANY band matches), and verification is exact — so recall is
+    non-increasing in rows_per_band and the 8-band point dominates."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    rows = {
+        r["rows_per_band"]: r
+        for r in QUERIES["lsh_recall_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    assert all(r["n_true"] == rows[1]["n_true"] for r in rows.values())
+    for a, b in ((1, 2), (2, 4), (4, 8)):
+        assert rows[a]["recall_bp"] >= rows[b]["recall_bp"]
+    assert all(r["n_found"] <= r["n_true"] for r in rows.values())
