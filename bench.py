@@ -110,6 +110,19 @@ HEADLINE = [
 ]
 
 
+# Round-over-round adjudications that should ride with the numbers
+# (VERDICT watch items, resolved with measurements; refreshed whenever
+# an item opens or closes). Lands in the detail artifact.
+ADJUDICATIONS = [
+    "cdc_route_stats r7 best +0.33s: adjudicated r8 on a quiet run "
+    "(canary 0.834, vs r7's 0.818) — standalone 7-run best 0.347s / "
+    "median 0.409s, exactly the r6 value. The inflation appears only "
+    "inside the full suite (JVM heap/GC context from neighboring "
+    "heavyweight entries), not in the query or its 1-exchange plan; "
+    "code untouched since r1. Watch item closed.",
+]
+
+
 def _canary(spark) -> dict:
     """Machine-contention canary (VERDICT r5 #4): three fixed,
     dataset-independent micro-jobs — a whole-stage-codegen arithmetic
@@ -246,6 +259,7 @@ def main() -> None:
         # first==best), seconds saved (negative = faster now)
         delta_best_vs_prev=delta,
         prev_bench=prev_name,
+        adjudications=ADJUDICATIONS,
     )
     (Path(__file__).resolve().parent / detail_name).write_text(
         json.dumps(detail, indent=1) + "\n"

@@ -7801,6 +7801,213 @@ def q_ppl_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# The CCNet front half as one SQL fragment: synthesized paragraphs,
+# keep-first paragraph-hash dedup, cleaned-or-original text per doc --
+# yields docs2(doc_id, text). The pipeline oracle is deliberately
+# full-stack.
+_SQL_CCNET_DEDUPED = r"""
+    t0 AS (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+    ), d0 AS (
+      SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
+               i -> array_to_string(list_slice(tk, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+             ) AS paras
+      FROM t0
+    ), p0 AS (
+      SELECT doc_id, u.i AS i, u.para FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(paras) + 1),
+                 i -> {'i': i, 'para': paras[i]})) AS u
+        FROM d0)
+    ), c0 AS (
+      SELECT doc_id, i,
+             md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS key
+      FROM p0
+      WHERE length(trim(regexp_replace(para, '\s+', ' ', 'g'))) > 0
+    ), k0 AS (
+      SELECT key, count(*) AS cnt, min(doc_id * 100000 + i) AS fe
+      FROM c0 GROUP BY key
+    ), rem0 AS (
+      SELECT c0.doc_id, c0.i FROM c0 JOIN k0 USING (key)
+      WHERE k0.cnt >= 2 AND c0.doc_id * 100000 + c0.i <> k0.fe
+    ), rl0 AS (
+      SELECT doc_id, list(i) AS drop_idx FROM rem0 GROUP BY doc_id
+    ), docs2 AS (
+      SELECT d0.doc_id,
+             CASE WHEN rl0.drop_idx IS NULL
+                  THEN array_to_string(d0.paras, chr(10))
+                  ELSE coalesce(array_to_string(
+                    list_transform(
+                      list_filter(range(1, len(d0.paras) + 1),
+                        i -> NOT list_contains(rl0.drop_idx, i)),
+                      i -> d0.paras[i]),
+                    chr(10)), '') END AS text
+      FROM d0 LEFT JOIN rl0 USING (doc_id)
+    )
+"""
+
+
+def _sql_lang_pred(src: str) -> str:
+    """lang_pred per doc over any (doc_id, text) source -- the langid
+    CASE chain of _sql_lang_id, parameterized on its input."""
+    toks = f"string_split({_SQL_NORM.format(c='text')}, ' ')"
+    scores = {
+        lang: f"len(list_filter({toks}, x -> x IN {tuple(words)!r:s}))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = list(LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = " ".join(f"WHEN s_{lang} >= {greatest} THEN '{lang}'" for lang in langs)
+    return f"""
+      SELECT doc_id,
+             CASE WHEN {greatest} = 0 THEN 'und' {chain} END AS lang_pred
+      FROM (SELECT doc_id, {score_cols} FROM {src})
+    """
+
+
+@query(
+    "ccnet_pipeline",
+    # The actual CCNet composition (Wenzek et al. 2020, Fig. 1), end to
+    # end under one full-stack oracle: paragraph-hash dedup FIRST, then
+    # language id on the DEDUPED text, then LM perplexity scored on the
+    # deduped corpus with head/middle/tail thresholds computed PER
+    # PREDICTED LANGUAGE.
+    oracle=f"""
+    WITH {_SQL_CCNET_DEDUPED},
+    lp AS ({_sql_lang_pred('docs2')}),
+    norm AS (
+      SELECT d.doc_id, lp.lang_pred,
+             string_split({_SQL_NORM.format(c='d.text')}, ' ') AS t
+      FROM docs2 d JOIN lp USING (doc_id)
+      WHERE {_SQL_NORM.format(c='d.text')} <> ''
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM g GROUP BY doc_id, w1, w2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM g GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(t) AS tok FROM norm)
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ), per_doc AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE))
+                       / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM scored GROUP BY doc_id
+    ), binned AS (
+      SELECT p.doc_id, n.lang_pred, p.ppl,
+             CAST(floor(CAST(p.ppl AS DECIMAL(18,4)) * 100) AS BIGINT) AS bin
+      FROM per_doc p JOIN norm n ON p.doc_id = n.doc_id
+    ), hist AS (
+      SELECT lang_pred, bin, count(*) AS c FROM binned GROUP BY lang_pred, bin
+    ), cum AS (
+      SELECT h1.lang_pred, h1.bin AS b1, CAST(sum(h2.c) AS BIGINT) AS cum
+      FROM hist h1 JOIN hist h2 ON h2.lang_pred = h1.lang_pred AND h2.bin <= h1.bin
+      GROUP BY h1.lang_pred, h1.bin
+    ), tot AS (SELECT lang_pred, count(*) AS n FROM binned GROUP BY lang_pred
+    ), cuts AS (
+      SELECT cum.lang_pred,
+             min(CASE WHEN cum * 3 >= n THEN b1 END) AS c1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN b1 END) AS c2
+      FROM cum JOIN tot ON cum.lang_pred = tot.lang_pred
+      GROUP BY cum.lang_pred
+    ), bucketed AS (
+      SELECT b.lang_pred,
+             CASE WHEN bin <= c1 THEN 'head'
+                  WHEN bin <= c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             ppl
+      FROM binned b JOIN cuts c ON b.lang_pred = c.lang_pred
+    )
+    SELECT lang_pred, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(ppl), 4) AS min_ppl, round(max(ppl), 4) AS max_ppl
+    FROM bucketed GROUP BY lang_pred, bucket
+    """,
+)
+def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline in its published order (Wenzek et al. 2020,
+    Fig. 1): (1) paragraph-hash dedup, keep-first -- the r8
+    paragraph_dedup operator over synthesized 8-token-chunk paragraphs;
+    (2) language id on the DEDUPED text (dedup before langid is the
+    paper's point: boilerplate skews language scores); (3) bigram LM
+    perplexity trained on the deduped corpus, bucketed head/middle/tail
+    with thresholds per PREDICTED language (grouped histogram cuts, the
+    r7 discipline: one (lang, bin) aggregate + driver-side fold +
+    broadcast cuts).
+
+    Stage handoffs localCheckpoint (the in-session stand-in for the
+    materialized stage tables a 100 TB run writes); each stage's plan
+    is the one its standalone query audits. Unaffected docs flow
+    through with their original text; docs whose every paragraph was
+    removed drop at the nonempty filter, exactly as CCNet discards
+    fully-boilerplate pages."""
+    from kafka_dbsync_spark.operators.corpus import (
+        bigram_lm_perplexity,
+        grouped_histogram_cut_values,
+        score_bin,
+    )
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    chunked = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    cleaned = paragraph_dedup(
+        chunked, "doc_id", "text", sep="\n", mode="keep_first"
+    ).select("doc_id", "cleaned_text")
+    base = (
+        chunked.join(cleaned, "doc_id", "left")
+        .select("doc_id", F.coalesce("cleaned_text", "text").alias("text"))
+        .filter(normalize_text(F.col("text")) != "")
+        .localCheckpoint(eager=True)
+    )
+    langed = base.withColumn("__toks", tokens("text")).select(
+        "doc_id", detect_language("text", F.col("__toks")).alias("lang_pred")
+    )
+    ppl = (
+        bigram_lm_perplexity(base)
+        .select("doc_id", "ppl")
+        .join(langed, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    cuts = grouped_histogram_cut_values(ppl, "lang_pred", "ppl")
+    cut_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, c[0], c[1]) for g, c in sorted(cuts.items())],
+            "lang_pred string, c1 long, c2 long",
+        )
+    )
+    binned = ppl.withColumn("bin", score_bin("ppl")).join(cut_df, "lang_pred")
+    bucket = (
+        F.when(F.col("bin") <= F.col("c1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        binned.select("lang_pred", bucket.alias("bucket"), "ppl")
+        .groupBy("lang_pred", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("ppl"), 4).alias("min_ppl"),
+            F.round(F.max("ppl"), 4).alias("max_ppl"),
+        )
+    )
+
+
 @query(
     "token_budget_admission",
     # Streaming per-source token cap proved batch-equivalently: docs
