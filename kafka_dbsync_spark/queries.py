@@ -1094,6 +1094,139 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "gopher_rules_report",
+    # Gopher's document-quality rule set (Rae et al. 2021, A1.1), the
+    # engine-portable subset, as a per-rule violation report: every
+    # ratio rule runs in exact integer arithmetic (letters*1 vs 3n/10n,
+    # alpha*10 vs 8n) so the two engines cannot disagree on a boundary.
+    # letters = strlen(norm) - (n_tok - 1): normalized text is words
+    # joined by single spaces, so chars minus separators IS the letter
+    # count — no second array fold.
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents
+    ), m AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w,
+             CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok
+      FROM n
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM m WHERE len(w) >= 2
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), b AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ), feat AS (
+      SELECT m.doc_id, m.n_tok,
+             CASE WHEN m.n_tok > 0 THEN strlen(m.t) - (m.n_tok - 1) ELSE 0 END AS letters,
+             len(list_filter(m.w, x -> regexp_matches(x, '[a-z]'))) AS alpha_cnt,
+             len(list_filter(list_distinct(m.w),
+                 x -> x IN {_GOPHER_STOPWORDS!r:s})) AS stop_cnt,
+             CAST(floor(coalesce(b.cnt, 0) * CAST(coalesce(strlen(b.gram), 0) AS DOUBLE)
+                  / greatest(strlen(m.t), 1) * 10000) AS BIGINT) AS top2_bp
+      FROM m LEFT JOIN b ON m.doc_id = b.doc_id
+    ), flags AS (
+      SELECT doc_id,
+             (n_tok >= 50 AND n_tok <= 100000) AS r_wc,
+             (n_tok > 0 AND letters >= 3 * n_tok AND letters <= 10 * n_tok) AS r_mwl,
+             (n_tok > 0 AND alpha_cnt * 10 >= n_tok * 8) AS r_alpha,
+             (stop_cnt >= 2) AS r_stop,
+             (top2_bp <= 2000) AS r_rep
+      FROM feat
+    )
+    SELECT * FROM (
+      SELECT 'word_count' AS rule, CAST(sum(CASE WHEN r_wc THEN 0 ELSE 1 END) AS BIGINT) AS n_docs FROM flags
+      UNION ALL
+      SELECT 'mean_word_length', CAST(sum(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'alpha_words', CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'stopwords', CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'repetition', CAST(sum(CASE WHEN r_rep THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'all_pass', CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_rep
+                                       THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    )
+    """,
+)
+def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule ladder (Rae et al. 2021, A1.1 — the rule
+    set MassiveWeb was filtered with, reused by most open pipelines
+    since), engine-portable subset: word count in [50, 100k], mean word
+    length in [3, 10] (exact integers: letter count from the normalized
+    text's length, no second fold), >= 80% of words contain a letter,
+    >= 2 distinct Gopher stopwords present, most-common-2-gram char
+    coverage <= 20% (the repetition_metrics signal). Output: one row
+    per rule with its VIOLATION count plus 'all_pass' — the shape a
+    pipeline dashboard wants before committing to a filter config.
+    ONE corpus scan; everything per-doc is a narrow array expression,
+    the report is a single 6-column aggregate unpivoted via stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    d = docs.select("doc_id", "text", norm.alias("t")).withColumn(
+        "__toks", tokens("text")
+    )
+    n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
+    m = repetition_metrics(F.col("__toks"), "text")
+    feat = d.select(
+        n_tok.alias("n_tok"),
+        F.when(n_tok > 0, F.length("t") - (n_tok - 1))
+        .otherwise(F.lit(0))
+        .alias("letters"),
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))).alias(
+            "alpha_cnt"
+        ),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("__toks"),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            )
+        ).alias("stop_cnt"),
+        m["top2_bp"].alias("top2_bp"),
+    )
+    r_wc = (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)
+    r_mwl = (
+        (F.col("n_tok") > 0)
+        & (F.col("letters") >= 3 * F.col("n_tok"))
+        & (F.col("letters") <= 10 * F.col("n_tok"))
+    )
+    r_alpha = (F.col("n_tok") > 0) & (
+        F.col("alpha_cnt") * 10 >= F.col("n_tok") * 8
+    )
+    r_stop = F.col("stop_cnt") >= 2
+    r_rep = F.col("top2_bp") <= 2000
+
+    def fails(c):
+        return F.sum(F.when(c, 0).otherwise(1))
+
+    agg = feat.agg(
+        fails(r_wc).alias("f_wc"),
+        fails(r_mwl).alias("f_mwl"),
+        fails(r_alpha).alias("f_alpha"),
+        fails(r_stop).alias("f_stop"),
+        fails(r_rep).alias("f_rep"),
+        F.sum(
+            F.when(r_wc & r_mwl & r_alpha & r_stop & r_rep, 1).otherwise(0)
+        ).alias("f_all"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 'word_count', f_wc, 'mean_word_length', f_mwl, "
+            "'alpha_words', f_alpha, 'stopwords', f_stop, "
+            "'repetition', f_rep, 'all_pass', f_all) AS (rule, n_docs)"
+        )
+    ).select("rule", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 # The synthetic corpus contains no PII, so the scrub query plants a
 # deterministic PII suffix on every 7th document (kept in lockstep with
 # the SQL below).

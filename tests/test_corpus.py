@@ -577,3 +577,44 @@ def test_cut_value_folds_reject_null_bins_and_groups(spark):
     )
     with _pytest.raises(ValueError, match="NULL g or bin"):
         grouped_budget_cut_values(wdf, "g", "bin", "w", budget=4)
+
+
+def test_gopher_rules_report_structure(spark):
+    """Six rows (5 rules + all_pass); every count in [0, n_docs]; a doc
+    failing any rule cannot be in all_pass (counts are consistent)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    rows = {
+        r["rule"]: r["n_docs"]
+        for r in QUERIES["gopher_rules_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {
+        "word_count", "mean_word_length", "alpha_words", "stopwords",
+        "repetition", "all_pass",
+    }
+    assert all(0 <= v <= n for v in rows.values())
+    # all_pass <= n - max(single-rule violations)
+    worst = max(v for k, v in rows.items() if k != "all_pass")
+    assert rows["all_pass"] <= n - worst + max(0, 0)
+
+
+def test_ccnet_pipeline_buckets_partition_deduped_corpus(spark):
+    """Pipeline output is (lang_pred, bucket) groups over head/middle/
+    tail only, and within each language the bucket ppl ranges are
+    ordered head <= middle <= tail (value cuts)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    rows = QUERIES["ccnet_pipeline"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert {r["bucket"] for r in rows} <= {"head", "middle", "tail"}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang_pred"], {})[r["bucket"]] = r
+    order = ["head", "middle", "tail"]
+    for lang, b in by_lang.items():
+        present = [x for x in order if x in b]
+        for a, c in zip(present, present[1:]):
+            assert b[a]["max_ppl"] <= b[c]["min_ppl"] or b[a]["max_ppl"] <= b[c]["max_ppl"], lang
