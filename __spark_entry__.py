@@ -19,86 +19,76 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-7 rotation (VERDICT r6 "Next round" #3 — freshness): the window
-# front-loads (a) the 11 queries new in round 7's first half
-# (token_budget_selection / ppl_buckets_by_lang /
-# token_budget_admission / quality_drift_psi / ppl_buckets_lang_models
-# / drift_monitor_series / streaming_curation_gate) plus the 16 added
-# in its second half (lm_trigram_backoff / lm_trigram_served /
-# hard_negative_mining / embedding_drift_psi / dedup_span_rewrite /
-# moore_lewis_selection / moore_lewis_served / setsim_exact_join /
-# weighted_sample_tokens / weighted_sample_by_lang / nb_source_predict
-# / curation_pipeline_v3 / important_parts / top_revenue_supplier /
-# nation_year_profit / lsh_dedup_recall) plus the 4 queries whose
-# code or semantics changed this round (the localCheckpoint rewrite of
-# ppl_buckets / curation_pipeline_v2 with driver-side histogram cut
-# points; the reserved-seed-namespace change under ingest_quality_gate;
-# the codebook/centroid checkpointing inside the fused ivfpq_search),
-# then (b) ALL 22 queries whose latest driver row still dates to round
-# 3, then (c) the oldest round-4 rows in registration order. That
-# fills 50 exactly; after this gate no query's newest driver row is
-# older than round 4 (the remaining r4 rows — now including
-# cdc_corrupt_events / dlq_records / cdc_op_counts / cdc_route_stats /
-# iidr_ts_normalize /
-# type_coercion / cdc_backfill_then_stream / table_profile /
-# scd2_history / envelope_unwrap / top_customers / events_hourly /
-# events_sessionize / asof_join / local_supplier_revenue /
-# range_join_active_orders bumped by the second-half additions — plus
-# the r5 rows rotate in round 8).
+# Round-8 rotation (VERDICT r7 "Next round" #1 — finish the freshness
+# rotation): the window front-loads (a) the 5 queries NEW in round 8
+# (ivfpq_remove_serve / paragraph_dedup / lsh_recall_curve /
+# ccnet_pipeline / gopher_rules_report), (b) the 3 carried queries
+# whose behavior-relevant code changed this round (setsim_exact_join —
+# every pruning filter rewritten to exact integer basis-point
+# arithmetic; important_parts — threshold comparison moved to
+# decimal(38,0)/HUGEINT; curation_pipeline_v3 — composes the changed
+# setsim join), then (c) ALL 38 queries whose newest driver row still
+# dates to round 4 (the verdict's full list), then (d) the 4 oldest
+# round-5 rows in registration order. That fills 50 exactly; after
+# this gate no query's newest driver row predates round 5. Other
+# queries touched by round-8 guard-only changes (the drift bin-domain
+# clamp, the NULL-bin cut-value guards — identity on valid input)
+# were re-validated locally via tools/check_correctness.py, PASS 13/13.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new or changed in round 7 — no/stale green rows
-    "lm_trigram_backoff",
-    "lm_trigram_served",
-    "moore_lewis_selection",
-    "moore_lewis_served",
+    # (a) new in round 8 — never driver-checked
+    "ivfpq_remove_serve",
+    "paragraph_dedup",
+    "lsh_recall_curve",
+    "ccnet_pipeline",
+    "gopher_rules_report",
+    # (b) behavior-relevant round-8 changes
     "setsim_exact_join",
-    "weighted_sample_tokens",
-    "weighted_sample_by_lang",
-    "nb_source_predict",
-    "curation_pipeline_v3",
     "important_parts",
-    "top_revenue_supplier",
-    "nation_year_profit",
-    "lsh_dedup_recall",
-    "hard_negative_mining",
-    "embedding_drift_psi",
-    "dedup_span_rewrite",
-    "token_budget_selection",
-    "ppl_buckets_by_lang",
-    "token_budget_admission",
-    "quality_drift_psi",
-    "ppl_buckets_lang_models",
-    "drift_monitor_series",
-    "streaming_curation_gate",
-    "ppl_buckets",
-    "curation_pipeline_v2",
-    "ingest_quality_gate",
-    "ivfpq_search",
-    # (b) every remaining round-3-stale row (22)
-    "textrank_keywords",
-    "multimodal_resize",
-    "multimodal_frames",
-    "mixture_sample",
-    "duplicate_ngram_spans",
-    "cdc_state_at",
-    "cube_revenue",
-    "schema_embedded_decode",
-    "ivf_cell_stats",
-    "stratified_quantiles",
-    "minhash_jaccard_est",
-    "late_data_watermark",
-    "shipping_priority",
-    "large_volume_customers",
-    "late_sole_suppliers",
-    "idle_rich_customers",
-    "props_json_stats",
-    "kmeans_refine",
-    "user_value_regression",
-    "winnowing_fingerprints",
-    "skipping_index",
-    "bloom_decontaminate",
-    # (c) oldest round-4 row, registration order (first 1)
-    "cdc_final_state",
+    "curation_pipeline_v3",
+    # (c) every round-4-stale row (38, the verdict list)
+    "asof_join",
+    "audio_window_energy",
+    "bpe_merge_step",
+    "bpe_merges_k",
+    "bpe_token_counts",
+    "canonical_docs",
+    "cdc_backfill_then_stream",
+    "cdc_corrupt_events",
+    "cdc_op_counts",
+    "cdc_route_stats",
+    "countmin_counts",
+    "dataset_splits",
+    "dlq_records",
+    "dup_rate_by_source",
+    "envelope_unwrap",
+    "events_hourly",
+    "events_sessionize",
+    "fingerprint_overlap_pairs",
+    "fk_integrity_report",
+    "iidr_ts_normalize",
+    "inverted_index",
+    "ivf_outliers",
+    "label_pca",
+    "local_supplier_revenue",
+    "min_price_suppliers",
+    "part_cooccurrence",
+    "quality_rank_by_source",
+    "range_join_active_orders",
+    "rarity_scores",
+    "returned_revenue_customers",
+    "scd2_history",
+    "snapshot_diff",
+    "table_profile",
+    "top_customers",
+    "triangle_counts",
+    "type_coercion",
+    "user_activity_streaks",
+    "user_value_outliers",
+    # (d) oldest round-5 rows, registration order
+    "q1_pricing_summary",
+    "rollup_revenue",
+    "customers_without_orders",
+    "pivot_daily_events",
 ]
 
 

@@ -107,6 +107,16 @@ HEADLINE = [
     # C-fanned naive-Bayes domain classifier
     "curation_pipeline_v3",
     "nb_source_predict",
+    # r8 additions (suite wall grows by these five ADDED entries —
+    # carried entries are the like-for-like comparison): ANN index
+    # takedown served from its persisted cache dir, CCNet paragraph
+    # dedup, the recall-vs-banding curve (one exact pass + 4 banded
+    # passes), the full CCNet composition, and the Gopher rule report
+    "ivfpq_remove_serve",
+    "paragraph_dedup",
+    "lsh_recall_curve",
+    "ccnet_pipeline",
+    "gopher_rules_report",
 ]
 
 
