@@ -603,3 +603,76 @@ def index_serves_removal(
         if sig is None or rec.get("built_src_sig") != sig:
             return False
     return True
+
+
+def pq_index_compact(
+    spark: SparkSession,
+    path: str,
+    files_per_cell: int = 1,
+) -> dict:
+    """Fold an append-grown index back to freshly-built file shape (the
+    pq twin of ``dedup_index_compact``; VERDICT r6 #4 class): every
+    ``pq_index_add`` appends parquet files to the touched ``codes``
+    cell directories and to ``flat_codes``, so a long ingest stream
+    accumulates O(batches) small files per cell — at 100 TB that is
+    the listing/open cost a serving scan pays on every probe. Each
+    cell directory is staging-swap rewritten to ``files_per_cell``
+    files; ``flat_codes`` folds to one file per shuffle partition of
+    its coalesced read. CONTENTS are unchanged — quantizers, codes,
+    fingerprint, removed_ids all carry over (asserted in tests via
+    byte-identical served answers) — so the marker record is preserved
+    verbatim; marker OUT before the first rewrite and back IN after
+    the last, the shared crash discipline.
+
+    Returns {"cells": n, "code_files_before": a, "code_files_after": b}.
+    """
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"no complete index at {path} (missing {_MARKER}); compacting "
+            "an absent or mid-build index is a caller bug."
+        )
+    with open(marker) as f:
+        rec_raw = f.read()
+    invalidate_memo(path)
+    os.remove(marker)
+
+    def _parquet_files(d: str) -> int:
+        return sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+
+    codes_root = f"{path}/codes"
+    cells = sorted(
+        d for d in os.listdir(codes_root) if d.startswith("centroid_id=")
+    )
+    before = sum(_parquet_files(os.path.join(codes_root, d)) for d in cells)
+    for d in cells:
+        cell_dir = os.path.join(codes_root, d)
+        if _parquet_files(cell_dir) <= files_per_cell:
+            continue
+        staging = os.path.join(codes_root, f".{d}.compact")
+        spark.read.parquet(cell_dir).coalesce(files_per_cell).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        shutil.rmtree(cell_dir)
+        os.rename(staging, cell_dir)
+    after = sum(_parquet_files(os.path.join(codes_root, d)) for d in cells)
+    flat_src = f"{path}/flat_codes"
+    if _parquet_files(flat_src) > files_per_cell:
+        flat_staging = f"{path}/.flat_codes.compact"
+        spark.read.parquet(flat_src).coalesce(files_per_cell).write.mode(
+            "overwrite"
+        ).parquet(flat_staging)
+        shutil.rmtree(flat_src)
+        os.rename(flat_staging, flat_src)
+    with open(marker, "w") as f:
+        f.write(rec_raw)
+    invalidate_memo(path)
+    return {
+        "cells": len(cells),
+        "code_files_before": before,
+        "code_files_after": after,
+    }

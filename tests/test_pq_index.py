@@ -408,3 +408,78 @@ def test_remove_replay_is_noop(spark, tmp_path):
     assert again == {"vectors_removed": 0, "cells_rewritten": 0}
     a2 = [tuple(r) for r in ivfpq_search_index(spark, path, qv).collect()]
     assert a1 == a2
+
+
+def test_compact_folds_added_files_and_preserves_answers(spark, tmp_path):
+    """pq_index_compact: after several pq_index_add batches, cell dirs
+    hold O(batches) files; compaction folds them to one per cell with
+    BYTE-IDENTICAL served answers, a preserved marker record, and a
+    replay no-op. Crash discipline: marker out during the rewrite."""
+    import json
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        pq_index_add,
+        pq_index_compact,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    build_pq_index(spark, base, QUERIES["ivf_centroids"](spark, SF), path)
+    for m in (1, 2, 3):
+        pq_index_add(spark, path, emb.filter(F.col("vec_id") % 4 == m))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    before_ans = [tuple(r) for r in ivfpq_search_index(spark, path, qv).collect()]
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        before_rec = json.load(f)
+
+    stats = pq_index_compact(spark, path)
+    assert stats["code_files_after"] < stats["code_files_before"]
+    cells = [d for d in os.listdir(f"{path}/codes") if d.startswith("centroid_id=")]
+    for d in cells:
+        n = sum(1 for x in os.listdir(f"{path}/codes/{d}") if x.endswith(".parquet"))
+        assert n == 1, d
+    after_ans = [tuple(r) for r in ivfpq_search_index(spark, path, qv).collect()]
+    assert after_ans == before_ans
+    flat = [tuple(r) for r in pq_adc_search_index(spark, path, qv).collect()]
+    assert len(flat) == 10
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        assert json.load(f) == before_rec     # record preserved verbatim
+    again = pq_index_compact(spark, path)
+    assert again["code_files_after"] == again["code_files_before"]
+
+
+def test_compact_refuses_without_marker_and_crash_leaves_invalid(
+    spark, tmp_path, monkeypatch
+):
+    """Compacting an incomplete index refuses; a crash during the
+    rewrite (simulated at the coalesce) leaves NO marker — the index is
+    unmistakably invalid, never half-compacted under a live marker."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    import kafka_dbsync_spark.operators.pq_index as m
+    from kafka_dbsync_spark.operators.pq_index import pq_index_add
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    marker = os.path.join(path, "_COMPLETE")
+    os.remove(marker)
+    with pytest.raises(ValueError, match="no complete index"):
+        m.pq_index_compact(spark, path)
+
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    pq_index_add(spark, path, emb.filter(F.col("vec_id") % 2 != 0))
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated crash mid-compaction")
+
+    monkeypatch.setattr(_DF, "coalesce", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.pq_index_compact(spark, path)
+    monkeypatch.undo()
+    assert not index_is_built(path)
+    # recovery: rebuild + recompact
+    build_pq_index(spark, emb, cents, path)
+    assert index_is_built(path)

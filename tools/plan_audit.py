@@ -174,6 +174,25 @@ SHUFFLE_BUDGET = {
     # sources x 11 fixed-domain rows, totals broadcast
     "streaming_curation_gate": 0,   # materialized rows (the composed
     # gate->budget foreachBatch chain ran per batch at construction)
+    # round-8 additions
+    "ivfpq_remove_serve": 3,        # identical serve shape to
+    # ivfpq_search_served (codebook restructure exchanges only, data
+    # side pruned-scan + TakeOrdered); the build+remove ran once at
+    # construction against the _remove cache dir
+    "paragraph_dedup": 4,           # paragraph-hash agg + doomed-instance
+    # join + per-doc drop-positions agg + ensure_parallelism spread;
+    # the rewrite is a narrow higher-order filter over the doc row
+    "lsh_recall_curve": 13,         # four banded pipelines off ONE
+    # checkpointed signature table (per config: band window + verify
+    # count-agg chain) + the shared exact-truth scalar; the signature
+    # and exact-join passes materialized once at construction (eager
+    # localCheckpoint — disclosed, same pattern as lsh_dedup_recall)
+    "ccnet_pipeline": 1,            # returned plan: the (lang, bucket)
+    # report agg over the checkpointed scored table; the dedup ->
+    # langid -> LM stages materialized once at construction (eager
+    # localCheckpoint stage handoffs, curation_pipeline_v3 pattern)
+    "gopher_rules_report": 1,       # ONE corpus agg (all five rules are
+    # narrow array expressions), unpivoted driver-free via stack
     "drift_monitor_series": 0,      # materialized rows (reference seed +
     # 2 monitored batches ran through the drift operator at construction)
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
