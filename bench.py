@@ -107,14 +107,16 @@ HEADLINE = [
     # C-fanned naive-Bayes domain classifier
     "curation_pipeline_v3",
     "nb_source_predict",
-    # r8 additions (suite wall grows by these five ADDED entries —
+    # r8 additions (suite wall grows by these four ADDED entries —
     # carried entries are the like-for-like comparison): ANN index
     # takedown served from its persisted cache dir, CCNet paragraph
-    # dedup, the recall-vs-banding curve (one exact pass + 4 banded
-    # passes), the full CCNet composition, and the Gopher rule report
+    # dedup, the full CCNet composition, and the Gopher rule report.
+    # lsh_recall_curve is deliberately NOT a headline entry: it is an
+    # offline evaluation sweep (exact ground-truth join + all four
+    # bandings), ~15 s at sf0.1 by construction — tracked by its gate
+    # query and the 10x scale probe instead.
     "ivfpq_remove_serve",
     "paragraph_dedup",
-    "lsh_recall_curve",
     "ccnet_pipeline",
     "gopher_rules_report",
 ]

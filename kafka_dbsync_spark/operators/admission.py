@@ -523,3 +523,191 @@ def compact_budget_state(
         )},
     )
     return {"through": new_through, "folded_epochs": len(cand)}
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup at ingest — the streaming twin of
+# operators/dedup.py::paragraph_dedup (CCNet's paragraph-hash step), in
+# arrival order: the FIRST ARRIVAL of a paragraph hash owns it forever.
+# ---------------------------------------------------------------------------
+_PARA_HASHES = "para_hashes"
+_CLEANED = "cleaned"
+
+
+def read_cleaned_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Every ingested doc's rewrite across committed epochs (None before
+    the first commit): (id, n_paras, n_removed, cleaned_text)."""
+    return _read_state(spark, state_dir, _CLEANED)
+
+
+def seed_paragraph_hashes(
+    state_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> None:
+    """Bootstrap the seen-paragraph set from an existing corpus (the
+    reserved ``seed/`` namespace — NOT an epoch id, so Structured
+    Streaming's batchId 0 is never swallowed by the replay guard)."""
+    import re
+
+    d = docs.select(F.split(F.col(text_col), re.escape(sep)).alias("paras"))
+    norm = F.trim(F.regexp_replace("para", r"\s+", " "))
+    (
+        d.select(F.explode("paras").alias("para"))
+        .select(F.md5(F.lower(norm)).alias("dh"), F.length(norm).alias("n"))
+        .filter(F.col("n") > 0)
+        .select("dh")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(state_dir, _PARA_HASHES, _SEED))
+    )
+
+
+def paragraph_ingest_foreach_batch(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    compact_every: int | None = 16,
+):
+    """``foreachBatch`` function performing CCNet paragraph-hash dedup
+    AT INGEST, keep-first in arrival order: a paragraph instance
+    survives iff its normalized hash is not in the persisted seen set
+    AND it is the batch's first holder (smallest (id, position)).
+    Every doc lands REWRITTEN in ``cleaned/e{epoch}`` (survivor
+    paragraphs re-joined with ``sep``; untouched docs pass through
+    whole), and the batch's NEW hashes commit LAST to
+    ``para_hashes/e{epoch}`` — the epoch's commit point, so a replay
+    recomputes against exactly the state the first attempt saw and
+    rewrites every output identically (the admission_foreach_batch
+    contract). Empty-normalized paragraphs are formatting: kept
+    verbatim, never hashed (the would-be hottest key).
+
+    Batch equivalence: when batches partition the corpus in (id)
+    order, the committed ``cleaned`` rows equal
+    ``paragraph_dedup(mode='keep_first')`` on the concatenated corpus
+    — proven by the ``paragraph_ingest_gate`` oracle.
+
+    Scale per batch: paragraphs explode once; membership is an md5
+    anti-join against hash-only state (KBs per million paragraphs,
+    corpus text never re-read); the first-holder fold is one
+    map-side-combined (hash) aggregate; the rewrite is the JVM-side
+    higher-order filter shared with the batch operator.
+    ``compact_every`` folds epoch dirs to ``base-{T}`` so state reads
+    stay O(1) dirs on an arbitrarily old stream."""
+    import re
+
+    sep_re = re.escape(sep)
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        commit = os.path.join(state_dir, _PARA_HASHES, f"e{epoch}")
+        if _committed(commit):
+            return
+        _, through, _, _, _ = _scan_root(state_dir, _PARA_HASHES)
+        if epoch <= through:
+            return  # folded into a base snapshot by compaction
+        d = batch_df.select(
+            id_col, F.split(F.col(text_col), sep_re).alias("paras")
+        ).persist()
+        norm = F.trim(F.regexp_replace("para", r"\s+", " "))
+        cand = (
+            d.select(id_col, F.posexplode("paras").alias("idx0", "para"))
+            .select(
+                id_col,
+                (F.col("idx0") + 1).alias("i"),
+                F.md5(F.lower(norm)).alias("dh"),
+                F.length(norm).alias("nlen"),
+            )
+            .filter(F.col("nlen") > 0)
+            .drop("nlen")
+            .persist()
+        )
+        try:
+            state = _read_state(
+                spark, state_dir, _PARA_HASHES, before_epoch=epoch
+            )
+            firsts = cand.groupBy("dh").agg(
+                F.min(
+                    F.struct(F.col(id_col).alias("fd"), F.col("i").alias("fi"))
+                ).alias("first")
+            )
+            j = cand.join(firsts, "dh").withColumn(
+                "__keep",
+                (F.col(id_col) == F.col("first.fd"))
+                & (F.col("i") == F.col("first.fi")),
+            )
+            if state is not None:
+                seen = state.select("dh").distinct().withColumn(
+                    "__old", F.lit(True)
+                )
+                j = j.join(seen, "dh", "left").withColumn(
+                    "__keep", F.col("__keep") & F.col("__old").isNull()
+                )
+            else:
+                j = j.withColumn("__old", F.lit(None).cast("boolean"))
+            j = j.persist()
+            try:
+                drops = (
+                    j.filter(~F.col("__keep"))
+                    .groupBy(id_col)
+                    .agg(F.collect_set("i").alias("drop_idx"))
+                )
+                out = d.join(drops, id_col, "left")
+                kept = F.expr(
+                    "transform(filter(transform(sequence(1, size(paras)), "
+                    "p -> struct(p AS p, element_at(paras, p) AS q)), "
+                    "x -> drop_idx IS NULL OR NOT array_contains(drop_idx, x.p)), "
+                    "x -> x.q)"
+                )
+                (
+                    out.select(
+                        F.col(id_col),
+                        F.size("paras").cast("long").alias("n_paras"),
+                        F.coalesce(F.size("drop_idx"), F.lit(0))
+                        .cast("long")
+                        .alias("n_removed"),
+                        F.array_join(kept, sep).alias("cleaned_text"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(state_dir, _CLEANED, f"e{epoch}"))
+                )
+                # commit point: the batch's NEW hashes join the seen set
+                j.filter(F.col("__old").isNull()).select("dh").distinct(
+                ).write.mode("overwrite").parquet(commit)
+            finally:
+                j.unpersist()
+        finally:
+            cand.unpersist()
+            d.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_paragraph_state(spark, state_dir, keep_last=1)
+
+    return fn
+
+
+def compact_paragraph_state(
+    spark: SparkSession, state_dir: str, keep_last: int = 0
+) -> dict:
+    """Fold seed + committed paragraph-ingest epochs into one
+    ``base-{T}`` per table (hashes distinct, cleaned rows as-is) —
+    the same commit-last protocol and crash argument as
+    ``compact_admission_state``."""
+    _, through, _, committed, pending = _scan_root(state_dir, _PARA_HASHES)
+    ceiling = min(pending) if pending else None
+    cand = sorted(
+        e for e, _ in committed
+        if e > through and (ceiling is None or e < ceiling)
+    )
+    if keep_last > 0:
+        cand = cand[: max(0, len(cand) - keep_last)]
+    if not cand:
+        return {"through": through, "folded_epochs": 0}
+    new_through = cand[-1]
+    _fold_tables(
+        spark, state_dir, (_PARA_HASHES, _CLEANED), new_through,
+        {_PARA_HASHES: lambda df: df.distinct()},
+    )
+    return {"through": new_through, "folded_epochs": len(cand)}

@@ -258,19 +258,29 @@ def minhash_lsh_candidates(
 
 
 def banded_pairs(
-    banded: DataFrame, id_col: str, max_bucket_size: int = 32
+    banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int = 32,
+    carry_col: str | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs of ids sharing a (band_idx, band_val)
     bucket — the bounded hybrid emission shared by MinHash-LSH and
     SimHash banding (see minhash_lsh_candidates for the design notes:
     all pairs for buckets ≤ max_bucket_size, star pairs above, one
-    spillable window pass, no unbounded arrays)."""
+    spillable window pass, no unbounded arrays).
+
+    ``carry_col``: a column CONSTANT within each bucket (e.g. a banding
+    configuration tag when several band widths share one fused window
+    pass — band_idx must then be unique per config); it rides through
+    to the output and the distinct is per (carry, id_a, id_b)."""
     from pyspark.sql.window import Window
 
     ordered = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
     full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     preceding = ordered.rowsBetween(-max_bucket_size, -1)
+    carry = [F.col(carry_col)] if carry_col else []
     sized = banded.select(
+        *carry,
         F.col(id_col),
         F.count("*").over(full).alias("__n"),
         F.min(id_col).over(full).alias("__mn"),
@@ -292,8 +302,10 @@ def banded_pairs(
             lambda p: p["id_a"] != p["id_b"],
         )
     )
-    pairs = sized.select(F.explode(pair_array).alias("p")).select(
-        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    pairs = sized.select(*carry, F.explode(pair_array).alias("p")).select(
+        *carry,
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
     )
     return pairs.distinct()
 

@@ -3139,6 +3139,57 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(chunked, "doc_id", "text", sep="\n", mode="keep_first")
 
 
+@query("paragraph_ingest_gate", oracle=ORACLES["paragraph_dedup"])
+def q_paragraph_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-hash dedup AT INGEST, batch-equivalently: the corpus
+    arrives in three doc_id-range micro-batches through the REAL
+    streaming operator
+    (operators/admission.py::paragraph_ingest_foreach_batch — parquet
+    epoch state, commit-last hash dirs, replay no-op, base-fold
+    compaction firing mid-stream at epoch 2), and the committed cleaned
+    rows must equal the BATCH paragraph_dedup keep-first answer on the
+    whole corpus — the oracle IS paragraph_dedup's, verbatim. Holds
+    because range batches preserve (doc, position) order, so the first
+    arrival of each hash is its global first holder. Affected docs only
+    (n_removed > 0), matching the batch operator's inner join."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.admission import (
+        paragraph_ingest_foreach_batch,
+        read_cleaned_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    chunked = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    mx = int(chunked.agg(F.max("doc_id")).head()[0])
+    b1, b2 = mx // 3, (2 * mx) // 3
+    batches = [
+        chunked.filter(F.col("doc_id") <= b1),
+        chunked.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        chunked.filter(F.col("doc_id") > b2),
+    ]
+    work = tempfile.mkdtemp(prefix="kds_para_ingest_")
+    try:
+        fn = paragraph_ingest_foreach_batch(work, compact_every=2)
+        for epoch, bdf in enumerate(batches):
+            fn(bdf, epoch)
+        out = (
+            read_cleaned_docs(spark, work)
+            .filter(F.col("n_removed") > 0)
+            .select("doc_id", "n_paras", "n_removed", "cleaned_text")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query(
     "cdc_state_at",
     oracle=f"""
@@ -9476,16 +9527,23 @@ def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed). Verification is exact so precision is 1 everywhere;
     the output is the recall frontier (rows_per_band, n_bands, n_true,
     n_found, recall_bp) a deployment tunes against — exactly how
-    ann_recall_report sweeps nprobe. Per-config verification re-derives
-    candidate shingles from the checkpointed docs (narrow; at 100 TB
-    the persisted shingle table the setsim join materializes once
-    would be reused)."""
+    ann_recall_report sweeps nprobe.
+
+    Plan shape — the whole sweep is TWO fused pipelines, not four:
+    every configuration's bands ride one posexplode (band_idx offset
+    by config, so buckets never cross configs) through ONE spillable
+    window pass (banded_pairs with the config carried), and all
+    configs' candidates verify in ONE count-join pass against a
+    shingle table checkpointed once (the setsim verifier shape —
+    counting shared shingles through an equi-join, never per-pair
+    array intersects). Signatures are computed once; the exact
+    ground-truth join runs once."""
     from kafka_dbsync_spark.operators.dedup import (
         banded_pairs,
-        jaccard_pairs,
         lsh_bands,
         setsim_prefix_join,
         with_minhash_signatures,
+        with_shingles,
     )
 
     docs = _planted_docs(spark, sf_dir).localCheckpoint(eager=True)
@@ -9500,26 +9558,51 @@ def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *sig_cols)
         .localCheckpoint(eager=True)
     )
-    out = None
-    for r in (1, 2, 4, 8):
-        banded = sig.select(
+    configs = (1, 2, 4, 8)
+    banded = None
+    for r in configs:
+        b = sig.select(
+            F.lit(r).alias("rpb"),
             "doc_id",
             F.posexplode(lsh_bands(sig_cols, r)).alias("band_idx", "band_val"),
+        ).withColumn("band_idx", F.col("band_idx") + F.lit(r * 100))
+        banded = b if banded is None else banded.unionByName(b)
+    cand = banded_pairs(banded, "doc_id", 32, carry_col="rpb")
+    shd = (
+        with_shingles(docs, "text", 3)
+        .select("doc_id", F.array_distinct("shingles").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    ex = shd.select("doc_id", F.size("sh").alias("s"), F.explode("sh").alias("g"))
+    ga = ex.select(F.col("doc_id").alias("id_a"), "g")
+    gb = ex.select(F.col("doc_id").alias("id_b"), F.col("s").alias("szb"), "g")
+    sza = shd.select(F.col("doc_id").alias("id_a"), F.size("sh").alias("sza"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("rpb", "id_a", "id_b")
+        .agg(F.count("*").alias("inter"), F.first("szb").alias("szb"))
+        .join(sza, "id_a")
+    )
+    jac_bp = F.floor(
+        F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))
+    )
+    found = (
+        inter.filter(jac_bp >= 5000)
+        .groupBy("rpb")
+        .agg(F.count("*").alias("n_found"))
+    )
+    allcfg = spark.createDataFrame([(r,) for r in configs], "rpb int")
+    return (
+        F.broadcast(allcfg)
+        .join(found, "rpb", "left")
+        .na.fill({"n_found": 0})
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            F.col("rpb").cast("long").alias("rows_per_band"),
+            (F.lit(8) / F.col("rpb")).cast("long").alias("n_bands"),
+            "n_true",
+            "n_found",
+            F.expr("(n_found * 10000) div n_true").cast("long").alias("recall_bp"),
         )
-        cand = banded_pairs(banded, "doc_id", 32)
-        found = jaccard_pairs(docs, cand, "doc_id", "text", k=3, threshold=0.5)
-        point = (
-            found.agg(F.count("*").alias("n_found"))
-            .crossJoin(F.broadcast(truth_n))
-            .select(
-                F.lit(r).cast("long").alias("rows_per_band"),
-                F.lit(8 // r).cast("long").alias("n_bands"),
-                "n_true",
-                "n_found",
-                F.expr("(n_found * 10000) div n_true")
-                .cast("long")
-                .alias("recall_bp"),
-            )
-        )
-        out = point if out is None else out.unionByName(point)
-    return out
+    )

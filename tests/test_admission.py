@@ -498,3 +498,106 @@ def test_budget_admission_wired_to_real_stream(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/deferred/{d}").collect()
     }
     assert adm == {1, 2, 3} and dfr == {4}
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup at ingest (paragraph_ingest_foreach_batch)
+# ---------------------------------------------------------------------------
+def _pdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_ingest_keep_first_across_batches(spark, tmp_path):
+    """A paragraph admitted in batch 0 suppresses every later arrival —
+    across batches and within a batch — and every doc lands rewritten;
+    replaying a committed epoch is a no-op."""
+    from kafka_dbsync_spark.operators.admission import (
+        paragraph_ingest_foreach_batch,
+        read_cleaned_docs,
+    )
+
+    state = str(tmp_path / "pstate")
+    fn = paragraph_ingest_foreach_batch(state, compact_every=None)
+    fn(_pdocs(spark, [(1, "shared para\nunique one")]), 0)
+    fn(_pdocs(spark, [
+        (2, "shared para\nfresh text"),        # loses the batch-0 para
+        (3, "twice here\nother stuff"),
+        (4, "twice here\nmore words"),         # loses to doc 3 in-batch
+    ]), 1)
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in read_cleaned_docs(spark, state).collect()
+    }
+    assert got == {
+        1: (2, 0, "shared para\nunique one"),
+        2: (2, 1, "fresh text"),
+        3: (2, 0, "twice here\nother stuff"),
+        4: (2, 1, "more words"),
+    }
+    # replay of epoch 1: committed -> no-op, answers unchanged
+    fn(_pdocs(spark, [(99, "should never appear")]), 1)
+    after = {r["doc_id"] for r in read_cleaned_docs(spark, state).collect()}
+    assert 99 not in after and after == {1, 2, 3, 4}
+
+
+def test_paragraph_ingest_restart_and_seed(spark, tmp_path):
+    """A new operator instance (fresh session state) continues from the
+    committed epochs; a seeded corpus suppresses its paragraphs from
+    batch 0 onward — and the seed never swallows batchId 0."""
+    from kafka_dbsync_spark.operators.admission import (
+        paragraph_ingest_foreach_batch,
+        read_cleaned_docs,
+        seed_paragraph_hashes,
+    )
+
+    state = str(tmp_path / "pstate")
+    seed_paragraph_hashes(state, _pdocs(spark, [(0, "seeded para")]))
+    fn = paragraph_ingest_foreach_batch(state, compact_every=None)
+    fn(_pdocs(spark, [(1, "seeded para\nnew content")]), 0)
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in read_cleaned_docs(spark, state).collect()
+    }
+    assert got == {1: "new content"}     # seed hit dropped, batch 0 ran
+    # restart: a NEW foreachBatch instance sees the committed state
+    fn2 = paragraph_ingest_foreach_batch(state, compact_every=None)
+    fn2(_pdocs(spark, [(2, "new content\nlater text")]), 1)
+    got2 = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in read_cleaned_docs(spark, state).collect()
+    }
+    assert got2[2] == "later text"       # batch-0 para owned by doc 1
+
+
+def test_paragraph_ingest_compaction_preserves_membership(spark, tmp_path):
+    """Folding epochs into base-{T} keeps suppressing exactly the same
+    paragraphs, replays across the fold stay no-ops, and state reads
+    see one base dir plus newer epochs."""
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        compact_paragraph_state,
+        paragraph_ingest_foreach_batch,
+        read_cleaned_docs,
+    )
+
+    state = str(tmp_path / "pstate")
+    fn = paragraph_ingest_foreach_batch(state, compact_every=None)
+    fn(_pdocs(spark, [(1, "alpha para\nbeta para")]), 0)
+    fn(_pdocs(spark, [(2, "gamma para\ndelta para")]), 1)
+    stats = compact_paragraph_state(spark, state)
+    assert stats["folded_epochs"] == 2 and stats["through"] == 1
+    names = sorted(os.listdir(os.path.join(state, "para_hashes")))
+    assert names == ["base-1"]
+    # a post-fold batch still dedups against folded paragraphs
+    fn(_pdocs(spark, [(3, "alpha para\nepsilon para")]), 2)
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in read_cleaned_docs(spark, state).collect()
+    }
+    assert got[3] == "epsilon para"
+    # replay of a FOLDED epoch is a no-op (its dir is gone)
+    fn(_pdocs(spark, [(77, "phantom")]), 1)
+    assert 77 not in {
+        r["doc_id"] for r in read_cleaned_docs(spark, state).collect()
+    }

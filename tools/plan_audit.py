@@ -182,11 +182,16 @@ SHUFFLE_BUDGET = {
     "paragraph_dedup": 4,           # paragraph-hash agg + doomed-instance
     # join + per-doc drop-positions agg + ensure_parallelism spread;
     # the rewrite is a narrow higher-order filter over the doc row
-    "lsh_recall_curve": 13,         # four banded pipelines off ONE
-    # checkpointed signature table (per config: band window + verify
-    # count-agg chain) + the shared exact-truth scalar; the signature
-    # and exact-join passes materialized once at construction (eager
-    # localCheckpoint — disclosed, same pattern as lsh_dedup_recall)
+    "lsh_recall_curve": 4,          # the FUSED sweep: one window pass
+    # over all configs' bands (config-offset band_idx) + one count-join
+    # verify agg + per-config found counts + the left join onto the
+    # config domain; signatures, shingles, and the exact-truth scalar
+    # materialized once at construction (eager localCheckpoint —
+    # disclosed, same pattern as lsh_dedup_recall)
+    "paragraph_ingest_gate": 0,     # materialized rows (three range
+    # batches ran through paragraph_ingest_foreach_batch at
+    # construction, compaction firing at epoch 2; the returned plan
+    # reads the committed cleaned dirs)
     "ccnet_pipeline": 1,            # returned plan: the (lang, bucket)
     # report agg over the checkpointed scored table; the dedup ->
     # langid -> LM stages materialized once at construction (eager
