@@ -131,7 +131,17 @@ ADJUDICATIONS = [
     "median 0.409s, exactly the r6 value. The inflation appears only "
     "inside the full suite (JVM heap/GC context from neighboring "
     "heavyweight entries), not in the query or its 1-exchange plan; "
-    "code untouched since r1. Watch item closed.",
+    "code untouched since r1. Watch item closed (and it came back "
+    "-0.32s in the r8 suite).",
+    "setsim_exact_join r8 +1.6s best (4.96 -> ~6.6s at sf0.1): NOT the "
+    "r8 exact-bp filter rewrite — an in-session A/B of the old float "
+    "filters vs the new integer filters on identical data ran BOTH at "
+    "~7s with identical 1375-pair output, and at sf1 the new code held "
+    "level (7.27 vs 7.2 r7). Same host parallel-throughput swing "
+    "documented in BENCH_SF1_r08's note (bidirectional multi-second "
+    "drifts on untouched queries under a QUIETER canary); "
+    "curation_pipeline_v3's +0.57s is the same effect through its "
+    "setsim stage. Re-baseline against this round's numbers.",
 ]
 
 
