@@ -1294,6 +1294,114 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k_anonymity_report",
+    # Privacy reporting (Sweeney 2002 k-anonymity over release
+    # quasi-identifiers): every (lang, source, length-bucket) combo
+    # with its group size and whether a k=5 release must suppress it.
+    # Pairs with pii_scrub (content redaction) and the index takedown
+    # paths (right-to-erasure) as the repo's privacy tier.
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, source,
+             CAST((CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                   ELSE len(string_split({_SQL_NORM.format(c='text')}, ' '))
+                   END) // 32 AS BIGINT) AS len_bucket
+      FROM documents
+    )
+    SELECT lang, source, len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) < 5 AS suppressed
+    FROM m GROUP BY lang, source, len_bucket
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the release quasi-identifiers (lang,
+    source, 32-token length bucket): a group smaller than k=5 is
+    re-identifiable by its combination alone and must be suppressed or
+    generalized before the dataset ships. ONE map-side-combined
+    aggregate; the length bucket is exact integer arithmetic so both
+    engines bucket identically. The privacy tier's reporting face —
+    pii_scrub redacts content, dedup/pq index removal forgets
+    individuals, this measures what the released METADATA leaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (token_count("text") / F.lit(32)).cast("long")
+    return (
+        docs.select("lang", "source", bucket.alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang", "source", "len_bucket", "n_docs",
+            (F.col("n_docs") < 5).alias("suppressed"),
+        )
+    )
+
+
+@query(
+    "mixture_epochs_plan",
+    # The pretraining-mix planning step (the per-source epoch counts
+    # every published data recipe reports): given target shares in
+    # basis points, the repeat factor each source needs so its
+    # upsampled tokens hit the target share of the planned budget —
+    # CEILING epochs (you cannot train on 2.3 passes of a source
+    # without a partial-epoch sampler; the overshoot is reported).
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(sum(CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = '' THEN 0
+                  ELSE len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                  END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tgt AS (
+      SELECT * FROM (VALUES ('src0', 2500), ('src1', 2000), ('src2', 1500),
+                            ('src3', 1000), ('src4', 500)) AS v(source, share_bp)
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget FROM t)
+    SELECT t.source, t.n_tokens, tgt.share_bp,
+           CAST(tot.budget * tgt.share_bp // 10000 AS BIGINT) AS target_tokens,
+           CAST(ceil(CAST(tot.budget * tgt.share_bp // 10000 AS DOUBLE)
+                     / t.n_tokens) AS BIGINT) AS epochs,
+           CAST(CAST(ceil(CAST(tot.budget * tgt.share_bp // 10000 AS DOUBLE)
+                     / t.n_tokens) AS BIGINT) * t.n_tokens AS BIGINT) AS upsampled_tokens
+    FROM t JOIN tgt USING (source), tot
+    """,
+)
+def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch planning for a target pretraining mix: with the
+    total corpus token count as the budget and target shares in basis
+    points (web 40% / wiki 30% / books 20% / code 5% / forums 5%),
+    each source repeats ceil(target/actual) times — the integer-epoch
+    upsampling factor data recipes publish (partial epochs need a
+    sampler; the integer plan's overshoot is reported as
+    upsampled_tokens). One token-count aggregate; the share table is a
+    broadcast literal; everything after is per-source arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("n_tokens")
+    )
+    tgt = F.broadcast(
+        spark.createDataFrame(
+            [("src0", 2500), ("src1", 2000), ("src2", 1500),
+             ("src3", 1000), ("src4", 500)],
+            "source string, share_bp int",
+        )
+    )
+    tot = t.agg(F.sum("n_tokens").alias("budget"))
+    target = F.expr("budget * share_bp div 10000").cast("long")
+    joined = t.join(tgt, "source").crossJoin(F.broadcast(tot)).withColumn(
+        "target_tokens", target
+    )
+    epochs = F.ceil(
+        F.col("target_tokens").cast("double") / F.col("n_tokens")
+    ).cast("long")
+    return joined.select(
+        "source", "n_tokens",
+        F.col("share_bp").cast("int").alias("share_bp"),
+        "target_tokens",
+        epochs.alias("epochs"),
+        (epochs * F.col("n_tokens")).cast("long").alias("upsampled_tokens"),
+    )
+
+
+@query(
     "doc_fingerprint",
     oracle=f"""
     WITH n AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM documents)

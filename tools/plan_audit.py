@@ -198,6 +198,12 @@ SHUFFLE_BUDGET = {
     # localCheckpoint stage handoffs, curation_pipeline_v3 pattern)
     "gopher_rules_report": 1,       # ONE corpus agg (all five rules are
     # narrow array expressions), unpivoted driver-free via stack
+    "k_anonymity_report": 1,        # one map-side-combined
+    # quasi-identifier agg; the suppression flag is per-row arithmetic
+    "mixture_epochs_plan": 3,       # per-source token agg + its
+    # re-derivation feeding the scalar budget + the budget's
+    # SinglePartition exchange (AQE reuses the shared agg at runtime —
+    # the hot_key_report pattern); the share table is a broadcast literal
     "drift_monitor_series": 0,      # materialized rows (reference seed +
     # 2 monitored batches ran through the drift operator at construction)
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
