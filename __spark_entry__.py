@@ -20,19 +20,18 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-8 rotation (VERDICT r7 "Next round" #1 — finish the freshness
-# rotation): the window front-loads (a) the 8 queries NEW in round 8
+# rotation): the window front-loads (a) the 9 queries NEW in round 8
 # (ivfpq_remove_serve / paragraph_dedup / paragraph_ingest_gate /
 # lsh_recall_curve / ccnet_pipeline / gopher_rules_report /
-# k_anonymity_report / mixture_epochs_plan), (b) the 3
-# carried queries
+# k_anonymity_report / mixture_epochs_plan / ann_ingest_stream),
+# (b) the 3 carried queries
 # whose behavior-relevant code changed this round (setsim_exact_join —
 # every pruning filter rewritten to exact integer basis-point
 # arithmetic; important_parts — threshold comparison moved to
 # decimal(38,0)/HUGEINT; curation_pipeline_v3 — composes the changed
 # setsim join), then (c) ALL 38 queries whose newest driver row still
-# dates to round 4 (the verdict's full list), then (d) the oldest
-# round-5 row. That fills 50 exactly; after
-# this gate no query's newest driver row predates round 5. Other
+# dates to round 4 (the verdict's full list). That fills 50 exactly;
+# after this gate no query's newest driver row predates round 5. Other
 # queries touched by round-8 guard-only changes (the drift bin-domain
 # clamp, the NULL-bin cut-value guards — identity on valid input)
 # were re-validated locally via tools/check_correctness.py, PASS 13/13.
@@ -46,6 +45,7 @@ _DRIVER_PRIORITY: list[str] = [
     "gopher_rules_report",
     "k_anonymity_report",
     "mixture_epochs_plan",
+    "ann_ingest_stream",
     # (b) behavior-relevant round-8 changes
     "setsim_exact_join",
     "important_parts",
@@ -89,8 +89,6 @@ _DRIVER_PRIORITY: list[str] = [
     "type_coercion",
     "user_activity_streaks",
     "user_value_outliers",
-    # (d) oldest round-5 row, registration order
-    "q1_pricing_summary",
 ]
 
 

@@ -676,3 +676,130 @@ def pq_index_compact(
         "code_files_before": before,
         "code_files_after": after,
     }
+
+
+def _ingest_committed(path: str, epoch: int) -> bool:
+    return os.path.exists(os.path.join(path, "ingest", f"e{epoch}", "_SUCCESS"))
+
+
+def _move_epoch_files(staging_cell: str, target_cell: str, prefix: str) -> None:
+    """Idempotent move of one staging cell's parquet files into the live
+    cell directory under DETERMINISTIC epoch-tagged names: any files a
+    crashed earlier attempt left under this prefix are deleted first,
+    then the fresh files rename in — a replay converges to exactly one
+    copy of the epoch's rows no matter where the previous attempt
+    died."""
+    os.makedirs(target_cell, exist_ok=True)
+    for n in list(os.listdir(target_cell)):
+        if n.startswith(prefix):
+            os.remove(os.path.join(target_cell, n))
+    files = sorted(
+        n for n in os.listdir(staging_cell) if n.endswith(".parquet")
+    )
+    for i, n in enumerate(files):
+        os.rename(
+            os.path.join(staging_cell, n),
+            os.path.join(target_cell, f"{prefix}{i:05d}.parquet"),
+        )
+
+
+def pq_index_ingest_foreach_batch(
+    path: str,
+    d_sub: int = 8,
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` function for EXACTLY-ONCE streaming ANN ingest —
+    the replay-safe twin of :func:`pq_index_add` (which, as a plain
+    ``mode("append")``, writes the batch AGAIN when Structured
+    Streaming redelivers an epoch after a sink crash; the dedup index
+    and admission stacks solved this with committed epoch state in r5-7
+    and the ANN index now matches). Per micro-batch:
+
+    1. replayed-epoch guard: a committed epoch returns without work;
+    2. encode the batch with the FROZEN quantizers (identical math to
+       ``pq_index_add`` — no retrain, map-only);
+    3. write the epoch's codes to a staging dir partitioned by cell,
+       then move each cell's files into the live partition under
+       DETERMINISTIC epoch-tagged names (``e{N}-i.parquet``), deleting
+       any same-prefix leftovers first — so a replay after a crash
+       anywhere in the move converges to exactly one copy;
+    4. refresh the marker fingerprint FROM THE SURVIVING CODES (one
+       column-pruned aggregate — derived from final state, so the
+       refresh itself is replay-idempotent, unlike add()'s incremental
+       fold which would double-count);
+    5. commit the epoch LAST (``ingest/e{N}/_SUCCESS``).
+
+    Crash visibility contract (documented, matching every production
+    ANN ingest): rows of an UNCOMMITTED epoch may be served during the
+    crash window — an ANN index serves approximate results and a few
+    early rows are harmless — but the replay never duplicates them,
+    and the fingerprint only advances at step 4. The source-listing
+    signature moves to ``built_src_sig`` on first ingest (the index
+    now intentionally diverges from its build source; serve paths that
+    manage ingest validate with their own epoch bookkeeping).
+
+    ``compact_every``: fold the per-epoch small files back to built
+    shape with :func:`pq_index_compact` every N committed epochs.
+    """
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        if _ingest_committed(path, epoch):
+            return
+        marker = os.path.join(path, _MARKER)
+        if not os.path.exists(marker):
+            raise ValueError(
+                f"no complete index at {path}; build_pq_index must run "
+                "before streaming ingest."
+            )
+        cents = spark.read.parquet(f"{path}/centroids")
+        cb = spark.read.parquet(f"{path}/pq_codebooks")
+        fcb = spark.read.parquet(f"{path}/flat_codebooks")
+        staging = os.path.join(path, f".ingest_e{epoch}")
+        staging_flat = os.path.join(path, f".ingest_flat_e{epoch}")
+        resid = with_residuals(batch_df, cents)
+        pq_encode(
+            resid, cb, d_sub=d_sub, vec_col="resid",
+            keep_cols=("label", "centroid_id"),
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+        pq_encode(batch_df, fcb, d_sub=d_sub).write.mode(
+            "overwrite"
+        ).parquet(staging_flat)
+        prefix = f"e{epoch}-"
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("centroid_id="):
+                continue
+            _move_epoch_files(
+                os.path.join(staging, d),
+                os.path.join(path, "codes", d),
+                prefix,
+            )
+        _move_epoch_files(staging_flat, f"{path}/flat_codes", prefix)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(staging_flat, ignore_errors=True)
+        # fingerprint from the SURVIVING codes: replay-idempotent
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+        except (ValueError, OSError):
+            rec = {}
+        rec["fingerprint"] = dataset_fingerprint(
+            spark.read.parquet(f"{path}/codes")
+        )
+        if "src_sig" in rec:
+            rec["built_src_sig"] = rec.pop("src_sig")
+        with open(marker, "w") as f:
+            json.dump(rec, f)
+        invalidate_memo(path)
+        commit_dir = os.path.join(path, "ingest", f"e{epoch}")
+        os.makedirs(commit_dir, exist_ok=True)
+        with open(os.path.join(commit_dir, "_SUCCESS"), "w") as f:
+            f.write("")
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            pq_index_compact(spark, path)
+
+    return fn

@@ -6130,6 +6130,62 @@ def q_pq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_codes"))
 
 
+@query("ann_ingest_stream", oracle=ORACLES["pq_index_add"])
+def q_ann_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ANN ingest
+    (operators/pq_index.py::pq_index_ingest_foreach_batch): build on
+    the even vec_ids, stream the odd half in TWO range micro-batches
+    through the replay-safe epoch machinery (staging write →
+    deterministic epoch-tagged file moves → fingerprint from surviving
+    codes → commit marker LAST), then DELIBERATELY REPLAY epoch 1 —
+    the committed-epoch guard must make it a no-op, so the per-cell
+    code counts equal the batch pq_index_add answer (same oracle: the
+    even-half-centroid assignment of every vector). The plain append
+    of pq_index_add would double epoch 1's rows here; this is the
+    at-least-once-delivery test every streaming sink in the repo
+    passes, now for the ANN index."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        pq_index_ingest_foreach_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    comp = even.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    cents = comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid")
+    )
+    work = tempfile.mkdtemp(prefix="kds_ann_ingest_")
+    path = os.path.join(work, "idx")
+    try:
+        build_pq_index(spark, even, cents, path)
+        mid = int(odd.agg(F.expr("percentile_approx(vec_id, 0.5)")).head()[0])
+        b1 = odd.filter(F.col("vec_id") <= mid)
+        b2 = odd.filter(F.col("vec_id") > mid)
+        fn = pq_index_ingest_foreach_batch(path)
+        fn(b1, 1)
+        fn(b2, 2)
+        fn(b1, 1)  # redelivered epoch: MUST be a no-op
+        codes = spark.read.parquet(f"{path}/codes")
+        out = (
+            codes.groupBy(F.col("centroid_id").cast("long").alias("cell"))
+            .agg(F.count("*").alias("n_codes"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query(
     "ivfpq_remove_serve",
     # Same encoding + probe chain as the fused search — quantizers are

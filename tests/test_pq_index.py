@@ -483,3 +483,84 @@ def test_compact_refuses_without_marker_and_crash_leaves_invalid(
     # recovery: rebuild + recompact
     build_pq_index(spark, emb, cents, path)
     assert index_is_built(path)
+
+
+def test_streaming_ingest_exactly_once_and_crash_replay(spark, tmp_path, monkeypatch):
+    """pq_index_ingest_foreach_batch: a redelivered committed epoch is
+    a no-op; a crash MID-MOVE (after some cell files landed) replays to
+    exactly one copy of the epoch's rows (deterministic epoch-tagged
+    names — the plain pq_index_add append would duplicate them); the
+    served search finds streamed vectors; the marker fingerprint
+    reflects the final codes exactly once."""
+    import json
+
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    build_pq_index(spark, even, QUERIES["ivf_centroids"](spark, SF), path)
+    fn = m.pq_index_ingest_foreach_batch(path)
+
+    # crash mid-move: let the first two cells land, then die
+    real_move = m._move_epoch_files
+    calls = {"n": 0}
+
+    def flaky(staging_cell, target_cell, prefix):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash mid-move")
+        real_move(staging_cell, target_cell, prefix)
+
+    monkeypatch.setattr(m, "_move_epoch_files", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fn(odd, 1)
+    monkeypatch.setattr(m, "_move_epoch_files", real_move)
+    assert not m._ingest_committed(path, 1)       # no commit marker
+    fn(odd, 1)                                    # replay converges
+    n = spark.read.parquet(f"{path}/codes").count()
+    assert n == emb.count()                       # exactly one copy each
+    assert spark.read.parquet(f"{path}/flat_codes").count() == n
+    # redelivery of the committed epoch: no-op
+    fn(odd, 1)
+    assert spark.read.parquet(f"{path}/codes").count() == n
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        rec = json.load(f)
+    from kafka_dbsync_spark.operators.pq_index import dataset_fingerprint
+
+    assert rec["fingerprint"] == dataset_fingerprint(
+        spark.read.parquet(f"{path}/codes")
+    )
+    # a streamed (odd) vector is its own nearest neighbor now
+    target = int(odd.select("vec_id").orderBy("vec_id").head()["vec_id"])
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == target).head()["embedding"]]
+    top = ivfpq_search_index(spark, path, qv, nprobe=2, k_top=5).collect()
+    assert any(r["vec_id"] == target for r in top)
+
+
+def test_streaming_ingest_refuses_unbuilt_and_compacts(spark, tmp_path):
+    """Ingest into an unbuilt index refuses; compact_every folds the
+    per-epoch files back to one per cell with answers preserved."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="build_pq_index"):
+        m.pq_index_ingest_foreach_batch(path)(emb.limit(1), 0)
+    build_pq_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0),
+        QUERIES["ivf_centroids"](spark, SF), path,
+    )
+    fn = m.pq_index_ingest_foreach_batch(path, compact_every=2)
+    fn(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    fn(emb.filter(F.col("vec_id") % 3 == 2), 2)   # triggers compaction
+    cells = [d for d in os.listdir(f"{path}/codes") if d.startswith("centroid_id=")]
+    for d in cells:
+        files = [x for x in os.listdir(f"{path}/codes/{d}") if x.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+    # replay of a compacted-away epoch is STILL a no-op (marker-based)
+    fn(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    assert spark.read.parquet(f"{path}/codes").count() == emb.count()

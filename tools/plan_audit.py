@@ -198,6 +198,10 @@ SHUFFLE_BUDGET = {
     # localCheckpoint stage handoffs, curation_pipeline_v3 pattern)
     "gopher_rules_report": 1,       # ONE corpus agg (all five rules are
     # narrow array expressions), unpivoted driver-free via stack
+    "ann_ingest_stream": 0,         # materialized rows (build + two
+    # streamed epochs + a deliberate replay ran through
+    # pq_index_ingest_foreach_batch at construction; the returned plan
+    # reads the checkpointed per-cell counts)
     "k_anonymity_report": 1,        # one map-side-combined
     # quasi-identifier agg; the suppression flag is per-row arithmetic
     "mixture_epochs_plan": 3,       # per-source token agg + its
