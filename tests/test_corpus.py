@@ -618,3 +618,19 @@ def test_ccnet_pipeline_buckets_partition_deduped_corpus(spark):
         present = [x for x in order if x in b]
         for a, c in zip(present, present[1:]):
             assert b[a]["max_ppl"] <= b[c]["min_ppl"] or b[a]["max_ppl"] <= b[c]["max_ppl"], lang
+
+
+def test_k_anonymity_and_mixture_plan_invariants(spark):
+    from kafka_dbsync_spark.queries import QUERIES
+
+    n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    ka = QUERIES["k_anonymity_report"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["n_docs"] for r in ka) == n          # partition of corpus
+    assert all(r["suppressed"] == (r["n_docs"] < 5) for r in ka)
+    plan = QUERIES["mixture_epochs_plan"](spark, "/root/testdata/sf0.001").collect()
+    assert len(plan) == 5
+    for r in plan:
+        assert r["epochs"] >= 1
+        assert r["upsampled_tokens"] == r["epochs"] * r["n_tokens"]
+        assert r["upsampled_tokens"] >= r["target_tokens"]   # ceil covers
+        assert (r["epochs"] - 1) * r["n_tokens"] < r["target_tokens"]  # minimal
