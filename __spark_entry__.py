@@ -20,16 +20,15 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-8 rotation (VERDICT r7 "Next round" #1 — finish the freshness
-# rotation): the window front-loads (a) the 9 queries NEW in round 8
+# rotation): the window front-loads (a) the 10 queries NEW in round 8
 # (ivfpq_remove_serve / paragraph_dedup / paragraph_ingest_gate /
 # lsh_recall_curve / ccnet_pipeline / gopher_rules_report /
-# k_anonymity_report / mixture_epochs_plan / ann_ingest_stream),
-# (b) the 3 carried queries
+# k_anonymity_report / mixture_epochs_plan / ann_ingest_stream /
+# bucketed_colocated_join), (b) the 2 carried queries
 # whose behavior-relevant code changed this round (setsim_exact_join —
 # every pruning filter rewritten to exact integer basis-point
 # arithmetic; important_parts — threshold comparison moved to
-# decimal(38,0)/HUGEINT; curation_pipeline_v3 — composes the changed
-# setsim join), then (c) ALL 38 queries whose newest driver row still
+# decimal(38,0)/HUGEINT), then (c) ALL 38 queries whose newest driver row still
 # dates to round 4 (the verdict's full list). That fills 50 exactly;
 # after this gate no query's newest driver row predates round 5. Other
 # queries touched by round-8 guard-only changes (the drift bin-domain
@@ -46,10 +45,12 @@ _DRIVER_PRIORITY: list[str] = [
     "k_anonymity_report",
     "mixture_epochs_plan",
     "ann_ingest_stream",
-    # (b) behavior-relevant round-8 changes
+    "bucketed_colocated_join",
+    # (b) behavior-relevant round-8 changes (curation_pipeline_v3 also
+    # composes the changed setsim join — re-validated locally, PASS,
+    # and displaced here by the never-checked bucketed join)
     "setsim_exact_join",
     "important_parts",
-    "curation_pipeline_v3",
     # (c) every round-4-stale row (38, the verdict list)
     "asof_join",
     "audio_window_energy",

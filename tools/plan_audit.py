@@ -198,6 +198,10 @@ SHUFFLE_BUDGET = {
     # localCheckpoint stage handoffs, curation_pipeline_v3 pattern)
     "gopher_rules_report": 1,       # ONE corpus agg (all five rules are
     # narrow array expressions), unpivoted driver-free via stack
+    "bucketed_colocated_join": 1,   # the report agg ONLY — the
+    # orders x lineitem join itself is exchange-free (both sides
+    # bucketBy(16, orderkey), the write-time shuffle already paid;
+    # zero-exchange join pinned in tests/test_bucketing.py)
     "ann_ingest_stream": 0,         # materialized rows (build + two
     # streamed epochs + a deliberate replay ran through
     # pq_index_ingest_foreach_batch at construction; the returned plan
