@@ -259,21 +259,27 @@ def main() -> None:
     detail_name = os.environ.get(
         "SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_latest.json"
     )
+    # The driver records only the LAST 2000 chars of stdout; the r7
+    # compact line hit 1837 and each added headline entry costs ~14
+    # chars, so the line must stay lean: per-query medians at 2dp, the
+    # best/first suite columns live in the detail artifact only.
     compact = {
         "metric": "headline_suite_wall_seconds",
         "value": round(total, 3),  # median-of-3 per query, summed
         "unit": "sec",
-        "queries": per_query,
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc_events_per_sec": round(n_events / cdc_secs),
         "cdc_apply_events_per_sec": apply_rate,
-        "best_suite_wall_seconds": round(total_best, 3),
-        "first_run_suite_wall_seconds": round(total_first, 3),
-        "canary": canary,
+        "canary": {"total": canary["total"]},
         "detail_file": detail_name,
     }
     detail = dict(
         compact,
+        queries=per_query,              # full 3dp precision
+        canary=canary,                  # all three canary jobs
+        best_suite_wall_seconds=round(total_best, 3),
+        first_run_suite_wall_seconds=round(total_first, 3),
         queries_best=per_query_best,
         queries_first_run=per_query_first,
         # like-for-like: our BEST column vs the previous round's
