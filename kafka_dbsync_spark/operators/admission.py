@@ -536,8 +536,34 @@ _CLEANED = "cleaned"
 
 def read_cleaned_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Every ingested doc's rewrite across committed epochs (None before
-    the first commit): (id, n_paras, n_removed, cleaned_text)."""
-    return _read_state(spark, state_dir, _CLEANED)
+    the first commit): (id, n_paras, n_removed, cleaned_text).
+
+    Visibility gate (ADVICE r8): ``cleaned/e{N}`` lands BEFORE the
+    epoch's ``para_hashes/e{N}`` commit point (Spark stamps the cleaned
+    dir's own ``_SUCCESS`` at write time), so during the crash window —
+    or forever, if the stream never restarts — a bare ``_CLEANED`` read
+    would surface rows from an epoch whose hash state never committed,
+    and the replay would then rewrite them against different state.
+    A cleaned epoch is visible only when the matching para_hashes epoch
+    committed, directly or folded into a covering base snapshot."""
+    c_base, c_through, c_seed, c_committed, _ = _scan_root(
+        state_dir, _CLEANED
+    )
+    _, h_through, _, h_committed, _ = _scan_root(state_dir, _PARA_HASHES)
+    h_epochs = {e for e, _ in h_committed}
+    dirs = []
+    if c_base is not None:
+        dirs.append(c_base)
+    elif c_seed is not None:
+        dirs.append(c_seed)
+    for e, d in sorted(c_committed):
+        if e <= c_through:
+            continue  # folded into the cleaned base (awaiting cleanup)
+        if e <= h_through or e in h_epochs:
+            dirs.append(d)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def seed_paragraph_hashes(

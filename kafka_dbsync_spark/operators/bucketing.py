@@ -39,17 +39,30 @@ def write_bucketed_table(
     """Write ``df`` as a parquet table bucketed by ``keys`` (optionally
     sorted within buckets — pre-sorted buckets also drop the
     SortMergeJoin's per-side Sort). Overwrite semantics: the write IS
-    the one-time shuffle the later joins never pay."""
-    import shutil
-    from urllib.parse import urlparse
+    the one-time shuffle the later joins never pay.
 
+    ``name`` may be bare (``tbl``, assumed in the DEFAULT database —
+    warehouse layout ``{wh}/{tbl}``) or qualified (``db.tbl`` —
+    ``{wh}/{db}.db/{tbl}``); custom-LOCATION tables are out of scope
+    (their path isn't derivable from the name)."""
     spark = df.sparkSession
     # a managed table's LOCATION can outlive the (in-memory) catalog
     # entry across sessions; saveAsTable then refuses with
-    # LOCATION_ALREADY_EXISTS — drop both the entry and the directory
+    # LOCATION_ALREADY_EXISTS — drop both the entry and the directory.
+    # The orphaned location has no catalog entry left to resolve, so
+    # derive it from the warehouse layout and delete through the Hadoop
+    # FileSystem API (ADVICE r8: a local shutil.rmtree is a silent
+    # no-op on an HDFS/S3 warehouse).
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    if "." in name:
+        db, tbl = name.rsplit(".", 1)
+        rel = f"{db.lower()}.db/{tbl.lower()}"
+    else:
+        rel = name.lower()
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{wh}/{rel}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)  # recursive; False (absent) is fine
     w = (
         df.write.mode("overwrite")
         .format("parquet")

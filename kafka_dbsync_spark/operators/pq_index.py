@@ -531,9 +531,21 @@ def pq_index_remove(
             rec = json.load(f)
     except ValueError:
         rec = {}
+    codes = spark.read.parquet(f"{path}/codes")
+    # Refuse a takedown that would empty the index BEFORE invalidating
+    # the marker (ADVICE r8): with every cell rmtree'd the fingerprint
+    # refresh below would die on a schema-less read AFTER the marker was
+    # already gone, leaving the index permanently invalid with an
+    # unrelated error. An all-vectors takedown is an index drop, not a
+    # remove — the caller should delete the directory instead.
+    if codes.filter(~F.col("vec_id").isin(ids)).isEmpty():
+        raise ValueError(
+            f"pq_index_remove would remove every vector in the index at "
+            f"{path}; removing the whole index is a directory delete, "
+            "not a takedown — refusing (index left valid)."
+        )
     invalidate_memo(path)
     os.remove(marker)  # crash window: no marker -> index invalid
-    codes = spark.read.parquet(f"{path}/codes")
     hit = codes.filter(F.col("vec_id").isin(ids))
     # one column-pruned scan: which cells hold the victims, how many rows
     cells_rows = (
@@ -605,6 +617,38 @@ def index_serves_removal(
     return True
 
 
+def _pending_ingest_epochs(path: str) -> set[int]:
+    """Epochs with streaming-ingest residue but no ingest/e{N}/_SUCCESS:
+    leftover staging dirs (``.ingest_e{N}`` / ``.ingest_flat_e{N}``) or
+    epoch-prefixed live files (``e{N}-*.parquet`` in a codes cell or in
+    flat_codes). Pure os.scandir — no Spark job."""
+    import re
+
+    pending: set[int] = set()
+    stage_re = re.compile(r"^\.ingest(?:_flat)?_e(\d+)$")
+    file_re = re.compile(r"^e(\d+)-")
+    for n in os.listdir(path):
+        m = stage_re.match(n)
+        if m and not _ingest_committed(path, int(m.group(1))):
+            pending.add(int(m.group(1)))
+
+    def scan_files(d: str) -> None:
+        if not os.path.isdir(d):
+            return
+        for n in os.listdir(d):
+            m = file_re.match(n)
+            if m and not _ingest_committed(path, int(m.group(1))):
+                pending.add(int(m.group(1)))
+
+    codes_root = os.path.join(path, "codes")
+    if os.path.isdir(codes_root):
+        for d in os.listdir(codes_root):
+            if d.startswith("centroid_id="):
+                scan_files(os.path.join(codes_root, d))
+    scan_files(os.path.join(path, "flat_codes"))
+    return pending
+
+
 def pq_index_compact(
     spark: SparkSession,
     path: str,
@@ -635,6 +679,23 @@ def pq_index_compact(
         raise ValueError(
             f"no complete index at {path} (missing {_MARKER}); compacting "
             "an absent or mid-build index is a caller bug."
+        )
+    # Pending-ingest guard (ADVICE r8, medium): an ingest epoch that
+    # crashed before its ingest/e{N}/_SUCCESS commit may have left
+    # e{N}-prefixed files in live cell dirs (and/or its staging dirs).
+    # Folding those into untagged part files would make the stream's
+    # replay — whose convergence argument is delete-by-prefix in
+    # _move_epoch_files — miss them and DUPLICATE the epoch's rows.
+    # The admission compactors guard with ceiling=min(pending); here the
+    # epoch tags live in file names, so scan and refuse.
+    pending = _pending_ingest_epochs(path)
+    if pending:
+        raise ValueError(
+            f"uncommitted streaming-ingest epoch(s) {sorted(pending)} at "
+            f"{path}: their epoch-tagged files must not be folded into "
+            "untagged part files (the replay's delete-by-prefix would "
+            "miss them and duplicate the rows). Let the stream replay "
+            "and commit them, then compact."
         )
     with open(marker) as f:
         rec_raw = f.read()

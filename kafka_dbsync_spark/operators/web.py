@@ -1,0 +1,137 @@
+"""URL/host-level curation — the step BEFORE every text operator in a
+crawl pipeline (CCNet, RefinedWeb §3.2, FineWeb all dedup and filter at
+URL/host granularity before touching document text; dropping a
+duplicate URL costs one string compare, dropping the same document via
+MinHash costs a shingle pass + banded shuffle).
+
+Everything here is JVM-side expression work over one hash aggregate —
+no UDF, no window, no driver loop:
+
+- :func:`normalized_url` — canonical form: scheme and fragment dropped,
+  host lowercased with ``www.`` and default ports stripped, ``utm_*``
+  tracking params removed, trailing path slash removed. Path/query case
+  is PRESERVED (paths are case-sensitive; hosts are not — RFC 3986 §6).
+  Every step is a backreference-free regex so Spark (Java regex) and
+  any RE2 engine (the DuckDB oracle) agree byte-for-byte.
+- :func:`url_dedup` — keep-first exact dedup on the normalized URL: one
+  map-side-combined hash aggregate (min id + count per URL); the
+  document text never rides the shuffle — the same discipline as
+  ``paragraph_dedup``.
+- :func:`host_stats` / :func:`host_blocklist_filter` — per-host corpus
+  accounting and broadcast-blocklist admission, the host-reputation
+  gate (spam/SEO domains) run before any per-document scoring.
+
+At 100 TB: URLs are ~100 bytes; the dedup shuffle carries (url_norm,
+id) pairs only, keyed on a high-cardinality uniform key (no skew); the
+blocklist is KBs and broadcasts; host stats are one aggregate whose
+combiner collapses per-host rows map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# host suffix match would need a reversed-domain sort join at real
+# blocklist scale; exact-host matching is the demonstrated contract
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def normalized_url(url: Column | str) -> Column:
+    """Canonical URL: drop fragment and scheme, lowercase the host,
+    strip ``www.`` / default ports, drop ``utm_*`` params, strip the
+    trailing path slash. Backreference-free regex steps only (portable
+    across Java regex and RE2 — no lookbehind, no ``$1``/``\\1``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")             # fragment
+    u = F.regexp_replace(u, _SCHEME_RE, "")         # scheme
+    host = F.lower(F.regexp_extract(u, "^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, ":(443|80)$", "")
+    # rest = everything from the first '/' or '?' (may be empty)
+    rest = F.regexp_replace(u, "^[^/?]+", "")
+    rest = F.regexp_replace(rest, "utm_[^&#]*&", "")       # inner utm_
+    rest = F.regexp_replace(rest, "[?&]utm_[^&#]*$", "")   # trailing utm_
+    rest = F.regexp_replace(rest, r"/\?", "?")             # slash before query
+    rest = F.regexp_replace(rest, "/$", "")                # trailing slash
+    return F.concat(host, rest)
+
+
+def url_host(url: Column | str) -> Column:
+    """The normalized host of a URL (the blocklist/stats key)."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(u, "^([^/?]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, ":(443|80)$", "")
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Exact keep-first URL dedup: one row per normalized URL with its
+    keeper (smallest id — the deterministic stand-in for crawl-arrival
+    order) and the duplicate count. ONE map-side-combined aggregate on
+    the normalized URL; document payloads never shuffle — join the
+    keeper ids back to the corpus to materialize survivors."""
+    return (
+        df.select(
+            F.col(id_col), normalized_url(F.col(url_col)).alias("url_norm")
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def url_dedup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """The surviving rows themselves (keeper per normalized URL), for
+    pipeline composition: ``df``'s columns plus ``url_norm``. The keeper
+    set rides back as a semi-join on (id) — ids are unique, so no
+    payload joins through the aggregate."""
+    keep = url_dedup(df, id_col, url_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi").withColumn(
+        "url_norm", normalized_url(F.col(url_col))
+    )
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Per-host corpus accounting: (host, n_docs, n_tokens). One
+    map-side-combined aggregate — the report every crawl curation run
+    publishes before deciding its blocklist."""
+    toks = token_count_col if token_count_col is not None else F.lit(0)
+    return (
+        df.select(url_host(F.col(url_col)).alias("host"), toks.alias("__t"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def host_blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Admission by host blocklist: drop every row whose normalized
+    host is listed. The blocklist is small by contract (it is curated
+    by humans), so it rides as a broadcast literal ``isin`` — no
+    shuffle, evaluated inside the scan's codegen stage."""
+    blocked = sorted({h.lower() for h in blocklist})
+    return df.filter(~url_host(F.col(url_col)).isin(blocked))

@@ -9830,3 +9830,138 @@ def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_found * 10000) div n_true").cast("long").alias("recall_bp"),
         )
     )
+
+
+# ===========================================================================
+# Round-9 additions I: URL/host-level curation — the step BEFORE every
+# text operator in a crawl pipeline (CCNet / RefinedWeb / FineWeb all
+# dedup and filter at URL/host granularity first).
+# ===========================================================================
+def _with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-style URL per document (the corpus has no url
+    column; the derivation is pure doc_id arithmetic so the oracle
+    replays it): ~150 canonical targets per 150 ids, wrapped in the
+    noise URL normalization must strip — scheme variants, WWW/case,
+    default port, tracking params, trailing slash, fragment."""
+    did = F.col("doc_id")
+    k = (did % 150).cast("string")
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(did % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("CDN"), k, F.lit(".Example.org"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"), k,
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?"),
+                F.when(did % 2 == 0, F.lit("utm_source=feed&")).otherwise(
+                    F.lit("")
+                ),
+                F.lit("id="), k,
+            )
+        ),
+        F.when(did % 11 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", url)
+
+
+_SQL_URLS = """
+    SELECT *,
+           (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+           || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+           || 'CDN' || CAST(doc_id % 150 AS VARCHAR) || '.Example.org'
+           || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+           || '/Articles/' || CAST(doc_id % 150 AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 13 = 0 THEN ''
+               ELSE '?' || (CASE WHEN doc_id % 2 = 0
+                            THEN 'utm_source=feed&' ELSE '' END)
+                    || 'id=' || CAST(doc_id % 150 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
+    FROM documents
+"""
+
+
+def _sql_url_host(u: str) -> str:
+    """SQL mirror of operators/web.py::url_host (keep in sync!)."""
+    no_scheme = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    host = f"lower(regexp_extract({no_scheme}, '^([^/?]+)', 1))"
+    host = f"regexp_replace({host}, '^www\\.', '')"
+    return f"regexp_replace({host}, ':(443|80)$', '')"
+
+
+def _sql_url_norm(u: str) -> str:
+    """SQL mirror of operators/web.py::normalized_url (keep in sync!)."""
+    nf = f"regexp_replace({u}, '#.*$', '')"
+    no_scheme = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    rest = f"regexp_replace({no_scheme}, '^[^/?]+', '')"
+    rest = f"regexp_replace({rest}, 'utm_[^&#]*&', '', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]utm_[^&#]*$', '')"
+    rest = f"regexp_replace({rest}, '/\\?', '?')"
+    rest = f"regexp_replace({rest}, '/$', '')"
+    return f"{_sql_url_host(no_scheme)} || {rest}"
+
+
+@query(
+    "url_dedup",
+    oracle=f"""
+    WITH d AS ({_SQL_URLS}),
+    n AS (SELECT doc_id, {_sql_url_norm('url')} AS url_norm FROM d)
+    SELECT url_norm, min(doc_id) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM n GROUP BY url_norm
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keep-first URL dedup (operators/web.py::url_dedup) — the
+    FIRST stage of every crawl curation recipe (RefinedWeb §3.2 dedups
+    URLs before any text pass: a string compare per duplicate instead
+    of a shingle pipeline). Normalization strips scheme, WWW, default
+    port, utm_* tracking params, trailing slash, and fragment while
+    PRESERVING path case; then one map-side-combined hash aggregate
+    keyed on the (uniform, high-cardinality) normalized URL emits the
+    keeper id + duplicate count per URL. Document text never shuffles."""
+    from kafka_dbsync_spark.operators.web import url_dedup
+
+    docs = _with_urls(load_table(spark, sf_dir, "documents"))
+    return url_dedup(docs, "doc_id", "url")
+
+
+_HOST_BLOCKLIST = ("cdn7.example.org", "cdn42.example.org", "cdn99.example.org")
+
+
+@query(
+    "host_blocklist_filter",
+    oracle=f"""
+    WITH d AS ({_SQL_URLS}),
+    m AS (
+      SELECT {_sql_url_host('url')} AS host,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' '))
+                  END AS n_tok
+      FROM d
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM m WHERE host NOT IN {_HOST_BLOCKLIST!r:s}
+    GROUP BY host
+    """,
+)
+def q_host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation admission + per-host accounting
+    (operators/web.py::host_blocklist_filter / host_stats): drop every
+    document whose normalized host is on the (human-curated, tiny)
+    blocklist — a broadcast ``isin`` evaluated inside the scan's
+    codegen stage, no shuffle — then publish the per-host doc/token
+    report the next blocklist revision is decided from. ONE map-side-
+    combined aggregate over (host), the same discipline as
+    gopher_rules_report."""
+    from kafka_dbsync_spark.operators.web import (
+        host_blocklist_filter,
+        host_stats,
+    )
+
+    docs = _with_urls(load_table(spark, sf_dir, "documents"))
+    kept = host_blocklist_filter(docs, list(_HOST_BLOCKLIST), "url")
+    return host_stats(kept, "url", token_count_col=token_count("text"))

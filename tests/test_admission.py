@@ -601,3 +601,40 @@ def test_paragraph_ingest_compaction_preserves_membership(spark, tmp_path):
     assert 77 not in {
         r["doc_id"] for r in read_cleaned_docs(spark, state).collect()
     }
+
+
+def test_cleaned_epoch_invisible_until_hash_commit(spark, tmp_path):
+    """ADVICE r8: cleaned/e{N} lands (with Spark's own _SUCCESS) BEFORE
+    the epoch's para_hashes commit point. During that crash window the
+    epoch's cleaned rows must be INVISIBLE to read_cleaned_docs — a
+    replay rewrites them against the state the committed attempt will
+    actually see — and become visible the moment the hash state
+    commits (directly or via a covering base snapshot)."""
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        compact_paragraph_state,
+        paragraph_ingest_foreach_batch,
+        read_cleaned_docs,
+    )
+
+    state = str(tmp_path / "pstate")
+    fn = paragraph_ingest_foreach_batch(state, compact_every=None)
+    fn(_pdocs(spark, [(1, "alpha para\nbeta para")]), 0)
+    fn(_pdocs(spark, [(2, "alpha para\ngamma para")]), 1)
+    # simulate the crash window: cleaned/e1 landed, para_hashes/e1 not
+    commit = os.path.join(state, "para_hashes", "e1", "_SUCCESS")
+    os.remove(commit)
+    visible = {r["doc_id"] for r in read_cleaned_docs(spark, state).collect()}
+    assert visible == {1}, "uncommitted epoch's cleaned rows leaked"
+    # the stream replays epoch 1 (its commit is gone -> not committed)
+    fn(_pdocs(spark, [(2, "alpha para\ngamma para")]), 1)
+    visible = {r["doc_id"] for r in read_cleaned_docs(spark, state).collect()}
+    assert visible == {1, 2}
+    # a base snapshot covering the epoch also grants visibility
+    compact_paragraph_state(spark, state)
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in read_cleaned_docs(spark, state).collect()
+    }
+    assert got == {1: "alpha para\nbeta para", 2: "gamma para"}

@@ -78,3 +78,34 @@ def test_mismatched_bucket_count_still_correct(spark, tables):
         assert _shuffles(j) >= 1                  # the mismatched side moves
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_cleans_orphaned_location_via_hadoop_fs(spark, tmp_path):
+    """ADVICE r8: the pre-write cleanup must go through the Hadoop
+    FileSystem API (portable to HDFS/S3 warehouses), handle qualified
+    db.tbl names, and recover from an orphaned LOCATION with no catalog
+    entry (the cross-session saveAsTable failure mode)."""
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.range(10).withColumn("k", F.col("id") % 3)
+    write_bucketed_table(df, "t_orphan_bkt", ["k"], 4)
+    # orphan the location: drop the catalog entry but leave the files
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, "t_orphan_bkt")
+    assert os.path.isdir(loc)
+    spark.sql("DROP TABLE t_orphan_bkt")
+    os.makedirs(loc, exist_ok=True)
+    open(os.path.join(loc, "stale-file"), "w").close()
+    # must not raise LOCATION_ALREADY_EXISTS, and must purge stale files
+    write_bucketed_table(df, "t_orphan_bkt", ["k"], 4)
+    assert spark.table("t_orphan_bkt").count() == 10
+    assert not os.path.exists(os.path.join(loc, "stale-file"))
+    # qualified name resolves the {db}.db/{tbl} layout
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    write_bucketed_table(df, "bktdb.t_q_bkt", ["k"], 4)
+    write_bucketed_table(df, "bktdb.t_q_bkt", ["k"], 4)   # idempotent
+    assert spark.table("bktdb.t_q_bkt").count() == 10
+    spark.sql("DROP TABLE bktdb.t_q_bkt")
+    spark.sql("DROP DATABASE bktdb")
+    spark.sql("DROP TABLE t_orphan_bkt")

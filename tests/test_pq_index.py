@@ -564,3 +564,59 @@ def test_streaming_ingest_refuses_unbuilt_and_compacts(spark, tmp_path):
     # replay of a compacted-away epoch is STILL a no-op (marker-based)
     fn(emb.filter(F.col("vec_id") % 3 == 1), 1)
     assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+
+
+def test_remove_refuses_all_vectors_takedown(spark, tmp_path):
+    """ADVICE r8: removing EVERY vector would rmtree all cell dirs and
+    then die on the schema-less fingerprint read AFTER the marker was
+    already gone. The all-removed case must refuse BEFORE invalidating
+    anything, with a descriptive error, leaving the index valid."""
+    from kafka_dbsync_spark.operators.pq_index import pq_index_remove
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_pq_index(spark, emb, QUERIES["ivf_centroids"](spark, SF), path)
+    all_ids = [int(r["vec_id"]) for r in emb.select("vec_id").collect()]
+    with pytest.raises(ValueError, match="every vector"):
+        pq_index_remove(spark, path, all_ids)
+    assert index_is_built(path)          # marker untouched
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    assert len(ivfpq_search_index(spark, path, qv).collect()) == 10
+
+
+def test_compact_refuses_pending_ingest_epoch(spark, tmp_path):
+    """ADVICE r8 (medium): epoch-tagged files whose ingest/e{N}/_SUCCESS
+    is missing (crash before commit) must BLOCK compaction — folding
+    them into untagged part files would make the replay's
+    delete-by-prefix miss them and duplicate the epoch's rows. Leftover
+    staging dirs block too; committed residue does not."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        pq_index_compact,
+        pq_index_ingest_foreach_batch,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_pq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0),
+        QUERIES["ivf_centroids"](spark, SF), path,
+    )
+    fn = pq_index_ingest_foreach_batch(path)
+    fn(emb.filter(F.col("vec_id") % 2 != 0), 1)
+    # committed epoch residue compacts fine
+    stats = pq_index_compact(spark, path)
+    assert stats["code_files_after"] <= stats["cells"]
+    # re-ingest an epoch, then simulate a crash BEFORE its commit
+    fn(emb.filter((F.col("vec_id") % 2 != 0) & (F.col("vec_id") < 50)), 2)
+    os.remove(os.path.join(path, "ingest", "e2", "_SUCCESS"))
+    with pytest.raises(ValueError, match="uncommitted streaming-ingest"):
+        pq_index_compact(spark, path)
+    assert index_is_built(path)          # refusal left the marker alone
+    # a leftover staging dir for an uncommitted epoch also blocks
+    os.makedirs(os.path.join(path, "ingest", "e2"), exist_ok=True)
+    open(os.path.join(path, "ingest", "e2", "_SUCCESS"), "w").close()
+    os.makedirs(os.path.join(path, ".ingest_e3"), exist_ok=True)
+    with pytest.raises(ValueError, match=r"\[3\]"):
+        pq_index_compact(spark, path)
+    os.rmdir(os.path.join(path, ".ingest_e3"))
+    pq_index_compact(spark, path)        # clean state compacts again

@@ -1,0 +1,117 @@
+"""URL/host curation (operators/web.py): normalization must be
+idempotent and strip exactly the noise classes (scheme/www/port/utm/
+slash/fragment) while preserving path case; dedup is keep-first."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.web import (
+    host_blocklist_filter,
+    host_stats,
+    normalized_url,
+    url_dedup,
+    url_dedup_survivors,
+    url_host,
+)
+
+
+def _norm(spark, url):
+    return (
+        spark.range(1)
+        .select(normalized_url(F.lit(url)).alias("u"))
+        .head()["u"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # scheme + fragment + trailing slash
+        ("https://Example.org/A/B/#frag", "example.org/A/B"),
+        ("http://example.org/A/B", "example.org/A/B"),
+        # www + default ports
+        ("https://www.Example.org:443/x", "example.org/x"),
+        ("http://WWW.EXAMPLE.ORG:80/x", "example.org/x"),
+        # non-default port survives
+        ("https://example.org:8443/x", "example.org:8443/x"),
+        # utm params: leading, inner, trailing, only
+        ("https://e.org/p?utm_a=1&id=2", "e.org/p?id=2"),
+        ("https://e.org/p?id=2&utm_a=1", "e.org/p?id=2"),
+        ("https://e.org/p?a=1&utm_x=9&b=2", "e.org/p?a=1&b=2"),
+        ("https://e.org/p?utm_only=1", "e.org/p"),
+        # slash before query; path case preserved
+        ("https://e.org/Path/?id=1", "e.org/Path?id=1"),
+        # bare host
+        ("https://www.e.org/", "e.org"),
+        ("e.org/x", "e.org/x"),  # already scheme-less
+    ],
+)
+def test_normalized_url_cases(spark, raw, want):
+    assert _norm(spark, raw) == want
+
+
+def test_normalization_is_idempotent(spark):
+    raws = [
+        "https://www.Example.org:443/Articles/5/?utm_source=x&id=5#s",
+        "http://e.org/p?utm_only=1",
+        "https://e.org",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    once = df.select(normalized_url(F.col("url")).alias("u"))
+    twice = once.select(normalized_url(F.col("u")).alias("u"))
+    assert [r["u"] for r in once.collect()] == [
+        r["u"] for r in twice.collect()
+    ]
+
+
+def test_url_dedup_keep_first_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.E.org/a?utm_s=1&id=7"),
+            (5, "http://e.org:80/a?id=7"),   # same canonical URL
+            (3, "https://e.org/a?id=8"),     # different query -> distinct
+            (9, "https://e.org/a/#frag"),    # no query -> distinct
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["url_norm"]: (r["keeper_id"], r["n_docs"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "e.org/a?id=7": (1, 2),
+        "e.org/a?id=8": (3, 1),
+        "e.org/a": (9, 1),
+    }
+    surv = url_dedup_survivors(df)
+    assert {r["doc_id"] for r in surv.collect()} == {1, 3, 9}
+    assert set(surv.columns) == {"doc_id", "url", "url_norm"}
+
+
+def test_host_stats_and_blocklist(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.spam.org/a", 10),
+            (2, "http://spam.org:80/b", 20),
+            (3, "https://good.org/c", 5),
+        ],
+        "doc_id long, url string, n_tok long",
+    )
+    stats = {
+        r["host"]: (r["n_docs"], r["n_tokens"])
+        for r in host_stats(df, "url", F.col("n_tok")).collect()
+    }
+    assert stats == {"spam.org": (2, 30), "good.org": (1, 5)}
+    kept = host_blocklist_filter(df, ["SPAM.org"], "url")
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+
+
+def test_blocklist_filter_plan_has_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.org/x")], "doc_id long, url string"
+    )
+    plan = (
+        host_blocklist_filter(df, ["b.org"], "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
