@@ -524,6 +524,64 @@ def simhash_neardup_pairs(
     )
 
 
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    in_w: int = 8,
+    in_h: int = 8,
+    bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Image perceptual-hash near-duplicate pairs — the multimodal
+    twin of :func:`simhash_neardup_pairs`, and the image-level dedup
+    step every multimodal corpus pipeline (LAION-style) runs before
+    any embedding pass: dHash per image
+    (operators/multimodal.py::image_dhash — one vectorized Arrow pass,
+    the only non-JVM stage), then EXACTLY the banding machinery the
+    text path uses — the 56-bit hash cut into ``bands`` equal slices,
+    pigeonhole-exact for hamming < bands, candidates from the bounded
+    ``banded_pairs`` bucket-join, exact Hamming verification
+    (bit_count of xor) on candidates only. No new shuffle shape: the
+    window keys on (band_idx, band_val), the verify joins key on image
+    ids.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    ``hamming_max``."""
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    bit_width = in_h * (in_w - 1)
+    if bit_width % bands:
+        raise ValueError("bands must divide in_h * (in_w - 1)")
+    band_bits = bit_width // bands
+    mask = (1 << band_bits) - 1
+    hashes = image_dhash(df, id_col, blob_col, in_w=in_w, in_h=in_h)
+    banded = hashes.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("dhash", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cand = banded_pairs(banded, id_col, max_bucket_size)
+    ha = hashes.select(F.col(id_col).alias("__ia"), F.col("dhash").alias("__ha"))
+    hb = hashes.select(F.col(id_col).alias("__ib"), F.col("dhash").alias("__hb"))
+    joined = cand.join(ha, F.col("id_a") == F.col("__ia")).join(
+        hb, F.col("id_b") == F.col("__ib")
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        joined.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

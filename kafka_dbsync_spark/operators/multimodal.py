@@ -189,6 +189,65 @@ def sample_frames(
     )
 
 
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    in_w: int = 8,
+    in_h: int = 8,
+    decoder: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Difference hash (dHash) per image — the perceptual fingerprint
+    the LAION-style multimodal dedup stacks use (aHash/dHash family):
+    bit (r, c) = pixel(r, c) > pixel(r, c+1), row-major MSB-first, over
+    a RAW 8-bit single-channel ``in_h × in_w`` frame, giving a
+    ``in_h × (in_w-1)``-bit integer (56 bits at the 8×8 default — fits
+    a signed long with room to spare, like ``simhash_bits``'s 60).
+    Purely local integer comparisons: no mean, no float, so any engine
+    replays it bit-exactly. Vectorized numpy over Arrow batches
+    (``mapInPandas``, the shared multimodal batch shape); a real
+    image's decode plugs in via ``decoder(blob) → ndarray`` exactly as
+    in ``resize_raw_images``. Malformed blobs (wrong length) yield no
+    row — the dead-letter philosophy, matching ``sample_frames``.
+
+    Output: (id, dhash long). ``in_h * (in_w - 1)`` must be ≤ 62."""
+    import numpy as np
+
+    bits = in_h * (in_w - 1)
+    if bits > 62:
+        raise ValueError("in_h * (in_w - 1) must be <= 62 to fit a long")
+    schema = f"{id_col} long, dhash long"
+    pows = (1 << np.arange(bits - 1, -1, -1, dtype=np.uint64)).astype(
+        np.uint64
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                if decoder is not None:
+                    g = np.asarray(decoder(bytes(b)), dtype=np.uint8)
+                    if g.shape != (in_h, in_w):
+                        continue
+                else:
+                    raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                    if raw.size != in_w * in_h:
+                        continue
+                    g = raw.reshape(in_h, in_w)
+                cmp = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+                ids.append(rid)
+                hashes.append(int((cmp * pows).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "dhash": pd.array(hashes, dtype="int64")}
+            )
+
+    return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
 def audio_window_energy(
     df: DataFrame,
     id_col: str = "doc_id",

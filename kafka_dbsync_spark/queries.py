@@ -9965,3 +9965,93 @@ def q_host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_urls(load_table(spark, sf_dir, "documents"))
     kept = host_blocklist_filter(docs, list(_HOST_BLOCKLIST), "url")
     return host_stats(kept, "url", token_count_col=token_count("text"))
+
+
+# ===========================================================================
+# Round-9 additions II: image perceptual-hash dedup — the multimodal
+# tier's missing dedup (VERDICT r8 #2): dHash per image, banded exactly
+# like the text SimHash path, Hamming-verified.
+# ===========================================================================
+def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 8×8 raw images with PLANTED near-duplicates: every
+    doc's frame is the 64 deterministic ascii bytes of md5(text) twice
+    (the established multimodal fixture); every 5th doc gets a twin
+    (id + 1e6) whose frame differs in EXACTLY ONE pixel — a one-pixel
+    edit flips at most 2 dHash comparisons, so twins sit at hamming
+    ≤ 2 while unrelated images land ~22 bits apart."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.concat(F.md5("text"), F.md5("text")).alias("s")
+    )
+    mut = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.overlay(
+            "s", F.lit("0"), (F.col("doc_id") % 64 + 1).cast("int"), F.lit(1)
+        ).alias("s"),
+    )
+    return base.unionByName(mut).select(
+        "doc_id", F.encode("s", "utf-8").alias("blob")
+    )
+
+
+_SQL_IMG_DHASH = """
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(0, 56), k ->
+        CASE WHEN ascii(substr(s, (k // 7) * 8 + (k % 7) + 1, 1))
+                > ascii(substr(s, (k // 7) * 8 + (k % 7) + 2, 1))
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      (a, b) -> a * 2 + b)
+"""
+
+
+@query(
+    "image_neardup_pairs",
+    oracle=f"""
+    WITH pm AS (
+      SELECT doc_id, md5(text) || md5(text) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(s0, 1, doc_id % 64) || '0' || substr(s0, doc_id % 64 + 2) AS s
+      FROM (SELECT doc_id, md5(text) || md5(text) AS s0
+            FROM documents WHERE doc_id % 5 = 0)
+    ), h AS (
+      SELECT doc_id, {_SQL_IMG_DHASH} AS dh FROM pm
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx, (dh >> (14 * b.b)) & 16383 AS band_val
+      FROM h, (SELECT unnest(range(0, 4)) AS b) b
+    ), sized AS (
+      SELECT doc_id, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= 32
+        UNION ALL
+        SELECT mn AS id_a, doc_id AS id_b
+        FROM sized WHERE n > 32 AND doc_id <> mn
+      )
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+    FROM cand JOIN h a ON cand.id_a = a.doc_id JOIN h b ON cand.id_b = b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    """,
+)
+def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup pairs over the planted-twin frame
+    corpus (operators/dedup.py::image_neardup_pairs): dHash per 8×8 raw
+    frame — one vectorized Arrow pass, purely integer comparisons, the
+    LAION-style multimodal dedup fingerprint — banded 4×14 bits
+    (pigeonhole-exact for hamming ≤ 3) through the SAME bounded
+    bucket-join as the text SimHash path, exact Hamming verification on
+    candidates only. The oracle replays the hash bit-for-bit from the
+    deterministic frame bytes."""
+    from kafka_dbsync_spark.operators.dedup import image_neardup_pairs
+
+    return image_neardup_pairs(
+        _planted_images(spark, sf_dir), "doc_id", "blob"
+    )

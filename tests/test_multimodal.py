@@ -231,3 +231,107 @@ def test_audio_window_energy_exact(spark):
     expected = round(math.sqrt((127 * 127 + 128 * 128) * 10 / 20), 4)
     assert got[(2, 0)] == (20, expected)
     assert not any(d in (3, 4) for d, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash dedup (image_dhash / image_neardup_pairs)
+# ---------------------------------------------------------------------------
+def _frames(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+
+def test_image_dhash_known_values(spark):
+    """Hand-computable frames: strictly decreasing rows -> every
+    comparison true (all 56 bits set); constant frame -> 0; and the
+    numpy replay of an arbitrary frame matches bit-for-bit."""
+    import numpy as np
+
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    desc = bytes(bytearray([(7 - c) + 10 * r for r in range(8) for c in range(8)]))
+    flat = bytes(64)
+    arb = bytes(bytearray((i * 37 + 11) % 251 for i in range(64)))
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(
+            _frames(spark, [(1, desc), (2, flat), (3, arb)])
+        ).collect()
+    }
+    assert got[1] == (1 << 56) - 1
+    assert got[2] == 0
+    g = np.frombuffer(arb, np.uint8).reshape(8, 8)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    pows = 1 << np.arange(55, -1, -1, dtype=np.uint64)
+    assert got[3] == int((bits * pows).sum())
+
+
+def test_image_dhash_malformed_null_and_decoder(spark):
+    """Wrong-size blobs and NULLs drop (no row, no crash); a decoder
+    hook supplies the grid for non-raw formats."""
+    import numpy as np
+
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    rows = [(1, bytes(64)), (2, bytes(63)), (3, None)]
+    got = image_dhash(_frames(spark, rows)).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+    def dec(b):  # "decode" a 1-byte seed into a gradient frame
+        return np.arange(64, dtype=np.uint8).reshape(8, 8) + b[0]
+
+    got2 = image_dhash(
+        _frames(spark, [(9, bytes([5]))]), decoder=dec
+    ).collect()
+    assert got2[0]["dhash"] == 0  # increasing rows: no comparison true
+
+
+def test_image_neardup_banding_completeness(spark):
+    """EVERY pair within the verification radius (hamming <= 3) must
+    surface — the pigeonhole guarantee of 4 bands — checked against a
+    brute-force all-pairs Hamming ground truth over a deterministic
+    corpus of frames + planted one/two-pixel twins."""
+    import itertools
+
+    import numpy as np
+
+    from kafka_dbsync_spark.operators.dedup import image_neardup_pairs
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    rows = []
+    for i in range(40):
+        base = bytearray(((i * 53 + j * 17 + 7) % 256) for j in range(64))
+        rows.append((i, bytes(base)))
+        if i % 4 == 0:                       # one-pixel twin
+            t = bytearray(base)
+            t[(i * 5) % 64] ^= 0xFF
+            rows.append((1000 + i, bytes(t)))
+        if i % 8 == 0:                       # two-pixel twin
+            t2 = bytearray(base)
+            t2[(i * 3) % 64] ^= 0x80
+            t2[(i * 3 + 9) % 64] ^= 0x80
+            rows.append((2000 + i, bytes(t2)))
+    df = _frames(spark, rows)
+    hashes = {
+        r["doc_id"]: r["dhash"] for r in image_dhash(df).collect()
+    }
+    truth = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(df, "doc_id", "blob").collect()
+    }
+    assert got == truth and len(truth) >= 10
+
+
+def test_image_neardup_rejects_bad_bands(spark):
+    import pytest
+
+    from kafka_dbsync_spark.operators.dedup import image_neardup_pairs
+
+    with pytest.raises(ValueError, match="bands must divide"):
+        image_neardup_pairs(
+            _frames(spark, [(1, bytes(64))]), "doc_id", "blob", bands=5
+        )
