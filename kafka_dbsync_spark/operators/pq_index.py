@@ -864,3 +864,207 @@ def pq_index_ingest_foreach_batch(
             pq_index_compact(spark, path)
 
     return fn
+
+
+def quantizer_signature(spark: SparkSession, path: str) -> dict:
+    """Exact integer fingerprint of the FROZEN quantizers (centroids +
+    both codebook tables): per artifact, (row count, sum of values
+    scaled to micro-units as longs) — long sums are associative and
+    exact, so the signature is independent of partitioning and read
+    order. Two indexes are merge-compatible iff their signatures are
+    equal: codes are only comparable when they were produced by
+    identical quantizers (the FAISS ``merge_from`` precondition)."""
+
+    def fold(sub: str, val_col: str) -> list[int]:
+        row = (
+            spark.read.parquet(f"{path}/{sub}")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col(val_col) * 1e6).cast("long")).alias("s"),
+            )
+            .head()
+        )
+        return [int(row["n"]), int(row["s"] if row["s"] is not None else 0)]
+
+    return {
+        "centroids": fold("centroids", "centroid"),
+        "pq_codebooks": fold("pq_codebooks", "cw"),
+        "flat_codebooks": fold("flat_codebooks", "cw"),
+    }
+
+
+def build_pq_shard(
+    spark: SparkSession,
+    quantizer_src: str,
+    embeddings: DataFrame,
+    path: str,
+    d_sub: int = 8,
+) -> None:
+    """Build ONE SHARD of a distributed index: copy the FROZEN
+    quantizers from a trained index and encode only this shard's
+    vectors — the per-partition half of the 100 TB build story (train
+    the quantizers once on a sample, then every shard encodes its slice
+    in parallel with no coordination, exactly how FAISS big-index
+    builds shard ``add()`` across workers), merged afterwards with
+    :func:`pq_index_merge`. Same marker-last crash discipline as
+    ``build_pq_index``; the recorded ``quantizer_sig`` is recomputed
+    from the COPIED artifacts (what merge will validate), not trusted
+    from the source marker."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    if not os.path.exists(os.path.join(quantizer_src, _MARKER)):
+        raise ValueError(
+            f"no complete index at {quantizer_src} to take quantizers "
+            "from; train with build_pq_index first."
+        )
+    marker = os.path.join(path, _MARKER)
+    invalidate_memo(path)
+    if os.path.exists(marker):
+        os.remove(marker)
+    fp = dataset_fingerprint(embeddings)
+    os.makedirs(path, exist_ok=True)
+    for sub in ("centroids", "pq_codebooks", "flat_codebooks"):
+        dst = os.path.join(path, sub)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(os.path.join(quantizer_src, sub), dst)
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/pq_codebooks")
+    resid = with_residuals(embeddings, cents)
+    pq_encode(
+        resid, cb, d_sub=d_sub, vec_col="resid",
+        keep_cols=("label", "centroid_id"),
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/codes"
+    )
+    fcb = spark.read.parquet(f"{path}/flat_codebooks")
+    pq_encode(embeddings, fcb, d_sub=d_sub).write.mode("overwrite").parquet(
+        f"{path}/flat_codes"
+    )
+    rec = {
+        "fingerprint": fp,
+        "quantizer_sig": quantizer_signature(spark, path),
+    }
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+
+
+def pq_index_merge(
+    spark: SparkSession,
+    dst_path: str,
+    src_path: str,
+) -> dict:
+    """Merge a shard index into ``dst_path`` — FAISS ``merge_from``,
+    the step that turns per-shard parallel builds into one servable
+    index. SAME-QUANTIZER CONTRACT: refused unless both indexes'
+    :func:`quantizer_signature` match exactly (codes from different
+    quantizers are incommensurable; merging them would serve garbage
+    distances). Unlike FAISS, the source index is left intact
+    (read-only input — at 100 TB the shard dirs are retired by the
+    orchestrator once the merged index is validated).
+
+    Merge is per-cell FILE CONCATENATION: every source cell's parquet
+    files copy into the matching destination cell directory under
+    ``m{K}-``-prefixed names (K = the destination's merge counter, so
+    repeated merges never collide with each other or with ``e{N}-``
+    ingest files) — no Spark job touches the codes; the only reads are
+    the tiny quantizer tables and one fingerprint aggregate. Marker
+    discipline as in ``pq_index_compact``: marker OUT before the first
+    copy, back IN after the fingerprint refresh — a crash mid-merge
+    leaves the destination unmistakably incomplete (rebuild or
+    re-shard; never silently half-merged). A source with UNCOMMITTED
+    streaming-ingest residue is refused (its epoch-tagged files are
+    not yet owned by any commit).
+
+    Returns ``{"vectors_merged": n, "cells_touched": k}``."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    dst_marker = os.path.join(dst_path, _MARKER)
+    src_marker = os.path.join(src_path, _MARKER)
+    for p, m in ((dst_path, dst_marker), (src_path, src_marker)):
+        if not os.path.exists(m):
+            raise ValueError(
+                f"no complete index at {p} (missing {_MARKER}); both merge "
+                "sides must be complete indexes."
+            )
+    pending = _pending_ingest_epochs(src_path)
+    if pending:
+        raise ValueError(
+            f"source index {src_path} has uncommitted streaming-ingest "
+            f"epoch(s) {sorted(pending)}; merge would adopt rows no commit "
+            "owns. Let the stream commit (or clean the residue) first."
+        )
+    if quantizer_signature(spark, dst_path) != quantizer_signature(
+        spark, src_path
+    ):
+        raise ValueError(
+            "quantizer mismatch: the two indexes were trained with "
+            "different centroids/codebooks, so their codes are "
+            "incommensurable — merge refused (FAISS merge_from has the "
+            "same precondition). Re-encode one side with build_pq_shard "
+            "from the other's quantizers."
+        )
+    try:
+        with open(dst_marker) as f:
+            rec = json.load(f)
+    except ValueError:
+        rec = {}
+    try:
+        with open(src_marker) as f:
+            src_rec = json.load(f)
+    except ValueError:
+        src_rec = {}
+    merge_k = int(rec.get("merges", 0)) + 1
+    prefix = f"m{merge_k}-"
+    invalidate_memo(dst_path)
+    os.remove(dst_marker)  # crash window: no marker -> dst invalid
+
+    def copy_files(src_dir: str, dst_dir: str) -> int:
+        os.makedirs(dst_dir, exist_ok=True)
+        for n in list(os.listdir(dst_dir)):
+            if n.startswith(prefix):  # leftovers cannot exist while the
+                os.remove(os.path.join(dst_dir, n))  # marker protocol holds;
+        moved = 0                                    # cheap belt-and-braces
+        for i, n in enumerate(
+            sorted(
+                x for x in os.listdir(src_dir) if x.endswith(".parquet")
+            )
+        ):
+            shutil.copyfile(
+                os.path.join(src_dir, n),
+                os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"),
+            )
+            moved += 1
+        return moved
+
+    cells_touched = 0
+    for d in sorted(os.listdir(f"{src_path}/codes")):
+        if not d.startswith("centroid_id="):
+            continue
+        copy_files(f"{src_path}/codes/{d}", f"{dst_path}/codes/{d}")
+        cells_touched += 1
+    copy_files(f"{src_path}/flat_codes", f"{dst_path}/flat_codes")
+    n_merged = int(
+        src_rec.get("fingerprint", {}).get("n")
+        or spark.read.parquet(f"{src_path}/codes").count()
+    )
+    rec["fingerprint"] = dataset_fingerprint(
+        spark.read.parquet(f"{dst_path}/codes")
+    )
+    rec["merges"] = merge_k
+    removed = set(rec.get("removed_ids", [])) | set(
+        src_rec.get("removed_ids", [])
+    )
+    if removed:
+        rec["removed_ids"] = sorted(removed)
+    # the merged content is no longer derivable from either source
+    # directory listing — same reasoning as pq_index_add
+    rec.pop("src_sig", None)
+    with open(dst_marker, "w") as f:
+        json.dump(rec, f)
+    invalidate_memo(dst_path)
+    return {"vectors_merged": n_merged, "cells_touched": cells_touched}

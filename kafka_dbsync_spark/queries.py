@@ -10055,3 +10055,60 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(
         _planted_images(spark, sf_dir), "doc_id", "blob"
     )
+
+
+# ===========================================================================
+# Round-9 additions III: ANN index shard merge — per-shard parallel
+# builds folded into one servable index (FAISS merge_from).
+# ===========================================================================
+@query("pq_index_merge", oracle=ORACLES["pq_index_add"])
+def q_pq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB index-build story end to end: train quantizers ONCE
+    on the even vec_ids (build_pq_index), encode the odd half as an
+    INDEPENDENT SHARD with the frozen quantizers (build_pq_shard — at
+    scale every shard encodes in parallel with no coordination), then
+    pq_index_merge folds the shard into the base index by per-cell
+    file concatenation (no Spark job over the codes; quantizer
+    signatures must match — FAISS merge_from's precondition). The
+    per-cell counts of the merged index must equal pq_index_add's
+    oracle: the even-half-centroid assignment of EVERY vector —
+    search-over-merged ≡ search-over-union, proven structurally by the
+    shared oracle and pointwise by the rank tests."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        build_pq_shard,
+        pq_index_merge,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    comp = even.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    cents = comp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("centroid")
+    )
+    work = tempfile.mkdtemp(prefix="kds_merge_")
+    base = os.path.join(work, "base")
+    shard = os.path.join(work, "shard")
+    try:
+        build_pq_index(spark, even, cents, base)
+        build_pq_shard(spark, base, odd, shard)
+        stats = pq_index_merge(spark, base, shard)
+        assert stats["vectors_merged"] == odd.count()
+        codes = spark.read.parquet(f"{base}/codes")
+        out = (
+            codes.groupBy(F.col("centroid_id").cast("long").alias("cell"))
+            .agg(F.count("*").alias("n_codes"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -620,3 +620,119 @@ def test_compact_refuses_pending_ingest_epoch(spark, tmp_path):
         pq_index_compact(spark, path)
     os.rmdir(os.path.join(path, ".ingest_e3"))
     pq_index_compact(spark, path)        # clean state compacts again
+
+
+# ---------------------------------------------------------------------------
+# Shard merge (build_pq_shard / pq_index_merge) — VERDICT r8 #4
+# ---------------------------------------------------------------------------
+def test_merge_equals_add_grown_index(spark, tmp_path):
+    """search-over-merged ≡ search-over-union: the merged index serves
+    BYTE-IDENTICAL answers (all four search forms' substrate) to an
+    index grown by pq_index_add with the same quantizers."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_shard,
+        pq_index_add,
+        pq_index_merge,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 != 0)
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    merged, grown = str(tmp_path / "m"), str(tmp_path / "g")
+    build_pq_index(spark, even, cents, merged)
+    build_pq_index(spark, even, cents, grown)
+    shard = str(tmp_path / "shard")
+    build_pq_shard(spark, merged, odd, shard)
+    stats = pq_index_merge(spark, merged, shard)
+    assert stats["vectors_merged"] == odd.count()
+    pq_index_add(spark, grown, odd)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    a = [tuple(r) for r in ivfpq_search_index(spark, merged, qv).collect()]
+    b = [tuple(r) for r in ivfpq_search_index(spark, grown, qv).collect()]
+    assert a == b and len(a) == 10
+    fa = [tuple(r) for r in pq_adc_search_index(spark, merged, qv).collect()]
+    fb = [tuple(r) for r in pq_adc_search_index(spark, grown, qv).collect()]
+    assert fa == fb
+    # the shard (read-only input) is untouched and still complete
+    assert index_is_built(shard)
+
+
+def test_merge_refuses_quantizer_mismatch_and_incomplete(spark, tmp_path):
+    """Shards trained with DIFFERENT quantizers are incommensurable —
+    merge must refuse (FAISS merge_from precondition); so must a merge
+    where either side lacks its completeness marker."""
+    from kafka_dbsync_spark.operators.pq_index import pq_index_merge
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, a)
+    # b trains its own quantizers on a different slice -> different sig
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 != 0), cents, b)
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        pq_index_merge(spark, a, b)
+    assert index_is_built(a)  # refusal left the destination valid
+    os.remove(os.path.join(b, "_COMPLETE"))
+    with pytest.raises(ValueError, match="no complete index"):
+        pq_index_merge(spark, a, b)
+
+
+def test_merge_refuses_pending_src_ingest_and_repeated_merges(spark, tmp_path):
+    """A source with uncommitted streaming-ingest residue is refused
+    (its rows are not owned by any commit); distinct shards merge in
+    sequence under distinct m{K}- prefixes."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_shard,
+        pq_index_ingest_foreach_batch,
+        pq_index_merge,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base = str(tmp_path / "base")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), cents, base)
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 3 == 1), s1)
+    build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 3 == 2), s2)
+    # plant uncommitted ingest residue in s2
+    fn = pq_index_ingest_foreach_batch(s2)
+    fn(emb.filter(F.col("vec_id") == 1).select(emb.columns), 7)
+    os.remove(os.path.join(s2, "ingest", "e7", "_SUCCESS"))
+    with pytest.raises(ValueError, match="uncommitted streaming-ingest"):
+        pq_index_merge(spark, base, s2)
+    # commit it; both merges land, total covers the whole table (+1 dup
+    # of vec_id=1 ingested into s2 on top of shard s1's copy)
+    os.makedirs(os.path.join(s2, "ingest", "e7"), exist_ok=True)
+    open(os.path.join(s2, "ingest", "e7", "_SUCCESS"), "w").close()
+    pq_index_merge(spark, base, s1)
+    pq_index_merge(spark, base, s2)
+    n = spark.read.parquet(f"{base}/codes").count()
+    assert n == emb.count() + 1
+    import json
+
+    with open(os.path.join(base, "_COMPLETE")) as f:
+        assert json.load(f)["merges"] == 2
+
+
+def test_merge_crash_window_leaves_dst_invalid(spark, tmp_path, monkeypatch):
+    """Marker OUT before the first copy: a crash mid-merge leaves the
+    destination unmistakably incomplete, never silently half-merged."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, base)
+    m.build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 2 != 0), shard)
+
+    real = m.dataset_fingerprint
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-merge")
+
+    monkeypatch.setattr(m, "dataset_fingerprint", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.pq_index_merge(spark, base, shard)
+    assert not index_is_built(base)
+    monkeypatch.setattr(m, "dataset_fingerprint", real)
