@@ -10112,3 +10112,244 @@ def q_pq_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ===========================================================================
+# Round-9 additions IV: curation_pipeline_v4 — the full published crawl
+# recipe order (RefinedWeb/FineWeb/CCNet): URL dedup -> Gopher rule
+# gate -> paragraph dedup -> LM head/middle selection -> mixture plan.
+# Supersedes curation_pipeline_v3 as the flagship composition.
+# ===========================================================================
+_V4_MIX = (("src0", 2500), ("src1", 2000), ("src2", 1500),
+           ("src3", 1000), ("src4", 500))
+
+
+@query(
+    "curation_pipeline_v4",
+    # Full-stack oracle: every stage replayed in SQL, so the driver's
+    # value-hash gates the COMPOSITION. The Gopher stopword rule is
+    # deliberately omitted from the gate: the synthetic corpus contains
+    # no Gopher stopwords (gopher_rules_report: 500/500 violations), so
+    # gating on it would select the empty set — the 4 applicable rules
+    # (word count, mean word length, alpha words, repetition) run.
+    oracle=f"""
+    WITH d AS ({_SQL_URLS}),
+    nu AS (SELECT doc_id, {_sql_url_norm('url')} AS url_norm FROM d),
+    keep AS (SELECT min(doc_id) AS doc_id FROM nu GROUP BY url_norm),
+    ud AS (
+      SELECT documents.doc_id, documents.text, documents.source
+      FROM documents JOIN keep USING (doc_id)
+    ),
+    gn AS (SELECT doc_id, {_SQL_NORM.format(c='text')} AS t FROM ud),
+    gm AS (
+      SELECT doc_id, t, string_split(t, ' ') AS w,
+             CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok
+      FROM gn
+    ), gg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM gm WHERE len(w) >= 2
+    ), gc AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM gg GROUP BY doc_id, gram
+    ), gb AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+        FROM gc
+      ) WHERE rn = 1
+    ), gf AS (
+      SELECT gm.doc_id, gm.n_tok,
+             CASE WHEN gm.n_tok > 0 THEN strlen(gm.t) - (gm.n_tok - 1) ELSE 0 END AS letters,
+             len(list_filter(gm.w, x -> regexp_matches(x, '[a-z]'))) AS alpha_cnt,
+             CAST(floor(coalesce(gb.cnt, 0) * CAST(coalesce(strlen(gb.gram), 0) AS DOUBLE)
+                  / greatest(strlen(gm.t), 1) * 10000) AS BIGINT) AS top2_bp
+      FROM gm LEFT JOIN gb ON gm.doc_id = gb.doc_id
+    ),
+    gated AS (
+      SELECT ud.doc_id, ud.text, ud.source
+      FROM ud JOIN gf USING (doc_id)
+      WHERE gf.n_tok >= 50 AND gf.n_tok <= 100000
+        AND gf.letters >= 3 * gf.n_tok AND gf.letters <= 10 * gf.n_tok
+        AND gf.alpha_cnt * 10 >= gf.n_tok * 8
+        AND gf.top2_bp <= 2000
+    ),
+    {_SQL_CCNET_DEDUPED.replace("FROM documents", "FROM gated")},
+    norm2 AS (
+      SELECT doc_id, {_SQL_NORM.format(c='text')} AS nt,
+             string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM docs2 WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), idx2 AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM norm2 WHERE len(t) >= 2
+    ), g2 AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx2
+    ), dg2 AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM g2 GROUP BY doc_id, w1, w2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM g2 GROUP BY w1, w2
+    ), c1g AS (
+      SELECT w1, count(*) AS n1 FROM g2 GROUP BY w1
+    ), v2 AS (
+      SELECT count(DISTINCT tok) AS V FROM (SELECT unnest(t) AS tok FROM norm2)
+    ), scored2 AS (
+      SELECT dg2.doc_id, dg2.k,
+             CAST(round(ln(CAST(n12 + 1 AS DOUBLE) / CAST(n1 + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg2 JOIN c12 USING (w1, w2) JOIN c1g USING (w1), v2
+    ), per_doc2 AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE))
+                       / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM scored2 GROUP BY doc_id
+    ), binned2 AS (
+      SELECT doc_id,
+             CAST(floor(CAST(ppl AS DECIMAL(18,4)) * 100) AS BIGINT) AS bin
+      FROM per_doc2
+    ), hist2 AS (
+      SELECT bin, count(*) AS c FROM binned2 GROUP BY bin
+    ), cum2 AS (
+      SELECT h1.bin AS b1, CAST(sum(h2.c) AS BIGINT) AS cum
+      FROM hist2 h1 JOIN hist2 h2 ON h2.bin <= h1.bin GROUP BY h1.bin
+    ), tot2 AS (SELECT count(*) AS n FROM binned2
+    ), cuts2 AS (
+      SELECT min(CASE WHEN cum * 3 >= n THEN b1 END) AS cut1,
+             min(CASE WHEN cum * 3 >= 2 * n THEN b1 END) AS cut2
+      FROM cum2, tot2
+    ),
+    sel AS (
+      SELECT b.doc_id FROM binned2 b, cuts2 WHERE b.bin <= cuts2.cut2
+    ),
+    ft AS (
+      SELECT g.source,
+             CAST(sum(CASE WHEN n2.nt = '' THEN 0
+                  ELSE len(string_split(n2.nt, ' ')) END) AS BIGINT) AS n_tokens
+      FROM sel JOIN norm2 n2 USING (doc_id) JOIN gated g USING (doc_id)
+      GROUP BY g.source
+    ),
+    tgt AS (SELECT * FROM (VALUES {', '.join(f"('{s}', {b})" for s, b in _V4_MIX)})
+            AS v(source, share_bp)),
+    tot3 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget FROM ft)
+    SELECT ft.source, ft.n_tokens, tgt.share_bp,
+           CAST(tot3.budget * tgt.share_bp // 10000 AS BIGINT) AS target_tokens,
+           CAST(ceil(CAST(tot3.budget * tgt.share_bp // 10000 AS DOUBLE)
+                     / ft.n_tokens) AS BIGINT) AS epochs,
+           CAST(CAST(ceil(CAST(tot3.budget * tgt.share_bp // 10000 AS DOUBLE)
+                     / ft.n_tokens) AS BIGINT) * ft.n_tokens AS BIGINT) AS upsampled_tokens
+    FROM ft JOIN tgt USING (source), tot3
+    """,
+)
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP curation composition, in the order the published
+    crawl recipes run (RefinedWeb §3 / FineWeb / CCNet Fig. 1 —
+    cheapest filter first, each stage feeding the next):
+
+    1. URL dedup (operators/web.py::url_dedup) — keep-first on the
+       normalized URL; a string hash per duplicate, before any text op;
+    2. Gopher rule gate (Rae et al. 2021 A1.1) — the 4 rules applicable
+       to this corpus (word count / mean word length / alpha words /
+       repetition; the stopword rule would select the empty set here
+       and is omitted, documented in the oracle header);
+    3. paragraph-hash dedup, keep-first (operators/dedup.py::
+       paragraph_dedup) over 8-token-chunk paragraphs — the CCNet step;
+    4. bigram-LM perplexity on the DEDUPED text with histogram tertile
+       cuts; the head+middle buckets are kept (CCNet keeps head or
+       head+middle depending on the language budget);
+    5. mixture epoch planning over the SURVIVING per-source token
+       counts (the integer-epoch upsampling plan data recipes publish).
+
+    Stage handoffs localCheckpoint (the in-session stand-in for the
+    materialized stage tables a 100 TB run writes); each stage keeps
+    the plan its standalone query audits — one hash agg for URLs, one
+    corpus scan for the gate, the paragraph agg + JVM rewrite, the
+    (bin) histogram + driver fold + literal cuts, one final token agg.
+    The full-stack oracle replays all five stages."""
+    from kafka_dbsync_spark.operators.corpus import (
+        bigram_lm_perplexity,
+        histogram_cut_values,
+        score_bin,
+    )
+    from kafka_dbsync_spark.operators.dedup import paragraph_dedup
+    from kafka_dbsync_spark.operators.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # stage 1: URL dedup (keeper semi-join; payloads never shuffle)
+    keep = url_dedup(_with_urls(docs), "doc_id", "url").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    ud = docs.join(keep, "doc_id", "left_semi")
+    # stage 2: Gopher gate (one scan; same expressions as the report)
+    norm = normalize_text(F.col("text"))
+    d = ud.withColumn("t", norm).withColumn("__toks", tokens("text"))
+    n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
+    rep = repetition_metrics(F.col("__toks"), "text")
+    feat = d.select(
+        "doc_id", "text", "source",
+        n_tok.alias("n_tok"),
+        F.when(n_tok > 0, F.length("t") - (n_tok - 1))
+        .otherwise(F.lit(0))
+        .alias("letters"),
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))).alias(
+            "alpha_cnt"
+        ),
+        rep["top2_bp"].alias("top2_bp"),
+    )
+    gated = (
+        feat.filter(
+            (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)
+            & (F.col("letters") >= 3 * F.col("n_tok"))
+            & (F.col("letters") <= 10 * F.col("n_tok"))
+            & (F.col("alpha_cnt") * 10 >= F.col("n_tok") * 8)
+            & (F.col("top2_bp") <= 2000)
+        )
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=True)
+    )
+    # stage 3: paragraph dedup over 8-token chunks (the ccnet fixture)
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    chunked = gated.select("doc_id", F.array_join(paras, "\n").alias("text"))
+    cleaned = paragraph_dedup(
+        chunked, "doc_id", "text", sep="\n", mode="keep_first"
+    ).select("doc_id", "cleaned_text")
+    base = (
+        chunked.join(cleaned, "doc_id", "left")
+        .select("doc_id", F.coalesce("cleaned_text", "text").alias("text"))
+        .filter(normalize_text(F.col("text")) != "")
+        .localCheckpoint(eager=True)
+    )
+    # stage 4: LM buckets on the deduped text; keep head+middle
+    ppl = (
+        bigram_lm_perplexity(base)
+        .select("doc_id", "ppl")
+        .localCheckpoint(eager=True)
+    )
+    (c0, c1), _n = histogram_cut_values(ppl, "ppl")
+    sel = ppl.filter(score_bin("ppl") <= F.lit(c1)).select("doc_id")
+    # stage 5: mixture epoch plan over surviving per-source tokens
+    ft = (
+        sel.join(base, "doc_id")
+        .join(gated.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).alias("n_tokens"))
+    )
+    tgt = F.broadcast(
+        spark.createDataFrame(list(_V4_MIX), "source string, share_bp int")
+    )
+    tot = ft.agg(F.sum("n_tokens").alias("budget"))
+    target = F.expr("budget * share_bp div 10000").cast("long")
+    joined = ft.join(tgt, "source").crossJoin(F.broadcast(tot)).withColumn(
+        "target_tokens", target
+    )
+    epochs = F.ceil(
+        F.col("target_tokens").cast("double") / F.col("n_tokens")
+    ).cast("long")
+    return joined.select(
+        "source", "n_tokens",
+        F.col("share_bp").cast("int").alias("share_bp"),
+        "target_tokens",
+        epochs.alias("epochs"),
+        (epochs * F.col("n_tokens")).cast("long").alias("upsampled_tokens"),
+    )

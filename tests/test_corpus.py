@@ -634,3 +634,23 @@ def test_k_anonymity_and_mixture_plan_invariants(spark):
         assert r["upsampled_tokens"] == r["epochs"] * r["n_tokens"]
         assert r["upsampled_tokens"] >= r["target_tokens"]   # ceil covers
         assert (r["epochs"] - 1) * r["n_tokens"] < r["target_tokens"]  # minimal
+
+
+def test_curation_pipeline_v4_invariants(spark):
+    """Flagship composition sanity: the plan covers only surviving
+    sources, every epoch count is a positive integer, and the
+    upsampled tokens are the smallest integer-epoch overshoot of the
+    target (ceil semantics)."""
+    from kafka_dbsync_spark.queries import QUERIES
+
+    rows = QUERIES["curation_pipeline_v4"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["epochs"] >= 1
+        assert r["upsampled_tokens"] == r["epochs"] * r["n_tokens"]
+        assert r["upsampled_tokens"] >= r["target_tokens"]
+        # one fewer epoch would undershoot the target (minimality)
+        assert (r["epochs"] - 1) * r["n_tokens"] < r["target_tokens"]
