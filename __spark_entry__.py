@@ -19,77 +19,77 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-8 rotation (VERDICT r7 "Next round" #1 — finish the freshness
-# rotation): the window front-loads (a) the 10 queries NEW in round 8
-# (ivfpq_remove_serve / paragraph_dedup / paragraph_ingest_gate /
-# lsh_recall_curve / ccnet_pipeline / gopher_rules_report /
-# k_anonymity_report / mixture_epochs_plan / ann_ingest_stream /
-# bucketed_colocated_join), (b) the 2 carried queries
-# whose behavior-relevant code changed this round (setsim_exact_join —
-# every pruning filter rewritten to exact integer basis-point
-# arithmetic; important_parts — threshold comparison moved to
-# decimal(38,0)/HUGEINT), then (c) ALL 38 queries whose newest driver row still
-# dates to round 4 (the verdict's full list). That fills 50 exactly;
-# after this gate no query's newest driver row predates round 5. Other
-# queries touched by round-8 guard-only changes (the drift bin-domain
-# clamp, the NULL-bin cut-value guards — identity on valid input)
-# were re-validated locally via tools/check_correctness.py, PASS 13/13.
+# Round-9 rotation (VERDICT r8 "Next round" #1 — retire the last
+# r5-stale rows): the window front-loads (a) the 5 queries NEW in
+# round 9 (url_dedup / host_blocklist_filter / image_neardup_pairs /
+# pq_index_merge / curation_pipeline_v4), (b) the 4 carried queries
+# whose behavior-relevant code changed this round
+# (paragraph_ingest_gate — read_cleaned_docs visibility is now gated
+# on the para_hashes epoch commit; bucketed_colocated_join — orphaned
+# location cleanup moved to the Hadoop FS API; ivfpq_remove_serve —
+# the all-vectors-removed pre-check; ann_ingest_stream — the
+# pending-epoch compaction guard on its ingest path), then (c) ALL 38
+# queries whose newest driver row still dates to round 5 (computed
+# from the CORRECTNESS_r* files), then (d) 3 round-6 rows from the
+# pq-index family, whose module round 9 touched (pq_index_add shares
+# the merge oracle; build + the flat served search are the same
+# artifacts). That fills 50 exactly; after this gate no row predates
+# round 6 except the remaining round-6 cohort itself.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 8 — never driver-checked
-    "ivfpq_remove_serve",
-    "paragraph_dedup",
+    # (a) new in round 9 — never driver-checked
+    "url_dedup",
+    "host_blocklist_filter",
+    "image_neardup_pairs",
+    "pq_index_merge",
+    "curation_pipeline_v4",
+    # (b) behavior-relevant round-9 changes
     "paragraph_ingest_gate",
-    "lsh_recall_curve",
-    "ccnet_pipeline",
-    "gopher_rules_report",
-    "k_anonymity_report",
-    "mixture_epochs_plan",
-    "ann_ingest_stream",
     "bucketed_colocated_join",
-    # (b) behavior-relevant round-8 changes (curation_pipeline_v3 also
-    # composes the changed setsim join — re-validated locally, PASS,
-    # and displaced here by the never-checked bucketed join)
-    "setsim_exact_join",
-    "important_parts",
-    # (c) every round-4-stale row (38, the verdict list)
-    "asof_join",
-    "audio_window_energy",
-    "bpe_merge_step",
-    "bpe_merges_k",
-    "bpe_token_counts",
-    "canonical_docs",
-    "cdc_backfill_then_stream",
-    "cdc_corrupt_events",
-    "cdc_op_counts",
-    "cdc_route_stats",
-    "countmin_counts",
-    "dataset_splits",
-    "dlq_records",
-    "dup_rate_by_source",
-    "envelope_unwrap",
-    "events_hourly",
-    "events_sessionize",
-    "fingerprint_overlap_pairs",
-    "fk_integrity_report",
-    "iidr_ts_normalize",
-    "inverted_index",
-    "ivf_outliers",
-    "label_pca",
-    "local_supplier_revenue",
-    "min_price_suppliers",
-    "part_cooccurrence",
-    "quality_rank_by_source",
-    "range_join_active_orders",
-    "rarity_scores",
-    "returned_revenue_customers",
-    "scd2_history",
-    "snapshot_diff",
-    "table_profile",
-    "top_customers",
-    "triangle_counts",
-    "type_coercion",
-    "user_activity_streaks",
-    "user_value_outliers",
+    "ivfpq_remove_serve",
+    "ann_ingest_stream",
+    # (c) every round-5-stale row (38)
+    "ann_recall_report",
+    "collocations_lift",
+    "customer_order_distribution",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_normalized",
+    "discounted_brand_revenue",
+    "doc_fingerprint",
+    "dsir_weights",
+    "excess_promo_suppliers",
+    "fuzzy_match_pairs",
+    "hll_distinct_tokens",
+    "hybrid_rank_fusion",
+    "lake_ordered_state",
+    "lake_snapshot_read",
+    "lang_id",
+    "line_priority_classes",
+    "lm_perplexity",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "nation_market_share",
+    "order_priority_check",
+    "pivot_daily_events",
+    "pq_adc_search",
+    "pq_codebooks",
+    "pq_encode",
+    "promo_revenue_share",
+    "q1_pricing_summary",
+    "quality_scores",
+    "rollup_revenue",
+    "segment_order_overlap",
+    "small_qty_brand_revenue",
+    "supplier_part_counts",
+    "tfidf_topterms",
+    "timeseries_gap_fill",
+    "token_stats",
+    "user_value_trend",
+    "value_percentiles",
+    # (d) round-6 rows in the module round 9 touched (pq_index.py)
+    "pq_index_add",
+    "pq_index_build",
+    "pq_adc_search_served",
 ]
 
 

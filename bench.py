@@ -102,10 +102,7 @@ HEADLINE = [
     "moore_lewis_selection",
     "moore_lewis_served",
     "setsim_exact_join",
-    # composition + classification capstones: the v3 curation chain
-    # (ML select -> exact dedup -> per-lang weighted quota) and the
-    # C-fanned naive-Bayes domain classifier
-    "curation_pipeline_v3",
+    # classification capstone: the C-fanned naive-Bayes domain classifier
     "nb_source_predict",
     # r8 additions (suite wall grows by these four ADDED entries —
     # carried entries are the like-for-like comparison): ANN index
@@ -119,6 +116,16 @@ HEADLINE = [
     "paragraph_dedup",
     "ccnet_pipeline",
     "gopher_rules_report",
+    # r9 additions: URL keep-first dedup (the pre-text crawl stage),
+    # image dHash near-dup pairs (the multimodal dedup), the shard
+    # merge build path (train-once + shard-encode + file-concat merge),
+    # and curation_pipeline_v4 — which REPLACES curation_pipeline_v3 as
+    # the flagship composition (v3 remains oracle-gated; its bench row
+    # is superseded, documented here for the round-over-round diff).
+    "url_dedup",
+    "image_neardup_pairs",
+    "pq_index_merge",
+    "curation_pipeline_v4",
 ]
 
 
@@ -126,33 +133,31 @@ HEADLINE = [
 # (VERDICT watch items, resolved with measurements; refreshed whenever
 # an item opens or closes). Lands in the detail artifact.
 ADJUDICATIONS = [
-    "cdc_route_stats r7 best +0.33s: adjudicated r8 on a quiet run "
-    "(canary 0.834, vs r7's 0.818) — standalone 7-run best 0.347s / "
-    "median 0.409s, exactly the r6 value. The inflation appears only "
-    "inside the full suite (JVM heap/GC context from neighboring "
-    "heavyweight entries), not in the query or its 1-exchange plan; "
-    "code untouched since r1. Watch item closed (and it came back "
-    "-0.32s in the r8 suite).",
-    "setsim_exact_join r8 +1.6s best (4.96 -> ~6.6s at sf0.1): NOT the "
-    "r8 exact-bp filter rewrite — an in-session A/B of the old float "
-    "filters vs the new integer filters on identical data ran BOTH at "
-    "~7s with identical 1375-pair output, and at sf1 the new code held "
-    "level (7.27 vs 7.2 r7). Same host parallel-throughput swing "
-    "documented in BENCH_SF1_r08's note (bidirectional multi-second "
-    "drifts on untouched queries under a QUIETER canary); "
-    "curation_pipeline_v3's +0.57s is the same effect through its "
-    "setsim stage. Re-baseline against this round's numbers.",
+    "r9: drift adjudication is now MECHANICAL — the canary runs at "
+    "suite start/middle/end (the r8 watch item: a start-only canary "
+    "cannot see mid-suite host throughput changes), and any carried "
+    "query whose best-time regression vs the previous round exceeds "
+    "both 0.5s and the canary spread band is automatically re-run "
+    "standalone (median-of-3) after the suite; the verdicts land in "
+    "auto_adjudications in this artifact.",
+    "r9: curation_pipeline_v3's bench row is superseded by "
+    "curation_pipeline_v4 (URL dedup -> Gopher gate -> paragraph dedup "
+    "-> LM head/middle -> mixture plan); v3 remains oracle-gated in "
+    "the registry.",
 ]
 
 
-def _canary(spark) -> dict:
+def _canary(spark, label: str = "start") -> dict:
     """Machine-contention canary (VERDICT r5 #4): three fixed,
     dataset-independent micro-jobs — a whole-stage-codegen arithmetic
-    loop, a 1000-key shuffle, and a tiny parquet scan — run before the
-    suite. Their wall time moves with HOST LOAD, never with this repo's
-    code, so a round-over-round suite delta can be read against the
-    canary delta: if both drifted together, it was the machine. Each
-    job runs 3×; the median is recorded (same policy as the suite)."""
+    loop, a 1000-key shuffle, and a tiny parquet scan. Their wall time
+    moves with HOST LOAD, never with this repo's code, so a
+    round-over-round suite delta can be read against the canary delta:
+    if both drifted together, it was the machine. Each job runs 3×; the
+    median is recorded (same policy as the suite). Since r9 the canary
+    runs at suite START, MIDDLE, and END (VERDICT r8 #3: a start-only
+    probe measures contention once and cannot see mid-suite host
+    throughput changes — the r8 watch item's blind spot)."""
 
     def med(job) -> float:
         times = []
@@ -186,7 +191,82 @@ def _canary(spark) -> dict:
         ),
     }
     out["total"] = round(sum(out.values()), 3)
-    print(f"# canary: {out}", file=sys.stderr)
+    print(f"# canary[{label}]: {out}", file=sys.stderr)
+    return out
+
+
+def _canary_spread(canaries: dict[str, dict]) -> float:
+    """Relative spread of the per-segment canary totals: (max/min - 1).
+    This is the fraction of any carried query's time that host
+    throughput alone moved DURING this run — the band a drift must
+    exceed before it is worth a standalone re-run."""
+    totals = [c["total"] for c in canaries.values() if c.get("total")]
+    if not totals or min(totals) <= 0:
+        return 0.0
+    return round(max(totals) / min(totals) - 1, 4)
+
+
+def _auto_adjudicate(
+    spark,
+    sf_dir: str,
+    per_query_best: dict[str, float],
+    prev_q: dict[str, float],
+    canaries: dict[str, dict],
+    max_reruns: int = 6,
+) -> dict:
+    """Mechanical drift adjudication (VERDICT r8 #3): any carried query
+    whose best-of-3 regressed vs the previous round by MORE than both
+    0.5 s and the canary spread band is re-run standalone (3×, after
+    the suite, away from neighboring heavyweight entries' JVM/GC
+    context). If the standalone best lands back inside the band around
+    the previous round's number, the drift was suite/host context —
+    adjudicated without a human A/B. Reruns are capped (largest drifts
+    first) so a globally slow host cannot double the bench wall."""
+    spread = _canary_spread(canaries)
+    flagged = []
+    for name, t in per_query_best.items():
+        if name not in prev_q:
+            continue
+        drift = round(t - prev_q[name], 3)
+        band = round(max(0.5, prev_q[name] * spread), 3)
+        if drift > band:
+            flagged.append((drift, band, name))
+    flagged.sort(reverse=True)
+    out: dict[str, dict] = {}
+    for drift, band, name in flagged[:max_reruns]:
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.perf_counter() - t0)
+        sa_best, sa_med = round(min(times), 3), round(sorted(times)[1], 3)
+        tol = round(prev_q[name] * (1 + spread) + 0.25, 3)
+        verdict = (
+            "host/suite context (standalone back within band)"
+            if sa_best <= tol
+            else "REPRODUCES standalone — investigate the code/plan"
+        )
+        out[name] = {
+            "prev_best": prev_q[name],
+            "suite_best": per_query_best[name],
+            "drift": drift,
+            "band": band,
+            "standalone_median": sa_med,
+            "standalone_best": sa_best,
+            "tolerance": tol,
+            "verdict": verdict,
+        }
+        print(f"# auto-adjudicate {name}: {out[name]}", file=sys.stderr)
+    for drift, band, name in flagged[max_reruns:]:
+        out[name] = {
+            "prev_best": prev_q[name],
+            "suite_best": per_query_best[name],
+            "drift": drift,
+            "band": band,
+            "verdict": "flagged but rerun cap reached",
+        }
     return out
 
 
@@ -204,13 +284,16 @@ def main() -> None:
     QUERIES["multimodal_meta"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
-    canary = _canary(spark)
+    canaries = {"start": _canary(spark, "start")}
 
     per_query: dict[str, float] = {}
     per_query_best: dict[str, float] = {}
     per_query_first: dict[str, float] = {}
     total = total_best = total_first = 0.0
-    for name in HEADLINE:
+    mid = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid:
+            canaries["mid"] = _canary(spark, "mid")
         fn = QUERIES[name]
         # Each query runs 3× and reports the MEDIAN (the headline number:
         # robust to one bad scheduler slot without the best-of cherry-pick
@@ -239,6 +322,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    canaries["end"] = _canary(spark, "end")
     # throughput anchors vs BASELINE.md: the reference's only rate figure
     # is 1K events/s through its sink; our CDC path applies the full
     # events table per run
@@ -249,7 +333,12 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — never lose the suite JSON
         print(f"# full_apply_path failed: {e}", file=sys.stderr)
         apply_rate = None
-    prev_name, delta = _delta_vs_previous_round(per_query_best)
+    prev_name, delta, prev_q = _delta_vs_previous_round(per_query_best)
+    auto = (
+        _auto_adjudicate(spark, sf_dir, per_query_best, prev_q, canaries)
+        if prev_q
+        else {}
+    )
     # VERDICT r3 "What's wrong" #2: the driver records only a TAIL window
     # of stdout, and r3's single giant JSON line (3 per-query maps + a
     # delta map) outgrew it, losing the headline `value`. Fix: stdout gets
@@ -271,13 +360,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc_events_per_sec": round(n_events / cdc_secs),
         "cdc_apply_events_per_sec": apply_rate,
-        "canary": {"total": canary["total"]},
+        "canary": {
+            "total": canaries["start"]["total"],
+            "spread": _canary_spread(canaries),
+        },
         "detail_file": detail_name,
     }
     detail = dict(
         compact,
         queries=per_query,              # full 3dp precision
-        canary=canary,                  # all three canary jobs
+        canary=canaries,                # start/mid/end, all three jobs
+        canary_spread=_canary_spread(canaries),
         best_suite_wall_seconds=round(total_best, 3),
         first_run_suite_wall_seconds=round(total_first, 3),
         queries_best=per_query_best,
@@ -288,6 +381,7 @@ def main() -> None:
         delta_best_vs_prev=delta,
         prev_bench=prev_name,
         adjudications=ADJUDICATIONS,
+        auto_adjudications=auto,
     )
     (Path(__file__).resolve().parent / detail_name).write_text(
         json.dumps(detail, indent=1) + "\n"
@@ -297,7 +391,9 @@ def main() -> None:
 
 def _delta_vs_previous_round(per_query_best: dict[str, float]):
     """Per-query best-time delta vs the newest BENCH_r*.json in the repo
-    root (the driver records one per round)."""
+    root (the driver records one per round). Returns (prev_name, delta,
+    prev_queries) — the previous per-query map also feeds the automatic
+    drift adjudication."""
     import glob
     import re
 
@@ -306,7 +402,7 @@ def _delta_vs_previous_round(per_query_best: dict[str, float]):
         key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
     )
     if not benches:
-        return None, None
+        return None, None, None
     prev_path = benches[-1]
     try:
         prev = json.loads(Path(prev_path).read_text())
@@ -314,13 +410,13 @@ def _delta_vs_previous_round(per_query_best: dict[str, float]):
             prev = prev["parsed"] or _recover_from_tail(prev.get("tail") or "")
         prev_q = prev.get("queries_best") or prev.get("queries") or {}
     except (OSError, ValueError):
-        return Path(prev_path).name, None
+        return Path(prev_path).name, None, None
     delta = {
         name: round(t - prev_q[name], 3)
         for name, t in per_query_best.items()
         if name in prev_q
     }
-    return Path(prev_path).name, delta
+    return Path(prev_path).name, delta, prev_q
 
 
 def _recover_from_tail(tail: str) -> dict:

@@ -212,6 +212,26 @@ SHUFFLE_BUDGET = {
     # re-derivation feeding the scalar budget + the budget's
     # SinglePartition exchange (AQE reuses the shared agg at runtime —
     # the hot_key_report pattern); the share table is a broadcast literal
+    # round-9 additions
+    "url_dedup": 1,                 # ONE map-side-combined hash agg on the
+    # normalized URL (uniform high-cardinality key); normalization is
+    # narrow regex expression work inside the scan stage
+    "host_blocklist_filter": 1,     # one (host) agg; the blocklist is a
+    # literal isin inside the scan's codegen stage (no broadcast even)
+    "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
+    # dHash) + the banded_pairs window + candidate distinct; the two
+    # hash joins back to the hash table broadcast at audit SF
+    "pq_index_merge": 0,            # materialized rows (train + shard
+    # encode + file-concat merge ran at construction; the returned plan
+    # reads the checkpointed per-cell counts)
+    "curation_pipeline_v4": 4,      # returned plan reads the THREE stage
+    # checkpoints (gated docs, deduped text, ppl scores): the final
+    # per-source token agg + its re-derivation feeding the scalar
+    # budget + the budget's SinglePartition exchange + the selection
+    # join's agg side; share table broadcast (the mixture_epochs_plan
+    # tail). URL dedup, the Gopher gate, and the paragraph/LM stages
+    # materialize at construction (eager localCheckpoint handoffs —
+    # disclosed, the curation_pipeline_v3/ccnet_pipeline pattern)
     "drift_monitor_series": 0,      # materialized rows (reference seed +
     # 2 monitored batches ran through the drift operator at construction)
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
