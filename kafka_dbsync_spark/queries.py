@@ -10353,3 +10353,70 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs * F.col("n_tokens")).cast("long").alias("upsampled_tokens"),
     )
+
+
+_SQL_IMG_PAIR_CTES = f"""
+    pm AS (
+      SELECT doc_id, md5(text) || md5(text) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(s0, 1, doc_id % 64) || '0' || substr(s0, doc_id % 64 + 2) AS s
+      FROM (SELECT doc_id, md5(text) || md5(text) AS s0
+            FROM documents WHERE doc_id % 5 = 0)
+    ), h AS (
+      SELECT doc_id, {_SQL_IMG_DHASH} AS dh FROM pm
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx, (dh >> (14 * b.b)) & 16383 AS band_val
+      FROM h, (SELECT unnest(range(0, 4)) AS b) b
+    ), sized AS (
+      SELECT doc_id, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= 32
+        UNION ALL
+        SELECT mn AS id_a, doc_id AS id_b
+        FROM sized WHERE n > 32 AND doc_id <> mn
+      )
+    )
+"""
+
+
+@query(
+    "image_dedup_survivors",
+    oracle=f"""
+    WITH {_SQL_IMG_PAIR_CTES},
+    dup AS (
+      SELECT DISTINCT id_b FROM cand
+      JOIN h a ON cand.id_a = a.doc_id JOIN h b ON cand.id_b = b.doc_id
+      WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    )
+    SELECT doc_id, dh AS dhash FROM h
+    WHERE doc_id NOT IN (SELECT id_b FROM dup)
+    """,
+)
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup, keep-first: drop every image within hamming ≤ 3 of a
+    LOWER-id image (the keep-min convention shared by semantic_dedup and
+    the text dedup paths) — the SELECTION face of image_neardup_pairs,
+    i.e. what a multimodal curation run actually materializes. One
+    anti-join of the (small) dominated-id set against the hash table;
+    the surviving dHash rides out so the oracle value-checks the hash
+    itself, not just membership."""
+    from kafka_dbsync_spark.operators.dedup import image_neardup_pairs
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    imgs = _planted_images(spark, sf_dir)
+    pairs = image_neardup_pairs(imgs, "doc_id", "blob")
+    hashes = image_dhash(imgs, "doc_id", "blob")
+    return hashes.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id", "dhash")

@@ -221,6 +221,9 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "image_dedup_survivors": 5,     # the pairs pipeline's exchanges
+    # (repartition + band window + candidate distinct) + the dominated
+    # distinct + the anti-join agg side; hash-table joins broadcast
     "pq_index_merge": 0,            # materialized rows (train + shard
     # encode + file-concat merge ran at construction; the returned plan
     # reads the checkpointed per-cell counts)
