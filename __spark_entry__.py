@@ -20,9 +20,10 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-9 rotation (VERDICT r8 "Next round" #1 — retire the last
-# r5-stale rows): the window front-loads (a) the 6 queries NEW in
+# r5-stale rows): the window front-loads (a) the 7 queries NEW in
 # round 9 (url_dedup / host_blocklist_filter / image_neardup_pairs /
-# image_dedup_survivors / pq_index_merge / curation_pipeline_v4),
+# image_dedup_survivors / pq_index_merge / curation_pipeline_v4 /
+# url_ingest_gate),
 # (b) the 4 carried queries whose behavior-relevant code changed this round
 # (paragraph_ingest_gate — read_cleaned_docs visibility is now gated
 # on the para_hashes epoch commit; bucketed_colocated_join — orphaned
@@ -30,10 +31,9 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # the all-vectors-removed pre-check; ann_ingest_stream — the
 # pending-epoch compaction guard on its ingest path), then (c) ALL 38
 # queries whose newest driver row still dates to round 5 (computed
-# from the CORRECTNESS_r* files), then (d) 2 round-6 rows from the
+# from the CORRECTNESS_r* files), then (d) 1 round-6 row from the
 # pq-index family, whose module round 9 touched (pq_index_add shares
-# the merge oracle; pq_index_build reads back every artifact the shard
-# path copies). That fills 50 exactly; after this gate no row predates
+# the merge oracle). That fills 50 exactly; after this gate no row predates
 # round 6 except the remaining round-6 cohort itself.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 9 — never driver-checked
@@ -43,6 +43,7 @@ _DRIVER_PRIORITY: list[str] = [
     "image_dedup_survivors",
     "pq_index_merge",
     "curation_pipeline_v4",
+    "url_ingest_gate",
     # (b) behavior-relevant round-9 changes
     "paragraph_ingest_gate",
     "bucketed_colocated_join",
@@ -89,7 +90,6 @@ _DRIVER_PRIORITY: list[str] = [
     "value_percentiles",
     # (d) round-6 rows in the module round 9 touched (pq_index.py)
     "pq_index_add",
-    "pq_index_build",
 ]
 
 

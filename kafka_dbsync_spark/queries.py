@@ -10420,3 +10420,114 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_anti",
     ).select("doc_id", "dhash")
+
+
+@query(
+    "url_ingest_gate",
+    # Crawl-ingest admission, batch-equivalent: keep-first per
+    # NORMALIZED URL in arrival order (batch, doc_id) — the re-fetch
+    # case: two different texts under one canonical URL dedup — then
+    # the frozen batch-0 LM gates survivors at ppl <= 30.
+    oracle=f"""
+    WITH d0 AS ({_SQL_URLS}),
+    b AS (
+      SELECT doc_id, source, doc_id % 3 AS batch,
+             {_SQL_NORM.format(c='text')} AS t,
+             {_sql_url_norm('url')} AS dh
+      FROM d0 WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), firsts AS (
+      SELECT * FROM b
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY batch, doc_id) = 1
+    ), train AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM b WHERE batch = 0
+    ), tr_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM train WHERE len(tk) >= 2
+    ), tr_g AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(tk) AS tok FROM train)
+    ), arrivals AS (
+      SELECT doc_id, source, batch, string_split(t, ' ') AS tk
+      FROM firsts WHERE batch > 0
+    ), ar_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      FROM arrivals WHERE len(tk) >= 2
+    ), ar_dg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS k
+      FROM ar_idx GROUP BY doc_id, tk[i], tk[i + 1]
+    ), scored AS (
+      SELECT ar_dg.doc_id, ar_dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM ar_dg
+      LEFT JOIN c12 ON ar_dg.w1 = c12.w1 AND ar_dg.w2 = c12.w2
+      LEFT JOIN c1 ON ar_dg.w1 = c1.w1, v
+    ), ppl AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE)) / CAST(sum(k) AS DOUBLE)), 4)
+               AS ppl
+      FROM scored GROUP BY doc_id
+    )
+    SELECT a.batch, a.doc_id, a.source, p.ppl
+    FROM arrivals a JOIN ppl p ON a.doc_id = p.doc_id
+    WHERE p.ppl <= 30.0
+    """,
+)
+def q_url_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-front-door admission, streaming: URL dedup AT INGEST (the
+    first fetch of a canonical URL owns it forever — including the
+    re-fetch case where a later batch carries DIFFERENT text under the
+    same normalized URL) chained with the frozen-LM quality gate, both
+    through the REAL epoch-state machinery
+    (operators/admission.py::admission_foreach_batch with
+    ``key_fn = normalized_url`` — dedup keys are pluggable expressions,
+    so the URL tier reuses the audited doc-hash path verbatim). Batch 0
+    seeds the admitted-URL set ungated and trains the LM; batches 1-2
+    stream through; epoch 1 is then DELIBERATELY REPLAYED and must be a
+    no-op (the committed-epoch guard). Returns the admitted additions;
+    the oracle is the batch-equivalent algebra (keep-first per
+    normalized URL in arrival order + frozen-model scoring)."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.admission import (
+        admission_foreach_batch,
+        seed_admitted_hashes,
+    )
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model
+    from kafka_dbsync_spark.operators.web import normalized_url
+
+    docs = _with_urls(load_table(spark, sf_dir, "documents"))
+    norm = normalize_text(F.col("text"))
+    base = docs.filter(norm != "").select(
+        "doc_id", "source", "text", "url", (F.col("doc_id") % 3).alias("batch"),
+    )
+    seed = base.filter(F.col("batch") == 0)
+    work = tempfile.mkdtemp(prefix="kds_url_gate_")
+    model_dir = os.path.join(work, "lm")
+    state_dir = os.path.join(work, "state")
+    key_fn = lambda df: normalized_url(F.col("url"))  # noqa: E731
+    try:
+        build_lm_model(spark, seed, model_dir)
+        seed_admitted_hashes(state_dir, seed, key_fn(seed))
+        fn = admission_foreach_batch(
+            model_dir, state_dir, max_ppl=30.0, key_fn=key_fn
+        )
+        for b in (1, 2):
+            fn(base.filter(F.col("batch") == b), b)
+        fn(base.filter(F.col("batch") == 1), 1)  # replay: MUST be a no-op
+        out = spark.read.parquet(
+            os.path.join(state_dir, "accepted", "e1"),
+            os.path.join(state_dir, "accepted", "e2"),
+        ).select("batch", "doc_id", "source", "ppl")
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch long, doc_id bigint, source string, ppl double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -221,6 +221,10 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "url_ingest_gate": 0,           # materialized rows (seed + LM train
+    # + two streamed batches + a deliberate epoch replay ran through
+    # admission_foreach_batch with key_fn=normalized_url at
+    # construction — the ingest_quality_gate proof shape on URL keys)
     "image_dedup_survivors": 5,     # the pairs pipeline's exchanges
     # (repartition + band window + candidate distinct) + the dominated
     # distinct + the anti-join agg side; hash-table joins broadcast

@@ -20,6 +20,7 @@ NEW = [
     "url_dedup",
     "host_blocklist_filter",
     "image_neardup_pairs",
+    "image_dedup_survivors",
     "pq_index_merge",
     "curation_pipeline_v4",
 ]
