@@ -20,10 +20,10 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-9 rotation (VERDICT r8 "Next round" #1 — retire the last
-# r5-stale rows): the window front-loads (a) the 7 queries NEW in
+# r5-stale rows): the window front-loads (a) the 8 queries NEW in
 # round 9 (url_dedup / host_blocklist_filter / image_neardup_pairs /
 # image_dedup_survivors / pq_index_merge / curation_pipeline_v4 /
-# url_ingest_gate),
+# url_ingest_gate / domain_stats),
 # (b) the 4 carried queries whose behavior-relevant code changed this round
 # (paragraph_ingest_gate — read_cleaned_docs visibility is now gated
 # on the para_hashes epoch commit; bucketed_colocated_join — orphaned
@@ -31,10 +31,10 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # the all-vectors-removed pre-check; ann_ingest_stream — the
 # pending-epoch compaction guard on its ingest path), then (c) ALL 38
 # queries whose newest driver row still dates to round 5 (computed
-# from the CORRECTNESS_r* files), then (d) 1 round-6 row from the
-# pq-index family, whose module round 9 touched (pq_index_add shares
-# the merge oracle). That fills 50 exactly; after this gate no row predates
-# round 6 except the remaining round-6 cohort itself.
+# from the CORRECTNESS_r* files). That fills 50 exactly
+# (pq_index_add's oracle — the frozen-quantizer assignment of every
+# vector — is driver-checked through pq_index_merge, which shares it
+# verbatim); after this gate no row predates round 6.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 9 — never driver-checked
     "url_dedup",
@@ -44,6 +44,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_index_merge",
     "curation_pipeline_v4",
     "url_ingest_gate",
+    "domain_stats",
     # (b) behavior-relevant round-9 changes
     "paragraph_ingest_gate",
     "bucketed_colocated_join",
@@ -88,8 +89,6 @@ _DRIVER_PRIORITY: list[str] = [
     "token_stats",
     "user_value_trend",
     "value_percentiles",
-    # (d) round-6 rows in the module round 9 touched (pq_index.py)
-    "pq_index_add",
 ]
 
 

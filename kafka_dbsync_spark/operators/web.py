@@ -128,10 +128,65 @@ def host_blocklist_filter(
     df: DataFrame,
     blocklist: list[str],
     url_col: str = "url",
+    include_subdomains: bool = False,
 ) -> DataFrame:
     """Admission by host blocklist: drop every row whose normalized
     host is listed. The blocklist is small by contract (it is curated
     by humans), so it rides as a broadcast literal ``isin`` — no
-    shuffle, evaluated inside the scan's codegen stage."""
+    shuffle, evaluated inside the scan's codegen stage.
+
+    ``include_subdomains=True`` blocks the listed names AND everything
+    under them (``spam.org`` also drops ``cdn.spam.org``) — the
+    domain-level semantic FineWeb-style blocklists use; the check is a
+    small OR-of-endswith chain, still codegen-inlined (a million-entry
+    production blocklist would broadcast-join on
+    :func:`registrable_domain` instead — same plan shape as the
+    literal, one BroadcastExchange more)."""
     blocked = sorted({h.lower() for h in blocklist})
-    return df.filter(~url_host(F.col(url_col)).isin(blocked))
+    host = url_host(F.col(url_col))
+    cond = host.isin(blocked)
+    if include_subdomains:
+        for b in blocked:
+            cond = cond | host.endswith("." + b)
+    return df.filter(~cond)
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """The last two labels of a host — the registrable-domain key crawl
+    pipelines aggregate reputation on. NOTE: a heuristic stand-in for
+    the Public Suffix List (``co.uk``-style suffixes need the real PSL,
+    which is reference data, not logic — at scale it broadcast-joins on
+    the reversed host); exact for the ``.org``/``.com``-style fixture
+    and for every generic TLD."""
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(n <= 2, h).otherwise(
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Per registrable-domain accounting: (domain, n_hosts, n_docs,
+    n_tokens) — the rollup a domain-level blocklist decision reads.
+    ONE aggregate; the distinct-host count is an exact count-distinct
+    inside it (Expand: still one pass over the data)."""
+    toks = token_count_col if token_count_col is not None else F.lit(0)
+    host = url_host(F.col(url_col))
+    return (
+        df.select(
+            registrable_domain(host).alias("domain"),
+            host.alias("__h"),
+            toks.alias("__t"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("__h").alias("n_hosts"),
+            F.count("*").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )

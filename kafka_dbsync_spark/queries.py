@@ -10531,3 +10531,63 @@ def q_url_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "domain_stats",
+    # Registrable-domain rollup (the key FineWeb-style blocklists act
+    # on) over a multi-domain host fixture: 11 brand{j}.org domains,
+    # each with up to 40 h{i} subdomains plus bare-domain fetches
+    # (every 13th doc) exercising the <=2-label branch; default-port
+    # noise exercises the host normalization.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             (CASE WHEN doc_id % 13 = 0
+                   THEN 'brand' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+                   ELSE 'h' || CAST(doc_id % 40 AS VARCHAR) || '.brand'
+                        || CAST(doc_id % 11 AS VARCHAR) || '.org' END) AS host
+      FROM documents
+    ), m AS (
+      SELECT CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1] END AS domain,
+             host,
+             CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
+                  ELSE len(string_split({_SQL_NORM.format(c='text')}, ' '))
+                  END AS n_tok
+      FROM d
+    )
+    SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM m GROUP BY domain
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain accounting (operators/web.py::domain_stats):
+    hosts roll up to their last-two-label domain (the PSL-heuristic
+    stand-in, documented) and each domain reports distinct-host, doc,
+    and token counts — what a domain-level blocklist decision reads.
+    ONE aggregate with an in-agg exact count-distinct; subdomain-aware
+    blocking itself is host_blocklist_filter(include_subdomains=True),
+    pinned in tests."""
+    from kafka_dbsync_spark.operators.web import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.when(
+        did % 13 == 0,
+        F.concat(F.lit("brand"), (did % 11).cast("string"), F.lit(".org")),
+    ).otherwise(
+        F.concat(
+            F.lit("h"), (did % 40).cast("string"),
+            F.lit(".brand"), (did % 11).cast("string"), F.lit(".org"),
+        )
+    )
+    port = F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    withu = docs.withColumn(
+        "url", F.concat(F.lit("https://"), host, port, F.lit("/p/"),
+                        (did % 97).cast("string"))
+    )
+    return domain_stats(withu, "url", token_count_col=token_count("text"))

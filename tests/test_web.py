@@ -115,3 +115,55 @@ def test_blocklist_filter_plan_has_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_registrable_domain_and_rollup(spark):
+    from kafka_dbsync_spark.operators.web import domain_stats, registrable_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.cdn.brand.org/x", 10),
+            (2, "https://b.brand.org:443/y", 20),
+            (3, "https://brand.org/z", 5),      # bare domain (<=2 labels)
+            (4, "https://other.net/w", 7),
+        ],
+        "doc_id long, url string, n_tok long",
+    )
+    doms = {
+        r["u"]: r["d"]
+        for r in spark.createDataFrame(
+            [("a.cdn.brand.org",), ("brand.org",), ("x.co",)], "u string"
+        )
+        .select("u", registrable_domain(F.col("u")).alias("d"))
+        .collect()
+    }
+    assert doms == {"a.cdn.brand.org": "brand.org", "brand.org": "brand.org",
+                    "x.co": "x.co"}
+    got = {
+        r["domain"]: (r["n_hosts"], r["n_docs"], r["n_tokens"])
+        for r in domain_stats(df, "url", F.col("n_tok")).collect()
+    }
+    assert got == {"brand.org": (3, 3, 35), "other.net": (1, 1, 7)}
+
+
+def test_blocklist_include_subdomains(spark):
+    from kafka_dbsync_spark.operators.web import host_blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.org/a"),
+            (2, "https://cdn.spam.org/b"),        # subdomain of blocked
+            (3, "https://notspam.org/c"),          # suffix of the NAME, not
+            (4, "https://spam.org.evil.net/d"),    # a subdomain — both kept
+        ],
+        "doc_id long, url string",
+    )
+    exact = {r["doc_id"] for r in host_blocklist_filter(df, ["spam.org"]).collect()}
+    assert exact == {2, 3, 4}
+    deep = {
+        r["doc_id"]
+        for r in host_blocklist_filter(
+            df, ["spam.org"], include_subdomains=True
+        ).collect()
+    }
+    assert deep == {3, 4}

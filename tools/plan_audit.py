@@ -221,6 +221,9 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "domain_stats": 2,              # one (domain) agg with an in-agg
+    # exact count-distinct on host (Expand: partial + final) — the
+    # dup_rate_by_source shape
     "url_ingest_gate": 0,           # materialized rows (seed + LM train
     # + two streamed batches + a deliberate epoch replay ran through
     # admission_foreach_batch with key_fn=normalized_url at
