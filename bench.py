@@ -334,9 +334,16 @@ def main() -> None:
         print(f"# full_apply_path failed: {e}", file=sys.stderr)
         apply_rate = None
     prev_name, delta, prev_q = _delta_vs_previous_round(per_query_best)
+    # drift adjudication only makes sense against the SAME scale factor:
+    # the driver's BENCH_r{N} rounds run at sf0.1, so an sf1 baseline run
+    # would otherwise flag every query as "regressed" vs sf0.1 numbers
+    prev_sf = _prev_round_sf()
+    same_sf = prev_sf is None or str(prev_sf) == str(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    )
     auto = (
         _auto_adjudicate(spark, sf_dir, per_query_best, prev_q, canaries)
-        if prev_q
+        if prev_q and same_sf
         else {}
     )
     # VERDICT r3 "What's wrong" #2: the driver records only a TAIL window
@@ -387,6 +394,27 @@ def main() -> None:
         json.dumps(detail, indent=1) + "\n"
     )
     print(json.dumps(compact))
+
+
+def _prev_round_sf():
+    """The scale factor the newest BENCH_r*.json ran at (None if it
+    cannot be determined)."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
+    )
+    if not benches:
+        return None
+    try:
+        prev = json.loads(Path(benches[-1]).read_text())
+        if "parsed" in prev:
+            prev = prev["parsed"] or {}
+        return prev.get("sf")
+    except (OSError, ValueError):
+        return None
 
 
 def _delta_vs_previous_round(per_query_best: dict[str, float]):
