@@ -20,16 +20,18 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-9 rotation (VERDICT r8 "Next round" #1 — retire the last
-# r5-stale rows): the window front-loads (a) the 8 queries NEW in
+# r5-stale rows): the window front-loads (a) the 9 queries NEW in
 # round 9 (url_dedup / host_blocklist_filter / image_neardup_pairs /
 # image_dedup_survivors / pq_index_merge / curation_pipeline_v4 /
-# url_ingest_gate / domain_stats),
-# (b) the 4 carried queries whose behavior-relevant code changed this round
+# url_ingest_gate / domain_stats / audio_neardup_pairs),
+# (b) the 3 carried queries whose behavior-relevant code changed this round
 # (paragraph_ingest_gate — read_cleaned_docs visibility is now gated
 # on the para_hashes epoch commit; bucketed_colocated_join — orphaned
 # location cleanup moved to the Hadoop FS API; ivfpq_remove_serve —
-# the all-vectors-removed pre-check; ann_ingest_stream — the
-# pending-epoch compaction guard on its ingest path), then (c) ALL 38
+# the all-vectors-removed pre-check; ann_ingest_stream's r9 change is
+# the pending-epoch compaction guard, which its compact_every=None path
+# never executes — re-validated in the 191/191 local sweep and ceded
+# its slot to the new audio query), then (c) ALL 38
 # queries whose newest driver row still dates to round 5 (computed
 # from the CORRECTNESS_r* files). That fills 50 exactly
 # (pq_index_add's oracle — the frozen-quantizer assignment of every
@@ -45,11 +47,11 @@ _DRIVER_PRIORITY: list[str] = [
     "curation_pipeline_v4",
     "url_ingest_gate",
     "domain_stats",
+    "audio_neardup_pairs",
     # (b) behavior-relevant round-9 changes
     "paragraph_ingest_gate",
     "bucketed_colocated_join",
     "ivfpq_remove_serve",
-    "ann_ingest_stream",
     # (c) every round-5-stale row (38)
     "ann_recall_report",
     "collocations_lift",

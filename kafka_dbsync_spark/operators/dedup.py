@@ -524,6 +524,55 @@ def simhash_neardup_pairs(
     )
 
 
+def hash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bit_width: int,
+    bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Banded near-duplicate pairs over ANY integer fingerprint column
+    — the machinery shared by text SimHash, image dHash, and audio
+    energy-hash dedup: the ``bit_width``-bit hash cut into ``bands``
+    equal slices (pigeonhole-exact for hamming < bands), candidates
+    from the bounded ``banded_pairs`` bucket-join, exact Hamming
+    verification (bit_count of xor) on candidates only. The window
+    keys on (band_idx, band_val), the verify joins key on ids — no
+    other shuffle shape, whatever the modality.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    ``hamming_max``."""
+    if bit_width % bands:
+        raise ValueError("bands must divide the hash bit width")
+    band_bits = bit_width // bands
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(hash_col, b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    cand = banded_pairs(banded, id_col, max_bucket_size)
+    ha = hashes.select(F.col(id_col).alias("__ia"), F.col(hash_col).alias("__ha"))
+    hb = hashes.select(F.col(id_col).alias("__ib"), F.col(hash_col).alias("__hb"))
+    joined = cand.join(ha, F.col("id_a") == F.col("__ia")).join(
+        hb, F.col("id_b") == F.col("__ib")
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        joined.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def image_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -539,46 +588,49 @@ def image_neardup_pairs(
     step every multimodal corpus pipeline (LAION-style) runs before
     any embedding pass: dHash per image
     (operators/multimodal.py::image_dhash — one vectorized Arrow pass,
-    the only non-JVM stage), then EXACTLY the banding machinery the
-    text path uses — the 56-bit hash cut into ``bands`` equal slices,
-    pigeonhole-exact for hamming < bands, candidates from the bounded
-    ``banded_pairs`` bucket-join, exact Hamming verification
-    (bit_count of xor) on candidates only. No new shuffle shape: the
-    window keys on (band_idx, band_val), the verify joins key on image
-    ids.
-
-    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
-    ``hamming_max``."""
+    the only non-JVM stage) through :func:`hash_neardup_pairs`."""
     from kafka_dbsync_spark.operators.multimodal import image_dhash
 
     bit_width = in_h * (in_w - 1)
     if bit_width % bands:
         raise ValueError("bands must divide in_h * (in_w - 1)")
-    band_bits = bit_width // bands
-    mask = (1 << band_bits) - 1
     hashes = image_dhash(df, id_col, blob_col, in_w=in_w, in_h=in_h)
-    banded = hashes.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("dhash", b * band_bits).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+    return hash_neardup_pairs(
+        hashes, id_col, "dhash", bit_width, bands, hamming_max,
+        max_bucket_size,
     )
-    cand = banded_pairs(banded, id_col, max_bucket_size)
-    ha = hashes.select(F.col(id_col).alias("__ia"), F.col("dhash").alias("__ha"))
-    hb = hashes.select(F.col(id_col).alias("__ib"), F.col("dhash").alias("__hb"))
-    joined = cand.join(ha, F.col("id_a") == F.col("__ia")).join(
-        hb, F.col("id_b") == F.col("__ib")
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    window: int = 4,
+    n_windows: int = 57,
+    bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Audio fingerprint near-duplicate pairs — the third modality of
+    the dedup triangle (text SimHash / image dHash / THIS): the
+    Chromaprint-family idea of hashing the energy CONTOUR, reduced to
+    exact integer math (operators/multimodal.py::audio_dhash — bit k
+    set iff window k's energy exceeds window k+1's; energies are sums
+    of squared centered 8-bit samples, so any engine replays the bits
+    exactly), then the shared :func:`hash_neardup_pairs` banding. A
+    clipped or one-sample-damaged re-encode lands within a few bits;
+    unrelated audio is ~half the bits away."""
+    from kafka_dbsync_spark.operators.multimodal import audio_dhash
+
+    bit_width = n_windows - 1
+    if bit_width % bands:
+        raise ValueError("bands must divide n_windows - 1")
+    hashes = audio_dhash(
+        df, id_col, blob_col, window=window, n_windows=n_windows
     )
-    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-    return (
-        joined.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= hamming_max)
-        .select("id_a", "id_b", "hamming")
+    return hash_neardup_pairs(
+        hashes, id_col, "ahash", bit_width, bands, hamming_max,
+        max_bucket_size,
     )
 
 

@@ -248,6 +248,61 @@ def image_dhash(
     )
 
 
+def audio_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    window: int = 4,
+    n_windows: int = 57,
+) -> DataFrame:
+    """Audio fingerprint: the energy-contour difference hash — bit k
+    set iff window k's energy exceeds window k+1's, over the first
+    ``n_windows`` fixed-size windows of 8-bit unsigned PCM (center
+    128). The Chromaprint-family idea (fingerprint the CONTOUR, not
+    the samples) in its exact-integer form: energies are sums of
+    squared centered samples, comparisons are integer, so the hash is
+    engine-portable bit for bit (unlike a spectral hash, whose FFT
+    rounding is not). ``n_windows - 1`` bits, must be ≤ 62 to fit a
+    signed long. Blobs shorter than ``window × n_windows`` bytes
+    yield no row (truncated media is dead-lettered, not crashed —
+    the shared multimodal policy). Vectorized numpy per Arrow batch.
+
+    Output: (id, ahash long)."""
+    import numpy as np
+
+    bits = n_windows - 1
+    if bits > 62:
+        raise ValueError("n_windows - 1 must be <= 62 to fit a long")
+    need = window * n_windows
+    schema = f"{id_col} long, ahash long"
+    pows = (1 << np.arange(bits - 1, -1, -1, dtype=np.uint64)).astype(
+        np.uint64
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None or len(b) < need:
+                    continue
+                x = (
+                    np.frombuffer(bytes(b)[:need], dtype=np.uint8)
+                    .astype(np.int64)
+                    - 128
+                )
+                e = (x * x).reshape(n_windows, window).sum(axis=1)
+                cmp = (e[:-1] > e[1:]).astype(np.uint64)
+                ids.append(rid)
+                hashes.append(int((cmp * pows).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "ahash": pd.array(hashes, dtype="int64")}
+            )
+
+    return ensure_parallelism(df.select(id_col, blob_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
 def audio_window_energy(
     df: DataFrame,
     id_col: str = "doc_id",

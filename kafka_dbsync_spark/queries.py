@@ -10591,3 +10591,99 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (did % 97).cast("string"))
     )
     return domain_stats(withu, "url", token_count_col=token_count("text"))
+
+
+_SQL_AUDIO_DHASH = """
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 57), k ->
+        CASE WHEN ev[k] > ev[k+1] THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END)),
+      (a, b) -> a * 2 + b)
+"""
+
+
+@query(
+    "audio_neardup_pairs",
+    # Audio twins: every 5th doc's 228-byte synthetic PCM clip (8
+    # DISTINCT md5 blocks, so the energy contour is aperiodic — a
+    # repeated block would leave only 8 independent bits and collide
+    # unrelated clips) gets a copy (id + 1e6) with ONE damaged sample
+    # — one window's energy moves, flipping at most 2 contour bits;
+    # unrelated clips sit ~28 bits apart. 4x14-bit banding is
+    # pigeonhole-exact for hamming<=3.
+    oracle=f"""
+    WITH pm AS (
+      SELECT doc_id, substr(md5('0' || text) || md5('1' || text) || md5('2' || text) || md5('3' || text) || md5('4' || text) || md5('5' || text) || md5('6' || text) || md5('7' || text), 1, 228) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(s0, 1, doc_id % 228) || '0' || substr(s0, doc_id % 228 + 2) AS s
+      FROM (SELECT doc_id, substr(md5('0' || text) || md5('1' || text) || md5('2' || text) || md5('3' || text) || md5('4' || text) || md5('5' || text) || md5('6' || text) || md5('7' || text), 1, 228) AS s0
+            FROM documents WHERE doc_id % 5 = 0)
+    ), en AS (
+      SELECT doc_id,
+             list_transform(range(1, 58), k ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 5),
+                   i -> CAST((ascii(substr(s, (k-1)*4 + i, 1)) - 128)
+                        * (ascii(substr(s, (k-1)*4 + i, 1)) - 128) AS BIGINT))),
+                 (a, b) -> a + b)) AS ev
+      FROM pm
+    ), h AS (
+      SELECT doc_id, {_SQL_AUDIO_DHASH} AS dh FROM en
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx, (dh >> (14 * b.b)) & 16383 AS band_val
+      FROM h, (SELECT unnest(range(0, 4)) AS b) b
+    ), sized AS (
+      SELECT doc_id, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(doc_id) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sized a JOIN sized b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= 32
+        UNION ALL
+        SELECT mn AS id_a, doc_id AS id_b
+        FROM sized WHERE n > 32 AND doc_id <> mn
+      )
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+    FROM cand JOIN h a ON cand.id_a = a.doc_id JOIN h b ON cand.id_b = b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    """,
+)
+def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the planted-twin clip corpus
+    (operators/dedup.py::audio_neardup_pairs): the energy-contour
+    difference hash (operators/multimodal.py::audio_dhash — exact
+    integer window energies, Chromaprint's contour idea without the
+    FFT so the oracle replays every bit) through the SAME banding
+    machinery as text SimHash and image dHash — the dedup triangle's
+    third modality. One Arrow pass for the hashes, one bounded window
+    for candidates, exact Hamming on candidates only."""
+    from kafka_dbsync_spark.operators.dedup import audio_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.substring(
+            F.concat(*[
+                F.md5(F.concat(F.lit(str(k)), F.col("text")))
+                for k in range(8)
+            ]),
+            1, 228,
+        ).alias("s"),
+    )
+    mut = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.overlay(
+            "s", F.lit("0"), (F.col("doc_id") % 228 + 1).cast("int"), F.lit(1)
+        ).alias("s"),
+    )
+    clips = base.unionByName(mut).select(
+        "doc_id", F.encode("s", "utf-8").alias("blob")
+    )
+    return audio_neardup_pairs(clips, "doc_id", "blob")

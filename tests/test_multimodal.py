@@ -335,3 +335,67 @@ def test_image_neardup_rejects_bad_bands(spark):
         image_neardup_pairs(
             _frames(spark, [(1, bytes(64))]), "doc_id", "blob", bands=5
         )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-contour fingerprint (audio_dhash / audio_neardup_pairs)
+# ---------------------------------------------------------------------------
+def test_audio_dhash_known_and_malformed(spark):
+    """Monotone-louder clip -> rising energies -> all comparisons false
+    (hash 0); monotone-quieter -> all true; short/NULL blobs drop; the
+    numpy replay of an arbitrary clip matches bit-for-bit."""
+    import numpy as np
+
+    from kafka_dbsync_spark.operators.multimodal import audio_dhash
+
+    need = 4 * 57
+    louder = bytes(bytearray(min(128 + i // 4, 255) for i in range(need)))
+    quieter = bytes(bytearray(max(128 + 70 - i // 4, 128) for i in range(need)))
+    arb = bytes(bytearray((i * 89 + 31) % 256 for i in range(need)))
+    rows = [(1, louder), (2, quieter), (3, arb), (4, arb[: need - 1]), (5, None)]
+    got = {
+        r["doc_id"]: r["ahash"]
+        for r in audio_dhash(
+            spark.createDataFrame(rows, "doc_id long, blob binary")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}          # short + NULL dropped
+    assert got[1] == 0
+    assert got[2] == (1 << 56) - 1
+    x = np.frombuffer(arb, np.uint8).astype(np.int64) - 128
+    e = (x * x).reshape(57, 4).sum(axis=1)
+    bits = (e[:-1] > e[1:]).astype(np.uint64)
+    pows = 1 << np.arange(55, -1, -1, dtype=np.uint64)
+    assert got[3] == int((bits * pows).sum())
+
+
+def test_audio_neardup_banding_completeness(spark):
+    """Every pair within hamming <= 3 must surface (4-band pigeonhole),
+    checked against brute-force all-pairs Hamming over deterministic
+    clips + planted one-sample-damaged twins."""
+    import itertools
+
+    from kafka_dbsync_spark.operators.dedup import audio_neardup_pairs
+    from kafka_dbsync_spark.operators.multimodal import audio_dhash
+
+    need = 4 * 57
+    rows = []
+    for i in range(30):
+        base = bytearray(((i * 71 + j * 13 + 5) % 256) for j in range(need))
+        rows.append((i, bytes(base)))
+        if i % 3 == 0:
+            t = bytearray(base)
+            t[(i * 11) % need] ^= 0x7F
+            rows.append((1000 + i, bytes(t)))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    hashes = {r["doc_id"]: r["ahash"] for r in audio_dhash(df).collect()}
+    truth = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_neardup_pairs(df, "doc_id", "blob").collect()
+    }
+    assert got == truth and len(truth) >= 5

@@ -221,6 +221,9 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "audio_neardup_pairs": 3,       # parallelism repartition (mapInPandas
+    # contour hash) + the shared banded window + candidate distinct;
+    # hash-table joins broadcast at audit SF (the image_neardup shape)
     "domain_stats": 2,              # one (domain) agg with an in-agg
     # exact count-distinct on host (Expand: partial + final) — the
     # dup_rate_by_source shape
