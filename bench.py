@@ -124,6 +124,7 @@ HEADLINE = [
     # is superseded, documented here for the round-over-round diff).
     "url_dedup",
     "image_neardup_pairs",
+    "audio_neardup_pairs",
     "pq_index_merge",
     "curation_pipeline_v4",
 ]
