@@ -624,3 +624,43 @@ def neardup_pairs_blocked(
             F.round(sim, score_decimals).alias("cos_sim"),
         )
     )
+
+
+def cluster_prototypes(
+    assigned: DataFrame,
+    k: int = 5,
+    cell_col: str = "centroid_id",
+    dist_col: str = "dist",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototype selection per cluster — the coreset step of
+    prototype-based curation (SemDeDup/D4-family: after clustering,
+    keep the most PROTOTYPICAL members per cluster as the retained
+    set, or as class exemplars for inspection): the ``k`` vectors
+    closest to their assigned centroid, ranked (ties to the lowest
+    id, engine-portable because assignment distances are rounded).
+
+    Input is :func:`ivf_assign`'s output (any (id, cell, dist) table).
+    The top-k runs in TWO window stages — partial top-k per (cell,
+    input partition), then exact top-k per cell over the ≤ partitions
+    × k survivors — the ``ivfpq_search_multi`` discipline, so no task
+    ever holds a whole cluster (clusters are the SKEWED key here: a
+    hot cluster at corpus scale would otherwise pin one task).
+
+    Output: (cell, rank, id, dist) plus any other input columns."""
+    from pyspark.sql.window import Window as W
+
+    order = (F.col(dist_col), F.col(id_col))
+    w_part = W.partitionBy(cell_col, "__pid").orderBy(*order)
+    partial = (
+        assigned.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rk", F.row_number().over(w_part))
+        .filter(F.col("__rk") <= k)
+        .drop("__pid", "__rk")
+    )
+    w_cell = W.partitionBy(cell_col).orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w_cell))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -10687,3 +10687,36 @@ def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("s", "utf-8").alias("blob")
     )
     return audio_neardup_pairs(clips, "doc_id", "blob")
+
+
+@query(
+    "cluster_prototypes",
+    oracle=_SQL_IVF_PREFIX
+    + """
+    SELECT centroid_id, CAST(rk AS BIGINT) AS rank, vec_id, label, dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY centroid_id ORDER BY dist, vec_id) AS rk
+      FROM assigned
+    ) WHERE rk <= 5
+    """,
+)
+def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype/coreset selection (the SemDeDup/D4-family step AFTER
+    clustering: keep each cluster's most prototypical members): the 5
+    vectors closest to their assigned IVF centroid, ranked. Assignment
+    is the map-only broadcast-fold ivf_assign; the per-cluster top-k
+    runs as the two-stage partial+exact window
+    (operators/similarity.py::cluster_prototypes) so a hot cluster
+    never pins one task — the skew discipline shared with
+    ivfpq_search_multi."""
+    from kafka_dbsync_spark.operators.similarity import (
+        cluster_prototypes,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, q_ivf_centroids(spark, sf_dir))
+    return cluster_prototypes(assigned, k=5).select(
+        "centroid_id", "rank", "vec_id", "label", "dist"
+    )

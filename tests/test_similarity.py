@@ -372,3 +372,31 @@ def test_hard_negative_topk_orders_by_similarity(spark):
     out = hard_negative_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
     got = [(r["rank"], r["neg_id"], r["cos_sim"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [(1, 1, 1.0), (2, 2, 0.0)]
+
+
+def test_cluster_prototypes_two_stage_equals_naive(spark):
+    """The two-stage partial+exact per-cell top-k must equal the naive
+    single-window answer, on a skewed fixture (one giant cell) spread
+    across many input partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from kafka_dbsync_spark.operators.similarity import cluster_prototypes
+
+    rows = [(i, 0 if i < 90 else 1, float((i * 37) % 101)) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id long, dist double"
+    ).repartition(16)
+    got = {
+        (r["centroid_id"], r["rank"]): r["vec_id"]
+        for r in cluster_prototypes(df, k=3).collect()
+    }
+    w = W.partitionBy("centroid_id").orderBy("dist", "vec_id")
+    naive = {
+        (r["centroid_id"], r["rk"]): r["vec_id"]
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    assert got == {(c, int(k)): v for (c, k), v in naive.items()}
+    assert len(got) == 6

@@ -221,6 +221,10 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "cluster_prototypes": 5,        # ivf_assign's 3 centroid-metadata
+    # exchanges (see ivf_assign note; data side stays the map-only
+    # broadcast fold) + the two-stage per-cell top-k windows (partial
+    # on (cell, pid), exact on (cell) — the skew discipline)
     "audio_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # contour hash) + the shared banded window + candidate distinct;
     # hash-table joins broadcast at audit SF (the image_neardup shape)
