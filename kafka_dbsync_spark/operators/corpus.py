@@ -1179,3 +1179,45 @@ def nb_domain_classify(
         .filter(F.col("__rk") == 1)
         .select(id_col, F.col("cls").alias("pred"))
     )
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document benchmark-overlap MEASUREMENT — the instrument the
+    published decontamination methodology actually reports (GPT-3
+    appendix C / Llama 2 A.6 measure the FRACTION of a document's
+    n-grams colliding with an eval set and pick a dirty threshold;
+    :func:`contaminated_docs` is the boolean filter this calibrates):
+    for every corpus doc, its distinct word-``k``-gram count, the
+    number colliding with the benchmark set, and the overlap in floor
+    basis points (exact integer division — engine-portable).
+
+    Same plan shape as the filter: the benchmark shingle set is
+    broadcast (eval sets are tiny next to a corpus), the corpus side
+    is one explode + one map-side-combined per-doc aggregate.
+    Output: (id, n_grams, n_hit, overlap_bp)."""
+    corpus_sh = with_shingles(docs, text_col, k=k).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("__g")
+    )
+    bench_sh = (
+        with_shingles(benchmark, text_col, k=k)
+        .select(F.explode(F.array_distinct("shingles")).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "__g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_bp", F.expr("n_hit * 10000 div n_grams").cast("long")
+        )
+    )

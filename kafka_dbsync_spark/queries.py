@@ -10720,3 +10720,65 @@ def q_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_prototypes(assigned, k=5).select(
         "centroid_id", "rank", "vec_id", "label", "dist"
     )
+
+
+@query(
+    "contamination_report",
+    # The decontamination MEASUREMENT (GPT-3 appendix C / Llama 2 A.6):
+    # per source, how many docs are clean (zero benchmark 8-gram hits),
+    # partially overlapping, or dirty (>= 80% of their n-grams hit —
+    # the Llama-2-style threshold), plus the worst overlap observed.
+    # The boolean `decontaminate` filter is what this report calibrates.
+    oracle=f"""
+    WITH s AS ({_sql_shingles8(f"({_SQL_PLANTED})")}),
+    x AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+    b AS (SELECT DISTINCT g FROM x WHERE doc_id >= 1000000),
+    per AS (
+      SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM x LEFT JOIN b ON x.g = b.g
+      WHERE x.doc_id < 1000000 GROUP BY x.doc_id
+    ), r AS (
+      SELECT d.source, per.n_hit, per.n_hit * 10000 // per.n_grams AS bp
+      FROM per JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN n_hit > 0 AND bp < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(sum(CASE WHEN bp >= 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+           CAST(max(bp) AS BIGINT) AS max_bp
+    FROM r GROUP BY source
+    """,
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report over the planted corpus
+    (operators/corpus.py::contamination_stats): per source, the
+    clean / partial / dirty (>= 80% n-gram overlap, the Llama-2-style
+    threshold) document counts and the worst overlap in basis points —
+    the calibration table a deployment reads before choosing the
+    `decontaminate` filter's threshold. The benchmark 8-gram set is
+    broadcast; the corpus pays one explode + one map-side-combined
+    per-doc aggregate + one per-source rollup."""
+    from kafka_dbsync_spark.operators.corpus import contamination_stats
+
+    docs = _planted_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") >= 1000000)
+    corpus = docs.filter(F.col("doc_id") < 1000000)
+    stats = contamination_stats(corpus, bench, "doc_id", "text", k=8)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket_clean = (F.col("n_hit") == 0).cast("long")
+    bucket_partial = (
+        (F.col("n_hit") > 0) & (F.col("overlap_bp") < 8000)
+    ).cast("long")
+    bucket_dirty = (F.col("overlap_bp") >= 8000).cast("long")
+    return (
+        stats.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bucket_clean).alias("n_clean"),
+            F.sum(bucket_partial).alias("n_partial"),
+            F.sum(bucket_dirty).alias("n_dirty"),
+            F.max("overlap_bp").alias("max_bp"),
+        )
+    )

@@ -654,3 +654,31 @@ def test_curation_pipeline_v4_invariants(spark):
         assert r["upsampled_tokens"] >= r["target_tokens"]
         # one fewer epoch would undershoot the target (minimality)
         assert (r["epochs"] - 1) * r["n_tokens"] < r["target_tokens"]
+
+
+def test_contamination_stats_counts_and_fraction(spark):
+    """A doc fully contained in the benchmark is dirty (10000 bp), a
+    half-overlapping doc reports the exact floor-bp fraction, and a
+    disjoint doc is clean with zero hits."""
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.operators.corpus import contamination_stats
+
+    w = [f"w{i}" for i in range(12)]
+    bench_text = " ".join(w)                       # grams w0..w4 (k=8)
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),                        # identical: 10000 bp
+            (2, " ".join(w[:8] + ["zz"] * 8)),      # 1 of 9 grams hits
+            (3, " ".join(f"q{i}" for i in range(12))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_bp"])
+        for r in contamination_stats(docs, bench).collect()
+    }
+    assert got[1] == (5, 5, 10000)
+    assert got[2] == (9, 1, 1111)                   # floor(1*10000/9)
+    assert got[3][1] == 0 and got[3][2] == 0

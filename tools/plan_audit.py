@@ -221,6 +221,10 @@ SHUFFLE_BUDGET = {
     "image_neardup_pairs": 3,       # parallelism repartition (mapInPandas
     # dHash) + the banded_pairs window + candidate distinct; the two
     # hash joins back to the hash table broadcast at audit SF
+    "contamination_report": 5,      # corpus-shingle parallelism
+    # repartition + per-doc agg + per-source rollup + the benchmark
+    # side's distinct (2, bounded by the eval set's shingle count —
+    # broadcast after); source join broadcasts
     "cluster_prototypes": 5,        # ivf_assign's 3 centroid-metadata
     # exchanges (see ivf_assign note; data side stays the map-only
     # broadcast fold) + the two-stage per-cell top-k windows (partial
