@@ -638,3 +638,49 @@ def test_cleaned_epoch_invisible_until_hash_commit(spark, tmp_path):
         for r in read_cleaned_docs(spark, state).collect()
     }
     assert got == {1: "alpha para\nbeta para", 2: "gamma para"}
+
+
+def test_admission_url_key_dedup_semantics(spark, tmp_path):
+    """admission_foreach_batch with key_fn=normalized_url dedups by
+    CANONICAL URL, not content: a re-fetch of a seen URL carrying
+    DIFFERENT text is a duplicate; the same text under a NEW URL is
+    admitted. Noise (scheme/www/utm/fragment) collapses to one key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.operators.admission import (
+        admission_foreach_batch,
+        seed_admitted_hashes,
+    )
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model
+    from kafka_dbsync_spark.operators.web import normalized_url
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, url string"
+        )
+
+    seed = docs([(0, "the quick brown fox jumps over the dog again", 
+                  "https://www.site.org/a?utm_s=x")])
+    work = str(tmp_path)
+    model, state = os.path.join(work, "lm"), os.path.join(work, "state")
+    key_fn = lambda df: normalized_url(F.col("url"))  # noqa: E731
+    build_lm_model(spark, seed, model)
+    seed_admitted_hashes(state, seed, key_fn(seed))
+    fn = admission_foreach_batch(model, state, max_ppl=1e9, key_fn=key_fn)
+    fn(docs([
+        (1, "completely different words here", "http://site.org/a#frag"),
+        (2, "the quick brown fox jumps over the dog again", "https://site.org/b"),
+    ]), 0)
+    acc = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(state, "accepted", "e0")).collect()
+    }
+    dup = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(state, "duplicates", "e0")).collect()
+    }
+    # doc 1: same canonical URL as the seed (re-fetch) -> duplicate,
+    # even though its TEXT is new; doc 2: same text, new URL -> admitted
+    assert dup == {1} and acc == {2}
