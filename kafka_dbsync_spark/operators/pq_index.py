@@ -1018,6 +1018,26 @@ def pq_index_merge(
             src_rec = json.load(f)
     except ValueError:
         src_rec = {}
+    # Takedown-consistency guard: if the destination has REMOVED ids
+    # (right-to-erasure), a shard still carrying one of them would be
+    # silently resurrected by the file concat — while the marker (and
+    # index_serves_removal) kept claiming the id is gone. Refuse; the
+    # caller re-runs the takedown against the shard first (the same
+    # pq_index_remove call) and then merges. One column-pruned isEmpty
+    # probe of the shard's codes, only when removals exist.
+    dst_removed = rec.get("removed_ids") or []
+    if dst_removed:
+        hit = spark.read.parquet(f"{src_path}/codes").filter(
+            F.col("vec_id").isin([int(i) for i in dst_removed])
+        )
+        if not hit.isEmpty():
+            raise ValueError(
+                f"source index {src_path} contains vector id(s) the "
+                f"destination removed ({sorted(dst_removed)[:10]}...): "
+                "merging would resurrect a taken-down vector behind a "
+                "marker that still claims erasure. Run pq_index_remove "
+                "on the shard first, then merge."
+            )
     merge_k = int(rec.get("merges", 0)) + 1
     prefix = f"m{merge_k}-"
     invalidate_memo(dst_path)

@@ -65,3 +65,40 @@ def test_right_to_erasure_across_artifacts(spark, tmp_path):
     state = apply_changes(changes, ["user_id"], ["offset"])
     rows = {r["user_id"]: r["value"] for r in state.collect()}
     assert SUBJECT not in rows and rows == {8: "keep"}
+
+
+def test_erasure_survives_shard_merge(spark, tmp_path):
+    """The cross-artifact right-to-erasure contract extends to the
+    merge path: once a subject's vector is taken down, NO sequence of
+    shard merges may bring it back — enforced by pq_index_merge's
+    refusal until the shard itself runs the takedown (covered in
+    detail by test_pq_index.py::test_merge_refuses_resurrecting_
+    removed_vector; this pin keeps the erasure suite self-contained)."""
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        build_pq_shard,
+        pq_index_merge,
+        pq_index_remove,
+    )
+    from kafka_dbsync_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, sf)
+    base, shard = str(tmp_path / "b"), str(tmp_path / "s")
+    build_pq_index(spark, emb.filter(F.col("vec_id") < 300), cents, base)
+    build_pq_shard(spark, base, emb.filter(F.col("vec_id") >= 290), shard)
+    pq_index_remove(spark, base, [295])          # subject id in BOTH
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="resurrect"):
+        pq_index_merge(spark, base, shard)
+    pq_index_remove(spark, shard, [295])
+    pq_index_merge(spark, base, shard)
+    assert (
+        spark.read.parquet(f"{base}/codes")
+        .filter(F.col("vec_id") == 295)
+        .isEmpty()
+    )

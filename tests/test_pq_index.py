@@ -736,3 +736,34 @@ def test_merge_crash_window_leaves_dst_invalid(spark, tmp_path, monkeypatch):
         m.pq_index_merge(spark, base, shard)
     assert not index_is_built(base)
     monkeypatch.setattr(m, "dataset_fingerprint", real)
+
+
+def test_merge_refuses_resurrecting_removed_vector(spark, tmp_path):
+    """Right-to-erasure across shard merges: a destination that removed
+    a vector refuses to merge a shard still carrying it (file concat
+    would resurrect the vector behind a marker claiming erasure);
+    after the shard runs the same takedown, the merge lands and the
+    vector stays gone from the served answer."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_shard,
+        pq_index_merge,
+        pq_index_remove,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, base)
+    # the shard deliberately OVERLAPS the base on vec_id 0 (even)
+    build_pq_shard(
+        spark, base, emb.filter((F.col("vec_id") % 2 != 0) | (F.col("vec_id") == 0)), shard
+    )
+    pq_index_remove(spark, base, [0])
+    with pytest.raises(ValueError, match="resurrect"):
+        pq_index_merge(spark, base, shard)
+    assert index_is_built(base)          # refusal left the dst valid
+    pq_index_remove(spark, shard, [0])   # takedown reaches the shard
+    pq_index_merge(spark, base, shard)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = {r["vec_id"] for r in ivfpq_search_index(spark, base, qv).collect()}
+    assert 0 not in got and len(got) == 10
