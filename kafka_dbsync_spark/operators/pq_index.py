@@ -869,22 +869,31 @@ def pq_index_ingest_foreach_batch(
 def quantizer_signature(spark: SparkSession, path: str) -> dict:
     """Exact integer fingerprint of the FROZEN quantizers (centroids +
     both codebook tables): per artifact, (row count, sum of values
-    scaled to micro-units as longs) — long sums are associative and
-    exact, so the signature is independent of partitioning and read
-    order. Two indexes are merge-compatible iff their signatures are
-    equal: codes are only comparable when they were produced by
-    identical quantizers (the FAISS ``merge_from`` precondition)."""
+    scaled to micro-units as longs, xor of per-row position hashes).
+    Sums and xors are associative and commutative, so the signature is
+    independent of partitioning and read order — but the xor component
+    hashes each row's KEY columns together with its scaled value
+    (``xxhash64(label/m/code/dim..., value)``), so two quantizers whose
+    values merely permute across positions (same count, same sum) no
+    longer collide. Two indexes are merge-compatible iff their
+    signatures are equal: codes are only comparable when they were
+    produced by identical quantizers (the FAISS ``merge_from``
+    precondition)."""
 
     def fold(sub: str, val_col: str) -> list[int]:
-        row = (
-            spark.read.parquet(f"{path}/{sub}")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.round(F.col(val_col) * 1e6).cast("long")).alias("s"),
-            )
-            .head()
-        )
-        return [int(row["n"]), int(row["s"] if row["s"] is not None else 0)]
+        df = spark.read.parquet(f"{path}/{sub}")
+        scaled = F.round(F.col(val_col) * 1e6).cast("long")
+        keys = [F.col(c) for c in df.columns if c != val_col]
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(scaled).alias("s"),
+            F.bit_xor(F.xxhash64(*keys, scaled)).alias("h"),
+        ).head()
+        return [
+            int(row["n"]),
+            int(row["s"] if row["s"] is not None else 0),
+            int(row["h"] if row["h"] is not None else 0),
+        ]
 
     return {
         "centroids": fold("centroids", "centroid"),
@@ -1025,9 +1034,11 @@ def pq_index_merge(
     # caller re-runs the takedown against the shard first (the same
     # pq_index_remove call) and then merges. One column-pruned isEmpty
     # probe of the shard's codes, only when removals exist.
+    src_ids = spark.read.parquet(f"{src_path}/codes").select("vec_id")
+    dst_ids = spark.read.parquet(f"{dst_path}/codes").select("vec_id")
     dst_removed = rec.get("removed_ids") or []
     if dst_removed:
-        hit = spark.read.parquet(f"{src_path}/codes").filter(
+        hit = src_ids.filter(
             F.col("vec_id").isin([int(i) for i in dst_removed])
         )
         if not hit.isEmpty():
@@ -1038,6 +1049,40 @@ def pq_index_merge(
                 "marker that still claims erasure. Run pq_index_remove "
                 "on the shard first, then merge."
             )
+    # The mirror guard: the SOURCE's removed_ids will be unioned into
+    # the destination marker below — if the destination still SERVES
+    # one of those ids, the merged marker would claim erasure the index
+    # does not honor (index_serves_removal reports it gone while search
+    # returns it). Refuse; the caller runs the takedown on the
+    # destination first. Column-pruned isin probe, removals-only.
+    src_removed = src_rec.get("removed_ids") or []
+    if src_removed:
+        hit = dst_ids.filter(
+            F.col("vec_id").isin([int(i) for i in src_removed])
+        )
+        if not hit.isEmpty():
+            raise ValueError(
+                f"destination index {dst_path} still serves vector "
+                f"id(s) the source removed ({sorted(src_removed)[:10]}"
+                "...): merging would record an erasure the merged index "
+                "does not honor. Run pq_index_remove on the destination "
+                "first, then merge."
+            )
+    # Disjointness contract: per-cell file concatenation is a UNION of
+    # code rows, so any vec_id present on both sides would be served
+    # TWICE after the merge (duplicated in search results, inflated
+    # fingerprint) — silently breaking 'search-over-merged ==
+    # search-over-union'. One column-pruned semi-join probe (both sides
+    # read only the vec_id column) before any file moves.
+    overlap = src_ids.join(dst_ids, "vec_id", "left_semi")
+    if not overlap.isEmpty():
+        sample = [r["vec_id"] for r in overlap.limit(10).collect()]
+        raise ValueError(
+            f"source index {src_path} and destination {dst_path} share "
+            f"vector id(s) {sorted(sample)}...: per-cell concatenation "
+            "would serve them twice. Shards must be id-disjoint — "
+            "re-shard, or pq_index_remove the overlap from one side."
+        )
     merge_k = int(rec.get("merges", 0)) + 1
     prefix = f"m{merge_k}-"
     invalidate_memo(dst_path)

@@ -89,7 +89,15 @@ def test_erasure_survives_shard_merge(spark, tmp_path):
     cents = QUERIES["ivf_centroids"](spark, sf)
     base, shard = str(tmp_path / "b"), str(tmp_path / "s")
     build_pq_index(spark, emb.filter(F.col("vec_id") < 300), cents, base)
-    build_pq_shard(spark, base, emb.filter(F.col("vec_id") >= 290), shard)
+    # the shard is id-disjoint from the base EXCEPT for the subject —
+    # merge also enforces disjointness (duplicate ids would be served
+    # twice), so the only overlap is the vector under takedown
+    build_pq_shard(
+        spark,
+        base,
+        emb.filter((F.col("vec_id") >= 300) | (F.col("vec_id") == 295)),
+        shard,
+    )
     pq_index_remove(spark, base, [295])          # subject id in BOTH
     import pytest as _pt
 

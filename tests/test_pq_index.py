@@ -695,14 +695,20 @@ def test_merge_refuses_pending_src_ingest_and_repeated_merges(spark, tmp_path):
     s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
     build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 3 == 1), s1)
     build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 3 == 2), s2)
-    # plant uncommitted ingest residue in s2
+    # plant uncommitted ingest residue in s2 (a NEW id — merge also
+    # enforces id-disjointness, so the residue must not collide)
     fn = pq_index_ingest_foreach_batch(s2)
-    fn(emb.filter(F.col("vec_id") == 1).select(emb.columns), 7)
+    fn(
+        emb.filter(F.col("vec_id") == 1)
+        .withColumn("vec_id", F.lit(100_000).cast("long"))
+        .select(emb.columns),
+        7,
+    )
     os.remove(os.path.join(s2, "ingest", "e7", "_SUCCESS"))
     with pytest.raises(ValueError, match="uncommitted streaming-ingest"):
         pq_index_merge(spark, base, s2)
-    # commit it; both merges land, total covers the whole table (+1 dup
-    # of vec_id=1 ingested into s2 on top of shard s1's copy)
+    # commit it; both merges land, total covers the whole table (+1 for
+    # the new vector ingested into s2)
     os.makedirs(os.path.join(s2, "ingest", "e7"), exist_ok=True)
     open(os.path.join(s2, "ingest", "e7", "_SUCCESS"), "w").close()
     pq_index_merge(spark, base, s1)
@@ -767,3 +773,99 @@ def test_merge_refuses_resurrecting_removed_vector(spark, tmp_path):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     got = {r["vec_id"] for r in ivfpq_search_index(spark, base, qv).collect()}
     assert 0 not in got and len(got) == 10
+
+
+def test_merge_refuses_overlapping_vec_ids(spark, tmp_path):
+    """Id-disjointness contract (ADVICE r9): per-cell concatenation is
+    a row UNION, so a vec_id present on both sides would be served
+    TWICE after the merge — the probe refuses before any file moves
+    and leaves the destination valid."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_shard,
+        pq_index_merge,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, base)
+    # shard carries the odds PLUS one even id the base already serves
+    build_pq_shard(
+        spark,
+        base,
+        emb.filter((F.col("vec_id") % 2 != 0) | (F.col("vec_id") == 42)),
+        shard,
+    )
+    with pytest.raises(ValueError, match="share vector id"):
+        pq_index_merge(spark, base, shard)
+    assert index_is_built(base)  # refusal before the marker came out
+    n = spark.read.parquet(f"{base}/codes").count()
+    assert n == emb.filter(F.col("vec_id") % 2 == 0).count()
+
+
+def test_merge_refuses_unhonored_source_erasure(spark, tmp_path):
+    """Mirror of the resurrection guard (ADVICE r9): the SOURCE's
+    removed_ids union into the destination marker — if the destination
+    still SERVES one of them, the merged index would claim an erasure
+    it does not honor. Refused until the destination runs the takedown."""
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_shard,
+        pq_index_merge,
+        pq_index_remove,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, base)
+    # shard initially carries odds + even id 42, then takes 42 down:
+    # its marker records the removal, its codes no longer carry it
+    build_pq_shard(
+        spark,
+        base,
+        emb.filter((F.col("vec_id") % 2 != 0) | (F.col("vec_id") == 42)),
+        shard,
+    )
+    pq_index_remove(spark, shard, [42])
+    with pytest.raises(ValueError, match="still serves"):
+        pq_index_merge(spark, base, shard)
+    assert index_is_built(base)
+    pq_index_remove(spark, base, [42])   # honor the erasure on the dst
+    pq_index_merge(spark, base, shard)
+    import json as _json
+
+    with open(os.path.join(base, "_COMPLETE")) as f:
+        assert 42 in _json.load(f)["removed_ids"]
+    assert (
+        spark.read.parquet(f"{base}/codes")
+        .filter(F.col("vec_id") == 42)
+        .isEmpty()
+    )
+
+
+def test_quantizer_signature_position_sensitive(spark, tmp_path):
+    """ADVICE r9: (count, sum) alone is permutation-insensitive — two
+    quantizers whose values swap across positions must NOT pass the
+    merge-compatibility guard. The xor-of-row-hashes component catches
+    the permutation while staying invariant to partitioning/row order."""
+    from kafka_dbsync_spark.operators.pq_index import quantizer_signature
+
+    def write(path, cent_rows, shuffle_partitions):
+        cents = spark.createDataFrame(
+            cent_rows, "label int, dim int, centroid double"
+        ).repartition(shuffle_partitions)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        cb = spark.createDataFrame(
+            [(0, 0, 1, 0.5), (0, 1, 1, 0.25)], "m int, code int, dim int, cw double"
+        )
+        cb.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        cb.write.mode("overwrite").parquet(f"{path}/flat_codebooks")
+
+    a, b, c = (str(tmp_path / x) for x in "abc")
+    rows = [(0, 1, 1.0), (0, 2, 3.0)]
+    write(a, rows, 1)
+    write(b, [(0, 1, 3.0), (0, 2, 1.0)], 1)   # permuted: same count+sum
+    write(c, list(reversed(rows)), 4)          # same data, reordered
+    sig_a = quantizer_signature(spark, a)
+    assert sig_a != quantizer_signature(spark, b)
+    assert sig_a == quantizer_signature(spark, c)
