@@ -41,7 +41,15 @@ def normalized_url(url: Column | str) -> Column:
     """Canonical URL: drop fragment and scheme, lowercase the host,
     strip ``www.`` / default ports, drop ``utm_*`` params, strip the
     trailing path slash. Backreference-free regex steps only (portable
-    across Java regex and RE2 — no lookbehind, no ``$1``/``\\1``)."""
+    across Java regex and RE2 — no lookbehind, no ``$1``/``\\1``).
+
+    The path and the query string are normalized SEPARATELY (ADVICE
+    r9): the trailing-slash strip touches only the path (a ``/?``
+    inside a query VALUE is data, not a path boundary), and every
+    ``utm_`` match is anchored at a ``?``/``&`` delimiter so params
+    like ``myutm_x=1`` survive — the delimiter-consuming patterns are
+    ordered (``&utm_`` first, then leading-``?utm_`` with and without a
+    successor) so no backreference is needed to restore it."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.regexp_replace(u, "#.*$", "")             # fragment
     u = F.regexp_replace(u, _SCHEME_RE, "")         # scheme
@@ -50,11 +58,13 @@ def normalized_url(url: Column | str) -> Column:
     host = F.regexp_replace(host, ":(443|80)$", "")
     # rest = everything from the first '/' or '?' (may be empty)
     rest = F.regexp_replace(u, "^[^/?]+", "")
-    rest = F.regexp_replace(rest, "utm_[^&#]*&", "")       # inner utm_
-    rest = F.regexp_replace(rest, "[?&]utm_[^&#]*$", "")   # trailing utm_
-    rest = F.regexp_replace(rest, r"/\?", "?")             # slash before query
-    rest = F.regexp_replace(rest, "/$", "")                # trailing slash
-    return F.concat(host, rest)
+    path = F.regexp_extract(rest, "^([^?]*)", 1)    # up to the first '?'
+    path = F.regexp_replace(path, "/$", "")         # trailing path slash
+    qs = F.regexp_replace(rest, "^[^?]*", "")       # '?...' or ''
+    qs = F.regexp_replace(qs, "&utm_[^&#]*", "")           # '&'-anchored
+    qs = F.regexp_replace(qs, r"\?utm_[^&#]*&", "?")       # leading, more follow
+    qs = F.regexp_replace(qs, r"\?utm_[^&#]*$", "")        # lone utm_ param
+    return F.concat(host, path, qs)
 
 
 def url_host(url: Column | str) -> Column:

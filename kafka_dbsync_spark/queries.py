@@ -9892,15 +9892,17 @@ def _sql_url_host(u: str) -> str:
 
 
 def _sql_url_norm(u: str) -> str:
-    """SQL mirror of operators/web.py::normalized_url (keep in sync!)."""
+    """SQL mirror of operators/web.py::normalized_url (keep in sync!):
+    path and query normalized separately, utm_ anchored at delimiters."""
     nf = f"regexp_replace({u}, '#.*$', '')"
     no_scheme = f"regexp_replace({nf}, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     rest = f"regexp_replace({no_scheme}, '^[^/?]+', '')"
-    rest = f"regexp_replace({rest}, 'utm_[^&#]*&', '', 'g')"
-    rest = f"regexp_replace({rest}, '[?&]utm_[^&#]*$', '')"
-    rest = f"regexp_replace({rest}, '/\\?', '?')"
-    rest = f"regexp_replace({rest}, '/$', '')"
-    return f"{_sql_url_host(no_scheme)} || {rest}"
+    path = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/$', '')"
+    qs = f"regexp_replace({rest}, '^[^?]*', '')"
+    qs = f"regexp_replace({qs}, '&utm_[^&#]*', '', 'g')"
+    qs = f"regexp_replace({qs}, '\\?utm_[^&#]*&', '?')"
+    qs = f"regexp_replace({qs}, '\\?utm_[^&#]*$', '')"
+    return f"{_sql_url_host(no_scheme)} || {path} || {qs}"
 
 
 @query(

@@ -44,10 +44,59 @@ def _norm(spark, url):
         # bare host
         ("https://www.e.org/", "e.org"),
         ("e.org/x", "e.org/x"),  # already scheme-less
+        # ADVICE r9: utm_ anchored at a delimiter — mid-token survives
+        ("https://e.org/p?myutm_x=1&id=2", "e.org/p?myutm_x=1&id=2"),
+        # consecutive + exhaustive utm params
+        ("https://e.org/p?utm_a=1&utm_b=2&id=3", "e.org/p?id=3"),
+        ("https://e.org/p?utm_a=1&utm_b=2", "e.org/p"),
+        # ADVICE r9: '/?' and a trailing '/' INSIDE a query value are
+        # data, not path boundaries — preserved
+        ("https://e.org/p?redirect=/a/?b=1", "e.org/p?redirect=/a/?b=1"),
+        ("https://e.org/p?next=/home/", "e.org/p?next=/home/"),
+        # root-path slash before the query still strips
+        ("https://e.org/?id=1", "e.org?id=1"),
     ],
 )
 def test_normalized_url_cases(spark, raw, want):
     assert _norm(spark, raw) == want
+
+
+def test_normalized_url_matches_sql_mirror(spark):
+    """The DuckDB oracle mirror (_sql_url_norm) must agree byte-for-byte
+    with the Spark expression on adversarial inputs OUTSIDE the driver
+    fixture — the exact divergence class ADVICE r9 flagged (global-vs-
+    first replace, mid-token utm_)."""
+    import duckdb
+
+    from kafka_dbsync_spark.queries import _sql_url_norm
+
+    raws = [
+        "https://www.Example.org:443/Articles/5/?utm_source=x&id=5#s",
+        "https://e.org/p?myutm_x=1&id=2",
+        "https://e.org/p?redirect=/a/?b=1",
+        "https://e.org/p?next=/home/",
+        "https://e.org/p?utm_a=1&utm_b=2&id=3",
+        "https://e.org/p?utm_a=1&utm_b=2",
+        "https://e.org/?id=1",
+        "https://e.org/p?id=utm_x",
+        "e.org/x",
+        "https://e.org",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    got_spark = [
+        r["u"]
+        for r in df.select(normalized_url(F.col("url")).alias("u")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r,) for r in raws])
+    got_sql = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_sql_url_norm('url')} FROM t ORDER BY rowid"
+        ).fetchall()
+    ]
+    assert got_spark == got_sql
 
 
 def test_normalization_is_idempotent(spark):
