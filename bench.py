@@ -334,11 +334,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — never lose the suite JSON
         print(f"# full_apply_path failed: {e}", file=sys.stderr)
         apply_rate = None
-    prev_name, delta, prev_q = _delta_vs_previous_round(per_query_best)
+    prev_name, delta, prev_q = _delta_vs_previous_round(per_query_best, sf)
     # drift adjudication only makes sense against the SAME scale factor:
-    # the driver's BENCH_r{N} rounds run at sf0.1, so an sf1 baseline run
-    # would otherwise flag every query as "regressed" vs sf0.1 numbers
-    prev_sf = _prev_round_sf()
+    # the previous-round artifact is selected sf-aware (BENCH_SF1_r* for
+    # an sf1 run, BENCH_r* otherwise — VERDICT r9 #2: globbing only the
+    # sf0.1 series left sf1 runs silently un-adjudicated), and the
+    # recorded sf of the SELECTED artifact is still validated here so an
+    # off-series local run (e.g. sf0.01) never adjudicates cross-scale
+    prev_sf = _prev_round_sf(sf)
     same_sf = prev_sf is None or str(prev_sf) == str(
         float(sf) if sf.replace(".", "").isdigit() else sf
     )
@@ -397,16 +400,30 @@ def main() -> None:
     print(json.dumps(compact))
 
 
-def _prev_round_sf():
-    """The scale factor the newest BENCH_r*.json ran at (None if it
-    cannot be determined)."""
+def _prev_bench_paths(sf: str) -> list[str]:
+    """The per-round bench artifacts of the SAME scale-factor series as
+    this run, oldest first: an sf1 run reads the ``BENCH_SF1_r*.json``
+    series, everything else the driver's sf0.1 ``BENCH_r*.json`` series
+    (VERDICT r9 #2 — selecting across series disarmed sf1 drift
+    adjudication and produced cross-sf deltas)."""
     import glob
     import re
 
-    benches = sorted(
-        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
+    try:
+        is_sf1 = float(sf) == 1.0
+    except ValueError:
+        is_sf1 = False
+    pattern = "BENCH_SF1_r*.json" if is_sf1 else "BENCH_r*.json"
+    return sorted(
+        glob.glob(str(Path(__file__).resolve().parent / pattern)),
         key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
     )
+
+
+def _prev_round_sf(sf: str):
+    """The scale factor the newest same-series bench artifact ran at
+    (None if it cannot be determined)."""
+    benches = _prev_bench_paths(sf)
     if not benches:
         return None
     try:
@@ -418,18 +435,12 @@ def _prev_round_sf():
         return None
 
 
-def _delta_vs_previous_round(per_query_best: dict[str, float]):
-    """Per-query best-time delta vs the newest BENCH_r*.json in the repo
-    root (the driver records one per round). Returns (prev_name, delta,
-    prev_queries) — the previous per-query map also feeds the automatic
-    drift adjudication."""
-    import glob
-    import re
-
-    benches = sorted(
-        glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
-    )
+def _delta_vs_previous_round(per_query_best: dict[str, float], sf: str):
+    """Per-query best-time delta vs the newest SAME-SF-SERIES bench
+    artifact in the repo root (BENCH_SF1_r* for sf1 runs, BENCH_r*
+    otherwise). Returns (prev_name, delta, prev_queries) — the previous
+    per-query map also feeds the automatic drift adjudication."""
+    benches = _prev_bench_paths(sf)
     if not benches:
         return None, None, None
     prev_path = benches[-1]
