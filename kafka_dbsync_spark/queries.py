@@ -10784,3 +10784,165 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("overlap_bp").alias("max_bp"),
         )
     )
+
+
+# ===========================================================================
+# Round-10 additions: PSL-exact registrable domains (VERDICT r9 #6) — the
+# production form of the domain rollup; wildcard + exception rules.
+# ===========================================================================
+_SQL_PSL_URLS = """
+    SELECT *,
+           (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+           || (CASE doc_id % 5
+               WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.Example.co.uk'
+               WHEN 1 THEN 'blog' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.github.io'
+               WHEN 2 THEN 'cdn' || CAST(doc_id % 9 AS VARCHAR)
+                           || '.example.org'
+               WHEN 3 THEN (CASE doc_id % 3
+                            WHEN 0 THEN 'city.kawasaki.jp'
+                            WHEN 1 THEN 'sub.city.kawasaki.jp'
+                            ELSE 'x' || CAST(doc_id % 4 AS VARCHAR)
+                                 || '.kawasaki.jp' END)
+               ELSE (CASE WHEN doc_id % 2 = 0 THEN 'qux.ck'
+                     ELSE 'foo' || CAST(doc_id % 3 AS VARCHAR)
+                          || '.bar.ck' END) END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+           || '/p/' || CAST(doc_id % 20 AS VARCHAR) AS url
+    FROM documents
+"""
+
+
+def _with_psl_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URLs over PSL-relevant suffixes (co.uk, github.io,
+    the *.kawasaki.jp wildcard, the !city.kawasaki.jp exception, *.ck)
+    — the host classes the last-two-label heuristic mis-keys. No
+    ``www.`` decoration: normalization strips it, and a PSL fixture key
+    must survive host extraction untouched."""
+    did = F.col("doc_id")
+    host = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("shop"), (did % 7).cast("string"),
+                F.lit(".Example.co.uk"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("blog"), (did % 5).cast("string"), F.lit(".github.io")
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("cdn"), (did % 9).cast("string"), F.lit(".example.org")
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.when(did % 3 == 0, F.lit("city.kawasaki.jp"))
+            .when(did % 3 == 1, F.lit("sub.city.kawasaki.jp"))
+            .otherwise(
+                F.concat(
+                    F.lit("x"), (did % 4).cast("string"),
+                    F.lit(".kawasaki.jp"),
+                )
+            ),
+        )
+        .otherwise(
+            F.when(did % 2 == 0, F.lit("qux.ck")).otherwise(
+                F.concat(
+                    F.lit("foo"), (did % 3).cast("string"), F.lit(".bar.ck")
+                )
+            )
+        )
+    )
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        host,
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (did % 20).cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+def _sql_psl_values() -> str:
+    """The PSL rule table as a SQL VALUES list — rendered from the SAME
+    psl_rows() derivation the Spark side uses, so the two engines can
+    never drift on rule encoding."""
+    from kafka_dbsync_spark.operators.web import psl_rows
+
+    return ", ".join(f"('{b}', {p}, {q})" for b, p, q in psl_rows())
+
+
+@query(
+    "domain_stats_psl",
+    # The oracle replays the full PSL lookup: suffix candidates per
+    # DISTINCT host, join against the rule VALUES, arg_max on the
+    # published priority (exception >> most labels >> implicit '*'),
+    # then the (ps+1)-label suffix clamped to the host itself.
+    oracle=f"""
+    WITH d AS ({_SQL_PSL_URLS}),
+    m AS (
+      SELECT {{host}} AS host,
+             CASE WHEN {{norm}} = '' THEN 0
+                  ELSE len(string_split({{norm}}, ' '))
+                  END AS n_tok
+      FROM d
+    ),
+    hs AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM m GROUP BY host
+    ),
+    psl(base, ps_labels, priority) AS (VALUES {{values}}),
+    pp AS (SELECT host, string_split(host, '.') AS parts FROM hs),
+    cand AS (
+      SELECT host, array_to_string(parts[-i:], '.') AS cand
+      FROM pp, UNNEST(range(1, len(parts)+1)) AS t(i)
+    ),
+    won AS (
+      SELECT c.host,
+             arg_max(coalesce(p.ps_labels, 1), coalesce(p.priority, 0)) AS ps
+      FROM cand c LEFT JOIN psl p ON c.cand = p.base
+      GROUP BY c.host
+    ),
+    dom AS (
+      SELECT host,
+             array_to_string(parts[-least(ps + 1, len(parts)):], '.')
+               AS domain
+      FROM (SELECT w.host, w.ps, string_split(w.host, '.') AS parts
+            FROM won w)
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts,
+           CAST(sum(hs.n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(hs.n_tokens) AS BIGINT) AS n_tokens
+    FROM hs JOIN dom USING (host)
+    GROUP BY domain
+    """.format(
+        host=_sql_url_host("url"),
+        norm=_SQL_NORM.format(c="text"),
+        values=_sql_psl_values(),
+    ),
+)
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL-exact registrable-domain rollup (operators/web.py::
+    domain_stats_psl + registrable_domain_psl): per-host doc/token
+    accounting collapses the corpus FIRST (the only pass over the
+    data), then the distinct-host set runs the real Public Suffix List
+    algorithm — suffix-candidate explode, ONE broadcast hash join
+    against the rule table, max(struct) winner in the published order
+    (exception rule wins, else most labels, else the implicit '*') —
+    and rolls up to (domain, n_hosts, n_docs, n_tokens). Handles the
+    ``co.uk``-style keys the last-two-label heuristic in
+    ``domain_stats`` mis-buckets; at 100 TB the full ~10k-entry PSL
+    broadcasts exactly like this fixture subset."""
+    from kafka_dbsync_spark.operators.web import domain_stats_psl, psl_rules
+
+    docs = _with_psl_urls(load_table(spark, sf_dir, "documents"))
+    return domain_stats_psl(
+        docs, psl_rules(spark), "url", token_count_col=token_count("text")
+    )

@@ -216,3 +216,58 @@ def test_blocklist_include_subdomains(spark):
         ).collect()
     }
     assert deep == {3, 4}
+
+
+def test_registrable_domain_psl_algorithm(spark):
+    """The real PSL algorithm (publicsuffix.org): exact, wildcard and
+    exception rules, the implicit-'*' default, and the host-IS-public-
+    suffix clamp — cases the last-two-label heuristic mis-keys."""
+    from kafka_dbsync_spark.operators.web import (
+        psl_rules,
+        registrable_domain_psl,
+    )
+
+    cases = {
+        "a.b.co.uk": "b.co.uk",              # co.uk is the suffix
+        "b.co.uk": "b.co.uk",
+        "co.uk": "co.uk",                     # host IS a public suffix
+        "shop.example.com": "example.com",
+        "city.kawasaki.jp": "city.kawasaki.jp",      # exception rule
+        "sub.city.kawasaki.jp": "city.kawasaki.jp",  # exception beats *
+        "x.kawasaki.jp": "x.kawasaki.jp",     # wildcard suffix, clamped
+        "a.x.kawasaki.jp": "a.x.kawasaki.jp",  # registrable under *
+        "www.ck": "www.ck",                   # !www.ck exception
+        "foo.bar.ck": "foo.bar.ck",           # *.ck wildcard
+        "u.github.io": "u.github.io",         # github.io is a suffix
+        "deep.u.github.io": "u.github.io",
+        "example.xyz": "example.xyz",         # no rule -> implicit '*'
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(hosts, psl_rules(spark)).collect()
+    }
+    assert got == cases
+
+
+def test_domain_stats_psl_rollup_and_plan(spark):
+    from kafka_dbsync_spark.operators.web import domain_stats_psl, psl_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.brand.co.uk/x", 10),
+            (2, "http://b.brand.co.uk:80/y", 20),
+            (3, "https://brand.co.uk/z", 5),
+            (4, "https://other.net/w", 7),
+        ],
+        "doc_id long, url string, n_tok long",
+    )
+    out = domain_stats_psl(df, psl_rules(spark), "url", F.col("n_tok"))
+    got = {
+        r["domain"]: (r["n_hosts"], r["n_docs"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # the heuristic would have keyed all three brand hosts as 'co.uk'
+    assert got == {"brand.co.uk": (3, 3, 35), "other.net": (1, 1, 7)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
