@@ -1128,9 +1128,29 @@ def nb_domain_classify(
 
     Returns (id_col, pred) — add the true label downstream for
     confusion reporting.
-    """
-    from pyspark.sql import Window as W
 
+    Split into :func:`nb_train_tables` + :func:`nb_score_tables` so the
+    persisted serve twin (``operators/nb_index.py``) runs the SAME
+    scoring arithmetic over frozen parquet model tables — build/serve
+    arithmetic-identical by construction.
+    """
+    counts, totals, vocab, priors = nb_train_tables(
+        train, class_col, text_col
+    )
+    return nb_score_tables(
+        score, counts, totals, vocab, priors, id_col, text_col
+    )
+
+
+def nb_train_tables(
+    train: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The NB model AS TABLES — (counts(cls, tok, ct), totals(cls, tc),
+    vocab(V), priors(cls, lprior)): exact integer counts plus 6-dp
+    decimal log-priors, (vocab × classes)-bound, broadcastable. These
+    four frames ARE the persisted artifact set of ``nb_index.py``."""
     toks_tr = train.select(
         F.col(class_col).alias("cls"), F.explode(tokens(text_col)).alias("tok")
     )
@@ -1148,6 +1168,25 @@ def nb_domain_classify(
             ).alias("lprior"),
         )
     )
+    return counts, totals, vocab, priors
+
+
+def nb_score_tables(
+    score: DataFrame,
+    counts: DataFrame,
+    totals: DataFrame,
+    vocab: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label documents against NB model tables (frozen or just-built):
+    one map-side-combined (doc, token) agg, a C-way class fanout
+    against the broadcast model, one per-doc argmax window over C rows.
+    Add-one smoothing prices tokens the frozen model never saw as
+    ``1 / (tc + V)`` — no retrain-on-score."""
+    from pyspark.sql import Window as W
+
     dt = (
         score.select(id_col, F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")

@@ -115,20 +115,62 @@ def build_lm_model(
     (atomic ``os.replace``), so readers only ever see complete
     generations — the same staging-dir-rename primitive as the
     versioned lake sink's put-if-absent commit."""
-    import shutil
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
 
-    from kafka_dbsync_spark.operators.cache_validation import (
-        files_signature,
-        invalidate_memo,
-    )
-
-    marker = os.path.join(path, _MARKER)
-    os.makedirs(path, exist_ok=True)
-    invalidate_memo(path)
     # the caller may pass the fingerprint it just computed for the
     # staleness check — recomputing would re-scan the whole text column
     fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
     gen = _gen_name(fp)
+
+    def write_stage(stage: str) -> None:
+        grams = doc_bigrams(docs, id_col, text_col)
+        grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/c12")
+        grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/c1")
+
+    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.countDistinct("tok").alias("V")
+    ).collect()[0]["V"]
+    rec: dict = {"fingerprint": fp, "V": int(vocab)}
+    if src_path is not None:
+        # metadata signature of the TRAINING SOURCE directory: serves
+        # validate from a file listing instead of re-scanning the
+        # corpus text on every call (VERDICT r5 #1)
+        rec["src_sig"] = files_signature(src_path)
+    publish_generation(path, gen, write_stage, rec)
+
+
+def publish_generation(
+    path: str,
+    gen: str,
+    write_stage,
+    marker_rec: dict,
+) -> None:
+    """The atomic generation-publish protocol, shared by every
+    train-once model cache (bigram/trigram LMs here, the NB classifier
+    in ``operators/nb_index.py``): ``write_stage(stage_dir)`` lands the
+    artifacts in a pid-suffixed staging dir, ONE ``os.rename`` publishes
+    the immutable generation (the loser of a concurrent race discards
+    its identical staging copy), and the marker flips to the new
+    generation LAST via atomic ``os.replace`` — readers only ever see
+    complete generations. Retires ONLY the generation this build
+    positively superseded (the one the marker referenced at start) plus
+    this process's own stage leftovers: never another builder's
+    in-flight ``.stage-*`` dir, never a gen a racing build published —
+    deleting by enumeration would let a slow stale builder destroy a
+    newer build's generation. Unreferenced gens from pathological races
+    may linger; they are bounded by corpus regenerations and harmless
+    (immutable, marker never points at them)."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    marker = os.path.join(path, _MARKER)
+    os.makedirs(path, exist_ok=True)
+    invalidate_memo(path)
     try:
         with open(marker) as f:
             prev_live_gen = json.load(f).get("gen")
@@ -137,44 +179,32 @@ def build_lm_model(
     final_dir = os.path.join(path, gen)
     if not os.path.exists(final_dir):
         stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
-        grams = doc_bigrams(docs, id_col, text_col)
-        grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/c12")
-        grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/c1")
+        write_stage(stage)
         try:
             os.rename(stage, final_dir)
         except OSError:
             # another builder published this generation first; contents
             # are deterministic, so theirs is identical — discard ours
             shutil.rmtree(stage, ignore_errors=True)
-    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
-        F.countDistinct("tok").alias("V")
-    ).collect()[0]["V"]
     tmp = marker + f".tmp.{os.getpid()}"
-    rec: dict = {"fingerprint": fp, "V": int(vocab), "gen": gen}
-    if src_path is not None:
-        # metadata signature of the TRAINING SOURCE directory: serves
-        # validate from a file listing instead of re-scanning the
-        # corpus text on every call (VERDICT r5 #1)
-        rec["src_sig"] = files_signature(src_path)
+    # marker_rec may be a callable(final_dir) for models whose marker
+    # scalars fold from the PUBLISHED artifacts (never a second corpus
+    # pass — e.g. the trigram model's N/V from the vocab-sized cu table)
+    rec_base = marker_rec(final_dir) if callable(marker_rec) else marker_rec
+    rec = dict(rec_base, gen=gen)
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, marker)
-    # retire ONLY the generation THIS build positively superseded (the
-    # one the marker referenced when the build started), plus this
-    # process's own stage leftovers. Never another builder's in-flight
-    # .stage-* dir, and never a gen dir some racing build published —
-    # deleting by enumeration would let a slow stale builder destroy a
-    # newer build's generation. Unreferenced gens from pathological
-    # races may linger; they are bounded by corpus regenerations and
-    # harmless (immutable, marker never points at them).
     my_stage_suffix = f"-{os.getpid()}"
     for name in os.listdir(path):
-        superseded = prev_live_gen is not None and name == prev_live_gen and name != gen
-        my_stage = name.startswith(".stage-") and name.endswith(my_stage_suffix)
+        superseded = (
+            prev_live_gen is not None
+            and name == prev_live_gen
+            and name != gen
+        )
+        my_stage = name.startswith(".stage-") and name.endswith(
+            my_stage_suffix
+        )
         if superseded or my_stage:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
@@ -387,27 +417,13 @@ def build_trigram_model(
     table), cu (w,n). N and V fold from the VOCAB-sized cu parquet
     after publish (never a second corpus pass) and land in the marker
     with ``alpha`` so the scorer is self-describing."""
-    import shutil
-
-    from kafka_dbsync_spark.operators.cache_validation import (
-        files_signature,
-        invalidate_memo,
-    )
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
     from kafka_dbsync_spark.operators.corpus import doc_trigrams
 
-    marker = os.path.join(path, _MARKER)
-    os.makedirs(path, exist_ok=True)
-    invalidate_memo(path)
     fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
     gen = _gen_name(fp)
-    try:
-        with open(marker) as f:
-            prev_live_gen = json.load(f).get("gen")
-    except (OSError, ValueError):
-        prev_live_gen = None
-    final_dir = os.path.join(path, gen)
-    if not os.path.exists(final_dir):
-        stage = os.path.join(path, f".stage-{gen}-{os.getpid()}")
+
+    def write_stage(stage: str) -> None:
         tri = doc_trigrams(docs, id_col, text_col)
         tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n123")).write.mode(
             "overwrite"
@@ -418,36 +434,24 @@ def build_trigram_model(
         docs.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
             F.count("*").alias("n")
         ).write.mode("overwrite").parquet(f"{stage}/cu")
-        try:
-            os.rename(stage, final_dir)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
-    r = (
-        spark.read.parquet(f"{final_dir}/cu")
-        .agg(F.sum("n").alias("N"), F.count("*").alias("V"))
-        .collect()[0]
-    )
-    rec: dict = {
-        "fingerprint": fp,
-        "N": int(r["N"]),
-        "V": int(r["V"]),
-        "alpha": float(alpha),
-        "gen": gen,
-    }
-    if src_path is not None:
-        rec["src_sig"] = files_signature(src_path)
-    tmp = marker + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(rec, f)
-    os.replace(tmp, marker)
-    my_stage_suffix = f"-{os.getpid()}"
-    for name in os.listdir(path):
-        superseded = (
-            prev_live_gen is not None and name == prev_live_gen and name != gen
+
+    def marker_rec(final_dir: str) -> dict:
+        r = (
+            spark.read.parquet(f"{final_dir}/cu")
+            .agg(F.sum("n").alias("N"), F.count("*").alias("V"))
+            .collect()[0]
         )
-        my_stage = name.startswith(".stage-") and name.endswith(my_stage_suffix)
-        if superseded or my_stage:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        rec: dict = {
+            "fingerprint": fp,
+            "N": int(r["N"]),
+            "V": int(r["V"]),
+            "alpha": float(alpha),
+        }
+        if src_path is not None:
+            rec["src_sig"] = files_signature(src_path)
+        return rec
+
+    publish_generation(path, gen, write_stage, marker_rec)
 
 
 def trigram_score(

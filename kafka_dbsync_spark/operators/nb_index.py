@@ -1,0 +1,177 @@
+"""Persisted naive-Bayes classifier: train once, score forever.
+
+The serve twin of ``operators/corpus.py::nb_domain_classify`` — the
+GPT-3/LLaMA-style curation classifier DEPLOYS frozen (GPT-3 appendix A
+trains its quality classifier once on WebText-vs-CommonCrawl and then
+scores every crawl shard against it; nothing retrains per shard), so
+the (vocab × classes) count tables and class priors land as parquet
+artifacts and every subsequent scoring call reads the model, never the
+training corpus.
+
+Artifacts under ``{path}``:
+
+    gen-{fingerprint}/counts   (cls, tok, ct)   — vocab × classes bound
+    gen-{fingerprint}/totals   (cls, tc)        — one row per class
+    gen-{fingerprint}/priors   (cls, lprior)    — one row per class
+    _COMPLETE                  marker: V (train vocab size), the
+                               train-set fingerprint, the live gen name
+
+Publish / staleness / concurrency discipline is ``lm_index.py``'s,
+verbatim (``publish_generation``: immutable generation dirs, atomic
+staging rename, marker-flips-last, loser-discards; metadata-only
+staleness through ``lm_model_is_current``). The ONE difference is the
+fingerprint: an NB model depends on the LABELS as much as the text, so
+the content term hashes (id, class, text) together — relabeling a
+training doc in place invalidates the model even when every byte of
+text is unchanged.
+
+Scoring arithmetic is shared with the inline path by construction
+(``nb_train_tables`` / ``nb_score_tables``): add-one smoothing prices
+tokens the frozen model never saw as ``1/(tc+V)``, scores are exact
+6-dp decimal sums, the argmax is engine-portable at ties. Build/serve
+must be arithmetic-identical — the served query reuses the fused
+query's DuckDB oracle unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.corpus import (
+    nb_score_tables,
+    nb_train_tables,
+)
+from kafka_dbsync_spark.operators.lm_index import (
+    _MARKER,
+    _gen_name,
+    corpus_fingerprint,
+    lm_model_is_current,
+    publish_generation,
+)
+
+
+def _nb_fp_frame(
+    docs: DataFrame, class_col: str, text_col: str
+) -> DataFrame:
+    """The fingerprint view of an NB training set: (id, class⊕text) —
+    the class label participates in the content hash, so a corpus
+    relabeled in place (same ids, same text, new labels) fingerprints
+    differently and the staleness check forces a retrain."""
+    return docs.withColumn(
+        "__cls_text",
+        F.concat(
+            F.coalesce(F.col(class_col).cast("string"), F.lit("\x00<null>")),
+            F.lit("\x01"),
+            F.coalesce(F.col(text_col).cast("string"), F.lit("\x00<null>")),
+        ),
+    )
+
+
+def nb_fingerprint(
+    docs: DataFrame,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Label-aware train-set identity (see :func:`_nb_fp_frame`)."""
+    return corpus_fingerprint(
+        _nb_fp_frame(docs, class_col, text_col), id_col, "__cls_text"
+    )
+
+
+def build_nb_model(
+    spark: SparkSession,
+    train: DataFrame,
+    path: str,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+) -> None:
+    """One labeled-corpus pass → persisted NB model tables, published
+    with the shared atomic-generation protocol
+    (``lm_index.publish_generation``)."""
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
+
+    counts, totals, vocab, priors = nb_train_tables(
+        train, class_col, text_col
+    )
+    fp = fingerprint or nb_fingerprint(train, class_col, id_col, text_col)
+    gen = _gen_name(fp)
+
+    def write_stage(stage: str) -> None:
+        counts.write.mode("overwrite").parquet(f"{stage}/counts")
+        totals.write.mode("overwrite").parquet(f"{stage}/totals")
+        priors.write.mode("overwrite").parquet(f"{stage}/priors")
+
+    v = vocab.collect()[0]["V"]
+    rec: dict = {"fingerprint": fp, "V": int(v)}
+    if src_path is not None:
+        rec["src_sig"] = files_signature(src_path)
+    publish_generation(path, gen, write_stage, rec)
+
+
+def nb_model_is_current(
+    train: DataFrame,
+    path: str,
+    class_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+    force_exact: bool = False,
+) -> bool:
+    """True iff the persisted model is servable AND trained on the
+    current labeled corpus — ``lm_model_is_current`` over the
+    label-aware fingerprint frame (metadata-only happy path with
+    ``src_path``; the exact fingerprint scan only on metadata miss)."""
+    return lm_model_is_current(
+        _nb_fp_frame(train, class_col, text_col),
+        path,
+        id_col,
+        "__cls_text",
+        fingerprint=fingerprint,
+        src_path=src_path,
+        force_exact=force_exact,
+    )
+
+
+def nb_classify_served(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Label new documents against the FROZEN model: reads the three
+    vocab-bound parquet tables + V from the marker and runs the shared
+    scoring arithmetic (``nb_score_tables``) — one (doc, token) agg, a
+    C-way broadcast fanout, one per-doc argmax. No corpus pass, no
+    retrain: unseen tokens are priced by add-one smoothing alone."""
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"no complete NB model at {path}; build_nb_model first."
+        ) from e
+    gen = meta.get("gen")
+    gen_dir = os.path.join(path, gen) if gen else None
+    if not gen_dir or not os.path.isdir(gen_dir):
+        raise ValueError(
+            f"NB model marker at {path} references missing generation "
+            f"{gen!r}; rebuild with build_nb_model."
+        )
+    counts = spark.read.parquet(f"{gen_dir}/counts")
+    totals = spark.read.parquet(f"{gen_dir}/totals")
+    priors = spark.read.parquet(f"{gen_dir}/priors")
+    vocab = spark.createDataFrame([(int(meta["V"]),)], "V bigint")
+    return nb_score_tables(
+        new_docs, counts, totals, vocab, priors, id_col, text_col
+    )

@@ -10946,3 +10946,35 @@ def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats_psl(
         docs, psl_rules(spark), "url", token_count_col=token_count("text")
     )
+
+
+@query("nb_source_predict_served", oracle=ORACLES["nb_source_predict"])
+def q_nb_source_predict_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB domain classification as it DEPLOYS (operators/nb_index.py::
+    nb_classify_served): the classifier trains ONCE on the even half
+    into a persisted generation dir (shared atomic publish protocol:
+    publish_generation) and every scoring call labels the odd half
+    against the FROZEN (vocab × classes) parquet tables — no corpus
+    pass at serve time; staleness is metadata-only on the happy path
+    and label-aware (relabeling a training doc forces a retrain even
+    with identical text). Same oracle as the fused nb_source_predict:
+    build/serve must be arithmetic-identical."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.nb_index import (
+        build_nb_model,
+        nb_classify_served,
+        nb_model_is_current,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    score = docs_f.filter(F.col("doc_id") % 2 == 1)
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_nb_{sf_tag}")
+    if not nb_model_is_current(train, cache, src_path=src):
+        build_nb_model(spark, train, cache, src_path=src)
+    return nb_classify_served(spark, cache, score)
