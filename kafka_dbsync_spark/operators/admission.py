@@ -714,6 +714,202 @@ def paragraph_ingest_foreach_batch(
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Multimodal NEAR-dup dedup-at-ingest (VERDICT r9 #4) — the streaming twin
+# of image_dedup_survivors / audio dedup: integer-fingerprint admission
+# keyed on banded hash buckets; media blobs are hashed once and never
+# re-read.
+# ---------------------------------------------------------------------------
+_FPRINTS = "fingerprints"
+
+
+def seed_fingerprints(
+    state_dir: str, hashes: DataFrame, hash_col: str = "dhash"
+) -> None:
+    """Bootstrap the seen-fingerprint set from an already-deduped
+    corpus (e.g. ``image_dhash`` over the existing shard) — the
+    reserved ``seed/`` namespace, outside epoch ids for the same
+    batchId-0 reason as ``seed_admitted_hashes``."""
+    hashes.select(F.col(hash_col).alias("fp")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, _FPRINTS, _SEED))
+
+
+def read_fingerprints(
+    spark: SparkSession, state_dir: str
+) -> DataFrame | None:
+    """Every committed fingerprint (None before the first commit)."""
+    return _read_state(spark, state_dir, _FPRINTS)
+
+
+def neardup_ingest_foreach_batch(
+    state_dir: str,
+    hash_fn: Callable[[DataFrame], DataFrame],
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bit_width: int = 56,
+    bands: int = 4,
+    hamming_max: int = 3,
+    compact_every: int | None = 16,
+):
+    """``foreachBatch`` function performing NEAR-duplicate dedup AT
+    INGEST over integer perceptual fingerprints — the streaming face of
+    ``dedup.image_neardup_pairs``/``audio_neardup_pairs``: an arriving
+    image/audio shard is admitted or dropped against everything ever
+    seen, without re-reading a single stored media blob.
+
+    Per micro-batch, in arrival order:
+
+    1. fingerprint the batch (``hash_fn(batch_df)`` must return
+       ``(id_col, hash_col)`` — e.g. ``multimodal.image_dhash`` /
+       ``audio_dhash``, the ONLY pass over media bytes);
+    2. in-batch: drop every row within ``hamming_max`` of a LOWER id in
+       the same batch — the keep-first algebra of
+       ``image_dedup_survivors`` (domination by a dropped arrival
+       counts, exactly as it does in the batch pair set);
+    3. cross-batch: band-equijoin the batch fingerprints against the
+       committed fingerprint state (``dedup.fingerprint_bands``;
+       pigeonhole-EXACT for ``hamming_max < bands`` — no candidate is
+       ever missed), exact Hamming verification on band collisions
+       only; any verified hit drops the row;
+    4. commit the epoch by writing ALL the batch's fingerprints LAST
+       (dropped rows' fingerprints too — a later near-twin of a dropped
+       arrival must still be dropped, matching the batch algebra where
+       any lower-order row dominates).
+
+    Admitted rows land whole (blob included) in ``accepted/e{epoch}``
+    with their fingerprint; dropped rows log (id, fp, dup_reason) in
+    ``duplicates/e{epoch}`` — never their blobs. Replay/crash contract
+    and ``seed/``/compaction semantics are ``admission_foreach_batch``'s,
+    over hash-only state (7 bytes of entropy per image ever seen).
+
+    At scale: the state side is the big side — the batch's banded
+    fingerprints broadcast into one hash join against it (band_idx
+    pre-partitions the probe); nothing blob-sized ever shuffles."""
+    from kafka_dbsync_spark.operators.dedup import fingerprint_bands
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        commit = os.path.join(state_dir, _FPRINTS, f"e{epoch}")
+        if _committed(commit):
+            return
+        _, through, _, _, _ = _scan_root(state_dir, _FPRINTS)
+        if epoch <= through:
+            return  # folded into a base snapshot by compaction
+        hashes = (
+            hash_fn(batch_df)
+            .select(id_col, F.col(hash_col).alias("fp"))
+            .persist()
+        )
+        try:
+            bands_new = fingerprint_bands(
+                hashes, id_col, "fp", bit_width, bands
+            )
+            ham = lambda x, y: F.bit_count(  # noqa: E731
+                F.col(x).bitwiseXOR(F.col(y))
+            )
+            a = bands_new.select(
+                F.col(id_col).alias("__ia"), F.col("fp").alias("__fa"),
+                "band_idx", "band_val",
+            )
+            b = bands_new.select(
+                F.col(id_col).alias("__ib"), F.col("fp").alias("__fb"),
+                "band_idx", "band_val",
+            )
+            in_batch = (
+                a.join(b, ["band_idx", "band_val"])
+                .filter(F.col("__ia") < F.col("__ib"))
+                .filter(ham("__fa", "__fb") <= hamming_max)
+                .select(F.col("__ib").alias(id_col))
+                .distinct()
+                .withColumn("dup_reason", F.lit("in_batch_neardup"))
+            )
+            state = _read_state(
+                spark, state_dir, _FPRINTS, before_epoch=epoch
+            )
+            if state is not None:
+                bands_old = fingerprint_bands(
+                    state.select("fp").distinct(), None, "fp",
+                    bit_width, bands,
+                ).select(F.col("fp").alias("__fo"), "band_idx", "band_val")
+                cross = (
+                    bands_old.join(
+                        F.broadcast(
+                            bands_new.select(
+                                id_col, F.col("fp").alias("__fn"),
+                                "band_idx", "band_val",
+                            )
+                        ),
+                        ["band_idx", "band_val"],
+                    )
+                    .filter(ham("__fo", "__fn") <= hamming_max)
+                    .select(id_col)
+                    .distinct()
+                    .withColumn(
+                        "dup_reason", F.lit("previously_seen_neardup")
+                    )
+                )
+                dominated = in_batch.unionByName(cross)
+            else:
+                dominated = in_batch
+            # a row dominated both ways logs ONE deterministic reason
+            dominated = dominated.groupBy(id_col).agg(
+                F.min("dup_reason").alias("dup_reason")
+            ).persist()
+            try:
+                (
+                    hashes.join(dominated, id_col)
+                    .select(id_col, "fp", "dup_reason")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(state_dir, _DUPLICATES, f"e{epoch}"))
+                )
+                (
+                    batch_df.join(hashes, id_col)
+                    .join(dominated.select(id_col), id_col, "left_anti")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(state_dir, _ACCEPTED, f"e{epoch}"))
+                )
+                # commit point: EVERY arriving fingerprint joins the
+                # seen set, admitted or not
+                hashes.select("fp").distinct().write.mode(
+                    "overwrite"
+                ).parquet(commit)
+            finally:
+                dominated.unpersist()
+        finally:
+            hashes.unpersist()
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            compact_fingerprint_state(spark, state_dir, keep_last=1)
+
+    return fn
+
+
+def compact_fingerprint_state(
+    spark: SparkSession, state_dir: str, keep_last: int = 0
+) -> dict:
+    """Fold seed + committed fingerprint-ingest epochs into one
+    ``base-{T}`` per table (fingerprints distinct, accepted/duplicates
+    as-is) — the same commit-last protocol and crash argument as
+    ``compact_admission_state``."""
+    _, through, _, committed, pending = _scan_root(state_dir, _FPRINTS)
+    ceiling = min(pending) if pending else None
+    cand = sorted(
+        e for e, _ in committed
+        if e > through and (ceiling is None or e < ceiling)
+    )
+    if keep_last > 0:
+        cand = cand[: max(0, len(cand) - keep_last)]
+    if not cand:
+        return {"through": through, "folded_epochs": 0}
+    new_through = cand[-1]
+    _fold_tables(
+        spark, state_dir, (_FPRINTS, _ACCEPTED, _DUPLICATES), new_through,
+        {_FPRINTS: lambda df: df.distinct()},
+    )
+    return {"through": new_through, "folded_epochs": len(cand)}
+
+
 def compact_paragraph_state(
     spark: SparkSession, state_dir: str, keep_last: int = 0
 ) -> dict:

@@ -524,6 +524,39 @@ def simhash_neardup_pairs(
     )
 
 
+def fingerprint_bands(
+    hashes: DataFrame,
+    id_col: str | None,
+    hash_col: str,
+    bit_width: int,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, hash) → (id, hash, band_idx, band_val): the ``bit_width``-
+    bit integer fingerprint cut into ``bands`` equal slices — the
+    banding shared by :func:`hash_neardup_pairs` (batch all-pairs) and
+    the streaming near-dup admission gate
+    (``admission.neardup_ingest_foreach_batch``), which probes arriving
+    fingerprints against stored band values. ``id_col=None`` emits
+    (hash, band_idx, band_val) only — the state-side shape, where ids
+    are irrelevant."""
+    if bit_width % bands:
+        raise ValueError("bands must divide the hash bit width")
+    band_bits = bit_width // bands
+    mask = (1 << band_bits) - 1
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(hash_col, b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ]
+    return hashes.select(*cols)
+
+
 def hash_neardup_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -544,21 +577,9 @@ def hash_neardup_pairs(
 
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
     ``hamming_max``."""
-    if bit_width % bands:
-        raise ValueError("bands must divide the hash bit width")
-    band_bits = bit_width // bands
-    mask = (1 << band_bits) - 1
-    banded = hashes.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(hash_col, b * band_bits).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    banded = fingerprint_bands(
+        hashes, id_col, hash_col, bit_width, bands
+    ).drop(hash_col)
     cand = banded_pairs(banded, id_col, max_bucket_size)
     ha = hashes.select(F.col(id_col).alias("__ia"), F.col(hash_col).alias("__ha"))
     hb = hashes.select(F.col(id_col).alias("__ib"), F.col(hash_col).alias("__hb"))

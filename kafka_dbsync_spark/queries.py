@@ -10978,3 +10978,75 @@ def q_nb_source_predict_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not nb_model_is_current(train, cache, src_path=src):
         build_nb_model(spark, train, cache, src_path=src)
     return nb_classify_served(spark, cache, score)
+
+
+@query(
+    "image_ingest_gate",
+    # Batch-equivalence oracle: the streaming gate must equal the global
+    # keep-first algebra in arrival order (batch, doc_id) — a row is
+    # dropped iff ANY earlier-arriving image (admitted OR dropped) sits
+    # within hamming <= 3. Banding is pigeonhole-exact at 4 bands, so
+    # the oracle needs no band replay: pure "exists earlier within 3".
+    oracle=f"""
+    WITH pm AS (
+      SELECT doc_id, md5(text) || md5(text) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(s0, 1, doc_id % 64) || '0' || substr(s0, doc_id % 64 + 2) AS s
+      FROM (SELECT doc_id, md5(text) || md5(text) AS s0
+            FROM documents WHERE doc_id % 5 = 0)
+    ), h AS (
+      SELECT doc_id, doc_id % 3 AS batch, {_SQL_IMG_DHASH} AS dh FROM pm
+    ), dom AS (
+      SELECT DISTINCT a.doc_id FROM h a JOIN h e
+        ON (e.batch < a.batch OR (e.batch = a.batch AND e.doc_id < a.doc_id))
+       AND bit_count(xor(a.dh, e.dh)) <= 3
+    )
+    SELECT batch, doc_id, dh AS dhash FROM h
+    WHERE doc_id NOT IN (SELECT doc_id FROM dom)
+    """,
+)
+def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup-at-ingest (VERDICT r9 #4 — operators/
+    admission.py::neardup_ingest_foreach_batch): the planted-twin image
+    corpus arrives in three micro-batches through the REAL epoch-state
+    machinery; each batch is dHashed ONCE (the only pass over media
+    bytes), deduped in-batch by the keep-first algebra, then probed
+    against the committed fingerprint state via the shared banding
+    (dedup.fingerprint_bands — pigeonhole-exact, stored blobs never
+    re-read; state is 7 bytes of hash entropy per image ever seen).
+    ALL arriving fingerprints commit, so a near-twin of a DROPPED
+    arrival is still dropped — matching image_dedup_survivors' pair
+    algebra. Epoch 1 is then DELIBERATELY REPLAYED and must no-op.
+    Returns the admitted (batch, doc_id, dhash) rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+    )
+    from kafka_dbsync_spark.operators.multimodal import image_dhash
+
+    imgs = _planted_images(spark, sf_dir).withColumn(
+        "batch", F.col("doc_id") % 3
+    )
+    state_dir = tempfile.mkdtemp(prefix="kds_img_gate_")
+    try:
+        fn = neardup_ingest_foreach_batch(
+            state_dir,
+            hash_fn=lambda df: image_dhash(df, "doc_id", "blob"),
+            bit_width=56,
+        )
+        for b in (0, 1, 2):
+            fn(imgs.filter(F.col("batch") == b), b)
+        fn(imgs.filter(F.col("batch") == 1), 1)  # replay: MUST be a no-op
+        out = spark.read.parquet(
+            *(os.path.join(state_dir, "accepted", f"e{b}") for b in (0, 1, 2))
+        ).select("batch", "doc_id", F.col("fp").alias("dhash"))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch bigint, doc_id bigint, dhash bigint"
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)

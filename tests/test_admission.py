@@ -684,3 +684,156 @@ def test_admission_url_key_dedup_semantics(spark, tmp_path):
     # doc 1: same canonical URL as the seed (re-fetch) -> duplicate,
     # even though its TEXT is new; doc 2: same text, new URL -> admitted
     assert dup == {1} and acc == {2}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup dedup-at-ingest (neardup_ingest_foreach_batch)
+# ---------------------------------------------------------------------------
+def _fp_batch(spark, rows):
+    """(doc_id, fp) batches — hash_fn pluggability lets tests feed
+    explicit fingerprints, no media bytes needed."""
+    return spark.createDataFrame(rows, "doc_id long, dhash long")
+
+
+_IDENT_HASH = lambda df: df.select("doc_id", "dhash")  # noqa: E731
+
+
+def test_neardup_gate_catches_cross_batch_twin(spark, tmp_path):
+    """VERDICT r9 #4 'done' bar: a near-dup (and an exact dup) of a
+    batch-1 ADMISSION arriving in batch 2 is dropped — without any
+    media re-read (state is fingerprints only)."""
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+        read_fingerprints,
+    )
+
+    state = str(tmp_path / "st")
+    fn = neardup_ingest_foreach_batch(state, _IDENT_HASH, bit_width=56)
+    A = 0b10101010
+    fn(_fp_batch(spark, [(1, A)]), 1)
+    fn(_fp_batch(spark, [(2, A ^ 0b11), (3, A), (4, A ^ (0xF << 20))]), 2)
+    acc = {
+        r["doc_id"]: r["dhash"]
+        for r in spark.read.parquet(
+            os.path.join(state, "accepted", "e1"),
+            os.path.join(state, "accepted", "e2"),
+        ).collect()
+    }
+    # 2 (hamming 2) and 3 (exact) dropped; 4 (hamming 4) admitted
+    assert set(acc) == {1, 4}
+    dups = {
+        r["doc_id"]: r["dup_reason"]
+        for r in spark.read.parquet(
+            os.path.join(state, "duplicates", "e2")
+        ).collect()
+    }
+    # 3 is dominated BOTH ways (near 2 in-batch AND near stored A);
+    # the deterministic min() picks the in-batch reason
+    assert dups == {
+        2: "previously_seen_neardup",
+        3: "in_batch_neardup",
+    }
+    # state carries EVERY seen fingerprint (admitted and dropped)
+    fps = {r["fp"] for r in read_fingerprints(spark, state).collect()}
+    assert fps == {A, A ^ 0b11, A ^ (0xF << 20)}
+
+
+def test_neardup_gate_domination_by_dropped_arrival(spark, tmp_path):
+    """A near-twin of a DROPPED arrival is still dropped (the batch
+    pair-set algebra: any lower-order row dominates) — the case a
+    survivors-only state would silently re-admit."""
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+    )
+
+    state = str(tmp_path / "st")
+    fn = neardup_ingest_foreach_batch(state, _IDENT_HASH, bit_width=56)
+    A = 0
+    B = 1                      # hamming(A, B) = 1 -> B dropped
+    C = B ^ (0b111 << 10)      # hamming(B, C) = 3, hamming(A, C) = 4
+    fn(_fp_batch(spark, [(1, A), (2, B)]), 0)
+    fn(_fp_batch(spark, [(3, C)]), 1)
+    import os
+
+    assert spark.read.parquet(
+        os.path.join(state, "accepted", "e1")
+    ).isEmpty()
+    r = spark.read.parquet(os.path.join(state, "duplicates", "e1")).head()
+    assert r["doc_id"] == 3 and r["dup_reason"] == "previously_seen_neardup"
+
+
+def test_neardup_gate_in_batch_keep_first_and_replay(spark, tmp_path):
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+    )
+
+    state = str(tmp_path / "st")
+    fn = neardup_ingest_foreach_batch(state, _IDENT_HASH, bit_width=56)
+    batch = [(5, 100), (9, 101), (2, 100 ^ (0xFF << 30))]
+    fn(_fp_batch(spark, batch), 0)
+    acc0 = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(state, "accepted", "e0")
+        ).collect()
+    )
+    assert acc0 == [2, 5]  # 9 dominated by 5 (hamming 1) in-batch
+    dup = spark.read.parquet(os.path.join(state, "duplicates", "e0")).head()
+    assert dup["doc_id"] == 9 and dup["dup_reason"] == "in_batch_neardup"
+    before = sorted(
+        os.path.getmtime(os.path.join(state, "fingerprints", "e0", f))
+        for f in os.listdir(os.path.join(state, "fingerprints", "e0"))
+    )
+    fn(_fp_batch(spark, [(99, 100)]), 0)  # replay with DIFFERENT data
+    after = sorted(
+        os.path.getmtime(os.path.join(state, "fingerprints", "e0", f))
+        for f in os.listdir(os.path.join(state, "fingerprints", "e0"))
+    )
+    assert before == after  # committed epoch: untouched no-op
+    assert acc0 == sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(state, "accepted", "e0")
+        ).collect()
+    )
+
+
+def test_neardup_gate_seed_and_compaction(spark, tmp_path):
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        compact_fingerprint_state,
+        neardup_ingest_foreach_batch,
+        read_fingerprints,
+        seed_fingerprints,
+    )
+
+    state = str(tmp_path / "st")
+    seed_fingerprints(
+        state, _fp_batch(spark, [(0, 7777)]), hash_col="dhash"
+    )
+    fn = neardup_ingest_foreach_batch(state, _IDENT_HASH, bit_width=56)
+    fn(_fp_batch(spark, [(1, 7777 ^ 0b1), (2, 12345)]), 0)  # 1 near seed
+    acc = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(state, "accepted", "e0")
+        ).collect()
+    ]
+    assert acc == [2]
+    fn(_fp_batch(spark, [(3, 54321)]), 1)
+    stats = compact_fingerprint_state(spark, state)
+    assert stats["folded_epochs"] == 2 and stats["through"] == 1
+    assert os.path.isdir(os.path.join(state, "fingerprints", "base-1"))
+    fps = {r["fp"] for r in read_fingerprints(spark, state).collect()}
+    assert fps == {7777, 7777 ^ 0b1, 12345, 54321}
+    fn(_fp_batch(spark, [(9, 99999)]), 1)  # replay across the boundary
+    assert not os.path.isdir(os.path.join(state, "fingerprints", "e1"))
+    fn(_fp_batch(spark, [(4, 12345 ^ 0b10)]), 2)  # near a compacted fp
+    assert spark.read.parquet(
+        os.path.join(state, "accepted", "e2")
+    ).isEmpty()
