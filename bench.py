@@ -127,6 +127,12 @@ HEADLINE = [
     "audio_neardup_pairs",
     "pq_index_merge",
     "curation_pipeline_v4",
+    # r10 additions: the PSL-exact domain rollup and the frozen NB
+    # classifier serve path. image_ingest_gate is headline-excluded
+    # like url_ingest_gate (epoch-machinery fixed cost dominates; it
+    # stays oracle-gated and scale-probed).
+    "domain_stats_psl",
+    "nb_source_predict_served",
 ]
 
 
@@ -145,6 +151,11 @@ ADJUDICATIONS = [
     "curation_pipeline_v4 (URL dedup -> Gopher gate -> paragraph dedup "
     "-> LM head/middle -> mixture plan); v3 remains oracle-gated in "
     "the registry.",
+    "r10: the previous-round artifact is now selected by SAME "
+    "scale-factor series (BENCH_SF1_r* for sf1 runs), so sf1 drift "
+    "adjudication is armed instead of silently skipped (VERDICT r9 "
+    "what's-wrong #1); cross-sf deltas can no longer appear in "
+    "delta_best_vs_prev.",
 ]
 
 

@@ -253,6 +253,17 @@ SHUFFLE_BUDGET = {
     # tail). URL dedup, the Gopher gate, and the paragraph/LM stages
     # materialize at construction (eager localCheckpoint handoffs —
     # disclosed, the curation_pipeline_v3/ccnet_pipeline pattern)
+    # round-10 additions
+    "domain_stats_psl": 3,          # host_stats agg + the PSL winner agg
+    # over DISTINCT hosts (metadata-scale) + the final domain rollup;
+    # the rule table and the host->domain map broadcast (4 BHJ)
+    "nb_source_predict_served": 3,  # serve side only: (doc, token) agg +
+    # (doc, class) score agg + the per-doc argmax window; all three
+    # model tables broadcast — no corpus pass, no train-time exchange
+    "image_ingest_gate": 0,         # materialized rows (3 dHash+banded
+    # admission batches + a deliberate replay ran through the
+    # foreachBatch machinery at construction — the url_ingest_gate
+    # proof shape on perceptual fingerprints)
     "drift_monitor_series": 0,      # materialized rows (reference seed +
     # 2 monitored batches ran through the drift operator at construction)
     "token_budget_admission": 0,    # materialized rows (3 budget-capped
