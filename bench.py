@@ -156,6 +156,13 @@ ADJUDICATIONS = [
     "adjudication is armed instead of silently skipped (VERDICT r9 "
     "what's-wrong #1); cross-sf deltas can no longer appear in "
     "delta_best_vs_prev.",
+    "r10: pq_index_merge carries a ~1.8s regression at sf0.1 — the "
+    "price of the ADVICE r9 correctness guards (vec_id disjointness "
+    "semi-join probe + unhonored-source-erasure probe, two "
+    "column-pruned scans of the codes' id column, plus the "
+    "position-sensitive xor term in quantizer_signature over the "
+    "vocab-sized quantizer tables). Accepted: the probes prevent "
+    "silently-duplicated serve results and false erasure claims.",
 ]
 
 
@@ -408,7 +415,11 @@ def main() -> None:
     (Path(__file__).resolve().parent / detail_name).write_text(
         json.dumps(detail, indent=1) + "\n"
     )
-    print(json.dumps(compact))
+    # compact separators: the driver records only the LAST 2000 chars of
+    # stdout, and the default ", "/": " separators cost ~150 chars at 65
+    # headline entries (the r10 line hit 1940 with them — one more round
+    # of growth would truncate the headline)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _prev_bench_paths(sf: str) -> list[str]:
