@@ -275,6 +275,36 @@ def registrable_domain_psl(
     )
 
 
+def domain_blocklist_filter_psl(
+    df: DataFrame,
+    blocklist: list[str],
+    psl: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Admission by REGISTRABLE-DOMAIN blocklist under the real PSL —
+    the level FineWeb-style blocklists actually act at: listing
+    ``example.co.uk`` must drop ``a.example.co.uk`` and
+    ``b.example.co.uk`` without listing every host, and must NOT drop
+    other ``co.uk`` registrants (the failure mode of the last-two-label
+    heuristic, which keys them all as ``co.uk``).
+
+    Plan: the corpus collapses to DISTINCT hosts (metadata-scale), the
+    PSL lookup maps host → registrable domain, the blocked-domain match
+    selects the (tiny) bad-host set, and the corpus pays ONE broadcast
+    anti-join on the host expression — blobs/text never shuffle, no
+    corpus-side aggregate."""
+    hosts = df.select(url_host(F.col(url_col)).alias("host")).distinct()
+    blocked = sorted({d.lower() for d in blocklist})
+    bad_hosts = registrable_domain_psl(hosts, psl).filter(
+        F.col("domain").isin(blocked)
+    ).select("host")
+    return df.join(
+        F.broadcast(bad_hosts),
+        url_host(F.col(url_col)) == bad_hosts["host"],
+        "left_anti",
+    )
+
+
 def domain_stats_psl(
     df: DataFrame,
     psl: DataFrame,

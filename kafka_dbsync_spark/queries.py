@@ -10878,13 +10878,14 @@ def _sql_psl_values() -> str:
     return ", ".join(f"('{b}', {p}, {q})" for b, p, q in psl_rows())
 
 
-@query(
-    "domain_stats_psl",
-    # The oracle replays the full PSL lookup: suffix candidates per
-    # DISTINCT host, join against the rule VALUES, arg_max on the
-    # published priority (exception >> most labels >> implicit '*'),
-    # then the (ps+1)-label suffix clamped to the host itself.
-    oracle=f"""
+def _sql_psl_rollup(where: str = "") -> str:
+    """The PSL-lookup + registrable-domain rollup oracle, shared by
+    domain_stats_psl (``where=''``) and domain_blocklist_psl (a domain
+    NOT-IN filter) so the two oracles can never drift: suffix
+    candidates per DISTINCT host, join against the rule VALUES, arg_max
+    on the published priority (exception >> most labels >> implicit
+    '*'), then the (ps+1)-label suffix clamped to the host itself."""
+    return f"""
     WITH d AS ({_SQL_PSL_URLS}),
     m AS (
       SELECT {{host}} AS host,
@@ -10921,13 +10922,16 @@ def _sql_psl_values() -> str:
            CAST(sum(hs.n_docs) AS BIGINT) AS n_docs,
            CAST(sum(hs.n_tokens) AS BIGINT) AS n_tokens
     FROM hs JOIN dom USING (host)
+    {where}
     GROUP BY domain
     """.format(
         host=_sql_url_host("url"),
         norm=_SQL_NORM.format(c="text"),
         values=_sql_psl_values(),
-    ),
-)
+    )
+
+
+@query("domain_stats_psl", oracle=_sql_psl_rollup())
 def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSL-exact registrable-domain rollup (operators/web.py::
     domain_stats_psl + registrable_domain_psl): per-host doc/token
@@ -11050,3 +11054,43 @@ def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+_PSL_DOMAIN_BLOCKLIST = ("example.co.uk", "city.kawasaki.jp", "foo0.bar.ck")
+
+
+@query(
+    "domain_blocklist_psl",
+    oracle=_sql_psl_rollup(
+        "WHERE dom.domain NOT IN "
+        + "(" + ", ".join(f"'{d}'" for d in _PSL_DOMAIN_BLOCKLIST) + ")"
+    ),
+)
+def q_domain_blocklist_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain blocklist admission under the real PSL
+    (operators/web.py::domain_blocklist_filter_psl) + the surviving
+    per-domain rollup: blocking ``example.co.uk`` drops every
+    ``shopN.example.co.uk`` host (without listing them), the
+    ``city.kawasaki.jp`` entry exercises the exception-rule key, and
+    ``foo0.bar.ck`` a registrable domain UNDER the ``*.ck`` wildcard
+    (note ``bar.ck`` itself is a public suffix there — listing it would
+    correctly block nothing) — while ``blogN.github.io`` registrants
+    under the SAME public suffix survive untouched. The
+    corpus pays one broadcast anti-join on the host expression; the PSL
+    lookup runs over distinct hosts only. Oracle = the shared PSL
+    rollup with the domain NOT-IN filter (blocked-then-rolled-up ≡
+    rolled-up-then-blocked: host→domain is deterministic)."""
+    from kafka_dbsync_spark.operators.web import (
+        domain_blocklist_filter_psl,
+        domain_stats_psl,
+        psl_rules,
+    )
+
+    docs = _with_psl_urls(load_table(spark, sf_dir, "documents"))
+    psl = psl_rules(spark)
+    kept = domain_blocklist_filter_psl(
+        docs, list(_PSL_DOMAIN_BLOCKLIST), psl, "url"
+    )
+    return domain_stats_psl(
+        kept, psl, "url", token_count_col=token_count("text")
+    )

@@ -271,3 +271,39 @@ def test_domain_stats_psl_rollup_and_plan(spark):
     assert got == {"brand.co.uk": (3, 3, 35), "other.net": (1, 1, 7)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_blocklist_filter_psl(spark):
+    """Blocking a registrable domain drops all its hosts without
+    listing them; OTHER registrants under the same public suffix
+    survive; listing a PUBLIC SUFFIX itself correctly blocks nothing
+    (no host's registrable domain ever equals a suffix)."""
+    from kafka_dbsync_spark.operators.web import (
+        domain_blocklist_filter_psl,
+        psl_rules,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.spam.co.uk/x"),
+            (2, "https://b.spam.co.uk/y"),
+            (3, "https://spam.co.uk/z"),
+            (4, "https://good.co.uk/w"),        # same suffix, other domain
+            (5, "https://foo.bar.ck/v"),        # registrable under *.ck
+        ],
+        "doc_id long, url string",
+    )
+    psl = psl_rules(spark)
+    kept = {
+        r["doc_id"]
+        for r in domain_blocklist_filter_psl(
+            df, ["SPAM.co.uk"], psl
+        ).collect()
+    }
+    assert kept == {4, 5}
+    # a public suffix on the list is a no-op, not a mass drop
+    noop = {
+        r["doc_id"]
+        for r in domain_blocklist_filter_psl(df, ["co.uk", "bar.ck"], psl).collect()
+    }
+    assert noop == {1, 2, 3, 4, 5}
