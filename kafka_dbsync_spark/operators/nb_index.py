@@ -141,6 +141,78 @@ def nb_model_is_current(
     )
 
 
+def nb_gate_foreach_batch(
+    model_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    keep_classes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Classifier admission at ingest — the GPT-3 pipeline's actual
+    gate (appendix A: a CommonCrawl document is kept when the FROZEN
+    quality classifier scores it reference-like; the classifier never
+    retrains per shard): a ``foreachBatch`` function that labels each
+    micro-batch against the persisted NB model
+    (:func:`nb_classify_served` — vocab-bound broadcast tables, no
+    corpus pass) and routes rows to ``accepted_dir`` (pred in
+    ``keep_classes``) or ``rejected_dir`` with the prediction attached
+    for audit; rows the tokenizer empties label NULL and reject as
+    'no_tokens'.
+
+    Replay safety is ``lm_gate_foreach_batch``'s contract verbatim:
+    outputs land under ``e{epoch}`` dirs, a redelivered epoch whose
+    outputs are both committed returns without writing, and a crash
+    between the two writes re-runs the epoch deterministically."""
+    keep = sorted({str(c) for c in keep_classes})
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        acc = os.path.join(accepted_dir, f"e{epoch_id}")
+        rej = os.path.join(rejected_dir, f"e{epoch_id}")
+        if os.path.exists(os.path.join(acc, "_SUCCESS")) and os.path.exists(
+            os.path.join(rej, "_SUCCESS")
+        ):
+            return  # replayed epoch: both outputs already committed
+        # classify only tokenizable rows (the fused nb_source_predict
+        # query pre-filters the same way — a normalized-empty doc would
+        # otherwise score through split('')'s single '' token); empties
+        # fall out of the left join as NULL pred -> 'no_tokens'.
+        # persist: the labeling lineage (batch scan + token agg + C-way
+        # model fanout + argmax window) feeds BOTH writes
+        from kafka_dbsync_spark.functions.text import token_count
+
+        scoreable = batch_df.filter(token_count(text_col) > 0)
+        labeled = batch_df.join(
+            nb_classify_served(
+                spark, model_path, scoreable, id_col, text_col
+            ),
+            id_col,
+            "left",
+        ).persist()
+        try:
+            labeled.filter(F.col("pred").isin(keep)).write.mode(
+                "overwrite"
+            ).parquet(acc)
+            (
+                labeled.filter(
+                    ~F.col("pred").isin(keep) | F.col("pred").isNull()
+                )
+                .withColumn(
+                    "reject_reason",
+                    F.when(
+                        F.col("pred").isNull(), F.lit("no_tokens")
+                    ).otherwise(F.lit("class_blocked")),
+                )
+                .write.mode("overwrite")
+                .parquet(rej)
+            )
+        finally:
+            labeled.unpersist()
+
+    return fn
+
+
 def nb_classify_served(
     spark: SparkSession,
     path: str,

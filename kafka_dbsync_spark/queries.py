@@ -11094,3 +11094,77 @@ def q_domain_blocklist_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats_psl(
         kept, psl, "url", token_count_col=token_count("text")
     )
+
+
+_NB_KEEP_CLASSES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@query(
+    "nb_ingest_gate",
+    # Batch-equivalence oracle: the frozen-classifier admission must
+    # equal predict-everything-then-filter — the nb_source_predict
+    # oracle (the SAME even-half frozen model arithmetic) wrapped with
+    # the keep-class filter and the arrival-batch tag.
+    oracle=f"""
+    WITH base AS ({ORACLES["nb_source_predict"]})
+    SELECT CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT)
+             AS batch,
+           doc_id, pred
+    FROM base WHERE pred IN {_NB_KEEP_CLASSES!r:s}
+    """,
+)
+def q_nb_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier admission at ingest, streaming (operators/
+    nb_index.py::nb_gate_foreach_batch — the GPT-3-style gate: keep a
+    document iff the FROZEN classifier labels it one of the wanted
+    classes): the even half trains the persisted NB model once (the
+    nb_source_predict_served cache, staleness-checked), then the odd
+    half arrives in two micro-batches routed against the frozen model
+    — no corpus pass, no retrain, epoch-dir outputs; epoch 1 is then
+    DELIBERATELY REPLAYED and must be a no-op. Returns the admitted
+    (batch, doc_id, pred) rows; the oracle is predict-everything-then-
+    filter over the same frozen-model arithmetic."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.nb_index import (
+        build_nb_model,
+        nb_gate_foreach_batch,
+        nb_model_is_current,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    train = docs_f.filter(F.col("doc_id") % 2 == 0)
+    arrivals = docs_f.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "batch",
+        F.when(F.col("doc_id") % 4 == 1, F.lit(1)).otherwise(F.lit(2)).cast("long"),
+    )
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    model = str(Path(tempfile.gettempdir()) / f"kds_nb_{sf_tag}")
+    if not nb_model_is_current(train, model, src_path=src):
+        build_nb_model(spark, train, model, src_path=src)
+    work = tempfile.mkdtemp(prefix="kds_nb_gate_")
+    try:
+        fn = nb_gate_foreach_batch(
+            model,
+            os.path.join(work, "accepted"),
+            os.path.join(work, "rejected"),
+            _NB_KEEP_CLASSES,
+        )
+        for b in (1, 2):
+            fn(arrivals.filter(F.col("batch") == b), b)
+        fn(arrivals.filter(F.col("batch") == 1), 1)  # replay: no-op
+        out = spark.read.parquet(
+            os.path.join(work, "accepted", "e1"),
+            os.path.join(work, "accepted", "e2"),
+        ).select("batch", "doc_id", "pred")
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch bigint, doc_id bigint, pred string"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -110,3 +110,47 @@ def test_serve_refuses_missing_model_and_vanished_generation(
     with pytest.raises(ValueError, match="missing generation"):
         nb_classify_served(spark, path, score)
     assert not nb_model_is_current(train, path)  # rebuild path stays open
+
+
+def test_nb_gate_routes_and_replays(spark, tmp_path):
+    """Frozen-classifier admission: wanted classes route to accepted,
+    others to rejected with the prediction attached, token-empty rows
+    reject as 'no_tokens'; a replayed epoch with different data is a
+    no-op (outputs already committed)."""
+    from kafka_dbsync_spark.operators.nb_index import nb_gate_foreach_batch
+
+    train = spark.createDataFrame(
+        [
+            (0, "good", "alpha beta alpha gamma"),
+            (2, "good", "alpha gamma beta"),
+            (4, "bad", "zeta eta zeta theta"),
+            (6, "bad", "eta theta zeta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    model = str(tmp_path / "nb")
+    build_nb_model(spark, train, model)
+    acc, rej = str(tmp_path / "acc"), str(tmp_path / "rej")
+    fn = nb_gate_foreach_batch(model, acc, rej, ["good"])
+    batch = spark.createDataFrame(
+        [
+            (11, "alpha beta gamma"),     # -> good -> accepted
+            (13, "zeta eta theta"),       # -> bad  -> class_blocked
+            (15, "...!!!"),               # normalizes empty -> no_tokens
+        ],
+        "doc_id long, text string",
+    )
+    fn(batch, 0)
+    got_acc = [r["doc_id"] for r in spark.read.parquet(f"{acc}/e0").collect()]
+    assert got_acc == [11]
+    got_rej = {
+        r["doc_id"]: (r["pred"], r["reject_reason"])
+        for r in spark.read.parquet(f"{rej}/e0").collect()
+    }
+    assert got_rej == {13: ("bad", "class_blocked"),
+                       15: (None, "no_tokens")}
+    # committed-epoch replay with DIFFERENT data: untouched no-op
+    fn(batch.withColumn("doc_id", F.col("doc_id") + 100), 0)
+    assert [
+        r["doc_id"] for r in spark.read.parquet(f"{acc}/e0").collect()
+    ] == [11]
