@@ -655,6 +655,87 @@ def audio_neardup_pairs(
     )
 
 
+_VIDEO_FRAME_STRIDE = 1024
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    frame_bytes: int = 64,
+    in_w: int = 8,
+    in_h: int = 8,
+    every_n: int = 1,
+    max_frames: int = 16,
+    min_matches: int = 3,
+    bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int = 32,
+) -> DataFrame:
+    """Video near-duplicate pairs by FRAME-FINGERPRINT VOTING — the
+    standard video-dedup recipe (sample frames, perceptual-hash each,
+    call two videos near-dups when enough frames match): a re-encoded
+    or lightly-edited copy shares most frame fingerprints even when no
+    byte of the container matches.
+
+    Pipeline, all shared machinery: :func:`multimodal.sample_frames`
+    fans each video into its sampled raw frames (one Arrow pass over
+    the blobs — the only time media bytes are touched),
+    :func:`multimodal.image_dhash` fingerprints every frame, the frames
+    ride :func:`hash_neardup_pairs`' banding under a composite
+    ``video_id × 1024 + frame_idx`` key (so frame rows need no struct
+    key; ``max_frames × every_n`` must stay < 1024), cross-VIDEO frame
+    matches vote per video pair, and a pair survives at
+    ``min_matches`` distinct matching anchor frames (anchor = the
+    lower-id video's frame index, so a frame matching several frames of
+    the other video counts once).
+
+    Output: (id_a, id_b, n_matched_frames) with id_a < id_b and
+    ``n_matched_frames >= min_matches``. At 100 TB the shuffle carries
+    (frame-key, band) longs only — frames and videos never shuffle."""
+    from kafka_dbsync_spark.operators.multimodal import (
+        image_dhash,
+        sample_frames,
+    )
+
+    if max_frames * every_n >= _VIDEO_FRAME_STRIDE:
+        raise ValueError(
+            f"max_frames * every_n must be < {_VIDEO_FRAME_STRIDE} "
+            "(frame indexes pack into the composite key)"
+        )
+    bit_width = in_h * (in_w - 1)
+    frames = sample_frames(
+        df, id_col, blob_col, frame_bytes=frame_bytes, every_n=every_n,
+        max_frames=max_frames,
+    )
+    keyed = frames.select(
+        (
+            F.col(id_col) * _VIDEO_FRAME_STRIDE + F.col("frame_idx")
+        ).alias("fid"),
+        "frame",
+    )
+    hashes = image_dhash(keyed, "fid", "frame", in_w=in_w, in_h=in_h)
+    pairs = hash_neardup_pairs(
+        hashes, "fid", "dhash", bit_width, bands, hamming_max,
+        max_bucket_size,
+    )
+    s = _VIDEO_FRAME_STRIDE
+    va = F.expr(f"id_a div {s}")
+    vb = F.expr(f"id_b div {s}")
+    anchor = F.when(va < vb, F.col("id_a") % s).otherwise(F.col("id_b") % s)
+    return (
+        pairs.filter(va != vb)
+        .select(
+            F.least(va, vb).alias("id_a"),
+            F.greatest(va, vb).alias("id_b"),
+            anchor.alias("__anchor"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("__anchor").alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= min_matches)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -11168,3 +11168,118 @@ def q_nb_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _planted_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 4-frame raw videos with PLANTED near-duplicates: frame
+    j of a doc's video is the 64 deterministic ascii bytes of
+    md5(text || '#j') twice (the multimodal fixture convention); every
+    7th doc gets a twin (id + 1e6) sharing frame 0 and 2 exactly,
+    frame 1 within a one-character edit (≤ 2 dHash bits), and frame 3
+    REPLACED entirely — so twins vote 3 of 4 frames and unrelated
+    videos vote none. (The +1e6 id shift is ≡ 0 mod 64, so the edit
+    position arithmetic is alias-resolution-proof in both engines,
+    the _planted_images trick.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def frame(j):
+        m = F.md5(F.concat(F.col("text"), F.lit(f"#{j}")))
+        return F.concat(m, m)
+
+    base = docs.select(
+        "doc_id", F.concat(frame(0), frame(1), frame(2), frame(3)).alias("s")
+    )
+    tw = docs.filter(F.col("doc_id") % 7 == 0)
+    f1_edit = F.overlay(
+        frame(1), F.lit("0"), (F.col("doc_id") % 64 + 1).cast("int"), F.lit(1)
+    )
+    mx = F.md5(F.concat(F.col("text"), F.lit("X")))
+    mut = tw.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(frame(0), f1_edit, frame(2), F.concat(mx, mx)).alias("s"),
+    )
+    return base.unionByName(mut).select(
+        "doc_id", F.encode("s", "utf-8").alias("blob")
+    )
+
+
+@query(
+    "video_neardup_pairs",
+    # The oracle replays frames, per-frame dHash, the banded-bucket cap
+    # algebra (the image_neardup_pairs mirror, keyed on the composite
+    # frame id), exact Hamming, then the per-video-pair anchor vote.
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, j AS fidx,
+             md5(text || '#' || CAST(j AS VARCHAR))
+               || md5(text || '#' || CAST(j AS VARCHAR)) AS s
+      FROM documents, UNNEST(range(0, 4)) AS t(j)
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, fidx,
+             CASE fidx
+               WHEN 1 THEN substr(s0, 1, doc_id % 64) || '0'
+                           || substr(s0, doc_id % 64 + 2)
+               WHEN 3 THEN md5(text || 'X') || md5(text || 'X')
+               ELSE s0 END AS s
+      FROM (
+        SELECT doc_id, text, j AS fidx,
+               md5(text || '#' || CAST(j AS VARCHAR))
+                 || md5(text || '#' || CAST(j AS VARCHAR)) AS s0
+        FROM documents, UNNEST(range(0, 4)) AS t(j)
+        WHERE doc_id % 7 = 0
+      )
+    ), h AS (
+      SELECT doc_id * 1024 + fidx AS fid, {_SQL_IMG_DHASH} AS dh FROM fr
+    ), bands AS (
+      SELECT fid, b.b AS band_idx, (dh >> (14 * b.b)) & 16383 AS band_val
+      FROM h, (SELECT unnest(range(0, 4)) AS b) b
+    ), sized AS (
+      SELECT fid, band_idx, band_val,
+             count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             min(fid) OVER (PARTITION BY band_idx, band_val) AS mn
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.fid AS id_a, b.fid AS id_b
+        FROM sized a JOIN sized b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.fid < b.fid
+        WHERE a.n <= 32
+        UNION ALL
+        SELECT mn AS id_a, fid AS id_b
+        FROM sized WHERE n > 32 AND fid <> mn
+      )
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN h a ON cand.id_a = a.fid JOIN h b ON cand.id_b = b.fid
+      WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    ), v AS (
+      SELECT least(id_a // 1024, id_b // 1024) AS va,
+             greatest(id_a // 1024, id_b // 1024) AS vb,
+             CASE WHEN id_a // 1024 < id_b // 1024
+                  THEN id_a % 1024 ELSE id_b % 1024 END AS anchor
+      FROM pairs WHERE id_a // 1024 <> id_b // 1024
+    )
+    SELECT va AS id_a, vb AS id_b,
+           CAST(count(DISTINCT anchor) AS BIGINT) AS n_matched_frames
+    FROM v GROUP BY va, vb HAVING count(DISTINCT anchor) >= 3
+    """,
+)
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection by frame-fingerprint voting
+    (operators/dedup.py::video_neardup_pairs) over the planted-twin
+    video corpus: sample_frames fans each 4-frame raw video out
+    (the only pass over media bytes), image_dhash fingerprints every
+    frame, cross-video frame matches ride the SAME banded machinery as
+    the image/audio/text paths under a composite video×1024+frame key,
+    and a video pair survives at ≥ 3 distinct matching anchor frames —
+    a re-encoded copy with one edited and one replaced frame still
+    dedups; unrelated videos share nothing. The oracle replays every
+    stage including the bucket-cap algebra."""
+    from kafka_dbsync_spark.operators.dedup import video_neardup_pairs
+
+    vids = _planted_videos(spark, sf_dir)
+    return video_neardup_pairs(
+        vids, "doc_id", "blob", frame_bytes=64, every_n=1, max_frames=4,
+        min_matches=3,
+    )

@@ -532,3 +532,50 @@ def test_lsh_recall_curve_monotone_in_bands(spark):
     for a, b in ((1, 2), (2, 4), (4, 8)):
         assert rows[a]["recall_bp"] >= rows[b]["recall_bp"]
     assert all(r["n_found"] <= r["n_true"] for r in rows.values())
+
+
+def test_video_neardup_frame_voting(spark):
+    """Frame-vote semantics: a twin sharing 3 of 4 frames (one within a
+    small edit) dedups at min_matches=3; one frame matching MANY frames
+    of the other video still counts as ONE anchor vote; unrelated
+    videos never pair; the composite-key stride guard raises."""
+    import hashlib
+
+    import pytest as _pt
+
+    from kafka_dbsync_spark.operators.dedup import video_neardup_pairs
+
+    def fr(tag):  # one deterministic 64-byte ascii frame
+        m = hashlib.md5(tag.encode()).hexdigest()
+        return (m + m).encode()
+
+    def edit(frame, pos):  # one-character edit: <= 2 dHash bits
+        b = bytearray(frame)
+        b[pos] = ord("0")
+        return bytes(b)
+
+    a = fr("a0") + fr("a1") + fr("a2") + fr("a3")
+    twin = fr("a0") + edit(fr("a1"), 7) + fr("a2") + fr("zz")
+    other = fr("b0") + fr("b1") + fr("b2") + fr("b3")
+    rep = fr("a0") * 4  # every frame = a's frame 0
+    df = spark.createDataFrame(
+        [(1, a), (2, twin), (3, other), (4, rep)],
+        "doc_id long, blob binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_matched_frames"]
+        for r in video_neardup_pairs(
+            df, frame_bytes=64, every_n=1, max_frames=4, min_matches=3
+        ).collect()
+    }
+    assert got == {(1, 2): 3}  # rep (4) matches only 1 anchor -> below bar
+    votes_all = {
+        (r["id_a"], r["id_b"]): r["n_matched_frames"]
+        for r in video_neardup_pairs(
+            df, frame_bytes=64, every_n=1, max_frames=4, min_matches=1
+        ).collect()
+    }
+    assert votes_all[(1, 4)] == 1 and votes_all[(2, 4)] == 1
+    assert (1, 3) not in votes_all and (2, 3) not in votes_all
+    with _pt.raises(ValueError, match="must be <"):
+        video_neardup_pairs(df, max_frames=2000, every_n=1)
