@@ -20,18 +20,21 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-10 rotation (VERDICT r9 "Next round" #1): the window front-loads
-# (a) the 3 queries NEW in round 10 (domain_stats_psl /
-# nb_source_predict_served / image_ingest_gate), (b) the 2 round-9
+# (a) the 6 queries NEW in round 10 (domain_stats_psl /
+# nb_source_predict_served / image_ingest_gate, then the second-half
+# additions domain_blocklist_psl / nb_ingest_gate /
+# video_neardup_pairs — registered the same round they landed, the
+# driver-gate-contract rule the r9 window cut violated), (b) the 2 round-9
 # queries that were added after the r9 window cut and have NEVER had a
 # driver row (cluster_prototypes, contamination_report), (c) the 4
 # carried queries whose ON-PATH behavior changed this round
 # (url_dedup / url_ingest_gate / curation_pipeline_v4 — normalized_url's
 # utm_/slash steps were re-anchored, ADVICE r9; pq_index_merge —
 # quantizer_signature gained a position-sensitive xor term computed on
-# the gate path), then (d) 41 of the 47 queries whose newest driver row
+# the gate path), then (d) 38 of the 47 queries whose newest driver row
 # dates to round 6 (computed from the CORRECTNESS_r* files).
-# That fills 50 exactly. The 6 r6-stale rows that DID NOT FIT —
-# the candidate set is 47 stale + 5 never-gated + 4 changed = 56 — cede
+# That fills 50 exactly. The 9 r6-stale rows that DID NOT FIT —
+# the candidate set is 47 stale + 8 never-gated + 4 changed = 59 — cede
 # with the strongest alternate validation, each carrying an r6 row into
 # round 11 (front-load them there):
 #   pq_index_add        oracle verbatim = pq_index_merge (in-window,
@@ -49,12 +52,21 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #   incremental_hourly  oracle verbatim = events_hourly (r8 row);
 #                       incremental machinery pinned in
 #                       tests/test_incremental.py
-# All 6 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
+#   multimodal_meta     narrow mapInPandas metadata pass, pinned in
+#                       tests/test_multimodal.py
+#   hash_sample         narrow deterministic-hash filter, pytest-pinned
+#   zorder_values       pure narrow bit arithmetic, pytest-pinned
+# (the last three ceded to the second-half round-10 queries: gate
+# integrity for NEW code outranks re-gating unchanged narrow ops)
+# All 9 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 10 — never driver-checked
     "domain_stats_psl",
     "nb_source_predict_served",
     "image_ingest_gate",
+    "domain_blocklist_psl",
+    "nb_ingest_gate",
+    "video_neardup_pairs",
     # (b) added after the r9 window cut — never driver-checked
     "cluster_prototypes",
     "contamination_report",
@@ -63,7 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "url_ingest_gate",
     "curation_pipeline_v4",
     "pq_index_merge",
-    # (d) round-6-stale rows (41 of 47; the 6 cessions above)
+    # (d) round-6-stale rows (38 of 47; the 9 cessions above)
     "ann_blocked_topk",
     "balanced_sample",
     "bm25_search",
@@ -77,14 +89,12 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_chunks",
     "embedding_neardup_pairs",
     "funnel_conversion",
-    "hash_sample",
     "hot_key_report",
     "ivf_assign",
     "ivf_centroids",
     "ivf_search",
     "ivfpq_search_multi",
     "ivfpq_search_refined",
-    "multimodal_meta",
     "nation_pair_flows",
     "ngram_bigrams",
     "ngram_jaccard_dedup",
@@ -104,7 +114,6 @@ _DRIVER_PRIORITY: list[str] = [
     "value_histogram",
     "vector_lsh_buckets",
     "vocab_topk",
-    "zorder_values",
 ]
 
 

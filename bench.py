@@ -127,12 +127,15 @@ HEADLINE = [
     "audio_neardup_pairs",
     "pq_index_merge",
     "curation_pipeline_v4",
-    # r10 additions: the PSL-exact domain rollup and the frozen NB
-    # classifier serve path. image_ingest_gate is headline-excluded
-    # like url_ingest_gate (epoch-machinery fixed cost dominates; it
-    # stays oracle-gated and scale-probed).
+    # r10 additions: the PSL-exact domain rollup + blocklist, the
+    # frozen NB classifier serve path, and video frame-vote dedup.
+    # image_ingest_gate / nb_ingest_gate are headline-excluded like
+    # url_ingest_gate (epoch-machinery fixed cost dominates; both stay
+    # oracle-gated and scale-probed).
     "domain_stats_psl",
     "nb_source_predict_served",
+    "domain_blocklist_psl",
+    "video_neardup_pairs",
 ]
 
 

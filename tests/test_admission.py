@@ -837,3 +837,53 @@ def test_neardup_gate_seed_and_compaction(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(state, "accepted", "e2")
     ).isEmpty()
+
+
+def test_neardup_gate_audio_modality_e2e(spark, tmp_path):
+    """hash_fn genericity E2E: the SAME gate runs the audio modality —
+    audio_dhash fingerprints arriving PCM blobs (56-bit contour hash),
+    a later batch's near-identical clip (one sample nudged) is dropped
+    against the committed state without re-reading any stored blob."""
+    import hashlib
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+    )
+    from kafka_dbsync_spark.operators.multimodal import audio_dhash
+
+    def clip(tag):  # 8 DISTINCT md5 blocks -> aperiodic contour (r9 lesson)
+        return b"".join(
+            hashlib.md5(f"{tag}:{i}".encode()).digest() for i in range(15)
+        )[: 4 * 57]
+
+    base = clip("song")
+    tweaked = bytearray(base)
+    tweaked[9] = (tweaked[9] + 1) % 256  # nudge one sample
+    state = str(tmp_path / "st")
+    fn = neardup_ingest_foreach_batch(
+        state,
+        hash_fn=lambda df: audio_dhash(df, "doc_id", "blob"),
+        hash_col="ahash",
+        bit_width=56,
+    )
+    fn(
+        spark.createDataFrame(
+            [(1, base), (2, clip("other"))], "doc_id long, blob binary"
+        ),
+        0,
+    )
+    fn(
+        spark.createDataFrame(
+            [(3, bytes(tweaked)), (4, clip("third"))],
+            "doc_id long, blob binary",
+        ),
+        1,
+    )
+    acc1 = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(state, "accepted", "e1")).collect()
+    ]
+    assert acc1 == [4]
+    dup = spark.read.parquet(os.path.join(state, "duplicates", "e1")).head()
+    assert dup["doc_id"] == 3 and dup["dup_reason"] == "previously_seen_neardup"

@@ -260,6 +260,18 @@ SHUFFLE_BUDGET = {
     "nb_source_predict_served": 3,  # serve side only: (doc, token) agg +
     # (doc, class) score agg + the per-doc argmax window; all three
     # model tables broadcast — no corpus pass, no train-time exchange
+    "domain_blocklist_psl": 4,      # the PSL winner agg over distinct
+    # hosts (feeding the broadcast bad-host anti-join) + host_stats agg
+    # + winner agg again for the rollup's domain map + the final domain
+    # agg; blocklist match and host->domain maps all broadcast (10 BHJ)
+    "nb_ingest_gate": 0,            # materialized rows (2 frozen-model
+    # classified batches + a deliberate replay ran through
+    # nb_gate_foreach_batch at construction — the url_ingest_gate
+    # proof shape on classifier admission)
+    "video_neardup_pairs": 5,       # frame-fan parallelism repartition
+    # (mapInPandas) + the banded (band_idx, band_val) window + the
+    # candidate-pair distinct + the per-video-pair vote agg + its
+    # count-distinct Expand; hash-table joins broadcast
     "image_ingest_gate": 0,         # materialized rows (3 dHash+banded
     # admission batches + a deliberate replay ran through the
     # foreachBatch machinery at construction — the url_ingest_gate
