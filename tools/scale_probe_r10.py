@@ -20,6 +20,9 @@ NEW = [
     "domain_stats_psl",
     "nb_source_predict_served",
     "image_ingest_gate",
+    "domain_blocklist_psl",
+    "nb_ingest_gate",
+    "video_neardup_pairs",
 ]
 
 
