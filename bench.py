@@ -129,9 +129,9 @@ HEADLINE = [
     "curation_pipeline_v4",
     # r10 additions: the PSL-exact domain rollup + blocklist, the
     # frozen NB classifier serve path, and video frame-vote dedup.
-    # image_ingest_gate / nb_ingest_gate are headline-excluded like
-    # url_ingest_gate (epoch-machinery fixed cost dominates; both stay
-    # oracle-gated and scale-probed).
+    # image_ingest_gate / nb_ingest_gate / contamination_ingest_gate are
+    # headline-excluded like url_ingest_gate (epoch/gate-machinery fixed
+    # cost dominates; all stay oracle-gated and scale-probed).
     "domain_stats_psl",
     "nb_source_predict_served",
     "domain_blocklist_psl",

@@ -1239,16 +1239,43 @@ def contamination_stats(
     Same plan shape as the filter: the benchmark shingle set is
     broadcast (eval sets are tiny next to a corpus), the corpus side
     is one explode + one map-side-combined per-doc aggregate.
-    Output: (id, n_grams, n_hit, overlap_bp)."""
-    corpus_sh = with_shingles(docs, text_col, k=k).select(
-        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("__g")
+    Output: (id, n_grams, n_hit, overlap_bp).
+
+    Split so the persisted-benchmark twin (``operators/
+    decontam_index.py``) scores against a FROZEN gram table with the
+    same arithmetic: :func:`benchmark_grams` builds the set,
+    :func:`contamination_stats_against` measures against any gram
+    frame."""
+    return contamination_stats_against(
+        docs, benchmark_grams(benchmark, text_col, k), id_col, text_col, k
     )
-    bench_sh = (
+
+
+def benchmark_grams(
+    benchmark: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """The benchmark's distinct word-``k``-gram set as a one-column
+    (``__g``) frame — the artifact ``decontam_index.py`` persists."""
+    return (
         with_shingles(benchmark, text_col, k=k)
         .select(F.explode(F.array_distinct("shingles")).alias("__g"))
         .distinct()
-        .withColumn("__hit", F.lit(1))
     )
+
+
+def contamination_stats_against(
+    docs: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """:func:`contamination_stats` against a pre-built (possibly
+    frozen/persisted) benchmark gram set."""
+    corpus_sh = with_shingles(docs, text_col, k=k).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("__g")
+    )
+    bench_sh = bench_grams.select("__g").withColumn("__hit", F.lit(1))
     return (
         corpus_sh.join(F.broadcast(bench_sh), "__g", "left")
         .groupBy(id_col)

@@ -1,0 +1,180 @@
+"""Persisted benchmark-contamination index: freeze the eval set once,
+gate every arriving shard against it.
+
+The published decontamination methodology (GPT-3 appendix C / Llama 2
+A.6) removes training documents that overlap the BENCHMARK suite — a
+fixed, rarely-changing reference set. At pipeline scale that makes the
+benchmark's distinct word-k-gram table a build-once artifact (KBs–MBs;
+eval suites are tiny next to a corpus), and decontamination an
+admission FILTER every ingest batch runs — not a batch job that
+re-shingles the benchmark per invocation.
+
+Artifacts under ``{path}`` (the shared ``lm_index.publish_generation``
+protocol — immutable fingerprint-named generation dirs, atomic staging
+rename, marker-flips-last, loser-discards):
+
+    gen-{fingerprint}/grams   (__g)  distinct benchmark k-grams
+    _COMPLETE                 marker: k, the benchmark fingerprint,
+                              the live generation name
+
+Scoring arithmetic is shared with the batch instrument by construction
+(``corpus.contamination_stats_against``): per arriving doc, the
+fraction of its distinct k-grams colliding with the frozen set in
+exact floor basis points; the gate admits below ``max_bp`` and rejects
+at/above it with the measurement attached for audit. Docs whose text
+normalizes empty produce no gram rows and admit with ``overlap_bp = 0``
+(nothing to collide).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_dbsync_spark.operators.corpus import (
+    benchmark_grams,
+    contamination_stats_against,
+)
+from kafka_dbsync_spark.operators.lm_index import (
+    _MARKER,
+    _gen_name,
+    corpus_fingerprint,
+    lm_model_is_current,
+    publish_generation,
+)
+
+
+def build_benchmark_index(
+    spark: SparkSession,
+    benchmark: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+) -> None:
+    """One benchmark pass → the persisted distinct k-gram table."""
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
+
+    fp = fingerprint or corpus_fingerprint(benchmark, id_col, text_col)
+    gen = _gen_name(fp)
+
+    def write_stage(stage: str) -> None:
+        benchmark_grams(benchmark, text_col, k).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/grams")
+
+    rec: dict = {"fingerprint": fp, "k": int(k)}
+    if src_path is not None:
+        rec["src_sig"] = files_signature(src_path)
+    publish_generation(path, gen, write_stage, rec)
+
+
+def benchmark_index_is_current(
+    benchmark: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+    force_exact: bool = False,
+) -> bool:
+    """True iff the persisted gram table is servable AND built from the
+    current benchmark — the marker shape is model-agnostic, so the LM
+    checker validates this cache unchanged (metadata-only happy path
+    with ``src_path``)."""
+    return lm_model_is_current(
+        benchmark, path, id_col, text_col,
+        fingerprint=fingerprint, src_path=src_path, force_exact=force_exact,
+    )
+
+
+def _read_index(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"no complete benchmark index at {path}; "
+            "build_benchmark_index first."
+        ) from e
+    gen = meta.get("gen")
+    gen_dir = os.path.join(path, gen) if gen else None
+    if not gen_dir or not os.path.isdir(gen_dir):
+        raise ValueError(
+            f"benchmark index marker at {path} references missing "
+            f"generation {gen!r}; rebuild with build_benchmark_index."
+        )
+    return spark.read.parquet(f"{gen_dir}/grams"), int(meta.get("k", 8))
+
+
+def contamination_score_served(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Measure new documents against the FROZEN benchmark gram table —
+    ``contamination_stats`` arithmetic, no benchmark pass. ``k`` rides
+    in the marker so the scorer is self-describing."""
+    grams, k = _read_index(spark, path)
+    return contamination_stats_against(
+        new_docs, grams, id_col, text_col, k
+    )
+
+
+def contamination_gate_foreach_batch(
+    index_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    max_bp: int = 8000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Decontamination at ingest: a ``foreachBatch`` function that
+    measures each micro-batch against the FROZEN benchmark index and
+    routes docs to ``accepted_dir`` (``overlap_bp < max_bp``) or
+    ``rejected_dir`` (the Llama-2-style dirty threshold, measurement
+    attached for audit). Text that produces no grams admits with
+    ``overlap_bp = 0``. Replay contract = ``lm_gate_foreach_batch``'s:
+    ``e{epoch}`` output dirs, deterministic overwrite, post-commit
+    replay no-op. Stateless across batches — the benchmark is the only
+    state, and it is frozen."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        acc = os.path.join(accepted_dir, f"e{epoch_id}")
+        rej = os.path.join(rejected_dir, f"e{epoch_id}")
+        if os.path.exists(os.path.join(acc, "_SUCCESS")) and os.path.exists(
+            os.path.join(rej, "_SUCCESS")
+        ):
+            return  # replayed epoch: both outputs already committed
+        scored = batch_df.join(
+            contamination_score_served(
+                spark, index_path, batch_df, id_col, text_col
+            ).select(id_col, "overlap_bp"),
+            id_col,
+            "left",
+        ).withColumn(
+            "overlap_bp", F.coalesce(F.col("overlap_bp"), F.lit(0))
+        ).persist()
+        try:
+            scored.filter(F.col("overlap_bp") < max_bp).write.mode(
+                "overwrite"
+            ).parquet(acc)
+            (
+                scored.filter(F.col("overlap_bp") >= max_bp)
+                .withColumn("reject_reason", F.lit("benchmark_overlap"))
+                .write.mode("overwrite")
+                .parquet(rej)
+            )
+        finally:
+            scored.unpersist()
+
+    return fn

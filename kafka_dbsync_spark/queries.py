@@ -11283,3 +11283,80 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         vids, "doc_id", "blob", frame_bytes=64, every_n=1, max_frames=4,
         min_matches=3,
     )
+
+
+@query(
+    "contamination_ingest_gate",
+    # Batch-equivalence oracle: per-doc overlap basis points against the
+    # frozen benchmark gram set (the contamination_report arithmetic),
+    # admitted below the Llama-2-style 80% dirty threshold.
+    oracle=f"""
+    WITH s AS ({_sql_shingles8(f"({_SQL_PLANTED})")}),
+    x AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+    b AS (SELECT DISTINCT g FROM x WHERE doc_id >= 1000000),
+    per AS (
+      SELECT x.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM x LEFT JOIN b ON x.g = b.g
+      WHERE x.doc_id < 1000000 GROUP BY x.doc_id
+    )
+    SELECT CAST(doc_id % 2 + 1 AS BIGINT) AS batch, doc_id,
+           CAST(n_hit * 10000 // n_grams AS BIGINT) AS overlap_bp
+    FROM per WHERE n_hit * 10000 // n_grams < 8000
+    """,
+)
+def q_contamination_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at ingest (operators/decontam_index.py): the
+    benchmark eval set freezes ONCE into a persisted distinct-8-gram
+    index (the shared atomic generation-publish protocol, metadata-only
+    staleness), then the corpus arrives in two micro-batches gated by
+    contamination_gate_foreach_batch — each doc's benchmark-overlap
+    basis points computed against the FROZEN gram table (no benchmark
+    pass at gate time), admitted under the Llama-2-style 80% dirty
+    threshold, rejected with the measurement attached. Epoch 1 is then
+    DELIBERATELY REPLAYED and must be a no-op. Every planted twin's
+    source doc (~100% overlap) is rejected; clean docs flow through."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.decontam_index import (
+        benchmark_index_is_current,
+        build_benchmark_index,
+        contamination_gate_foreach_batch,
+    )
+
+    planted = _planted_docs(spark, sf_dir)
+    bench = planted.filter(F.col("doc_id") >= 1000000)
+    corpus = planted.filter(F.col("doc_id") < 1000000).withColumn(
+        "batch", (F.col("doc_id") % 2 + 1).cast("long")
+    )
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_decon_{sf_tag}")
+    if not benchmark_index_is_current(bench, cache, src_path=src):
+        build_benchmark_index(spark, bench, cache, src_path=src)
+    work = tempfile.mkdtemp(prefix="kds_decon_gate_")
+    try:
+        fn = contamination_gate_foreach_batch(
+            cache,
+            os.path.join(work, "accepted"),
+            os.path.join(work, "rejected"),
+            max_bp=8000,
+        )
+        for b in (1, 2):
+            fn(corpus.filter(F.col("batch") == b), b)
+        fn(corpus.filter(F.col("batch") == 1), 1)  # replay: no-op
+        out = spark.read.parquet(
+            os.path.join(work, "accepted", "e1"),
+            os.path.join(work, "accepted", "e2"),
+        ).select("batch", "doc_id", "overlap_bp")
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch bigint, doc_id bigint, overlap_bp bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

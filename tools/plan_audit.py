@@ -272,6 +272,9 @@ SHUFFLE_BUDGET = {
     # (mapInPandas) + the banded (band_idx, band_val) window + the
     # candidate-pair distinct + the per-video-pair vote agg + its
     # count-distinct Expand; hash-table joins broadcast
+    "contamination_ingest_gate": 0, # materialized rows (2 batches gated
+    # against the frozen benchmark gram table + a deliberate replay ran
+    # at construction — the stateless decontamination admission filter)
     "image_ingest_gate": 0,         # materialized rows (3 dHash+banded
     # admission batches + a deliberate replay ran through the
     # foreachBatch machinery at construction — the url_ingest_gate

@@ -23,6 +23,7 @@ NEW = [
     "domain_blocklist_psl",
     "nb_ingest_gate",
     "video_neardup_pairs",
+    "contamination_ingest_gate",
 ]
 
 
