@@ -20,10 +20,11 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-10 rotation (VERDICT r9 "Next round" #1): the window front-loads
-# (a) the 7 queries NEW in round 10 (domain_stats_psl /
+# (a) the 8 queries NEW in round 10 (domain_stats_psl /
 # nb_source_predict_served / image_ingest_gate, then the second-half
 # additions domain_blocklist_psl / nb_ingest_gate /
-# video_neardup_pairs / contamination_ingest_gate — registered the same round they landed, the
+# video_neardup_pairs / contamination_ingest_gate /
+# curation_front_door — registered the same round they landed, the
 # driver-gate-contract rule the r9 window cut violated), (b) the 2 round-9
 # queries that were added after the r9 window cut and have NEVER had a
 # driver row (cluster_prototypes, contamination_report), (c) the 4
@@ -31,10 +32,10 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # (url_dedup / url_ingest_gate / curation_pipeline_v4 — normalized_url's
 # utm_/slash steps were re-anchored, ADVICE r9; pq_index_merge —
 # quantizer_signature gained a position-sensitive xor term computed on
-# the gate path), then (d) 37 of the 47 queries whose newest driver row
+# the gate path), then (d) 36 of the 47 queries whose newest driver row
 # dates to round 6 (computed from the CORRECTNESS_r* files).
-# That fills 50 exactly. The 10 r6-stale rows that DID NOT FIT —
-# the candidate set is 47 stale + 9 never-gated + 4 changed = 60 — cede
+# That fills 50 exactly. The 11 r6-stale rows that DID NOT FIT —
+# the candidate set is 47 stale + 10 never-gated + 4 changed = 61 — cede
 # with the strongest alternate validation, each carrying an r6 row into
 # round 11 (front-load them there):
 #   pq_index_add        oracle verbatim = pq_index_merge (in-window,
@@ -59,9 +60,12 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #   topk_per_group      plain per-group rank<=k window, pytest-pinned;
 #                       the windowed-TopK shape has a fresh driver row
 #                       via weighted_sample_by_lang
-# (the last four ceded to the second-half round-10 queries: gate
+#   dedup_clusters      the LSH->components->cluster machinery has
+#                       fresh rows via canonical_docs (>=r7) and the
+#                       in-window minhash/simhash pair queries
+# (the last five ceded to the second-half round-10 queries: gate
 # integrity for NEW code outranks re-gating unchanged narrow ops)
-# All 10 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
+# All 11 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 10 — never driver-checked
     "domain_stats_psl",
@@ -71,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "nb_ingest_gate",
     "video_neardup_pairs",
     "contamination_ingest_gate",
+    "curation_front_door",
     # (b) added after the r9 window cut — never driver-checked
     "cluster_prototypes",
     "contamination_report",
@@ -79,7 +84,7 @@ _DRIVER_PRIORITY: list[str] = [
     "url_ingest_gate",
     "curation_pipeline_v4",
     "pq_index_merge",
-    # (d) round-6-stale rows (37 of 47; the 10 cessions above)
+    # (d) round-6-stale rows (36 of 47; the 11 cessions above)
     "ann_blocked_topk",
     "balanced_sample",
     "bm25_search",
@@ -88,7 +93,6 @@ _DRIVER_PRIORITY: list[str] = [
     "customers_with_urgent_orders",
     "datatype_matrix",
     "decontaminate",
-    "dedup_clusters",
     "dedup_incremental",
     "doc_chunks",
     "embedding_neardup_pairs",

@@ -11360,3 +11360,215 @@ def q_contamination_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_FD_KEEP_CLASSES = tuple(f"src{i}" for i in range(10))
+
+
+@query(
+    "curation_front_door",
+    # Batch-equivalence oracle for the chained gates. Every stage's
+    # predicate is PER-DOC independent except the URL keep-first (a set
+    # property over ALL arrivals, which stage 1 sees in full), so
+    # admitted = firsts ∩ (ppl<=30) ∩ (pred∈keep) ∩ (bp<8000) — each
+    # term replayed with its own audited oracle fragment.
+    oracle=f"""
+    WITH d0 AS ({_SQL_URLS}),
+    b AS (
+      SELECT doc_id, source, text, doc_id % 3 AS batch,
+             {_SQL_NORM.format(c='text')} AS t_norm,
+             {_sql_url_norm('url')} AS dh
+      FROM d0 WHERE {_SQL_NORM.format(c='text')} <> ''
+    ), firsts AS (
+      SELECT * FROM b
+      QUALIFY row_number() OVER (PARTITION BY dh ORDER BY batch, doc_id) = 1
+    ), train AS (
+      SELECT doc_id, string_split(t_norm, ' ') AS tk FROM b WHERE batch = 0
+    ), tr_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      FROM train WHERE len(tk) >= 2
+    ), tr_g AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(tk) AS tok FROM train)
+    ), arrivals AS (
+      SELECT doc_id, source, batch, string_split(t_norm, ' ') AS tk
+      FROM firsts WHERE batch > 0
+    ), ar_idx AS (
+      SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      FROM arrivals WHERE len(tk) >= 2
+    ), ar_dg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, count(*) AS k
+      FROM ar_idx GROUP BY doc_id, tk[i], tk[i + 1]
+    ), lmsc AS (
+      SELECT ar_dg.doc_id, ar_dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM ar_dg
+      LEFT JOIN c12 ON ar_dg.w1 = c12.w1 AND ar_dg.w2 = c12.w2
+      LEFT JOIN c1 ON ar_dg.w1 = c1.w1, v
+    ), ppl AS (
+      SELECT doc_id,
+             round(exp(-(CAST(sum(logp * k) AS DOUBLE))
+                       / CAST(sum(k) AS DOUBLE)), 4) AS ppl
+      FROM lmsc GROUP BY doc_id
+    ), toks_tr AS (
+      SELECT source AS cls, unnest(string_split(t_norm, ' ')) AS tok
+      FROM b WHERE batch = 0
+    ), ncounts AS (
+      SELECT cls, tok, count(*) AS ct FROM toks_tr GROUP BY cls, tok
+    ), ntotals AS (
+      SELECT cls, CAST(sum(ct) AS BIGINT) AS tc FROM ncounts GROUP BY cls
+    ), nvocab AS (SELECT count(DISTINCT tok) AS V FROM toks_tr
+    ), npriors AS (
+      SELECT cls,
+             CAST(round(ln(CAST(nc AS DOUBLE) / CAST(N AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lprior
+      FROM (SELECT source AS cls, count(*) AS nc
+            FROM b WHERE batch = 0 GROUP BY source),
+           (SELECT count(*) AS N FROM b WHERE batch = 0)
+    ), ndt AS (
+      SELECT doc_id, tok, count(*) AS k
+      FROM (SELECT doc_id, unnest(string_split(t_norm, ' ')) AS tok
+            FROM b WHERE batch > 0)
+      GROUP BY doc_id, tok
+    ), nfan AS (
+      SELECT ndt.doc_id, c.cls, ndt.k,
+             CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                           / CAST(tc + V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM ndt CROSS JOIN ntotals c CROSS JOIN nvocab
+           LEFT JOIN ncounts ON ncounts.cls = c.cls AND ncounts.tok = ndt.tok
+    ), npdc AS (
+      SELECT doc_id, cls, sum(lp * k) AS s FROM nfan GROUP BY doc_id, cls
+    ), nscored AS (
+      SELECT npdc.doc_id, npdc.cls, s + lprior AS score
+      FROM npdc JOIN npriors USING (cls)
+    ), npred AS (
+      SELECT doc_id, cls AS pred FROM (
+        SELECT doc_id, cls,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rk
+        FROM nscored) WHERE rk = 1
+    ), csh AS ({_sql_shingles8(
+        "(SELECT doc_id, text FROM d0 UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text || ' zzextra' AS text "
+        "FROM documents WHERE doc_id % 5 = 0)"
+    )}), x AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS g FROM csh
+    ), bg AS (SELECT DISTINCT g FROM x WHERE doc_id >= 1000000
+    ), conta AS (
+      SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM x LEFT JOIN bg ON x.g = bg.g
+      WHERE x.doc_id < 1000000 GROUP BY x.doc_id
+    ), cbp AS (
+      SELECT doc_id, CAST(n_hit * 10000 // n_grams AS BIGINT) AS overlap_bp
+      FROM conta
+    )
+    SELECT a.batch, a.doc_id, a.source, p.ppl, n.pred, c.overlap_bp
+    FROM arrivals a JOIN ppl p USING (doc_id)
+         JOIN npred n USING (doc_id) JOIN cbp c USING (doc_id)
+    WHERE p.ppl <= 30.0 AND n.pred IN {_FD_KEEP_CLASSES!r:s}
+      AND c.overlap_bp < 8000
+    """,
+)
+def q_curation_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming crawl front door — every admission control
+    this engine ships, chained per epoch with state handed off on disk
+    (the streaming_curation_gate composition pattern, now four
+    controls): (1) URL dedup-at-ingest + frozen-LM quality gate
+    (admission_foreach_batch, key_fn=normalized_url — batch 0 seeds the
+    URL set and trains the LM), (2) frozen NB classifier admission
+    (nb_gate_foreach_batch — batch 0 trains the class model; keep the
+    wanted sources), (3) decontamination against the persisted
+    benchmark 8-gram index (contamination_gate_foreach_batch — the
+    planted-twin eval set). Epoch 1 then replays through ALL THREE
+    stages and every stage must no-op. Returns the fully-admitted
+    (batch, doc_id, source, ppl, pred, overlap_bp) rows; the oracle
+    replays each stage's audited algebra and conjoins."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.admission import (
+        admission_foreach_batch,
+        seed_admitted_hashes,
+    )
+    from kafka_dbsync_spark.operators.decontam_index import (
+        benchmark_index_is_current,
+        build_benchmark_index,
+        contamination_gate_foreach_batch,
+    )
+    from kafka_dbsync_spark.operators.lm_index import build_lm_model
+    from kafka_dbsync_spark.operators.nb_index import (
+        build_nb_model,
+        nb_gate_foreach_batch,
+    )
+    from kafka_dbsync_spark.operators.web import normalized_url
+
+    docs = _with_urls(load_table(spark, sf_dir, "documents"))
+    norm = normalize_text(F.col("text"))
+    base = docs.filter(norm != "").select(
+        "doc_id", "source", "text", "url",
+        (F.col("doc_id") % 3).alias("batch"),
+    )
+    seed = base.filter(F.col("batch") == 0)
+    bench = _planted_docs(spark, sf_dir).filter(F.col("doc_id") >= 1000000)
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    decon_cache = str(Path(tempfile.gettempdir()) / f"kds_decon_{sf_tag}")
+    if not benchmark_index_is_current(bench, decon_cache, src_path=src):
+        build_benchmark_index(spark, bench, decon_cache, src_path=src)
+    work = tempfile.mkdtemp(prefix="kds_front_door_")
+    key_fn = lambda df: normalized_url(F.col("url"))  # noqa: E731
+    try:
+        lm_dir = os.path.join(work, "lm")
+        nb_dir = os.path.join(work, "nb")
+        url_state = os.path.join(work, "url_state")
+        nb_acc = os.path.join(work, "nb_acc")
+        build_lm_model(spark, seed, lm_dir)
+        build_nb_model(spark, seed, nb_dir, class_col="source")
+        seed_admitted_hashes(url_state, seed, key_fn(seed))
+        fn_url = admission_foreach_batch(
+            lm_dir, url_state, max_ppl=30.0, key_fn=key_fn
+        )
+        fn_nb = nb_gate_foreach_batch(
+            nb_dir, nb_acc, os.path.join(work, "nb_rej"), _FD_KEEP_CLASSES
+        )
+        fn_dec = contamination_gate_foreach_batch(
+            decon_cache,
+            os.path.join(work, "dc_acc"),
+            os.path.join(work, "dc_rej"),
+            max_bp=8000,
+        )
+
+        def run_epoch(e: int) -> None:
+            fn_url(base.filter(F.col("batch") == e), e)
+            s1 = spark.read.parquet(
+                os.path.join(url_state, "accepted", f"e{e}")
+            )
+            fn_nb(s1, e)
+            fn_dec(spark.read.parquet(os.path.join(nb_acc, f"e{e}")), e)
+
+        for e in (1, 2):
+            run_epoch(e)
+        run_epoch(1)  # replay: every stage must no-op
+        out = spark.read.parquet(
+            os.path.join(work, "dc_acc", "e1"),
+            os.path.join(work, "dc_acc", "e2"),
+        ).select("batch", "doc_id", "source", "ppl", "pred", "overlap_bp")
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "batch bigint, doc_id bigint, source string, ppl double, "
+            "pred string, overlap_bp bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -272,6 +272,9 @@ SHUFFLE_BUDGET = {
     # (mapInPandas) + the banded (band_idx, band_val) window + the
     # candidate-pair distinct + the per-video-pair vote agg + its
     # count-distinct Expand; hash-table joins broadcast
+    "curation_front_door": 0,       # materialized rows (the four-control
+    # admission chain — URL dedup + LM gate, classifier gate, decontam
+    # gate — ran per epoch at construction, plus a full-chain replay)
     "contamination_ingest_gate": 0, # materialized rows (2 batches gated
     # against the frozen benchmark gram table + a deliberate replay ran
     # at construction — the stateless decontamination admission filter)

@@ -24,6 +24,7 @@ NEW = [
     "nb_ingest_gate",
     "video_neardup_pairs",
     "contamination_ingest_gate",
+    "curation_front_door",
 ]
 
 
