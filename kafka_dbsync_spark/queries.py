@@ -2661,6 +2661,40 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bm25_search_served", oracle=ORACLES["bm25_search"])
+def q_bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 as a search tier DEPLOYS (operators/bm25_index.py): the
+    postings build ONCE into a persisted generation dir — (term, doc,
+    tf, dl) parquet partitioned by crc32(term) % 64 with Lucene-style
+    denormalized norms, corpus stats in the marker — and every query
+    reads ONLY its terms' bucket partitions (plan-time
+    PartitionFilters), pivots the matching postings, and evaluates
+    bm25_topk's exact left-assoc Okapi expression with N/Σdl/df folded
+    in as long literals. No corpus pass at serve time; staleness is
+    metadata-only on the happy path (shared lm_index ladder). Same
+    oracle as the fused bm25_search: build/serve are
+    arithmetic-identical by construction."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_is_current,
+        bm25_search_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_bm25_{sf_tag}")
+    if not bm25_index_is_current(docs, cache, src_path=src):
+        build_bm25_index(spark, docs, cache, src_path=src)
+    out = bm25_search_served(spark, cache, list(_BM25_TERMS), k=10)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )
+
+
 # z-order: fixed literal domains (stats-pass values at ingest time); the
 # query's z math must be bit-identical to operators/layout.py::zvalue
 _Z_BITS = 16
