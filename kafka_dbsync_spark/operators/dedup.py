@@ -965,6 +965,108 @@ def paragraph_dedup(
     )
 
 
+def host_boilerplate_strip(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_frac_pct: int = 25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """HOST-scoped boilerplate removal — the RefinedWeb/FineWeb line
+    dedup step (Penedo et al. 2023 §3.2 run line-wise dedup because
+    nav bars, cookie banners and copyright footers repeat across a
+    SITE's pages, not across the web): a paragraph whose normalized
+    hash appears in at least ``min_frac_pct`` percent of a host's
+    documents (and in at least ``min_docs`` of them) is boilerplate
+    for that host and is removed from EVERY document of the host —
+    including its first instance, unlike ``paragraph_dedup``'s
+    keep-first corpus-global algebra (a site's footer is noise in all
+    of its copies; a genuinely duplicated content paragraph still has
+    one authoritative copy).
+
+    The threshold compares exact integers (``n_docs_with * 100 >=
+    n_host_docs * pct``) so the cut replays bit-for-bit on any engine.
+    A document repeating a paragraph counts ONCE toward its host's
+    document frequency (count-distinct, not instance count), and
+    normalized-empty paragraphs are formatting, never boilerplate
+    (paragraph_dedup's rule).
+
+    Plan shape: paragraphs posexplode once; document frequency is a
+    two-level aggregate on (host, key, doc)→(host, key) — both levels
+    partial-aggregable, so a site footer collapses map-side before the
+    exchange; host sizes are one tiny per-host count broadcast back;
+    the doomed-position rewrite is paragraph_dedup's JVM higher-order
+    filter. Corpus text shuffles zero times (hashes and positions
+    move; the final rewrite joins positions back to the doc's own
+    paragraph array). At 100 TB the (host, key) key space is
+    boilerplate-bounded and near-uniform under md5 — no skew.
+
+    Returns (id_col, host_col, n_paras, n_removed, cleaned_text) for
+    AFFECTED docs only; ``cleaned_text`` is '' when every paragraph
+    was boilerplate.
+    """
+    import re
+
+    if not (0 < min_frac_pct <= 100):
+        raise ValueError(f"min_frac_pct must be in (0, 100] (got {min_frac_pct})")
+    d = docs.select(
+        id_col, host_col, F.split(F.col(text_col), re.escape(sep)).alias("paras")
+    )
+    norm = F.trim(F.regexp_replace("para", r"\s+", " "))
+    cand = (
+        ensure_parallelism(d)
+        .select(id_col, host_col, F.posexplode("paras").alias("idx0", "para"))
+        .select(
+            id_col,
+            host_col,
+            (F.col("idx0") + 1).alias("i"),
+            F.md5(F.lower(norm)).alias("key"),
+            F.length(norm).alias("nlen"),
+        )
+        .filter(F.col("nlen") > 0)
+        .drop("nlen")
+    )
+    # two-level distinct: (host, key, doc) first so a doc repeating its
+    # host's footer contributes one unit, then the per-key doc count
+    per_key = (
+        cand.select(host_col, "key", id_col)
+        .distinct()
+        .groupBy(host_col, "key")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+    )
+    host_sizes = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_host_docs")
+    )
+    boiler = (
+        per_key.join(F.broadcast(host_sizes), host_col)
+        .filter(
+            (F.col("n_docs_with") >= F.lit(min_docs))
+            & (
+                F.col("n_docs_with") * 100
+                >= F.col("n_host_docs") * F.lit(min_frac_pct)
+            )
+        )
+        .select(host_col, "key")
+    )
+    doomed = cand.join(boiler, [host_col, "key"])
+    drops = doomed.groupBy(id_col).agg(F.collect_set("i").alias("drop_idx"))
+    joined = d.join(drops, id_col)
+    kept = F.expr(
+        "transform(filter(transform(sequence(1, size(paras)), "
+        "p -> struct(p AS p, element_at(paras, p) AS q)), "
+        "x -> NOT array_contains(drop_idx, x.p)), x -> x.q)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.size("paras").cast("long").alias("n_paras"),
+        F.size("drop_idx").cast("long").alias("n_removed"),
+        F.array_join(kept, sep).alias("cleaned_text"),
+    )
+
+
 def setsim_prefix_join(
     df: DataFrame,
     id_col: str = "doc_id",

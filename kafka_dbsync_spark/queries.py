@@ -3393,6 +3393,116 @@ def q_paragraph_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "boilerplate_strip",
+    # The fixture synthesizes the web's per-site boilerplate structure
+    # (a copyright header on ~half of each source's docs, a contact
+    # footer on ~a third) around the 8-token paragraph chunks, and the
+    # oracle replays the full host-scoped algebra: per-(source, key)
+    # DISTINCT doc counts, exact-integer 25%-of-host threshold with a
+    # 2-doc floor, drop EVERY instance of a flagged key (no keep-first
+    # — a footer is noise in all its copies), reassemble survivors.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents
+    ), d0 AS (
+      SELECT doc_id, source,
+             list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
+               i -> array_to_string(list_slice(tk, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+             ) AS bp
+      FROM t
+    ), d AS (
+      SELECT doc_id, source,
+             list_append(
+               CASE WHEN doc_id % 2 = 0
+                    THEN list_prepend('(c) ' || source || ' all rights reserved', bp)
+                    ELSE bp END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'contact ' || source || ' support team' END) AS paras0
+      FROM d0
+    ), dd AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN paras0
+                  ELSE paras0[1:len(paras0)-1] END AS paras
+      FROM d
+    ), p AS (
+      SELECT doc_id, source, u.i AS i, u.para FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(paras) + 1),
+                 i -> {'i': i, 'para': paras[i]})) AS u
+        FROM dd)
+    ), c AS (
+      SELECT doc_id, source, i,
+             md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS key
+      FROM p
+      WHERE length(trim(regexp_replace(para, '\s+', ' ', 'g'))) > 0
+    ), hs AS (
+      SELECT source, count(*) AS n_host FROM documents GROUP BY source
+    ), k AS (
+      SELECT source, key, count(DISTINCT doc_id) AS nd
+      FROM c GROUP BY source, key
+    ), boiler AS (
+      SELECT k.source, k.key
+      FROM k JOIN hs USING (source)
+      WHERE k.nd >= 2 AND k.nd * 100 >= hs.n_host * 25
+    ), rem AS (
+      SELECT c.doc_id, c.i FROM c JOIN boiler
+        ON c.source = boiler.source AND c.key = boiler.key
+    ), rl AS (
+      SELECT doc_id, list(i) AS drop_idx, count(*) AS n_rem
+      FROM rem GROUP BY doc_id
+    )
+    SELECT dd.doc_id, dd.source,
+           CAST(len(dd.paras) AS BIGINT) AS n_paras,
+           CAST(rl.n_rem AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(dd.paras) + 1),
+                 i -> NOT list_contains(rl.drop_idx, i)),
+               i -> dd.paras[i]),
+             chr(10)), '') AS cleaned_text
+    FROM dd JOIN rl USING (doc_id)
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb line-dedup curation step (Penedo et al. 2023
+    §3.2): site boilerplate — nav bars, cookie banners, copyright
+    footers — repeats across a HOST's pages, so a paragraph present in
+    ≥25% of a source's documents (min 2) is removed from every one of
+    them, first instance included
+    (operators/dedup.py::host_boilerplate_strip; contrast
+    paragraph_dedup's corpus-global keep-first). The corpus has no
+    sites, so the fixture synthesizes one header/footer pair per
+    source around the 8-token chunks; document frequency is a
+    two-level map-side-combinable aggregate and host sizes broadcast —
+    corpus text never shuffles."""
+    from kafka_dbsync_spark.operators.dedup import host_boilerplate_strip
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    body = F.array_join(paras, "\n")
+    header = F.concat(
+        F.lit("(c) "), F.col("source"), F.lit(" all rights reserved")
+    )
+    footer = F.concat(
+        F.lit("contact "), F.col("source"), F.lit(" support team")
+    )
+    text2 = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(header, F.lit("\n"), body)
+    ).otherwise(body)
+    text3 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(text2, F.lit("\n"), footer)
+    ).otherwise(text2)
+    sited = docs.select("doc_id", "source", text3.alias("text"))
+    return host_boilerplate_strip(
+        sited, host_col="source", min_frac_pct=25, min_docs=2
+    )
+
+
+@query(
     "cdc_state_at",
     oracle=f"""
     WITH cut AS (SELECT (max(event_id) * 3) // 5 AS k FROM events),

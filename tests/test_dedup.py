@@ -579,3 +579,87 @@ def test_video_neardup_frame_voting(spark):
     assert (1, 3) not in votes_all and (2, 3) not in votes_all
     with _pt.raises(ValueError, match="must be <"):
         video_neardup_pairs(df, max_frames=2000, every_n=1)
+
+
+def test_host_boilerplate_strip_scoped_threshold(spark):
+    """RefinedWeb-style host-scoped line dedup: a paragraph in >= 25%
+    of a host's docs (min 2) vanishes from EVERY doc of that host —
+    first instance included — while the same text on ANOTHER host
+    below its own threshold survives (scoping is per host, not
+    corpus-global)."""
+    from kafka_dbsync_spark.operators.dedup import host_boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            # host a: 4 docs, "footer a" in 3 of them (75% >= 25%)
+            (1, "a", "footer a\nbody one"),
+            (2, "a", "body two\nfooter a"),
+            (3, "a", "body three\nfooter a"),
+            (4, "a", "body four only"),
+            # host b: 4 docs, "footer a" text appears in just 1 (25%
+            # but below the 2-doc floor) -> survives on b
+            (5, "b", "footer a\nbody five"),
+            (6, "b", "body six"),
+            (7, "b", "body seven"),
+            (8, "b", "body eight"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["source"], r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in host_boilerplate_strip(docs).collect()
+    }
+    assert out == {
+        1: ("a", 2, 1, "body one"),
+        2: ("a", 2, 1, "body two"),
+        3: ("a", 2, 1, "body three"),
+    }
+
+
+def test_host_boilerplate_within_doc_repeat_counts_once(spark):
+    """A doc repeating its host's banner contributes ONE unit of
+    document frequency — two docs each repeating it twice is df=2 of 4
+    (50%), not an instance count; and the strip removes BOTH in-doc
+    copies once flagged."""
+    from kafka_dbsync_spark.operators.dedup import host_boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            (1, "h", "banner\nreal text\nbanner"),
+            (2, "h", "banner\nbanner\nother text"),
+            (3, "h", "just content"),
+            (4, "h", "more content"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in host_boilerplate_strip(docs, min_frac_pct=50).collect()
+    }
+    assert out == {1: (3, 2, "real text"), 2: (3, 2, "other text")}
+    # at 75% the 2-of-4 banner is under threshold: nothing is affected
+    assert host_boilerplate_strip(docs, min_frac_pct=75).count() == 0
+
+
+def test_host_boilerplate_fully_boilerplate_doc_empties(spark):
+    """A doc that is nothing but its host's boilerplate strips to ''
+    (kept as a row, n_removed == n_paras); normalized-empty paragraphs
+    are formatting and never flagged even when every doc shares them."""
+    from kafka_dbsync_spark.operators.dedup import host_boilerplate_strip
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "h", "legal line\n\nlegal line"),
+            (2, "h", "legal line\n\ncontent here"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_removed"], r["cleaned_text"])
+        for r in host_boilerplate_strip(docs, min_frac_pct=100).collect()
+    }
+    # the empty middle paragraph survives in both docs
+    assert out == {1: (3, 2, ""), 2: (3, 1, "\ncontent here")}
+    with _pt.raises(ValueError, match="min_frac_pct"):
+        host_boilerplate_strip(docs, min_frac_pct=0)
