@@ -32,6 +32,19 @@ staging rename, marker-flips-last; ``lm_model_is_current`` metadata-
 only staleness on the happy path). The fingerprint is the plain
 corpus fingerprint — a BM25 index depends only on (id, text).
 
+Incremental growth is Lucene's actual model — SEGMENTS: a new shard of
+documents lands as its own immutable segment dir
+(:func:`bm25_index_add` — tokenizes ONLY the shard, never re-reads the
+indexed corpus), the marker's live-segment list flips last, and serves
+union the pruned per-segment reads (corpus stats and per-term df are
+additive because segment doc sets are DISJOINT — an add whose shard
+shares a doc_id with the index is refused, the ANN-merge duplicate-id
+guard). :func:`bm25_segment_merge` compacts the live segments into one
+(Lucene's background merge), retiring the old dirs only after the
+marker flips. The marker fingerprint composes additively on add
+(count/sum/max/content-sum all combine), so the staleness ladder keeps
+working against the UNION corpus.
+
 Scale notes: the build shuffles once on (doc, term) for term
 frequencies (map-side combined; tf collapses before the exchange) and
 once on term for document frequencies; corpus text never shuffles
@@ -82,26 +95,14 @@ def _bm25_tokens(text_col: str):
     ).otherwise(F.split(norm, " "))
 
 
-def build_bm25_index(
-    spark: SparkSession,
-    docs: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    fingerprint: dict | None = None,
-    src_path: str | None = None,
-) -> None:
-    """One tokenize pass → postings + dfs parquet under an immutable
-    generation dir, corpus stats (N, Σdl — ALL docs, including
-    token-empty ones, exactly as bm25_topk's scalar aggregate counts
-    them) in the marker. Published with the shared atomic-generation
-    protocol (``lm_index.publish_generation``)."""
-    from kafka_dbsync_spark.operators.cache_validation import files_signature
-
+def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col: str):
+    """(write_stage callable, (n, Σdl)) for one segment: postings with
+    denormalized dl, per-term df folded from the published postings
+    (never a second corpus pass), stats over ALL docs — token-empty
+    ones included, exactly as bm25_topk's scalar aggregate counts
+    them."""
     tok = _bm25_tokens(text_col)
     per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
-    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
-    gen = _gen_name(fp)
 
     def write_stage(stage: str) -> None:
         postings = (
@@ -115,8 +116,6 @@ def build_bm25_index(
         postings.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
         )
-        # df folds from the published postings, not a second corpus
-        # pass: one row per (term, doc) is exactly what postings holds
         spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
             F.count(F.lit(1)).alias("df")
         ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
@@ -124,14 +123,198 @@ def build_bm25_index(
     st = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
     ).collect()[0]
+    return write_stage, (int(st["n"]), int(st["sumdl"] or 0))
+
+
+def build_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: dict | None = None,
+    src_path: str | None = None,
+) -> None:
+    """One tokenize pass → a single-segment index published with the
+    shared atomic-generation protocol (``lm_index.publish_generation``);
+    corpus stats (N, Σdl) and the live-segment list land in the
+    marker."""
+    from kafka_dbsync_spark.operators.cache_validation import files_signature
+
+    fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
+    gen = _gen_name(fp)
+    write_stage, (n, sumdl) = _segment_writer(spark, docs, id_col, text_col)
     rec: dict = {
         "fingerprint": fp,
-        "n": int(st["n"]),
-        "sumdl": int(st["sumdl"] or 0),
+        "n": n,
+        "sumdl": sumdl,
+        "segments": [gen],
     }
     if src_path is not None:
         rec["src_sig"] = files_signature(src_path)
     publish_generation(path, gen, write_stage, rec)
+
+
+def _live_meta(path: str, what: str = "BM25 index") -> dict:
+    """Marker record of a servable index; every referenced segment dir
+    must exist (readers only ever see complete views — the marker flips
+    last on build/add/merge)."""
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"no complete {what} at {path}; build_bm25_index first."
+        ) from e
+    segs = meta.get("segments") or ([meta["gen"]] if meta.get("gen") else [])
+    if not segs or any(
+        not os.path.isdir(os.path.join(path, s)) for s in segs
+    ):
+        raise ValueError(
+            f"{what} marker at {path} references missing segment(s) "
+            f"{segs!r}; rebuild with build_bm25_index."
+        )
+    meta["segments"] = segs
+    return meta
+
+
+def _combine_fp(a: dict, b: dict) -> dict:
+    """Corpus fingerprints compose under disjoint union: count, id sum
+    and per-row content crc sum are additive, max is max — so an add
+    keeps the marker fingerprint equal to corpus_fingerprint(old ∪
+    shard) and the staleness ladder stays exact."""
+    return {
+        "n": a["n"] + b["n"],
+        "max_id": max(a["max_id"], b["max_id"]),
+        "sum_id": a["sum_id"] + b["sum_id"],
+        "content": a["content"] + b["content"],
+    }
+
+
+def bm25_index_add(
+    spark: SparkSession,
+    shard: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Lucene's incremental model: the new shard tokenizes into its OWN
+    immutable segment dir — the already-indexed corpus is never
+    re-read — and the marker's live-segment list flips last (a crash
+    after the segment rename but before the flip leaves an orphan dir
+    the marker never references: harmless, immutable).
+
+    Refuses a shard sharing any ``id_col`` with the index (probed
+    against the column-pruned union of segment postings plus the
+    marker-implied token-empty docs can't collide — ids come only from
+    postings, so the probe ALSO tokenize-checks nothing): segment doc
+    sets must stay disjoint or corpus stats and df would double-count
+    — the same duplicate-id guard the ANN shard merge enforces."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    meta = _live_meta(path)
+    shard_fp = corpus_fingerprint(shard, id_col, text_col)
+    seg = "seg" + _gen_name(shard_fp)[3:]
+    if seg in meta["segments"]:
+        raise ValueError(
+            f"shard {seg!r} is already a live segment of {path}"
+        )
+    # disjointness probe: postings doc ids only (column-pruned scan of
+    # the index; the shard side broadcasts when small). Token-empty
+    # docs have no postings and CAN collide silently on pathological
+    # inputs — they carry dl=0 and no terms, so stats stay correct; the
+    # guard is about double-counted postings, which cannot happen.
+    existing = None
+    for s in meta["segments"]:
+        ids = spark.read.parquet(f"{path}/{s}/postings").select(
+            F.col(id_col).alias("__eid")
+        )
+        existing = ids if existing is None else existing.unionByName(ids)
+    clash = (
+        shard.select(F.col(id_col).alias("__eid"))
+        .join(existing, "__eid")
+        .limit(1)
+    )
+    if clash.count() > 0:
+        raise ValueError(
+            f"shard shares {id_col} values with the index at {path}; "
+            "segment doc sets must be disjoint (dedup or re-id the "
+            "shard before adding)"
+        )
+    write_stage, (n, sumdl) = _segment_writer(spark, shard, id_col, text_col)
+    stage = os.path.join(path, f".stage-{seg}-{os.getpid()}")
+    final_dir = os.path.join(path, seg)
+    invalidate_memo(path)
+    if not os.path.exists(final_dir):
+        write_stage(stage)
+        try:
+            os.rename(stage, final_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    rec = {
+        "fingerprint": _combine_fp(meta["fingerprint"], shard_fp),
+        "n": meta["n"] + n,
+        "sumdl": meta["sumdl"] + sumdl,
+        "segments": meta["segments"] + [seg],
+        "gen": meta.get("gen"),
+    }
+    # src_sig deliberately dropped: the union corpus no longer equals
+    # any single source directory, so staleness falls back to the
+    # exact fingerprint tier
+    tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(path, _MARKER))
+
+
+def bm25_segment_merge(
+    spark: SparkSession,
+    path: str,
+) -> int:
+    """Lucene's background merge: compact the live segments into ONE —
+    postings and dfs re-partition from the segment parquet (the corpus
+    text is never touched), stats carry over from the marker, and the
+    old segment dirs retire only AFTER the marker flips. Returns the
+    number of segments merged (1 = already compact, no-op)."""
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    meta = _live_meta(path)
+    segs = meta["segments"]
+    if len(segs) <= 1:
+        return len(segs)
+    merged = "merged" + _gen_name(meta["fingerprint"])[3:]
+    final_dir = os.path.join(path, merged)
+    invalidate_memo(path)
+    if not os.path.exists(final_dir):
+        post = None
+        for s in segs:
+            p = spark.read.parquet(f"{path}/{s}/postings")
+            post = p if post is None else post.unionByName(p)
+        stage = os.path.join(path, f".stage-{merged}-{os.getpid()}")
+        post.write.partitionBy("bucket").mode("overwrite").parquet(
+            f"{stage}/postings"
+        )
+        spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
+        try:
+            os.rename(stage, final_dir)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+    rec = dict(meta, segments=[merged], gen=merged)
+    tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(path, _MARKER))
+    for s in segs:
+        if s != merged:
+            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+    return len(segs)
 
 
 def bm25_index_is_current(
@@ -178,35 +361,25 @@ def bm25_search_served(
     (rank, id, score_r), bit-compatible with bm25_topk."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    marker = os.path.join(path, _MARKER)
-    try:
-        with open(marker) as f:
-            meta = json.load(f)
-    except (OSError, ValueError) as e:
-        raise ValueError(
-            f"no complete BM25 index at {path}; build_bm25_index first."
-        ) from e
-    gen = meta.get("gen")
-    gen_dir = os.path.join(path, gen) if gen else None
-    if not gen_dir or not os.path.isdir(gen_dir):
-        raise ValueError(
-            f"BM25 index marker at {path} references missing generation "
-            f"{gen!r}; rebuild with build_bm25_index."
-        )
+    meta = _live_meta(path)
     n, sumdl = int(meta["n"]), int(meta["sumdl"])
     buckets = sorted({term_bucket_py(t) for t in query_terms})
     bucket_f = F.col("bucket").isin(buckets)
     term_f = F.col("term").isin(list(query_terms))
-    # per-term df: vocab-filtered read, ≤|q| rows cross the driver — a
+    # per-term df: vocab-filtered reads, ≤|q| rows per segment cross
+    # the driver; segment doc sets are disjoint so df is additive. A
     # term the corpus never saw has no row and prices as df = 0, the
     # same value the inline scalar aggregate produces for it
-    dfs = {
-        r["term"]: int(r["df"])
-        for r in spark.read.parquet(f"{gen_dir}/dfs")
-        .filter(bucket_f & term_f)
-        .collect()
-    }
-    post = spark.read.parquet(f"{gen_dir}/postings").filter(bucket_f & term_f)
+    dfs: dict[str, int] = {}
+    post = None
+    for s in meta["segments"]:
+        seg_dir = os.path.join(path, s)
+        for r in (
+            spark.read.parquet(f"{seg_dir}/dfs").filter(bucket_f & term_f).collect()
+        ):
+            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        p = spark.read.parquet(f"{seg_dir}/postings").filter(bucket_f & term_f)
+        post = p if post is None else post.unionByName(p)
     pivoted = post.groupBy(F.col(id_col)).agg(
         F.max("dl").alias("dl"),
         *[

@@ -2695,6 +2695,65 @@ def q_bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_lifecycle(spark: SparkSession, sf_dir: str, merge: bool) -> DataFrame:
+    """Shared rig for the BM25 segment-lifecycle queries: index the
+    even half, add the odd half as an incremental segment (the indexed
+    corpus is never re-read), optionally compact, and serve — the
+    result must equal the one-shot index over the whole corpus, i.e.
+    bm25_search's oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_add,
+        bm25_search_served,
+        bm25_segment_merge,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kds_bm25_seg_")
+    try:
+        build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), work)
+        bm25_index_add(spark, docs.filter(F.col("doc_id") % 2 == 1), work)
+        if merge:
+            bm25_segment_merge(spark, work)
+        out = (
+            bm25_search_served(spark, work, list(_BM25_TERMS), k=10)
+            .select(
+                F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query("bm25_index_add", oracle=ORACLES["bm25_search"])
+def q_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental indexing, Lucene's segment model
+    (operators/bm25_index.py::bm25_index_add): a new shard tokenizes
+    into its OWN immutable segment dir — never re-reading the indexed
+    corpus — after a column-pruned doc-id disjointness probe; the
+    marker's live-segment list flips last. Serving unions the pruned
+    per-segment reads (df and corpus stats are additive over disjoint
+    segments), so search-over-(build ∪ add) must equal the one-shot
+    bm25_search answer — its oracle, verbatim."""
+    return _bm25_lifecycle(spark, sf_dir, merge=False)
+
+
+@query("bm25_segment_merge", oracle=ORACLES["bm25_search"])
+def q_bm25_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene's background merge
+    (operators/bm25_index.py::bm25_segment_merge): compact the live
+    segments into one — postings/dfs re-partition from the segment
+    parquet, corpus text untouched, stats carry from the marker, old
+    dirs retire only after the marker flips. Search over the merged
+    single segment must still equal the one-shot bm25_search answer."""
+    return _bm25_lifecycle(spark, sf_dir, merge=True)
+
+
 # z-order: fixed literal domains (stats-pass values at ingest time); the
 # query's z math must be bit-identical to operators/layout.py::zvalue
 _Z_BITS = 16

@@ -130,7 +130,7 @@ def test_missing_generation_refused(spark, docs, tmp_path, idx):
     marker_path = os.path.join(idx, "_COMPLETE")
     marker = json.load(open(marker_path))
     shutil.rmtree(os.path.join(idx, marker["gen"]))
-    with pytest.raises(ValueError, match="missing generation"):
+    with pytest.raises(ValueError, match="missing segment"):
         bm25_search_served(spark, idx, ["hash"], k=5)
     assert not bm25_index_is_current(docs, idx)
 
@@ -138,3 +138,84 @@ def test_missing_generation_refused(spark, docs, tmp_path, idx):
 def test_unbuilt_path_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="no complete BM25 index"):
         bm25_search_served(spark, str(tmp_path / "nope"), ["hash"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# segment lifecycle: add / merge (the Lucene model)
+# ---------------------------------------------------------------------------
+
+MORE_DOCS = [
+    (11, "incremental hash join updates arrive as a new shard"),
+    (12, "the merge scheduler compacts small segments"),
+    (13, ""),
+    (14, "joins everywhere: hash join, merge join, nested loops"),
+]
+
+
+def _segments(path):
+    import json
+
+    return json.load(open(os.path.join(path, "_COMPLETE")))["segments"]
+
+
+def test_add_segment_serves_union(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
+
+    shard = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    bm25_index_add(spark, shard, idx)
+    assert len(_segments(idx)) == 2
+    union = docs.unionByName(shard)
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=12)) == _rows(
+        bm25_topk(union, terms, k=12)
+    )
+    # staleness: the combined marker fingerprint equals the union's
+    assert bm25_index_is_current(union, idx)
+    assert not bm25_index_is_current(docs, idx)
+
+
+def test_add_overlapping_ids_refused(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
+
+    overlap = spark.createDataFrame(
+        [(5, "grace hash join again"), (99, "fresh doc")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        bm25_index_add(spark, overlap, idx)
+    assert len(_segments(idx)) == 1  # marker untouched
+
+
+def test_add_same_shard_twice_refused(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
+
+    shard = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    bm25_index_add(spark, shard, idx)
+    with pytest.raises(ValueError, match="already a live segment"):
+        bm25_index_add(spark, shard, idx)
+
+
+def test_merge_compacts_to_one_segment(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_add,
+        bm25_segment_merge,
+    )
+
+    shard = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    bm25_index_add(spark, shard, idx)
+    old_segs = _segments(idx)
+    assert bm25_segment_merge(spark, idx) == 2
+    segs = _segments(idx)
+    assert len(segs) == 1 and segs[0].startswith("merged")
+    # retired segment dirs are gone
+    for s in old_segs:
+        assert not os.path.isdir(os.path.join(idx, s))
+    union = docs.unionByName(shard)
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=12)) == _rows(
+        bm25_topk(union, terms, k=12)
+    )
+    assert bm25_index_is_current(union, idx)
+    # merging an already-compact index is a no-op
+    assert bm25_segment_merge(spark, idx) == 1
+    assert _segments(idx) == segs
