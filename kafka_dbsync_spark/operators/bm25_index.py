@@ -119,6 +119,12 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
             F.count(F.lit(1)).alias("df")
         ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
+        # doclens records EVERY doc — token-empty ones included (dl=0),
+        # so index membership is exact: the add-time disjointness probe
+        # and remove-time validation see empty docs too
+        per_doc.select(id_col, "dl").write.mode("overwrite").parquet(
+            f"{stage}/doclens"
+        )
 
     st = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
@@ -205,12 +211,15 @@ def bm25_index_add(
     after the segment rename but before the flip leaves an orphan dir
     the marker never references: harmless, immutable).
 
-    Refuses a shard sharing any ``id_col`` with the index (probed
-    against the column-pruned union of segment postings plus the
-    marker-implied token-empty docs can't collide — ids come only from
-    postings, so the probe ALSO tokenize-checks nothing): segment doc
-    sets must stay disjoint or corpus stats and df would double-count
-    — the same duplicate-id guard the ANN shard merge enforces."""
+    Refuses a shard sharing any ``id_col`` with the index — probed
+    against the union of segment ``doclens`` (exact membership, empty
+    docs included): segment doc sets must stay disjoint or corpus
+    stats and df would double-count — the same duplicate-id guard the
+    ANN shard merge enforces. A TOMBSTONED id (removed but not yet
+    merged away) still refuses: re-admitting it before the merge has
+    physically erased the old postings would resurrect ambiguity about
+    which document the id names (the ANN takedown-resurrection guard's
+    shape); merge first, then re-add."""
     import shutil
 
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
@@ -222,14 +231,12 @@ def bm25_index_add(
         raise ValueError(
             f"shard {seg!r} is already a live segment of {path}"
         )
-    # disjointness probe: postings doc ids only (column-pruned scan of
-    # the index; the shard side broadcasts when small). Token-empty
-    # docs have no postings and CAN collide silently on pathological
-    # inputs — they carry dl=0 and no terms, so stats stay correct; the
-    # guard is about double-counted postings, which cannot happen.
+    # disjointness probe over doclens: exact membership (empty docs
+    # included), one narrow column per segment; the shard side
+    # broadcasts when small
     existing = None
     for s in meta["segments"]:
-        ids = spark.read.parquet(f"{path}/{s}/postings").select(
+        ids = spark.read.parquet(f"{path}/{s}/doclens").select(
             F.col(id_col).alias("__eid")
         )
         existing = ids if existing is None else existing.unionByName(ids)
@@ -270,31 +277,113 @@ def bm25_index_add(
     os.replace(tmp, os.path.join(path, _MARKER))
 
 
+def bm25_index_remove(
+    spark: SparkSession,
+    path: str,
+    remove_ids,
+    id_col: str = "doc_id",
+) -> dict:
+    """Right-to-erasure for the text index, Lucene's ACTUAL delete
+    model: removal is a marker TOMBSTONE — no segment is rewritten
+    until the next merge applies the tombstones physically. Serving
+    stays exact, not approximate: the marker records the removed ids
+    plus their count and Σdl (validated and read from the segments'
+    ``doclens``, one narrow filtered scan), and
+    :func:`bm25_search_served` subtracts them from N/Σdl and corrects
+    each query term's df by counting tombstoned docs inside its
+    already-pruned postings read — so a post-removal search equals a
+    from-scratch index over the surviving corpus, bit for bit.
+
+    Removal ids ride as a small literal list (a takedown batch is
+    small by contract — the pq/dedup index rule). Ids not present in
+    the index are refused (a takedown that silently no-ops hides a
+    bookkeeping bug); already-tombstoned ids are accepted idempotently.
+    After a removal the marker fingerprint still names the BUILT
+    corpus (the index intentionally diverges from any source table —
+    pq_index_remove's ``built_src_sig`` rationale), so staleness
+    checks validate the built corpus while serving honors tombstones.
+    Returns ``{"removed": k, "already": j}``."""
+    meta = _live_meta(path)
+    req = sorted({int(i) for i in remove_ids})
+    if not req:
+        raise ValueError("remove_ids must be non-empty")
+    already = [i for i in req if i in set(meta.get("removed_ids", []))]
+    new = [i for i in req if i not in set(meta.get("removed_ids", []))]
+    if not new:
+        return {"removed": 0, "already": len(already)}
+    found = {}
+    for s in meta["segments"]:
+        for r in (
+            spark.read.parquet(f"{path}/{s}/doclens")
+            .filter(F.col(id_col).isin(new))
+            .collect()
+        ):
+            found[int(r[id_col])] = int(r["dl"])
+    missing = [i for i in new if i not in found]
+    if missing:
+        raise ValueError(
+            f"cannot remove ids not present in the index at {path}: "
+            f"{missing[:10]}{'...' if len(missing) > 10 else ''}"
+        )
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    invalidate_memo(path)
+    rec = dict(
+        meta,
+        removed_ids=sorted(set(meta.get("removed_ids", [])) | set(new)),
+        removed_n=meta.get("removed_n", 0) + len(new),
+        removed_sumdl=meta.get("removed_sumdl", 0) + sum(found.values()),
+    )
+    tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(path, _MARKER))
+    return {"removed": len(new), "already": len(already)}
+
+
 def bm25_segment_merge(
     spark: SparkSession,
     path: str,
+    id_col: str = "doc_id",
 ) -> int:
-    """Lucene's background merge: compact the live segments into ONE —
-    postings and dfs re-partition from the segment parquet (the corpus
-    text is never touched), stats carry over from the marker, and the
-    old segment dirs retire only AFTER the marker flips. Returns the
-    number of segments merged (1 = already compact, no-op)."""
+    """Lucene's background merge: compact the live segments into ONE
+    and apply removal tombstones PHYSICALLY — postings, dfs and
+    doclens re-derive from the segment parquet minus the tombstoned
+    docs (the corpus text is never touched), marker stats drop the
+    removed amounts, the tombstone list clears, and the old segment
+    dirs retire only AFTER the marker flips. A single-segment index
+    with no tombstones is already compact (no-op). Returns the number
+    of segments merged."""
     import shutil
 
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
 
     meta = _live_meta(path)
     segs = meta["segments"]
-    if len(segs) <= 1:
+    removed = meta.get("removed_ids", [])
+    if len(segs) <= 1 and not removed:
         return len(segs)
-    merged = "merged" + _gen_name(meta["fingerprint"])[3:]
+    # the removal SET participates in the dir name (not just its size):
+    # two merges tombstoning different ids must never share an
+    # immutable dir, or the second would flip the marker onto the
+    # first's contents
+    merged = "merged" + _gen_name(meta["fingerprint"])[3:] + (
+        "_rm%d" % (zlib.crc32(",".join(map(str, removed)).encode()),)
+        if removed
+        else ""
+    )
     final_dir = os.path.join(path, merged)
     invalidate_memo(path)
     if not os.path.exists(final_dir):
-        post = None
+        post, lens = None, None
         for s in segs:
             p = spark.read.parquet(f"{path}/{s}/postings")
+            d = spark.read.parquet(f"{path}/{s}/doclens")
             post = p if post is None else post.unionByName(p)
+            lens = d if lens is None else lens.unionByName(d)
+        if removed:
+            post = post.filter(~F.col(id_col).isin(removed))
+            lens = lens.filter(~F.col(id_col).isin(removed))
         stage = os.path.join(path, f".stage-{merged}-{os.getpid()}")
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
@@ -302,11 +391,21 @@ def bm25_segment_merge(
         spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
             F.count(F.lit(1)).alias("df")
         ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
+        lens.write.mode("overwrite").parquet(f"{stage}/doclens")
         try:
             os.rename(stage, final_dir)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
-    rec = dict(meta, segments=[merged], gen=merged)
+    rec = dict(
+        meta,
+        segments=[merged],
+        gen=merged,
+        n=meta["n"] - meta.get("removed_n", 0),
+        sumdl=meta["sumdl"] - meta.get("removed_sumdl", 0),
+        removed_ids=[],
+        removed_n=0,
+        removed_sumdl=0,
+    )
     tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -380,6 +479,22 @@ def bm25_search_served(
             dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
         p = spark.read.parquet(f"{seg_dir}/postings").filter(bucket_f & term_f)
         post = p if post is None else post.unionByName(p)
+    removed = meta.get("removed_ids", [])
+    if removed:
+        # exact tombstone correction: N and Σdl drop by the marker's
+        # recorded amounts; each query term's df drops by the number of
+        # tombstoned docs holding it — counted inside the ALREADY-pruned
+        # postings read, so erasure costs no extra scan
+        n -= int(meta.get("removed_n", 0))
+        sumdl -= int(meta.get("removed_sumdl", 0))
+        for r in (
+            post.filter(F.col(id_col).isin(removed))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            dfs[r["term"]] = dfs.get(r["term"], 0) - int(r["c"])
+        post = post.filter(~F.col(id_col).isin(removed))
     pivoted = post.groupBy(F.col(id_col)).agg(
         F.max("dl").alias("dl"),
         *[

@@ -2615,9 +2615,11 @@ def _bm25_term_sql(i: int) -> str:
     )
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
+def _bm25_oracle(where: str = "") -> str:
+    """The Okapi BM25 oracle over `documents`, parametrizable with a
+    WHERE clause so the erasure query can score the SURVIVING corpus
+    with the identical arithmetic."""
+    return f"""
     WITH per AS (
       SELECT doc_id,
              CASE WHEN {_SQL_NORM.format(c='text')} = '' THEN 0
@@ -2626,7 +2628,7 @@ def _bm25_term_sql(i: int) -> str:
                  f"len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '), x -> x = '{t}')) AS tf{i}"
                  for i, t in enumerate(_BM25_TERMS)
              )}
-      FROM documents
+      FROM documents {where}
     ), st AS (
       SELECT count(*) AS n, sum(dl) AS sumdl,
              {', '.join(
@@ -2645,8 +2647,10 @@ def _bm25_term_sql(i: int) -> str:
     SELECT CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rank,
            doc_id, score_r
     FROM top
-    """,
-)
+    """
+
+
+@query("bm25_search", oracle=_bm25_oracle())
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text relevance ranking: Okapi BM25 top-10 for a fixed term
     bag, computed in one corpus scan (term frequencies are narrow array
@@ -2752,6 +2756,49 @@ def q_bm25_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs retire only after the marker flips. Search over the merged
     single segment must still equal the one-shot bm25_search answer."""
     return _bm25_lifecycle(spark, sf_dir, merge=True)
+
+
+@query("bm25_remove_serve", oracle=_bm25_oracle("WHERE doc_id % 7 <> 0"))
+def q_bm25_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure on the text index
+    (operators/bm25_index.py::bm25_index_remove): takedowns land as
+    marker tombstones — Lucene's actual delete model, no segment
+    rewrite — and serving stays EXACT, not approximate: N/Σdl drop by
+    the recorded amounts and each query term's df is corrected by
+    counting tombstoned docs inside the already-pruned postings read.
+    The oracle is the one-shot BM25 over the SURVIVING corpus: a
+    search after removal must be indistinguishable from an index that
+    never contained the removed docs."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_remove,
+        bm25_search_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = [
+        int(r[0])
+        for r in docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    work = tempfile.mkdtemp(prefix="kds_bm25_rm_")
+    try:
+        build_bm25_index(spark, docs, work)
+        bm25_index_remove(spark, work, doomed)
+        out = (
+            bm25_search_served(spark, work, list(_BM25_TERMS), k=10)
+            .select(
+                F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 # z-order: fixed literal domains (stats-pass values at ingest time); the

@@ -219,3 +219,82 @@ def test_merge_compacts_to_one_segment(spark, docs, idx):
     # merging an already-compact index is a no-op
     assert bm25_segment_merge(spark, idx) == 1
     assert _segments(idx) == segs
+
+
+# ---------------------------------------------------------------------------
+# erasure: tombstone remove, exact stats correction, merge applies
+# ---------------------------------------------------------------------------
+
+
+def test_remove_serves_exact_surviving_corpus(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_remove
+
+    res = bm25_index_remove(spark, idx, [1, 5])
+    assert res == {"removed": 2, "already": 0}
+    surviving = docs.filter(~F.col("doc_id").isin([1, 5]))
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(surviving, terms, k=10)
+    )
+    # idempotent re-remove
+    assert bm25_index_remove(spark, idx, [1]) == {"removed": 0, "already": 1}
+    # empty-text docs are members too (doclens records dl=0)
+    assert bm25_index_remove(spark, idx, [6]) == {"removed": 1, "already": 0}
+
+
+def test_remove_unknown_id_refused(spark, idx):
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_remove
+
+    with pytest.raises(ValueError, match="not present"):
+        bm25_index_remove(spark, idx, [12345])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_index_remove(spark, idx, [])
+
+
+def test_tombstoned_id_blocks_readd_until_merge(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_add,
+        bm25_index_remove,
+        bm25_segment_merge,
+    )
+
+    bm25_index_remove(spark, idx, [5])
+    replacement = spark.createDataFrame(
+        [(5, "a brand new document under a recycled id")],
+        "doc_id bigint, text string",
+    )
+    # resurrection guard: the old postings for id 5 still exist
+    with pytest.raises(ValueError, match="disjoint"):
+        bm25_index_add(spark, replacement, idx)
+    # merge applies the tombstone physically (single segment + removal
+    # still merges) ...
+    assert bm25_segment_merge(spark, idx) == 1
+    meta = __import__("json").load(open(os.path.join(idx, "_COMPLETE")))
+    assert meta["removed_ids"] == [] and meta["removed_n"] == 0
+    # ... after which the id is genuinely free
+    bm25_index_add(spark, replacement, idx)
+    union = docs.filter(F.col("doc_id") != 5).unionByName(replacement)
+    terms = ["hash", "join", "merge", "document"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(union, terms, k=10)
+    )
+
+
+def test_sequential_removes_and_merges_never_share_dirs(spark, docs, idx):
+    """Two merges with DIFFERENT tombstone sets must land in different
+    immutable dirs — the second must not flip the marker onto the
+    first's contents."""
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_remove,
+        bm25_segment_merge,
+    )
+
+    terms = ["hash", "join", "merge"]
+    bm25_index_remove(spark, idx, [1])
+    bm25_segment_merge(spark, idx)
+    bm25_index_remove(spark, idx, [2])
+    bm25_segment_merge(spark, idx)
+    surviving = docs.filter(~F.col("doc_id").isin([1, 2]))
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(surviving, terms, k=10)
+    )
