@@ -76,6 +76,12 @@ from kafka_dbsync_spark.operators.lm_index import (
 #: pruning test) is the one you'd ship with 4096 buckets at 100 TB.
 N_BUCKETS = 64
 
+#: on-disk layout version. 2 = positional postings (pos column) +
+#: doclens. An index whose marker carries an older (or missing) format
+#: reports stale from :func:`bm25_index_is_current` so callers rebuild
+#: rather than serving against a layout the reader can't use.
+FORMAT = 2
+
 
 def term_bucket_py(term: str) -> int:
     """Python mirror of the Spark-side bucket expression — zlib.crc32
@@ -105,10 +111,18 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
 
     def write_stage(stage: str) -> None:
+        # positions are 1-based and sorted — the positional index that
+        # makes exact phrase queries servable (Lucene's prox data)
         postings = (
-            per_doc.select(id_col, "dl", F.explode("__t").alias("term"))
+            per_doc.select(
+                id_col, "dl", F.posexplode("__t").alias("__p0", "term")
+            )
             .groupBy(id_col, "term")
-            .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.max("dl").alias("dl"),
+                F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("pos"),
+            )
             .withColumn(
                 "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_BUCKETS))
             )
@@ -148,13 +162,17 @@ def build_bm25_index(
     from kafka_dbsync_spark.operators.cache_validation import files_signature
 
     fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
-    gen = _gen_name(fp)
+    # the layout version participates in every immutable dir name: a
+    # v1 dir with the same fingerprint must never satisfy a v2 build's
+    # "already published" check
+    gen = _gen_name(fp) + f"_v{FORMAT}"
     write_stage, (n, sumdl) = _segment_writer(spark, docs, id_col, text_col)
     rec: dict = {
         "fingerprint": fp,
         "n": n,
         "sumdl": sumdl,
         "segments": [gen],
+        "format": FORMAT,
     }
     if src_path is not None:
         rec["src_sig"] = files_signature(src_path)
@@ -173,6 +191,12 @@ def _live_meta(path: str, what: str = "BM25 index") -> dict:
         raise ValueError(
             f"no complete {what} at {path}; build_bm25_index first."
         ) from e
+    if meta.get("format") != FORMAT:
+        raise ValueError(
+            f"{what} at {path} has layout format "
+            f"{meta.get('format')!r} (reader needs {FORMAT}); rebuild "
+            "with build_bm25_index."
+        )
     segs = meta.get("segments") or ([meta["gen"]] if meta.get("gen") else [])
     if not segs or any(
         not os.path.isdir(os.path.join(path, s)) for s in segs
@@ -226,7 +250,7 @@ def bm25_index_add(
 
     meta = _live_meta(path)
     shard_fp = corpus_fingerprint(shard, id_col, text_col)
-    seg = "seg" + _gen_name(shard_fp)[3:]
+    seg = "seg" + _gen_name(shard_fp)[3:] + f"_v{FORMAT}"
     if seg in meta["segments"]:
         raise ValueError(
             f"shard {seg!r} is already a live segment of {path}"
@@ -261,16 +285,17 @@ def bm25_index_add(
             os.rename(stage, final_dir)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
-    rec = {
-        "fingerprint": _combine_fp(meta["fingerprint"], shard_fp),
-        "n": meta["n"] + n,
-        "sumdl": meta["sumdl"] + sumdl,
-        "segments": meta["segments"] + [seg],
-        "gen": meta.get("gen"),
-    }
+    rec = dict(
+        meta,
+        fingerprint=_combine_fp(meta["fingerprint"], shard_fp),
+        n=meta["n"] + n,
+        sumdl=meta["sumdl"] + sumdl,
+        segments=meta["segments"] + [seg],
+    )
     # src_sig deliberately dropped: the union corpus no longer equals
     # any single source directory, so staleness falls back to the
     # exact fingerprint tier
+    rec.pop("src_sig", None)
     tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -367,10 +392,15 @@ def bm25_segment_merge(
     # two merges tombstoning different ids must never share an
     # immutable dir, or the second would flip the marker onto the
     # first's contents
-    merged = "merged" + _gen_name(meta["fingerprint"])[3:] + (
-        "_rm%d" % (zlib.crc32(",".join(map(str, removed)).encode()),)
-        if removed
-        else ""
+    merged = (
+        "merged"
+        + _gen_name(meta["fingerprint"])[3:]
+        + f"_v{FORMAT}"
+        + (
+            "_rm%d" % (zlib.crc32(",".join(map(str, removed)).encode()),)
+            if removed
+            else ""
+        )
     )
     final_dir = os.path.join(path, merged)
     invalidate_memo(path)
@@ -428,7 +458,17 @@ def bm25_index_is_current(
     """True iff the persisted index is servable AND built on the
     current corpus — the shared staleness ladder
     (``lm_model_is_current``): metadata-only with ``src_path`` on the
-    happy path, exact corpus fingerprint only on metadata miss."""
+    happy path, exact corpus fingerprint only on metadata miss. An
+    index whose marker carries an older layout ``format`` reports
+    stale regardless of fingerprint, so callers rebuild instead of
+    reading a layout this code can't serve (e.g. pre-positional
+    postings)."""
+    try:
+        with open(os.path.join(path, _MARKER)) as f:
+            if json.load(f).get("format") != FORMAT:
+                return False
+    except (OSError, ValueError):
+        return False
     return lm_model_is_current(
         docs,
         path,
@@ -460,15 +500,49 @@ def bm25_search_served(
     (rank, id, score_r), bit-compatible with bm25_topk."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    meta = _live_meta(path)
+    post, dfs, n, sumdl = _read_pruned(
+        spark, _live_meta(path), path, list(query_terms), id_col
+    )
+    pivoted = post.groupBy(F.col(id_col)).agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    return _literal_okapi_tail(
+        pivoted,
+        [dfs.get(t, 0) for t in query_terms],
+        n,
+        sumdl,
+        k,
+        k1,
+        b,
+        id_col,
+    )
+
+
+def _read_pruned(
+    spark: SparkSession,
+    meta: dict,
+    path: str,
+    terms: list[str],
+    id_col: str,
+):
+    """(live pruned postings, per-term df dict, N, Σdl) for a term set:
+    per-segment bucket-pruned reads unioned (segment doc sets are
+    disjoint so df is additive; a term the corpus never saw has no row
+    and prices as df = 0, the same value the inline scalar aggregate
+    produces); tombstones corrected EXACTLY — N/Σdl drop by the
+    marker's recorded amounts, each term's df by the number of
+    tombstoned docs holding it, counted inside the already-pruned read
+    so erasure costs no extra scan."""
     n, sumdl = int(meta["n"]), int(meta["sumdl"])
-    buckets = sorted({term_bucket_py(t) for t in query_terms})
+    buckets = sorted({term_bucket_py(t) for t in terms})
     bucket_f = F.col("bucket").isin(buckets)
-    term_f = F.col("term").isin(list(query_terms))
-    # per-term df: vocab-filtered reads, ≤|q| rows per segment cross
-    # the driver; segment doc sets are disjoint so df is additive. A
-    # term the corpus never saw has no row and prices as df = 0, the
-    # same value the inline scalar aggregate produces for it
+    term_f = F.col("term").isin(terms)
     dfs: dict[str, int] = {}
     post = None
     for s in meta["segments"]:
@@ -481,10 +555,6 @@ def bm25_search_served(
         post = p if post is None else post.unionByName(p)
     removed = meta.get("removed_ids", [])
     if removed:
-        # exact tombstone correction: N and Σdl drop by the marker's
-        # recorded amounts; each query term's df drops by the number of
-        # tombstoned docs holding it — counted inside the ALREADY-pruned
-        # postings read, so erasure costs no extra scan
         n -= int(meta.get("removed_n", 0))
         sumdl -= int(meta.get("removed_sumdl", 0))
         for r in (
@@ -495,25 +565,33 @@ def bm25_search_served(
         ):
             dfs[r["term"]] = dfs.get(r["term"], 0) - int(r["c"])
         post = post.filter(~F.col(id_col).isin(removed))
-    pivoted = post.groupBy(F.col(id_col)).agg(
-        F.max("dl").alias("dl"),
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
-            ).alias(f"__tf{i}")
-            for i, t in enumerate(query_terms)
-        ],
-    )
-    # literal folding mirrors bm25_topk: k1+1 and 1-b fold in Python
-    # (exact for the default 1.2/0.75); N/Σdl/df enter as LONG literals
-    # cast to double so every downstream IEEE op matches the inline
-    # column expressions bit-for-bit
+    return post, dfs, n, sumdl
+
+
+def _literal_okapi_tail(
+    pivoted: DataFrame,
+    df_list: list[int],
+    n: int,
+    sumdl: int,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """The serve-side Okapi tail: the SAME expression tree as the
+    inline ``_okapi_topk`` with N/Σdl/df folded in as LONG literals
+    cast to double, so every downstream IEEE op matches the inline
+    column expressions bit-for-bit (k1+1 and 1-b fold in Python —
+    exact for the default 1.2/0.75). Docs whose every tf is 0 (a
+    phrase query over docs holding only the component words) are
+    filtered exactly like the inline ``any_match`` guard."""
+    m = len(df_list)
     k1p1, one_minus_b = k1 + 1.0, 1.0 - b
     avgdl = F.lit(sumdl).cast("double") / F.lit(n).cast("double")
     score = None
-    for i, t in enumerate(query_terms):
+    for i in range(m):
         tf = F.col(f"__tf{i}").cast("double")
-        dfc = F.lit(dfs.get(t, 0)).cast("double")
+        dfc = F.lit(df_list[i]).cast("double")
         idf = F.log(
             (F.lit(n).cast("double") - dfc + F.lit(0.5))
             / (dfc + F.lit(0.5))
@@ -532,10 +610,14 @@ def bm25_search_served(
             )
         )
         score = term_score if score is None else score + term_score
+    any_match = sum(
+        (F.col(f"__tf{i}") for i in range(1, m)), start=F.col("__tf0")
+    )
     from pyspark.sql import Window
 
     top = (
-        pivoted.select(F.col(id_col), F.round(score, 4).alias("score_r"))
+        pivoted.filter(any_match > 0)
+        .select(F.col(id_col), F.round(score, 4).alias("score_r"))
         .orderBy(F.col("score_r").desc(), F.col(id_col))
         .limit(k)
     )
@@ -543,3 +625,65 @@ def bm25_search_served(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "score_r"
     )
+
+
+def bm25_phrase_search_served(
+    spark: SparkSession,
+    path: str,
+    phrases: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact bigram-PHRASE BM25 against the frozen index — Lucene's
+    PhraseQuery over the positional postings: the component words'
+    bucket partitions are the only reads; per doc, a phrase's tf is
+    ``|pos(w1) ∩ (pos(w2) - 1)|`` (adjacent positions, slop 0) via JVM
+    array intersection; phrase df folds from the SAME pruned frame (a
+    doc containing the phrase necessarily holds both words, so the
+    pruned read covers every contributor — df is corpus-exact without
+    a corpus pass); N/Σdl come from the marker, tombstones corrected
+    like the term path. Scoring is the shared literal Okapi tail, so
+    the result is bit-compatible with the inline
+    ``corpus.bm25_phrase_topk``."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    for p in phrases:
+        if len(p) != 2:
+            raise ValueError(f"only bigram phrases are supported (got {p!r})")
+    words = sorted({w for p in phrases for w in p})
+    post, _dfs, n, sumdl = _read_pruned(
+        spark, _live_meta(path), path, words, id_col
+    )
+    empty_pos = F.array().cast("array<int>")
+    pivoted = post.groupBy(F.col(id_col)).agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == w, F.col("pos"))), empty_pos
+            ).alias(f"__pos_{j}")
+            for j, w in enumerate(words)
+        ],
+    )
+    widx = {w: j for j, w in enumerate(words)}
+    tf_cols = []
+    for i, (w1, w2) in enumerate(phrases):
+        tf = F.size(
+            F.array_intersect(
+                F.col(f"__pos_{widx[w1]}"),
+                F.transform(F.col(f"__pos_{widx[w2]}"), lambda x: x - 1),
+            )
+        )
+        tf_cols.append(tf.alias(f"__tf{i}"))
+    pivoted = pivoted.select(id_col, "dl", *tf_cols)
+    # phrase df: one aggregate over the pruned frame (vocabulary- and
+    # query-bounded, never the corpus)
+    dfr = pivoted.agg(
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(phrases))
+        ]
+    ).collect()[0]
+    df_list = [int(dfr[f"__df{i}"] or 0) for i in range(len(phrases))]
+    return _literal_okapi_tail(pivoted, df_list, n, sumdl, k, k1, b, id_col)

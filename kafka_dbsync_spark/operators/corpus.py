@@ -115,12 +115,29 @@ def bm25_topk(
             for i, t in enumerate(query_terms)
         ],
     )
+    return _okapi_topk(per_doc, len(query_terms), id_col, k, k1, b)
+
+
+def _okapi_topk(
+    per_doc: DataFrame,
+    m: int,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared Okapi tail for term AND phrase queries: ``per_doc``
+    carries (id, dl, __tf0..__tf{m-1}); one scalar corpus-stats
+    aggregate broadcasts back, the score is the exact left-assoc
+    expression tree (evaluation order is part of the result under IEEE
+    doubles — the oracle embeds the same order), top-k via
+    TakeOrdered."""
     stats = per_doc.agg(
         F.count("*").alias("__n"),
         F.sum("dl").alias("__sumdl"),
         *[
             F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
-            for i in range(len(query_terms))
+            for i in range(m)
         ],
     )
     scored = per_doc.join(F.broadcast(stats))
@@ -129,7 +146,7 @@ def bm25_topk(
     k1p1, one_minus_b = k1 + 1.0, 1.0 - b
     avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
     score = None
-    for i in range(len(query_terms)):
+    for i in range(m):
         tf = F.col(f"__tf{i}").cast("double")
         dfc = F.col(f"__df{i}").cast("double")
         idf = F.log(
@@ -151,7 +168,7 @@ def bm25_topk(
         )
         score = term_score if score is None else score + term_score
     any_match = sum(
-        (F.col(f"__tf{i}") for i in range(1, len(query_terms))),
+        (F.col(f"__tf{i}") for i in range(1, m)),
         start=F.col("__tf0"),
     )
     top = (
@@ -164,6 +181,59 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "score_r"
     )
+
+
+def bm25_phrase_topk(
+    docs: DataFrame,
+    phrases: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` for a bag of exact BIGRAM PHRASES — Lucene's
+    PhraseQuery with slop 0, scored like terms: a phrase's tf is the
+    count of ADJACENT (w1, w2) occurrences, its df the number of docs
+    with tf > 0, and the Okapi tail (:func:`_okapi_topk`) is shared
+    with the term query bit-for-bit.
+
+    Scale shape matches ``bm25_topk``: phrase tfs are narrow
+    positional array math over plan-literal words (one filtered
+    sequence per phrase — no explode, no token shuffle), corpus stats
+    are one scalar aggregate broadcast back, top-k is TakeOrdered. One
+    scan ranks any corpus size.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    for p in phrases:
+        if len(p) != 2:
+            raise ValueError(f"only bigram phrases are supported (got {p!r})")
+    norm = normalize_text(text_col)
+    tok = F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+    def phrase_tf(w1: str, w2: str):
+        # sequence(1, size-1) is INCLUSIVE and would run backwards for
+        # docs under two tokens — guard to a clean 0 (the oracle's
+        # range(1, len) is end-exclusive and needs no guard)
+        hits = F.filter(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: (F.element_at(tok, i) == F.lit(w1))
+            & (F.element_at(tok, i + 1) == F.lit(w2)),
+        )
+        return F.when(F.size(tok) >= 2, F.size(hits)).otherwise(F.lit(0))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(tok).alias("dl"),
+        *[
+            phrase_tf(w1, w2).alias(f"__tf{i}")
+            for i, (w1, w2) in enumerate(phrases)
+        ],
+    )
+    return _okapi_topk(per_doc, len(phrases), id_col, k, k1, b)
 
 
 def contaminated_docs(

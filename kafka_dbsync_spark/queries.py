@@ -2699,6 +2699,102 @@ def q_bm25_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_PHRASES = (("table", "hash"), ("merge", "group"), ("customer", "join"))
+
+
+def _bm25_phrase_oracle() -> str:
+    """Exact bigram-phrase BM25 oracle: a phrase's tf counts ADJACENT
+    (w1, w2) token pairs (DuckDB's range(1, len) is end-exclusive so
+    j+1 never overruns); df/N/Σdl and the Okapi expression are the
+    term oracle's, verbatim (``_bm25_term_sql`` is arity-generic)."""
+    m = len(_BM25_PHRASES)
+    norm = _SQL_NORM.format(c="text")
+    tfs = ", ".join(
+        "CASE WHEN nrm = '' THEN 0 ELSE len(list_filter(range(1, len(tk)), "
+        f"j -> tk[j] = '{w1}' AND tk[j+1] = '{w2}')) END AS tf{i}"
+        for i, (w1, w2) in enumerate(_BM25_PHRASES)
+    )
+    return f"""
+    WITH tk0 AS (
+      SELECT doc_id, string_split({norm}, ' ') AS tk, {norm} AS nrm
+      FROM documents
+    ), per AS (
+      SELECT doc_id,
+             CASE WHEN nrm = '' THEN 0 ELSE len(tk) END AS dl,
+             {tfs}
+      FROM tk0
+    ), st AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl,
+             {', '.join(
+                 f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(m)
+             )}
+      FROM per
+    ), sc AS (
+      SELECT doc_id,
+             round({' + '.join(_bm25_term_sql(i) for i in range(m))}, 4) AS score_r
+      FROM per, st
+      WHERE {' + '.join(f'tf{i}' for i in range(m))} > 0
+    ), top AS (
+      SELECT doc_id, score_r FROM sc ORDER BY score_r DESC, doc_id LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, score_r
+    FROM top
+    """
+
+
+@query("bm25_phrase_search", oracle=_bm25_phrase_oracle())
+def q_bm25_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-phrase relevance ranking — Lucene's PhraseQuery at
+    slop 0, scored with Okapi BM25
+    (operators/corpus.py::bm25_phrase_topk): a phrase's tf counts
+    adjacent (w1, w2) occurrences via narrow positional array math
+    over plan-literal words (no explode, no token shuffle); stats are
+    one scalar broadcast aggregate and top-k is TakeOrdered — one scan
+    ranks any corpus size, the bm25_search plan shape exactly."""
+    from kafka_dbsync_spark.operators.corpus import bm25_phrase_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_phrase_topk(docs, list(_BM25_PHRASES), k=10)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )
+
+
+@query("bm25_phrase_served", oracle=ORACLES["bm25_phrase_search"])
+def q_bm25_phrase_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search as a search tier serves it
+    (operators/bm25_index.py::bm25_phrase_search_served): the postings
+    now carry sorted 1-based POSITIONS (Lucene's prox data), so a
+    phrase's per-doc tf is |pos(w1) ∩ (pos(w2) − 1)| via JVM array
+    intersection over the component words' bucket-pruned reads; phrase
+    df folds from the same pruned frame (every phrase holder contains
+    both words, so it is corpus-exact without a corpus pass), N/Σdl
+    come from the marker, and the shared literal Okapi tail makes the
+    result bit-compatible with the inline bm25_phrase_topk — same
+    oracle."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_is_current,
+        bm25_phrase_search_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_bm25_{sf_tag}")
+    if not bm25_index_is_current(docs, cache, src_path=src):
+        build_bm25_index(spark, docs, cache, src_path=src)
+    out = bm25_phrase_search_served(spark, cache, list(_BM25_PHRASES), k=10)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )
+
+
 def _bm25_lifecycle(spark: SparkSession, sf_dir: str, merge: bool) -> DataFrame:
     """Shared rig for the BM25 segment-lifecycle queries: index the
     even half, add the odd half as an incremental segment (the indexed

@@ -298,3 +298,94 @@ def test_sequential_removes_and_merges_never_share_dirs(spark, docs, idx):
     assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
         bm25_topk(surviving, terms, k=10)
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase queries (Lucene PhraseQuery over prox data)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_serve_equals_inline(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_phrase_search_served,
+    )
+    from kafka_dbsync_spark.operators.corpus import bm25_phrase_topk
+
+    phrases = [("hash", "join"), ("merge", "sort")]
+    assert _rows(bm25_phrase_search_served(spark, idx, phrases, k=10)) == _rows(
+        bm25_phrase_topk(docs, phrases, k=10)
+    )
+    # a doc holding both words NON-adjacently scores 0 and never
+    # surfaces: doc 4 has "merge sort" (hit); doc 2 has merge..sorted
+    hits = {
+        r["doc_id"]
+        for r in bm25_phrase_search_served(
+            spark, idx, [("merge", "sort")], k=10
+        ).collect()
+    }
+    assert 4 in hits and 2 not in hits
+
+
+def test_phrase_serve_across_segments_and_tombstones(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_add,
+        bm25_index_remove,
+        bm25_phrase_search_served,
+    )
+    from kafka_dbsync_spark.operators.corpus import bm25_phrase_topk
+
+    shard = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    bm25_index_add(spark, shard, idx)
+    bm25_index_remove(spark, idx, [1])
+    surviving = docs.unionByName(shard).filter(F.col("doc_id") != 1)
+    phrases = [("hash", "join"), ("merge", "join")]
+    assert _rows(
+        bm25_phrase_search_served(spark, idx, phrases, k=10)
+    ) == _rows(bm25_phrase_topk(surviving, phrases, k=10))
+
+
+def test_phrase_repeated_adjacent_counts_each(spark):
+    """'merge merge merge' holds the phrase (merge, merge) twice —
+    positional tf counts every adjacent pair, not just presence."""
+    from kafka_dbsync_spark.operators.corpus import bm25_phrase_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge merge merge"), (2, "merge alone"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = bm25_phrase_topk(docs, [("merge", "merge")], k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_phrase_guards(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_phrase_search_served,
+    )
+    from kafka_dbsync_spark.operators.corpus import bm25_phrase_topk
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_phrase_topk(docs, [])
+    with pytest.raises(ValueError, match="bigram"):
+        bm25_phrase_topk(docs, [("a", "b", "c")])
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_phrase_search_served(spark, idx, [])
+    with pytest.raises(ValueError, match="bigram"):
+        bm25_phrase_search_served(spark, idx, [("one",)])
+
+
+def test_old_format_marker_reports_stale_and_refuses(spark, docs, idx):
+    """A pre-positional (format-1 or unversioned) marker must drive a
+    REBUILD, never a serve against a layout the reader can't use."""
+    import json
+
+    from kafka_dbsync_spark.operators.bm25_index import _live_meta
+
+    marker_path = os.path.join(idx, "_COMPLETE")
+    meta = json.load(open(marker_path))
+    del meta["format"]
+    json.dump(meta, open(marker_path, "w"))
+    assert not bm25_index_is_current(docs, idx)
+    with pytest.raises(ValueError, match="layout format"):
+        _live_meta(idx)
+    build_bm25_index(spark, docs, idx)
+    assert bm25_index_is_current(docs, idx)
