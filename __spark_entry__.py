@@ -66,6 +66,34 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # (the last five ceded to the second-half round-10 queries: gate
 # integrity for NEW code outranks re-gating unchanged narrow ops)
 # All 11 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
+#
+# LATE round-10 additions (the BM25 index family + boilerplate_strip,
+# registered the same round they landed per the gate-contract rule)
+# displace 5 more (d) rows, each with the strongest alternate
+# validation — all pass the full local sweep:
+#   simhash          executes ON-PATH inside simhash_neardup_pairs
+#                    (stays in-window); byte-exact vectors pytest-pinned
+#   ivf_centroids    the k-means build executes on-path inside the
+#                    in-window ivf_assign and ivf_search
+#   vocab_topk       plain token agg + TakeOrdered, pytest-pinned; the
+#                    windowed-TopK shape gated via weighted_sample_by_lang
+#   running_revenue  plain running-sum window, pytest-pinned; the
+#                    per-key window shape re-gated via rolling_1h_value
+#   ngram_bigrams    the bigram explode+agg executes on-path inside
+#                    lm_perplexity (r9 row) and the in-window
+#                    ngram_jaccard_dedup
+#   ivfpq_search_multi  batched≡per-query pinned in
+#                    tests/test_pq_index.py::test_multi_query_search_
+#                    equals_per_query; the serve machinery re-gated via
+#                    the in-window ivfpq_search_refined + pq_index_merge
+#   salted_priority_revenue  its oracle IS the unsalted aggregate
+#                    (salt-invariance is the query's whole claim) and
+#                    salted≡plain is pinned in tests/test_incremental.py;
+#                    the skew pattern stays gated via hot_key_report
+#   vector_lsh_buckets  the EXACT with_lsh_buckets machinery executes
+#                    ON-PATH inside the in-window embedding_ingest_gate
+#                    (48 planes vs 16 — same code, same oracle plane
+#                    derivation); literal≡broadcast paths pytest-pinned
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 10 — never driver-checked
     "domain_stats_psl",
@@ -79,12 +107,25 @@ _DRIVER_PRIORITY: list[str] = [
     # (b) added after the r9 window cut — never driver-checked
     "cluster_prototypes",
     "contamination_report",
+    # (a2) late round-10 additions — never driver-checked: the persisted
+    # BM25 text index (serve twin + segment add/merge lifecycle +
+    # tombstone erasure + positional phrase search), RefinedWeb
+    # host-scoped boilerplate removal, and the embedding (semantic)
+    # dedup-at-ingest gate
+    "bm25_search_served",
+    "bm25_index_add",
+    "bm25_segment_merge",
+    "bm25_remove_serve",
+    "bm25_phrase_search",
+    "bm25_phrase_served",
+    "boilerplate_strip",
+    "embedding_ingest_gate",
     # (c) on-path behavior changed in round 10
     "url_dedup",
     "url_ingest_gate",
     "curation_pipeline_v4",
     "pq_index_merge",
-    # (d) round-6-stale rows (36 of 47; the 11 cessions above)
+    # (d) round-6-stale rows (28 of 47; the 11 + 5 + 3 cessions above)
     "ann_blocked_topk",
     "balanced_sample",
     "bm25_search",
@@ -99,12 +140,9 @@ _DRIVER_PRIORITY: list[str] = [
     "funnel_conversion",
     "hot_key_report",
     "ivf_assign",
-    "ivf_centroids",
     "ivf_search",
-    "ivfpq_search_multi",
     "ivfpq_search_refined",
     "nation_pair_flows",
-    "ngram_bigrams",
     "ngram_jaccard_dedup",
     "pack_sequences",
     "pii_scrub",
@@ -112,15 +150,10 @@ _DRIVER_PRIORITY: list[str] = [
     "repetition_scores",
     "retention_cohorts",
     "rolling_1h_value",
-    "running_revenue",
-    "salted_priority_revenue",
     "semantic_dedup",
-    "simhash",
     "simhash_neardup_pairs",
     "similarity_topk",
     "value_histogram",
-    "vector_lsh_buckets",
-    "vocab_topk",
 ]
 
 

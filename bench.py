@@ -136,6 +136,20 @@ HEADLINE = [
     "nb_source_predict_served",
     "domain_blocklist_psl",
     "video_neardup_pairs",
+    # r10 second half: the persisted BM25 text index — warm serve
+    # (compare against the fused bm25_search cost the corpus-rescan
+    # path would pay), the full segment lifecycle (build even half +
+    # add odd shard + tombstone + merged serve costs are tracked by
+    # bm25_index_add / bm25_remove_serve; bm25_segment_merge is
+    # headline-excluded as its cost is add's plus the compaction
+    # rewrite, adjudicated by the 10x scale probe) — and RefinedWeb
+    # host-scoped boilerplate stripping.
+    "bm25_search_served",
+    "bm25_index_add",
+    "bm25_remove_serve",
+    "bm25_phrase_search",
+    "bm25_phrase_served",
+    "boilerplate_strip",
 ]
 
 

@@ -2334,7 +2334,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
 
 
-def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
+def _sql_lsh_bucket_expr(num_planes: int, dim: int) -> str:
+    """SQL mirror of similarity.lsh_bucket over an alias ``v`` (double
+    list): sign-of-dot bits with the SAME md5-derived ±1 planes and the
+    same index-order left-fold dot."""
     from kafka_dbsync_spark.operators.similarity import random_hyperplanes
 
     planes = random_hyperplanes(num_planes, dim)
@@ -2345,7 +2348,11 @@ def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
             f"CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),"
             f" i -> v[i] * ({lit})[i])), (a, b) -> a + b) >= 0 THEN {2**j} ELSE 0 END"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _sql_vector_lsh(num_planes: int = 16, dim: int = 64) -> str:
+    bucket = _sql_lsh_bucket_expr(num_planes, dim)
     return f"""
     WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -11397,6 +11404,94 @@ def q_image_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(
             rows, "batch bigint, doc_id bigint, dhash bigint"
+        )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+@query(
+    "embedding_ingest_gate",
+    # Batch-equivalence oracle, the image gate's shape over the THIRD
+    # fingerprint domain: simhash-of-embedding (48 md5-derived ±1
+    # hyperplanes — the SQL replays the planes and the index-order
+    # left-fold dot). Banding is pigeonhole-exact at 4 bands /
+    # hamming<=3, so the oracle is pure "exists earlier within 3";
+    # planted exact twins (vec_id % 5, re-id'd +1e6) share their
+    # source's simhash bit-for-bit and must drop.
+    oracle=f"""
+    WITH pm AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), e AS (
+      SELECT vec_id, vec_id % 3 AS batch,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM pm
+    ), h AS (
+      SELECT vec_id, batch, CAST({_sql_lsh_bucket_expr(48, 64)} AS BIGINT) AS sh
+      FROM e
+    ), dom AS (
+      SELECT DISTINCT a.vec_id FROM h a JOIN h x
+        ON (x.batch < a.batch OR (x.batch = a.batch AND x.vec_id < a.vec_id))
+       AND bit_count(xor(a.sh, x.sh)) <= 3
+    )
+    SELECT batch, vec_id, sh AS simhash FROM h
+    WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    """,
+)
+def q_embedding_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup-at-ingest — the SemDeDup idea at the streaming
+    edge: an arriving embedding shard is admitted or dropped against
+    every embedding ever seen WITHOUT re-reading a stored vector. The
+    fingerprint is a 48-plane random-hyperplane SimHash
+    (similarity.with_lsh_buckets — cosine-LSH sign bits, vectors
+    fingerprinted once), and the state machinery is the SHARED
+    neardup_ingest_foreach_batch: in-batch keep-first, banded
+    cross-batch probe of hash-only state (6 bytes per vector ever
+    seen), all fingerprints commit (a near-twin of a dropped arrival
+    still drops), epoch replay no-ops. Third modality through the same
+    gate — text paragraphs, image/audio fingerprints, now embeddings —
+    proving the admission stack is fingerprint-generic."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+        read_admitted,
+    )
+    from kafka_dbsync_spark.operators.similarity import with_lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    ).withColumn("batch", F.col("vec_id") % 3)
+    state_dir = tempfile.mkdtemp(prefix="kds_emb_gate_")
+    try:
+        fn = neardup_ingest_foreach_batch(
+            state_dir,
+            hash_fn=lambda df: with_lsh_buckets(
+                df, "embedding", 48, 64, out_col="simhash"
+            ).select("vec_id", "simhash"),
+            id_col="vec_id",
+            hash_col="simhash",
+            bit_width=48,
+            bands=4,
+            hamming_max=3,
+            compact_every=2,  # fires mid-stream at epoch 2: the read
+            # below must see folded base + live epochs identically
+        )
+        for b in (0, 1, 2):
+            fn(planted.filter(F.col("batch") == b), b)
+        fn(planted.filter(F.col("batch") == 1), 1)  # replay: MUST no-op
+        out = read_admitted(spark, state_dir).select(
+            "batch", "vec_id", F.col("fp").alias("simhash")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "batch bigint, vec_id bigint, simhash bigint"
         )
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)

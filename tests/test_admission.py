@@ -887,3 +887,72 @@ def test_neardup_gate_audio_modality_e2e(spark, tmp_path):
     assert acc1 == [4]
     dup = spark.read.parquet(os.path.join(state, "duplicates", "e1")).head()
     assert dup["doc_id"] == 3 and dup["dup_reason"] == "previously_seen_neardup"
+
+
+def test_neardup_gate_embedding_modality_e2e(spark, tmp_path):
+    """hash_fn genericity E2E, third fingerprint domain: the SAME gate
+    admits/drops EMBEDDINGS via a 48-plane cosine SimHash
+    (similarity.with_lsh_buckets) — a later batch's exact re-id'd copy
+    (hamming 0) and a sign-preserving rescale of a stored vector
+    (hamming 0: positive scaling never flips a hyperplane side) both
+    drop against hash-only state; an orthogonal-ish fresh vector
+    admits. No stored vector is ever re-read."""
+    import os
+
+    from kafka_dbsync_spark.operators.admission import (
+        neardup_ingest_foreach_batch,
+    )
+    from kafka_dbsync_spark.operators.similarity import with_lsh_buckets
+
+    def vec(seed, dim=64):
+        # deterministic, engine-free pseudo-vector
+        import hashlib
+
+        return [
+            (int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:4], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+
+    v1, v2, v3 = vec("a"), vec("b"), vec("c")
+    state = str(tmp_path / "st")
+    fn = neardup_ingest_foreach_batch(
+        state,
+        hash_fn=lambda df: with_lsh_buckets(
+            df, "embedding", 48, 64, out_col="simhash"
+        ).select("vec_id", "simhash"),
+        id_col="vec_id",
+        hash_col="simhash",
+        bit_width=48,
+        bands=4,
+        hamming_max=3,
+    )
+    fn(
+        spark.createDataFrame(
+            [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+        ),
+        0,
+    )
+    scaled = [x * 2.0 for x in v1]  # cosine 1.0 with v1, new id
+    fn(
+        spark.createDataFrame(
+            [(3, scaled), (4, v3), (5, v2)],
+            "vec_id long, embedding array<double>",
+        ),
+        1,
+    )
+    acc1 = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(state, "accepted", "e1")).collect()
+    )
+    assert acc1 == [4]
+    dups = {
+        r["vec_id"]: r["dup_reason"]
+        for r in spark.read.parquet(
+            os.path.join(state, "duplicates", "e1")
+        ).collect()
+    }
+    assert dups == {
+        3: "previously_seen_neardup",
+        5: "previously_seen_neardup",
+    }

@@ -332,6 +332,24 @@ SHUFFLE_BUDGET = {
     # cap window + df agg, plus the capped-postings agg side
     "bm25_search": 1,               # one SinglePartition stats agg; tf is
     # narrow array math, top-k is TakeOrdered — no corpus-keyed exchange
+    "bm25_search_served": 1,        # one doc-keyed pivot agg over the
+    # bucket-pruned postings read (corpus stats are marker literals; df
+    # collects are vocab-filtered, ≤|q| rows); top-k is TakeOrdered
+    "bm25_phrase_search": 1,        # one SinglePartition stats agg;
+    # phrase tf is narrow positional array math over literal words
+    "bm25_phrase_served": 1,        # one doc-keyed pivot agg over the
+    # component words' pruned postings (positions intersect JVM-side;
+    # phrase df folded eagerly from the same frame, ≤pruned rows)
+    "embedding_ingest_gate": 0,     # gate machinery executes inside the
+    # rig; returned admitted rows are a LocalTableScan
+    "bm25_index_add": 0,            # build+add+serve execute inside the
+    # rig; returned serve result is localCheckpoint-truncated
+    "bm25_segment_merge": 0,        # same rig, merged serve
+    "bm25_remove_serve": 0,         # same rig, tombstoned serve
+    "boilerplate_strip": 6,         # paragraph keys shuffle twice (the
+    # (host,key,doc) distinct then the (host,key) df agg), doomed
+    # positions re-key by doc, host sizes are a tiny agg broadcast
+    # back; all joins broadcast (6 BHJ) — corpus text never shuffles
     "cdc_corrupt_events": 0,     # pure narrow chain
     "cdc_op_counts": 2,          # agg + countDistinct expand
     "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)

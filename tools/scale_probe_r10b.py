@@ -22,7 +22,10 @@ NEW = [
     "bm25_index_add",
     "bm25_segment_merge",
     "bm25_remove_serve",
+    "bm25_phrase_search",
+    "bm25_phrase_served",
     "boilerplate_strip",
+    "embedding_ingest_gate",
 ]
 
 
