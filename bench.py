@@ -398,23 +398,31 @@ def main() -> None:
     # compact line hit 1837 and each added headline entry costs ~14
     # chars, so the line must stay lean: per-query medians at 2dp, the
     # best/first suite columns live in the detail artifact only.
-    compact = {
-        "metric": "headline_suite_wall_seconds",
-        "value": round(total, 3),  # median-of-3 per query, summed
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in per_query.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cdc_events_per_sec": round(n_events / cdc_secs),
-        "cdc_apply_events_per_sec": apply_rate,
-        "canary": {
-            "total": canaries["start"]["total"],
-            "spread": _canary_spread(canaries),
-        },
-        "detail_file": detail_name,
-    }
+    def _compact(dp: int) -> dict:
+        return {
+            "metric": "headline_suite_wall_seconds",
+            "value": round(total, 3),  # median-of-3 per query, summed
+            "unit": "sec",
+            "queries": {k: round(v, dp) for k, v in per_query.items()},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cdc_events_per_sec": round(n_events / cdc_secs),
+            "cdc_apply_events_per_sec": apply_rate,
+        }
+
+    # adaptive precision: the r10 second-half headline (73 entries)
+    # pushed the 2dp compact line past the driver's 2000-char stdout
+    # tail, which would truncate the JSON head. Per-query medians drop
+    # to 1dp only when needed (canary/detail_file live in the detail
+    # artifact only, same reason); full 3dp always in the detail.
+    compact = _compact(2)
+    compact_dp = 2
+    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
+        compact, compact_dp = _compact(1), 1
     detail = dict(
         compact,
         queries=per_query,              # full 3dp precision
+        detail_file=detail_name,
+        compact_precision=compact_dp,
         canary=canaries,                # start/mid/end, all three jobs
         canary_spread=_canary_spread(canaries),
         best_suite_wall_seconds=round(total_best, 3),

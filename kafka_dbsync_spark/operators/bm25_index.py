@@ -45,6 +45,15 @@ marker flips. The marker fingerprint composes additively on add
 (count/sum/max/content-sum all combine), so the staleness ladder keeps
 working against the UNION corpus.
 
+Writer concurrency contract — Lucene's, exactly: concurrent
+BUILDS of the same corpus race safely (``publish_generation``'s
+rename-discard protocol), and READERS are always safe (every marker
+flip is one atomic replace pointing only at complete immutable dirs),
+but add / remove / merge are read-modify-write on the marker and
+assume ONE writer at a time (Lucene's IndexWriter lock); two
+concurrent adds can lose one marker update — serialize mutations
+externally, as every Lucene deployment does.
+
 Scale notes: the build shuffles once on (doc, term) for term
 frequencies (map-side combined; tf collapses before the exchange) and
 once on term for document frequencies; corpus text never shuffles
@@ -83,6 +92,27 @@ N_BUCKETS = 64
 FORMAT = 2
 
 
+def _schema_of(meta_or_schemas: dict, key: str):
+    """StructType from a marker-recorded schema json (None when the
+    marker predates schema recording — readers then fall back to
+    inference, valid for any non-empty segment)."""
+    s = meta_or_schemas.get(key)
+    if s is None:
+        return None
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _read_table(spark: SparkSession, meta: dict, path: str, seg: str, table: str):
+    """Schema-explicit read of one segment table."""
+    reader = spark.read
+    st = _schema_of(meta, f"{table}_schema")
+    if st is not None:
+        reader = reader.schema(st)
+    return reader.parquet(f"{path}/{seg}/{table}")
+
+
 def term_bucket_py(term: str) -> int:
     """Python mirror of the Spark-side bucket expression — zlib.crc32
     and Spark's ``F.crc32`` share the CRC-32 polynomial and both yield
@@ -109,28 +139,40 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     them."""
     tok = _bm25_tokens(text_col)
     per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
+    # positions are 1-based and sorted — the positional index that
+    # makes exact phrase queries servable (Lucene's prox data)
+    postings = (
+        per_doc.select(id_col, "dl", F.posexplode("__t").alias("__p0", "term"))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("dl").alias("dl"),
+            F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("pos"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
+        )
+    )
+    # plan-time schemas ride in the marker so every read-back is
+    # schema-EXPLICIT: a segment whose every doc is token-empty writes
+    # zero posting rows, and a fileless parquet dir cannot infer
+    schemas = {
+        "postings_schema": postings.schema.json(),
+        "dfs_schema": postings.select("bucket", "term")
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .schema.json(),
+        "doclens_schema": per_doc.select(id_col, "dl").schema.json(),
+    }
 
     def write_stage(stage: str) -> None:
-        # positions are 1-based and sorted — the positional index that
-        # makes exact phrase queries servable (Lucene's prox data)
-        postings = (
-            per_doc.select(
-                id_col, "dl", F.posexplode("__t").alias("__p0", "term")
-            )
-            .groupBy(id_col, "term")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.max("dl").alias("dl"),
-                F.sort_array(F.collect_list(F.col("__p0") + 1)).alias("pos"),
-            )
-            .withColumn(
-                "bucket", F.pmod(F.crc32(F.col("term")), F.lit(N_BUCKETS))
-            )
-        )
         postings.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
         )
-        spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
+        spark.read.schema(_schema_of(schemas, "postings_schema")).parquet(
+            f"{stage}/postings"
+        ).groupBy("bucket", "term").agg(
             F.count(F.lit(1)).alias("df")
         ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
         # doclens records EVERY doc — token-empty ones included (dl=0),
@@ -143,7 +185,7 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     st = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
     ).collect()[0]
-    return write_stage, (int(st["n"]), int(st["sumdl"] or 0))
+    return write_stage, (int(st["n"]), int(st["sumdl"] or 0)), schemas
 
 
 def build_bm25_index(
@@ -166,13 +208,16 @@ def build_bm25_index(
     # v1 dir with the same fingerprint must never satisfy a v2 build's
     # "already published" check
     gen = _gen_name(fp) + f"_v{FORMAT}"
-    write_stage, (n, sumdl) = _segment_writer(spark, docs, id_col, text_col)
+    write_stage, (n, sumdl), schemas = _segment_writer(
+        spark, docs, id_col, text_col
+    )
     rec: dict = {
         "fingerprint": fp,
         "n": n,
         "sumdl": sumdl,
         "segments": [gen],
         "format": FORMAT,
+        **schemas,
     }
     if src_path is not None:
         rec["src_sig"] = files_signature(src_path)
@@ -260,7 +305,7 @@ def bm25_index_add(
     # broadcasts when small
     existing = None
     for s in meta["segments"]:
-        ids = spark.read.parquet(f"{path}/{s}/doclens").select(
+        ids = _read_table(spark, meta, path, s, "doclens").select(
             F.col(id_col).alias("__eid")
         )
         existing = ids if existing is None else existing.unionByName(ids)
@@ -275,7 +320,9 @@ def bm25_index_add(
             "segment doc sets must be disjoint (dedup or re-id the "
             "shard before adding)"
         )
-    write_stage, (n, sumdl) = _segment_writer(spark, shard, id_col, text_col)
+    write_stage, (n, sumdl), _schemas = _segment_writer(
+        spark, shard, id_col, text_col
+    )
     stage = os.path.join(path, f".stage-{seg}-{os.getpid()}")
     final_dir = os.path.join(path, seg)
     invalidate_memo(path)
@@ -339,7 +386,7 @@ def bm25_index_remove(
     found = {}
     for s in meta["segments"]:
         for r in (
-            spark.read.parquet(f"{path}/{s}/doclens")
+            _read_table(spark, meta, path, s, "doclens")
             .filter(F.col(id_col).isin(new))
             .collect()
         ):
@@ -407,8 +454,8 @@ def bm25_segment_merge(
     if not os.path.exists(final_dir):
         post, lens = None, None
         for s in segs:
-            p = spark.read.parquet(f"{path}/{s}/postings")
-            d = spark.read.parquet(f"{path}/{s}/doclens")
+            p = _read_table(spark, meta, path, s, "postings")
+            d = _read_table(spark, meta, path, s, "doclens")
             post = p if post is None else post.unionByName(p)
             lens = d if lens is None else lens.unionByName(d)
         if removed:
@@ -418,7 +465,11 @@ def bm25_segment_merge(
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
         )
-        spark.read.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
+        _stage_reader = spark.read
+        _pschema = _schema_of(meta, "postings_schema")
+        if _pschema is not None:
+            _stage_reader = _stage_reader.schema(_pschema)
+        _stage_reader.parquet(f"{stage}/postings").groupBy("bucket", "term").agg(
             F.count(F.lit(1)).alias("df")
         ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
         lens.write.mode("overwrite").parquet(f"{stage}/doclens")
@@ -546,12 +597,15 @@ def _read_pruned(
     dfs: dict[str, int] = {}
     post = None
     for s in meta["segments"]:
-        seg_dir = os.path.join(path, s)
         for r in (
-            spark.read.parquet(f"{seg_dir}/dfs").filter(bucket_f & term_f).collect()
+            _read_table(spark, meta, path, s, "dfs")
+            .filter(bucket_f & term_f)
+            .collect()
         ):
             dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
-        p = spark.read.parquet(f"{seg_dir}/postings").filter(bucket_f & term_f)
+        p = _read_table(spark, meta, path, s, "postings").filter(
+            bucket_f & term_f
+        )
         post = p if post is None else post.unionByName(p)
     removed = meta.get("removed_ids", [])
     if removed:

@@ -580,3 +580,58 @@ def test_setsim_prefix_join_complete_on_random_corpora(spark, docs, threshold):
         )
     )
     assert got == want
+
+
+_BM25_WORDS = ["hash", "join", "merge", "scan", "sort", "agg"]
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_BM25_WORDS), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    terms=st.lists(
+        st.sampled_from(_BM25_WORDS + ["zzz_absent"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_index_serve_equals_corpus_rescan(spark, texts, terms):
+    """THE invariant of the persisted text index: for ANY corpus and
+    ANY term bag, answering from the frozen postings must be
+    bit-identical to rescanning the corpus — stats from the marker,
+    df from the index, the same literal Okapi tree."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_search_served,
+        build_bm25_index,
+    )
+    from kafka_dbsync_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    path = tempfile.mkdtemp(prefix="kds_prop_bm25_")
+    try:
+        build_bm25_index(spark, docs, path)
+        inline = [
+            tuple(r) for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        served = [
+            tuple(r)
+            for r in bm25_search_served(spark, path, terms, k=10).collect()
+        ]
+        assert served == inline
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
