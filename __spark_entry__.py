@@ -81,7 +81,7 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #                    per-key window shape re-gated via rolling_1h_value
 #   ngram_bigrams    the bigram explode+agg executes on-path inside
 #                    lm_perplexity (r9 row) and the in-window
-#                    ngram_jaccard_dedup
+#                    decontaminate's shingle derivation
 #   ivfpq_search_multi  batched≡per-query pinned in
 #                    tests/test_pq_index.py::test_multi_query_search_
 #                    equals_per_query; the serve machinery re-gated via
@@ -94,6 +94,9 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #                    ON-PATH inside the in-window embedding_ingest_gate
 #                    (48 planes vs 16 — same code, same oracle plane
 #                    derivation); literal≡broadcast paths pytest-pinned
+#   ngram_jaccard_dedup  the shingle machinery (with_shingles) executes
+#                    on-path inside the in-window decontaminate; exact
+#                    jaccard verification pinned in tests/test_dedup.py
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 10 — never driver-checked
     "domain_stats_psl",
@@ -119,13 +122,14 @@ _DRIVER_PRIORITY: list[str] = [
     "bm25_phrase_search",
     "bm25_phrase_served",
     "boilerplate_strip",
+    "boilerplate_strip_served",
     "embedding_ingest_gate",
     # (c) on-path behavior changed in round 10
     "url_dedup",
     "url_ingest_gate",
     "curation_pipeline_v4",
     "pq_index_merge",
-    # (d) round-6-stale rows (28 of 47; the 11 + 5 + 3 cessions above)
+    # (d) round-6-stale rows (27 of 47; the 11 + 5 + 4 cessions above)
     "ann_blocked_topk",
     "balanced_sample",
     "bm25_search",
@@ -143,7 +147,6 @@ _DRIVER_PRIORITY: list[str] = [
     "ivf_search",
     "ivfpq_search_refined",
     "nation_pair_flows",
-    "ngram_jaccard_dedup",
     "pack_sequences",
     "pii_scrub",
     "quantize_embeddings",

@@ -150,6 +150,7 @@ HEADLINE = [
     "bm25_phrase_search",
     "bm25_phrase_served",
     "boilerplate_strip",
+    "boilerplate_strip_served",
 ]
 
 

@@ -1007,10 +1007,23 @@ def host_boilerplate_strip(
     AFFECTED docs only; ``cleaned_text`` is '' when every paragraph
     was boilerplate.
     """
-    import re
-
     if not (0 < min_frac_pct <= 100):
         raise ValueError(f"min_frac_pct must be in (0, 100] (got {min_frac_pct})")
+    d, cand = _paragraph_candidates(docs, host_col, id_col, text_col, sep)
+    boiler = mine_boilerplate_keys(
+        docs, host_col, id_col, text_col, sep, min_frac_pct, min_docs
+    )
+    return _strip_by_keys(d, cand, boiler, host_col, id_col, sep)
+
+
+def _paragraph_candidates(
+    docs: DataFrame, host_col: str, id_col: str, text_col: str, sep: str
+):
+    """(paragraph-array frame, non-empty normalized-hash candidates) —
+    the shared derivation of the batch strip and the frozen-key serve
+    path (both must hash identical paragraphs)."""
+    import re
+
     d = docs.select(
         id_col, host_col, F.split(F.col(text_col), re.escape(sep)).alias("paras")
     )
@@ -1028,6 +1041,23 @@ def host_boilerplate_strip(
         .filter(F.col("nlen") > 0)
         .drop("nlen")
     )
+    return d, cand
+
+
+def mine_boilerplate_keys(
+    docs: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_frac_pct: int = 25,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The (host, key) boilerplate set host_boilerplate_strip removes —
+    exposed so the set can be PERSISTED and applied to new arrivals
+    (operators/boilerplate_index.py): paragraphs in ≥ ``min_frac_pct``
+    percent of a host's docs (count-distinct df, ``min_docs`` floor)."""
+    _, cand = _paragraph_candidates(docs, host_col, id_col, text_col, sep)
     # two-level distinct: (host, key, doc) first so a doc repeating its
     # host's footer contributes one unit, then the per-key doc count
     per_key = (
@@ -1039,7 +1069,7 @@ def host_boilerplate_strip(
     host_sizes = docs.groupBy(host_col).agg(
         F.count(F.lit(1)).alias("n_host_docs")
     )
-    boiler = (
+    return (
         per_key.join(F.broadcast(host_sizes), host_col)
         .filter(
             (F.col("n_docs_with") >= F.lit(min_docs))
@@ -1050,6 +1080,19 @@ def host_boilerplate_strip(
         )
         .select(host_col, "key")
     )
+
+
+def _strip_by_keys(
+    d: DataFrame,
+    cand: DataFrame,
+    boiler: DataFrame,
+    host_col: str,
+    id_col: str,
+    sep: str,
+) -> DataFrame:
+    """Remove every instance of the flagged (host, key) paragraphs —
+    the JVM higher-order position rewrite shared by batch and served
+    stripping. Affected docs only."""
     doomed = cand.join(boiler, [host_col, "key"])
     drops = doomed.groupBy(id_col).agg(F.collect_set("i").alias("drop_idx"))
     joined = d.join(drops, id_col)

@@ -3686,6 +3686,16 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text never shuffles."""
     from kafka_dbsync_spark.operators.dedup import host_boilerplate_strip
 
+    sited = _boilerplate_fixture(spark, sf_dir)
+    return host_boilerplate_strip(
+        sited, host_col="source", min_frac_pct=25, min_docs=2
+    )
+
+
+def _boilerplate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized per-source header/footer corpus shared by the
+    fused and served boilerplate queries (must stay byte-identical to
+    the oracle's CTE chain)."""
     docs = load_table(spark, sf_dir, "documents")
     tk = F.split(F.col("text"), " ")
     paras = F.transform(
@@ -3705,10 +3715,36 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text3 = F.when(
         F.col("doc_id") % 3 == 0, F.concat(text2, F.lit("\n"), footer)
     ).otherwise(text2)
-    sited = docs.select("doc_id", "source", text3.alias("text"))
-    return host_boilerplate_strip(
-        sited, host_col="source", min_frac_pct=25, min_docs=2
+    return docs.select("doc_id", "source", text3.alias("text"))
+
+
+@query("boilerplate_strip_served", oracle=ORACLES["boilerplate_strip"])
+def q_boilerplate_strip_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal as it DEPLOYS
+    (operators/boilerplate_index.py): a periodic batch job mines each
+    host's boilerplate (host, key) set into a persisted generation dir
+    — mining params ride in the dir name and the marker, so a changed
+    threshold is a different model — and every arriving shard strips
+    against the FROZEN set: one broadcast join + the shared JVM
+    position rewrite, no re-mining. Mine+apply over the mining corpus
+    is identical to the fused host_boilerplate_strip by construction —
+    same oracle."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.boilerplate_index import (
+        boilerplate_index_is_current,
+        boilerplate_strip_served,
+        build_boilerplate_index,
     )
+
+    sited = _boilerplate_fixture(spark, sf_dir)
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_bp_{sf_tag}")
+    if not boilerplate_index_is_current(sited, cache, src_path=src):
+        build_boilerplate_index(spark, sited, cache, src_path=src)
+    return boilerplate_strip_served(spark, cache, sited)
 
 
 @query(

@@ -342,6 +342,9 @@ SHUFFLE_BUDGET = {
     # phrase df folded eagerly from the same frame, ≤pruned rows)
     "embedding_ingest_gate": 0,     # gate machinery executes inside the
     # rig; returned admitted rows are a LocalTableScan
+    "boilerplate_strip_served": 2,  # frozen keys broadcast; candidates
+    # rekey once by doc for the drop positions (plus the rewrite join's
+    # small side) — no mining aggregates at serve time
     "bm25_index_add": 0,            # build+add+serve execute inside the
     # rig; returned serve result is localCheckpoint-truncated
     "bm25_segment_merge": 0,        # same rig, merged serve

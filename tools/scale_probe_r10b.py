@@ -25,6 +25,7 @@ NEW = [
     "bm25_phrase_search",
     "bm25_phrase_served",
     "boilerplate_strip",
+    "boilerplate_strip_served",
     "embedding_ingest_gate",
 ]
 
