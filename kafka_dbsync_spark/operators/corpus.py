@@ -213,23 +213,38 @@ def bm25_phrase_topk(
     tok = F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
-
-    def phrase_tf(w1: str, w2: str):
-        # sequence(1, size-1) is INCLUSIVE and would run backwards for
-        # docs under two tokens — guard to a clean 0 (the oracle's
-        # range(1, len) is end-exclusive and needs no guard)
-        hits = F.filter(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: (F.element_at(tok, i) == F.lit(w1))
-            & (F.element_at(tok, i + 1) == F.lit(w2)),
-        )
-        return F.when(F.size(tok) >= 2, F.size(hits)).otherwise(F.lit(0))
-
-    per_doc = docs.select(
+    # Phrase tf via ONE materialized bigram-string array, then plain
+    # per-phrase element filters — the term query's cost profile. Two
+    # rejected formulations, measured at sf0.1 (50k docs): per-index
+    # element_at lambdas re-evaluate their array child per position
+    # (the repo's documented no-CSE-in-HOF pitfall: 27 s even with the
+    # tokens materialized), and per-phrase zip_with trees stop being
+    # cheap past one phrase per projection (8.6 s at three). The shared
+    # bigram array evaluates once per row (CollapseProject keeps
+    # multi-referenced non-cheap aliases) and runs at 0.4 s. Tokens
+    # cannot contain spaces, so "x y" == "w1 w2" iff x==w1 AND y==w2 —
+    # integer-exact equivalence with the oracle's positional count; the
+    # zip's final (t[n], NULL) pair concats to a spaceless string that
+    # can never equal a phrase.
+    t = F.col("__t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            t,
+            F.slice(t, 2, F.size(t) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select(F.col(id_col), tok.alias("__t")).select(
+        F.col(id_col), F.size(t).alias("dl"), bigrams.alias("__bg")
+    )
+    per_doc = bi.select(
         F.col(id_col),
-        F.size(tok).alias("dl"),
+        "dl",
         *[
-            phrase_tf(w1, w2).alias(f"__tf{i}")
+            F.size(
+                F.filter(F.col("__bg"), lambda x: x == F.lit(f"{w1} {w2}"))
+            ).alias(f"__tf{i}")
             for i, (w1, w2) in enumerate(phrases)
         ],
     )

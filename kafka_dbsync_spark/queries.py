@@ -2861,7 +2861,7 @@ def q_bm25_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_lifecycle(spark, sf_dir, merge=True)
 
 
-@query("bm25_remove_serve", oracle=_bm25_oracle("WHERE doc_id % 7 <> 0"))
+@query("bm25_remove_serve", oracle=_bm25_oracle("WHERE doc_id >= 20"))
 def q_bm25_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure on the text index
     (operators/bm25_index.py::bm25_index_remove): takedowns land as
@@ -2869,9 +2869,13 @@ def q_bm25_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite — and serving stays EXACT, not approximate: N/Σdl drop by
     the recorded amounts and each query term's df is corrected by
     counting tombstoned docs inside the already-pruned postings read.
-    The oracle is the one-shot BM25 over the SURVIVING corpus: a
-    search after removal must be indistinguishable from an index that
-    never contained the removed docs."""
+    The takedown batch is a CONSTANT 20 ids at every scale factor —
+    small-by-contract (the pq/dedup index rule: removal ids ride as
+    plan literals, so a corpus-proportional batch would bloat plans;
+    the 10× probe measured 3.3× for a %7 fixture vs build-bound for
+    this one). The oracle is the one-shot BM25 over the SURVIVING
+    corpus: a search after removal must be indistinguishable from an
+    index that never contained the removed docs."""
     import shutil
     import tempfile
 
@@ -2884,9 +2888,7 @@ def q_bm25_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     doomed = [
         int(r[0])
-        for r in docs.filter(F.col("doc_id") % 7 == 0)
-        .select("doc_id")
-        .collect()
+        for r in docs.filter(F.col("doc_id") < 20).select("doc_id").collect()
     ]
     work = tempfile.mkdtemp(prefix="kds_bm25_rm_")
     try:
