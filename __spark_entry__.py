@@ -97,6 +97,9 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #   ngram_jaccard_dedup  the shingle machinery (with_shingles) executes
 #                    on-path inside the in-window decontaminate; exact
 #                    jaccard verification pinned in tests/test_dedup.py
+#   similarity_topk  exact cosine_topk pinned in tests/test_similarity.py;
+#                    the broadcast-query + TakeOrdered shape stays gated
+#                    via the in-window ann_blocked_topk
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 10 — never driver-checked
     "domain_stats_psl",
@@ -124,12 +127,13 @@ _DRIVER_PRIORITY: list[str] = [
     "boilerplate_strip",
     "boilerplate_strip_served",
     "embedding_ingest_gate",
+    "bm25_search_multi",
     # (c) on-path behavior changed in round 10
     "url_dedup",
     "url_ingest_gate",
     "curation_pipeline_v4",
     "pq_index_merge",
-    # (d) round-6-stale rows (27 of 47; the 11 + 5 + 4 cessions above)
+    # (d) round-6-stale rows (26 of 47; the 11 + 5 + 5 cessions above)
     "ann_blocked_topk",
     "balanced_sample",
     "bm25_search",
@@ -155,7 +159,6 @@ _DRIVER_PRIORITY: list[str] = [
     "rolling_1h_value",
     "semantic_dedup",
     "simhash_neardup_pairs",
-    "similarity_topk",
     "value_histogram",
 ]
 

@@ -151,6 +151,7 @@ HEADLINE = [
     "bm25_phrase_served",
     "boilerplate_strip",
     "boilerplate_strip_served",
+    "bm25_search_multi",
 ]
 
 

@@ -681,6 +681,61 @@ def _literal_okapi_tail(
     )
 
 
+def bm25_search_multi_served(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Answer a BATCH of term-bag queries with ONE pruned postings
+    read — the text-tier mirror of ``pq_index.ivfpq_search_multi``'s
+    union-of-probes serving shape: the union of every query's terms
+    prunes once (buckets ∪, terms ∪), the small matching frame is
+    localCheckpoint'd, and each query pivots/scores/top-ks from that
+    cached frame with its own df literals (shared N/Σdl; tombstones
+    corrected once for all queries). Per query the result is
+    bit-identical to :func:`bm25_search_served` — a doc matching only
+    OTHER queries' terms pivots to all-zero tfs and falls to the
+    shared ``any_match`` guard. Output: (query_id, rank, id, score_r).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+    post, dfs, n, sumdl = _read_pruned(
+        spark, _live_meta(path), path, all_terms, id_col
+    )
+    cached = post.localCheckpoint(eager=True)
+    out = None
+    for qid, terms in queries.items():
+        pivoted = cached.groupBy(F.col(id_col)).agg(
+            F.max("dl").alias("dl"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+                ).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        res = _literal_okapi_tail(
+            pivoted,
+            [dfs.get(t, 0) for t in terms],
+            n,
+            sumdl,
+            k,
+            k1,
+            b,
+            id_col,
+        ).select(F.lit(qid).alias("query_id"), "rank", id_col, "score_r")
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
 def bm25_phrase_search_served(
     spark: SparkSession,
     path: str,

@@ -2622,10 +2622,18 @@ def _bm25_term_sql(i: int) -> str:
     )
 
 
-def _bm25_oracle(where: str = "") -> str:
+def _bm25_oracle(
+    where: str = "",
+    terms: tuple = None,
+    qid: str | None = None,
+) -> str:
     """The Okapi BM25 oracle over `documents`, parametrizable with a
-    WHERE clause so the erasure query can score the SURVIVING corpus
-    with the identical arithmetic."""
+    WHERE clause (the erasure query scores the SURVIVING corpus with
+    identical arithmetic), a term bag, and an optional query-id
+    literal (the batched-serve oracle is a UNION ALL of these)."""
+    terms = _BM25_TERMS if terms is None else terms
+    m = len(terms)
+    qid_sel = f"'{qid}' AS query_id, " if qid is not None else ""
     return f"""
     WITH per AS (
       SELECT doc_id,
@@ -2633,25 +2641,25 @@ def _bm25_oracle(where: str = "") -> str:
                   ELSE len(string_split({_SQL_NORM.format(c='text')}, ' ')) END AS dl,
              {', '.join(
                  f"len(list_filter(string_split({_SQL_NORM.format(c='text')}, ' '), x -> x = '{t}')) AS tf{i}"
-                 for i, t in enumerate(_BM25_TERMS)
+                 for i, t in enumerate(terms)
              )}
       FROM documents {where}
     ), st AS (
       SELECT count(*) AS n, sum(dl) AS sumdl,
              {', '.join(
                  f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-                 for i in range(len(_BM25_TERMS))
+                 for i in range(m)
              )}
       FROM per
     ), sc AS (
       SELECT doc_id,
-             round({' + '.join(_bm25_term_sql(i) for i in range(len(_BM25_TERMS)))}, 4) AS score_r
+             round({' + '.join(_bm25_term_sql(i) for i in range(m))}, 4) AS score_r
       FROM per, st
-      WHERE tf0 + tf1 + tf2 > 0
+      WHERE {' + '.join(f'tf{i}' for i in range(m))} > 0
     ), top AS (
       SELECT doc_id, score_r FROM sc ORDER BY score_r DESC, doc_id LIMIT 10
     )
-    SELECT CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rank,
+    SELECT {qid_sel}CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS BIGINT) AS rank,
            doc_id, score_r
     FROM top
     """
@@ -2799,6 +2807,50 @@ def q_bm25_phrase_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bm25_phrase_search_served(spark, cache, list(_BM25_PHRASES), k=10)
     return out.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+    )
+
+
+_BM25_MULTI = {
+    "q0": list(_BM25_TERMS),
+    "q1": ["scan", "filter"],
+    "q2": ["sort", "table", "row", "vector"],
+}
+
+
+@query(
+    "bm25_search_multi",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT * FROM ({_bm25_oracle(terms=tuple(ts), qid=q)})"
+        for q, ts in _BM25_MULTI.items()
+    ),
+)
+def q_bm25_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED text serving
+    (operators/bm25_index.py::bm25_search_multi_served) — the
+    ivfpq_search_multi shape for the BM25 index: three term-bag
+    queries answered from ONE bucket-pruned postings read (buckets ∪,
+    terms ∪, localCheckpoint'd matching frame), each pivoting and
+    scoring with its own df literals off the shared N/Σdl. Per query
+    bit-identical to bm25_search_served; the oracle is the UNION ALL
+    of the per-query one-shot oracles."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_is_current,
+        bm25_search_multi_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf_tag = Path(sf_dir.rstrip("/")).name
+    src = _table_path(sf_dir, "documents")
+    cache = str(Path(tempfile.gettempdir()) / f"kds_bm25_{sf_tag}")
+    if not bm25_index_is_current(docs, cache, src_path=src):
+        build_bm25_index(spark, docs, cache, src_path=src)
+    out = bm25_search_multi_served(spark, cache, _BM25_MULTI, k=10)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
     )
 
 

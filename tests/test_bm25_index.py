@@ -389,3 +389,34 @@ def test_old_format_marker_reports_stale_and_refuses(spark, docs, idx):
         _live_meta(idx)
     build_bm25_index(spark, docs, idx)
     assert bm25_index_is_current(docs, idx)
+
+
+def test_multi_query_serve_equals_per_query(spark, docs, idx):
+    """Batched serving answers every query bit-identically to the
+    single-query serve — one pruned read, per-query df literals; a doc
+    matching only ANOTHER query's terms must not leak in."""
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_search_multi_served,
+    )
+
+    queries = {
+        "a": ["hash", "join", "merge"],
+        "b": ["regularization"],
+        "c": ["window", "zzz_absent"],
+    }
+    multi = bm25_search_multi_served(spark, idx, queries, k=5)
+    by_q = {}
+    for r in multi.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_r"])
+        )
+    for qid, terms in queries.items():
+        single = [
+            (r["rank"], r["doc_id"], r["score_r"])
+            for r in bm25_search_served(spark, idx, terms, k=5).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search_multi_served(spark, idx, {})
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_search_multi_served(spark, idx, {"x": []})

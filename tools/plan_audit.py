@@ -345,6 +345,9 @@ SHUFFLE_BUDGET = {
     "boilerplate_strip_served": 2,  # frozen keys broadcast; candidates
     # rekey once by doc for the drop positions (plus the rewrite join's
     # small side) — no mining aggregates at serve time
+    "bm25_search_multi": 3,         # one doc-keyed pivot agg PER query
+    # over the single localCheckpoint'd pruned read (3 fixture
+    # queries); union of ≤k-row results, top-ks are TakeOrdered
     "bm25_index_add": 0,            # build+add+serve execute inside the
     # rig; returned serve result is localCheckpoint-truncated
     "bm25_segment_merge": 0,        # same rig, merged serve

@@ -27,6 +27,7 @@ NEW = [
     "boilerplate_strip",
     "boilerplate_strip_served",
     "embedding_ingest_gate",
+    "bm25_search_multi",
 ]
 
 
