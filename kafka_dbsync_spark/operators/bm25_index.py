@@ -438,13 +438,21 @@ def bm25_segment_merge(
     # the removal SET participates in the dir name (not just its size):
     # two merges tombstoning different ids must never share an
     # immutable dir, or the second would flip the marker onto the
-    # first's contents
+    # first's contents. The marker fingerprint never changes after a
+    # removal (it names the BUILT corpus), so the live doc count rides
+    # along too — successive remove+merge cycles then differ by n even
+    # on a crc collision of their id lists
     merged = (
         "merged"
         + _gen_name(meta["fingerprint"])[3:]
-        + f"_v{FORMAT}"
+        + f"_v{FORMAT}_n{meta['n'] - meta.get('removed_n', 0)}"
         + (
-            "_rm%d" % (zlib.crc32(",".join(map(str, removed)).encode()),)
+            "_rm%s"
+            % (
+                __import__("hashlib")
+                .md5(",".join(map(str, removed)).encode())
+                .hexdigest()[:16],
+            )
             if removed
             else ""
         )
