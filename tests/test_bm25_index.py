@@ -420,3 +420,47 @@ def test_multi_query_serve_equals_per_query(spark, docs, idx):
         bm25_search_multi_served(spark, idx, {})
     with pytest.raises(ValueError, match="no terms"):
         bm25_search_multi_served(spark, idx, {"x": []})
+
+
+def test_marker_without_schema_keys_still_serves(spark, docs, idx):
+    """Markers predating schema recording fall back to parquet
+    inference — valid for any non-empty segment (the schema keys are
+    only LOAD-BEARING for zero-posting segments)."""
+    import json
+
+    marker_path = os.path.join(idx, "_COMPLETE")
+    meta = json.load(open(marker_path))
+    for k in ("postings_schema", "dfs_schema", "doclens_schema"):
+        meta.pop(k, None)
+    json.dump(meta, open(marker_path, "w"))
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(docs, terms, k=10)
+    )
+
+
+def test_add_all_empty_shard_serves_with_schema(spark, docs, idx):
+    """A shard whose every doc is token-empty writes ZERO posting rows;
+    the marker-recorded schemas make its fileless tables readable and
+    the union serve must still price N/Σdl with the empty docs counted
+    (they change avgdl's denominator... by adding dl=0 rows to N)."""
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
+
+    shard = spark.createDataFrame(
+        [(50, ""), (51, None), (52, "...!!!")],
+        "doc_id bigint, text string",
+    )
+    bm25_index_add(spark, shard, idx)
+    union = docs.unionByName(shard)
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(union, terms, k=10)
+    )
+    # the empty docs are members: removing one is valid and corrects N
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_remove
+
+    assert bm25_index_remove(spark, idx, [51]) == {"removed": 1, "already": 0}
+    surviving = union.filter(F.col("doc_id") != 51)
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(surviving, terms, k=10)
+    )
