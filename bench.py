@@ -409,17 +409,35 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "cdc_events_per_sec": round(n_events / cdc_secs),
             "cdc_apply_events_per_sec": apply_rate,
+            # fixed, small cost: consumers locate the full-precision
+            # artifact from the compact record alone (ADVICE r10 — the
+            # r10 compact line dropped it, orphaning the detail)
+            "detail_file": detail_name,
         }
 
     # adaptive precision: the r10 second-half headline (73 entries)
     # pushed the 2dp compact line past the driver's 2000-char stdout
     # tail, which would truncate the JSON head. Per-query medians drop
-    # to 1dp only when needed (canary/detail_file live in the detail
-    # artifact only, same reason); full 3dp always in the detail.
+    # to 1dp only when needed (canary lives in the detail artifact
+    # only, same reason); full 3dp always in the detail.
     compact = _compact(2)
     compact_dp = 2
     if len(json.dumps(compact, separators=(",", ":"))) > 1900:
         compact, compact_dp = _compact(1), 1
+    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
+        # ADVICE r10: the fallback ladder ends at 1dp — if headline
+        # growth ever pushes even THAT past the driver's stdout tail,
+        # the r3 truncation bug silently returns. Fail loudly (stderr
+        # is not recorded by the driver, so the warning cannot itself
+        # truncate the JSON line) and shed the medians' fraction
+        # entirely as a last resort rather than ship a clipped head.
+        print(
+            "WARNING: compact bench line exceeds the 1900-char stdout "
+            "budget even at 1dp — trim the headline set or raise the "
+            "detail split",
+            file=sys.stderr,
+        )
+        compact, compact_dp = _compact(0), 0
     detail = dict(
         compact,
         queries=per_query,              # full 3dp precision
@@ -454,7 +472,13 @@ def _prev_bench_paths(sf: str) -> list[str]:
     this run, oldest first: an sf1 run reads the ``BENCH_SF1_r*.json``
     series, everything else the driver's sf0.1 ``BENCH_r*.json`` series
     (VERDICT r9 #2 — selecting across series disarmed sf1 drift
-    adjudication and produced cross-sf deltas)."""
+    adjudication and produced cross-sf deltas).
+
+    Artifacts of the RUNNING round are excluded when
+    $SPARK_GRAFT_ROUND names it (VERDICT r10 #3: a re-run within a
+    round picked up the round's own earlier artifact as `prev_bench`,
+    so the shipped detail adjudicated against itself-series-same-round
+    instead of round N−1)."""
     import glob
     import re
 
@@ -463,10 +487,21 @@ def _prev_bench_paths(sf: str) -> list[str]:
     except ValueError:
         is_sf1 = False
     pattern = "BENCH_SF1_r*.json" if is_sf1 else "BENCH_r*.json"
-    return sorted(
+    try:
+        cur_round = int(os.environ.get("SPARK_GRAFT_ROUND", ""))
+    except ValueError:
+        cur_round = None
+    paths = sorted(
         glob.glob(str(Path(__file__).resolve().parent / pattern)),
         key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
     )
+    if cur_round is not None:
+        paths = [
+            p
+            for p in paths
+            if int(re.search(r"r(\d+)", Path(p).name).group(1)) < cur_round
+        ]
+    return paths
 
 
 def _prev_round_sf(sf: str):

@@ -47,12 +47,19 @@ working against the UNION corpus.
 
 Writer concurrency contract — Lucene's, exactly: concurrent
 BUILDS of the same corpus race safely (``publish_generation``'s
-rename-discard protocol), and READERS are always safe (every marker
-flip is one atomic replace pointing only at complete immutable dirs),
-but add / remove / merge are read-modify-write on the marker and
-assume ONE writer at a time (Lucene's IndexWriter lock); two
-concurrent adds can lose one marker update — serialize mutations
-externally, as every Lucene deployment does.
+rename-discard protocol), and a reader that resolves the marker sees
+a complete, immutable view (every marker flip is one atomic replace
+pointing only at complete dirs). Readers concurrent with a MERGE get
+one merge cycle of grace: the merge renames superseded segment dirs
+to ``.retired-*`` rather than deleting them (Lucene keeps them alive
+via reader refcounts; without refcounts the trash is reclaimed by the
+NEXT merge), so only a reader that straddles TWO merges of the same
+index can observe a vanished dir — the same single-writer caveat
+below bounds how often that can happen. add / remove / merge are
+read-modify-write on the marker and assume ONE writer at a time
+(Lucene's IndexWriter lock); two concurrent adds can lose one marker
+update — serialize mutations externally, as every Lucene deployment
+does.
 
 Scale notes: the build shuffles once on (doc, term) for term
 frequencies (map-side combined; tf collapses before the exchange) and
@@ -102,6 +109,44 @@ def _schema_of(meta_or_schemas: dict, key: str):
     from pyspark.sql import types as T
 
     return T.StructType.fromJson(json.loads(s))
+
+
+def _schema_shape(schema_json: str) -> list[tuple[str, str]]:
+    """(name, dataType) pairs of a recorded schema json — the
+    comparison key for add-time compatibility. Nullability and field
+    metadata are deliberately ignored: they vary with the shard's
+    lineage and do not affect parquet read-back under an explicit
+    schema, while a TYPE difference silently coerces at the
+    disjointness join and then fails far away at serve/merge time."""
+    fields = json.loads(schema_json)["fields"]
+    return [(f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields]
+
+
+def _check_add_schemas(meta: dict, shard_schemas: dict, path: str) -> None:
+    """ADVICE r10: ``bm25_index_add`` used to discard the shard's
+    freshly computed schemas, so a shard whose id/text column types
+    differed from the build (e.g. an int doc_id added to a bigint-built
+    index — the join-based disjointness probe coerces and passes) wrote
+    parquet the marker schema could not read back, failing at
+    serve/merge time far from the add. Refuse the mismatch AT THE ADD:
+    every live segment then provably satisfies the marker's
+    build-corpus schemas, which is exactly what makes the single
+    marker-level schema record sound. Markers that predate schema
+    recording have nothing to compare against — their readers already
+    fall back to inference."""
+    for key in ("postings_schema", "dfs_schema", "doclens_schema"):
+        recorded = meta.get(key)
+        if recorded is None:
+            continue
+        want = _schema_shape(recorded)
+        got = _schema_shape(shard_schemas[key])
+        if want != got:
+            raise ValueError(
+                f"shard column types are incompatible with the index at "
+                f"{path}: {key} is {got!r} but the marker records "
+                f"{want!r} — cast the shard's id/text columns to the "
+                "built corpus's types before adding"
+            )
 
 
 def _read_table(spark: SparkSession, meta: dict, path: str, seg: str, table: str):
@@ -288,7 +333,13 @@ def bm25_index_add(
     merged away) still refuses: re-admitting it before the merge has
     physically erased the old postings would resurrect ambiguity about
     which document the id names (the ANN takedown-resurrection guard's
-    shape); merge first, then re-add."""
+    shape); merge first, then re-add.
+
+    Also refuses a shard whose computed segment schemas (column
+    names/types) differ from the marker's build-corpus record
+    (:func:`_check_add_schemas`, ADVICE r10) — every live segment must
+    satisfy the single marker-level schema or schema-explicit reads
+    would fail at serve/merge time, far from the add that caused it."""
     import shutil
 
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
@@ -300,6 +351,10 @@ def bm25_index_add(
         raise ValueError(
             f"shard {seg!r} is already a live segment of {path}"
         )
+    write_stage, (n, sumdl), schemas = _segment_writer(
+        spark, shard, id_col, text_col
+    )
+    _check_add_schemas(meta, schemas, path)
     # disjointness probe over doclens: exact membership (empty docs
     # included), one narrow column per segment; the shard side
     # broadcasts when small
@@ -320,9 +375,6 @@ def bm25_index_add(
             "segment doc sets must be disjoint (dedup or re-id the "
             "shard before adding)"
         )
-    write_stage, (n, sumdl), _schemas = _segment_writer(
-        spark, shard, id_col, text_col
-    )
     stage = os.path.join(path, f".stage-{seg}-{os.getpid()}")
     final_dir = os.path.join(path, seg)
     invalidate_memo(path)
@@ -423,9 +475,12 @@ def bm25_segment_merge(
     doclens re-derive from the segment parquet minus the tombstoned
     docs (the corpus text is never touched), marker stats drop the
     removed amounts, the tombstone list clears, and the old segment
-    dirs retire only AFTER the marker flips. A single-segment index
-    with no tombstones is already compact (no-op). Returns the number
-    of segments merged."""
+    dirs retire only AFTER the marker flips — into a ``.retired-*``
+    trash name that survives until the NEXT merge (one-merge-cycle
+    grace, ADVICE r10), so a reader that resolved the marker just
+    before the flip can finish over the superseded dirs. A
+    single-segment index with no tombstones is already compact
+    (no-op). Returns the number of segments merged."""
     import shutil
 
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
@@ -499,9 +554,27 @@ def bm25_segment_merge(
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, os.path.join(path, _MARKER))
+    # Deferred retirement (ADVICE r10): a reader that resolved the
+    # marker just BEFORE this flip still holds lazy DataFrames over the
+    # retiring dirs, so deleting them here would yank parquet out from
+    # under an in-flight query — Lucene keeps superseded segments alive
+    # via reader refcounts for the same reason. Without refcounts the
+    # grace period is ONE merge cycle: this merge renames the retiring
+    # dirs into `.retired-*` (invisible to new readers — the marker
+    # names only live segments) and physically deletes the PREVIOUS
+    # merge's trash, by which time its pre-merge readers have drained.
+    for stale in os.listdir(path):
+        if stale.startswith(".retired-"):
+            shutil.rmtree(os.path.join(path, stale), ignore_errors=True)
     for s in segs:
         if s != merged:
-            shutil.rmtree(os.path.join(path, s), ignore_errors=True)
+            try:
+                os.rename(
+                    os.path.join(path, s),
+                    os.path.join(path, f".retired-{s}"),
+                )
+            except OSError:
+                shutil.rmtree(os.path.join(path, s), ignore_errors=True)
     return len(segs)
 
 

@@ -3666,7 +3666,14 @@ def q_paragraph_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — a footer is noise in all its copies), reassemble survivors.
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, source, str_split(text, ' ') AS tk FROM documents
+      -- replace(chr(10)) mirrors the fixture's regexp_replace: the
+      -- paragraph sep must be absent from source text BY CONSTRUCTION
+      -- (ADVICE r10: the fused path re-splits the joined string on \n
+      -- while this oracle keeps the list — equivalence held only
+      -- because the corpora happen to be newline-free)
+      SELECT doc_id, source,
+             str_split(replace(text, chr(10), ' '), ' ') AS tk
+      FROM documents
     ), d0 AS (
       SELECT doc_id, source,
              list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS INT) + 1),
@@ -3751,7 +3758,13 @@ def _boilerplate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused and served boilerplate queries (must stay byte-identical to
     the oracle's CTE chain)."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
+    # Scrub the paragraph separator from the source text BY CONSTRUCTION
+    # (ADVICE r10): host_boilerplate_strip re-splits the joined text on
+    # '\n' while the oracle keeps its paragraph list, so a literal
+    # newline inside a token would silently desynchronize the two. A
+    # no-op on the newline-free test corpora; the oracle's t CTE applies
+    # the same replace so the equivalence is structural, not accidental.
+    tk = F.split(F.regexp_replace(F.col("text"), "\n", " "), " ")
     paras = F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
         lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),

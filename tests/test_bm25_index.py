@@ -186,6 +186,26 @@ def test_add_overlapping_ids_refused(spark, docs, idx):
     assert len(_segments(idx)) == 1  # marker untouched
 
 
+def test_add_incompatible_id_type_refused(spark, docs, idx):
+    """ADVICE r10: an int-doc_id shard added to a bigint-built index
+    used to slip past the join-based disjointness probe (silent
+    coercion) and write segment parquet the marker schemas could not
+    read back — the mismatch must refuse AT THE ADD, before any
+    segment dir is written."""
+    from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
+
+    narrow = spark.createDataFrame(
+        [(21, "int ids from a different upstream")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        bm25_index_add(spark, narrow, idx)
+    assert len(_segments(idx)) == 1  # marker untouched
+    assert not [
+        d for d in os.listdir(idx) if d.startswith("seg")
+    ], "refused add must not leave a segment dir"
+
+
 def test_add_same_shard_twice_refused(spark, docs, idx):
     from kafka_dbsync_spark.operators.bm25_index import bm25_index_add
 
@@ -207,9 +227,12 @@ def test_merge_compacts_to_one_segment(spark, docs, idx):
     assert bm25_segment_merge(spark, idx) == 2
     segs = _segments(idx)
     assert len(segs) == 1 and segs[0].startswith("merged")
-    # retired segment dirs are gone
+    # retired segment dirs leave the live namespace but survive one
+    # merge cycle as .retired-* trash (ADVICE r10: in-flight pre-merge
+    # readers drain before physical deletion)
     for s in old_segs:
         assert not os.path.isdir(os.path.join(idx, s))
+        assert os.path.isdir(os.path.join(idx, f".retired-{s}"))
     union = docs.unionByName(shard)
     terms = ["hash", "join", "merge"]
     assert _rows(bm25_search_served(spark, idx, terms, k=12)) == _rows(
