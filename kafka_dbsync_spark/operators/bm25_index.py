@@ -401,6 +401,116 @@ def bm25_index_add(
     os.replace(tmp, os.path.join(path, _MARKER))
 
 
+def _flip_marker(path: str, rec: dict) -> None:
+    tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(path, _MARKER))
+
+
+def _ingest_committed(path: str, epoch: int) -> bool:
+    return os.path.exists(
+        os.path.join(path, "ingest", f"e{epoch}", "_SUCCESS")
+    )
+
+
+def _commit_ingest(path: str, epoch: int) -> None:
+    commit_dir = os.path.join(path, "ingest", f"e{epoch}")
+    os.makedirs(commit_dir, exist_ok=True)
+    with open(os.path.join(commit_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def bm25_ingest_foreach_batch(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``foreachBatch`` function for EXACTLY-ONCE streaming text-index
+    ingest — the replay-safe twin of :func:`bm25_index_add`, completing
+    the gate family (dedup, ANN, paragraph, URL, NB, decontamination
+    all have one; VERDICT r10 #4). Lucene's model maps onto Structured
+    Streaming perfectly: one immutable SEGMENT per micro-batch epoch,
+    under the ann_ingest_stream discipline. Per batch:
+
+    1. committed-epoch guard (``ingest/e{N}/_SUCCESS``) — a replayed
+       epoch returns without work;
+    2. marker guard — a crash between the marker flip and the commit
+       leaves the epoch's segment live in the marker: the replay finds
+       ``eseg{N}`` in the segment list and only re-commits;
+    3. keep-first admission — batch docs whose id is already in the
+       index (one anti-join against the union ``doclens``; TOMBSTONED
+       ids included, so a taken-down doc is NOT resurrected by
+       re-arrival until a merge has physically erased it) are
+       filtered, never re-indexed — the same duplicate-id discipline
+       ``bm25_index_add`` enforces by refusal, turned into admission
+       semantics at the streaming edge (a gate that throws would wedge
+       the stream into an eternal replay);
+    4. the fresh docs tokenize into a staging dir, renamed to the
+       DETERMINISTIC epoch-tagged segment ``eseg{N}_v{FORMAT}`` (a
+       replay after a crash here finds the dir and skips the write —
+       the batch and the marker are both unchanged, so the filtered
+       shard re-derives identically);
+    5. the marker's segment list, corpus stats and additive
+       fingerprint flip LAST; the epoch commit lands after it.
+
+    An all-duplicates (or empty) batch commits its epoch with no
+    segment. Schema compatibility is enforced per batch
+    (:func:`_check_add_schemas`). Single writer, as for every index
+    mutation (the module's Lucene IndexWriter contract).
+    """
+    import shutil
+
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        if _ingest_committed(path, epoch):
+            return
+        meta = _live_meta(path, "BM25 streaming-ingest target")
+        seg = f"eseg{epoch}_v{FORMAT}"
+        if seg in meta["segments"]:
+            _commit_ingest(path, epoch)  # crash window 5->commit: no-op
+            return
+        existing = None
+        for s in meta["segments"]:
+            ids = _read_table(spark, meta, path, s, "doclens").select(
+                F.col(id_col)
+            )
+            existing = ids if existing is None else existing.unionByName(ids)
+        fresh = batch_df.join(existing, id_col, "left_anti")
+        write_stage, (n, sumdl), schemas = _segment_writer(
+            spark, fresh, id_col, text_col
+        )
+        _check_add_schemas(meta, schemas, path)
+        if n == 0:
+            _commit_ingest(path, epoch)  # nothing fresh arrived
+            return
+        shard_fp = corpus_fingerprint(fresh, id_col, text_col)
+        final_dir = os.path.join(path, seg)
+        invalidate_memo(path)
+        if not os.path.exists(final_dir):
+            stage = os.path.join(path, f".stage-{seg}-{os.getpid()}")
+            write_stage(stage)
+            try:
+                os.rename(stage, final_dir)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)
+        rec = dict(
+            meta,
+            fingerprint=_combine_fp(meta["fingerprint"], shard_fp),
+            n=meta["n"] + n,
+            sumdl=meta["sumdl"] + sumdl,
+            segments=meta["segments"] + [seg],
+        )
+        rec.pop("src_sig", None)
+        _flip_marker(path, rec)
+        _commit_ingest(path, epoch)
+
+    return fn
+
+
 def bm25_index_remove(
     spark: SparkSession,
     path: str,

@@ -87,6 +87,175 @@ def dataset_fingerprint(
     }
 
 
+# ---------------------------------------------------------------------------
+# id digest: metadata-cheap merge/takedown guards (VERDICT r10 #3)
+#
+# The r10 merge guards (takedown resurrection, erasure mirror, id
+# disjointness) were three Spark jobs that re-read codes at EVERY
+# merge — correct, but the wrong cost model at scale. Each marker now
+# carries an ``id_digest``: the live id set's [min, max] interval, its
+# residues-mod-64 mask (one uint64), and a fixed-parameter Bloom
+# bitmap (m = 2^20 bits, k = 4, md5-derived positions — fixed so
+# digests of different indexes COMPOSE by OR and cross-test
+# directly), all computed in ONE narrow-column job. The guards then
+# run a ladder:
+#
+#   1. interval / residue mask — disjoint [min,max] ranges or disjoint
+#      residue sets prove disjointness with zero IO (ranges cover the
+#      100 TB range-/partition-split sharding; the residue mask covers
+#      parity and stride splits like even/odd);
+#   2. bloom — a removed-ids probe tests each id against the other
+#      side's bitmap in plain Python (absent-from-bloom is EXACT);
+#      the full disjointness probe intersects the two bitmaps
+#      driver-side and scans ONLY the source's ids against the tiny
+#      AND-set (an id can be on both sides only if all k of its
+#      positions survive the intersection) — no read of the
+#      destination's codes at all, and an empty suspect set is a
+#      PROOF of disjointness (a true duplicate always passes its own
+#      bloom);
+#   3. exact fallback — only the suspects (expected ≈0: fpp^1 per
+#      genuine absence) hit the old column-pruned isin / semi-join
+#      probes, and legacy markers without digests keep the r10
+#      behavior verbatim.
+#
+# Digest maintenance is superset-sound: build/shard-build compute it
+# from the indexed ids, add/ingest OR-in the new batch (OR is
+# replay-idempotent, so the streaming path needs no extra epoch
+# bookkeeping), REMOVALS leave it untouched (a Bloom filter cannot
+# unset; a superset digest can only produce false "maybe"s, never a
+# false "absent"), and merge ORs the two sides.
+# ---------------------------------------------------------------------------
+
+_DIGEST_M = 1 << 20  # bits; FIXED across indexes so digests compose
+_DIGEST_K = 4
+_DIGEST_AND_CAP = 1 << 16   # intersection sizes above this: semi-join
+_DIGEST_SUSPECT_CAP = 10000  # suspect ids above this: semi-join
+
+
+def _digest_positions_expr(id_col: str):
+    """The k bloom positions of an id as a Spark array — md5 of the
+    id's decimal string, split into four 32-bit hex slices mod m.
+    Bit-identical to :func:`_digest_positions_py` (Spark's md5/conv and
+    Python's hashlib agree on these inputs), so driver-side membership
+    tests and executor-side suspect scans share one hash family."""
+    h = F.md5(F.col(id_col).cast("long").cast("string"))
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % _DIGEST_M
+            for i in range(_DIGEST_K)
+        ]
+    )
+
+
+def _digest_positions_py(i: int) -> list[int]:
+    import hashlib
+
+    hx = hashlib.md5(str(int(i)).encode()).hexdigest()
+    return [
+        int(hx[8 * j : 8 * j + 8], 16) % _DIGEST_M for j in range(_DIGEST_K)
+    ]
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
+    """id_digest record for the marker: interval + residues-mod-64 mask
+    + zlib/b64 bloom, all from ONE narrow-column job (the explode
+    duplicates each id k times, which min/max/bit_or ignore and
+    collect_set dedups; the set is bounded by m). The residue mask is
+    EXACT metadata for the standard parity/stride sharding shapes
+    (even/odd, id%k==j): two shards with disjoint residue sets prove
+    id-disjointness with zero IO even when their intervals interleave.
+    None for an empty id set (nothing to guard)."""
+    import base64
+    import zlib
+
+    row = (
+        df.select(
+            F.col(id_col).cast("long").alias("__i"),
+            F.explode(_digest_positions_expr(id_col)).alias("__p"),
+        )
+        .agg(
+            F.min("__i").alias("mn"),
+            F.max("__i").alias("mx"),
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pmod(__i, 64) AS INT)))"
+            ).alias("res"),
+            F.collect_set("__p").alias("ps"),
+        )
+        .head()
+    )
+    if row["mn"] is None:
+        return None
+    bitmap = bytearray(_DIGEST_M // 8)
+    for p in row["ps"]:
+        p = int(p)
+        bitmap[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": _DIGEST_M,
+        "k": _DIGEST_K,
+        "min": int(row["mn"]),
+        "max": int(row["mx"]),
+        "res64": int(row["res"]) & _MASK64,
+        "bloom": base64.b64encode(zlib.compress(bytes(bitmap))).decode(),
+    }
+
+
+def _digest_usable(d) -> bool:
+    return (
+        isinstance(d, dict)
+        and d.get("m") == _DIGEST_M
+        and d.get("k") == _DIGEST_K
+        and d.get("min") is not None
+        and d.get("res64") is not None
+        and d.get("bloom")
+    )
+
+
+def _digest_bitmap(d: dict) -> bytes:
+    import base64
+    import zlib
+
+    return zlib.decompress(base64.b64decode(d["bloom"]))
+
+
+def _digest_may_contain(d: dict, bitmap: bytes, i: int) -> bool:
+    """Metadata-only membership: False is EXACT absence (interval and
+    residue tests are exact; the bloom never false-negatives)."""
+    i = int(i)
+    if i < d["min"] or i > d["max"]:
+        return False
+    if not (d["res64"] >> (i % 64)) & 1:
+        return False
+    return all(
+        (bitmap[p >> 3] >> (p & 7)) & 1 for p in _digest_positions_py(i)
+    )
+
+
+def _digest_or(a, b):
+    """Digest of the disjoint union — OR of bitmaps, hull of intervals.
+    None when either side is missing/legacy-shaped (absent digest =
+    exact-probe fallback, never a wrong one)."""
+    import base64
+    import zlib
+
+    if not (_digest_usable(a) and _digest_usable(b)):
+        return None
+    ba, bb = _digest_bitmap(a), _digest_bitmap(b)
+    merged = bytes(x | y for x, y in zip(ba, bb))
+    return {
+        "m": _DIGEST_M,
+        "k": _DIGEST_K,
+        "min": min(a["min"], b["min"]),
+        "max": max(a["max"], b["max"]),
+        "res64": (a["res64"] | b["res64"]) & _MASK64,
+        "bloom": base64.b64encode(zlib.compress(merged)).decode(),
+    }
+
+
 def build_pq_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -143,6 +312,9 @@ def build_pq_index(
         f"{path}/flat_codes"
     )
     rec: dict = {"fingerprint": fp}
+    digest = compute_id_digest(embeddings)
+    if digest is not None:
+        rec["id_digest"] = digest
     if src_path is not None:
         rec["src_sig"] = files_signature(src_path)
     with open(marker, "w") as f:
@@ -457,6 +629,17 @@ def pq_index_add(
             else None,
         }
     rec["fingerprint"] = add
+    # id digest composes by OR under disjoint union (batch-sized job
+    # over ONLY the new ids); a legacy marker without one stays
+    # digest-less — exact-probe fallback at the next merge
+    if "id_digest" in rec:
+        folded = _digest_or(
+            rec["id_digest"], compute_id_digest(new_embeddings)
+        )
+        if folded is not None:
+            rec["id_digest"] = folded
+        else:
+            rec.pop("id_digest", None)
     # the folded fingerprint now covers build-time PLUS added rows, so
     # it is no longer derivable from the source directory listing —
     # drop the metadata signature; the next validation falls back to
@@ -572,7 +755,10 @@ def pq_index_remove(
     ).write.mode("overwrite").parquet(flat_staging)
     shutil.rmtree(flat_src)
     os.rename(flat_staging, flat_src)
-    # refresh bookkeeping from the SURVIVING codes (column-pruned agg)
+    # refresh bookkeeping from the SURVIVING codes (column-pruned agg).
+    # id_digest is deliberately NOT recomputed: a Bloom bitmap cannot
+    # unset, and a superset digest stays sound — it can only produce
+    # false "maybe"s (extra exact probes), never a false "absent"
     rec["fingerprint"] = dataset_fingerprint(
         spark.read.parquet(f"{path}/codes")
     )
@@ -851,6 +1037,16 @@ def pq_index_ingest_foreach_batch(
         rec["fingerprint"] = dataset_fingerprint(
             spark.read.parquet(f"{path}/codes")
         )
+        # digest OR is replay-idempotent (the same epoch's ids set the
+        # same bits), so no epoch bookkeeping is needed here
+        if "id_digest" in rec:
+            folded = _digest_or(
+                rec["id_digest"], compute_id_digest(batch_df)
+            )
+            if folded is not None:
+                rec["id_digest"] = folded
+            else:
+                rec.pop("id_digest", None)
         if "src_sig" in rec:
             rec["built_src_sig"] = rec.pop("src_sig")
         with open(marker, "w") as f:
@@ -956,8 +1152,98 @@ def build_pq_shard(
         "fingerprint": fp,
         "quantizer_sig": quantizer_signature(spark, path),
     }
+    digest = compute_id_digest(embeddings)
+    if digest is not None:
+        rec["id_digest"] = digest
     with open(marker, "w") as f:
         json.dump(rec, f)
+
+
+def _check_id_disjoint(
+    spark: SparkSession,
+    src_ids,
+    dst_ids,
+    src_digest,
+    dst_digest,
+    src_path: str,
+    dst_path: str,
+) -> None:
+    """Refuse when the two indexes share any vec_id. Ladder per the
+    module's id_digest section: interval/residue-mask -> bloom AND-set
+    scan of the SOURCE only -> exact semi-join (also the legacy-marker
+    path). ``src_ids``/``dst_ids`` are LAZY thunks returning the codes
+    id column — the metadata-only rungs never pay the parquet
+    listing."""
+
+    def _refuse(sample) -> None:
+        raise ValueError(
+            f"source index {src_path} and destination {dst_path} share "
+            f"vector id(s) {sorted(sample)}...: per-cell concatenation "
+            "would serve them twice. Shards must be id-disjoint — "
+            "re-shard, or pq_index_remove the overlap from one side."
+        )
+
+    if _digest_usable(src_digest) and _digest_usable(dst_digest):
+        if (
+            src_digest["max"] < dst_digest["min"]
+            or dst_digest["max"] < src_digest["min"]
+        ):
+            return  # interval-disjoint: proven with zero IO
+        if (src_digest["res64"] & dst_digest["res64"]) == 0:
+            # disjoint residues mod 64 (parity/stride sharding — the
+            # even/odd split included): proven with zero IO
+            return
+        import numpy as np
+
+        both = np.bitwise_and(
+            np.frombuffer(_digest_bitmap(src_digest), dtype=np.uint8),
+            np.frombuffer(_digest_bitmap(dst_digest), dtype=np.uint8),
+        )
+        # bit index = byte*8 + intra-byte position, matching the
+        # writer's `1 << (p & 7)` little-endian layout
+        and_set = np.nonzero(np.unpackbits(both, bitorder="little"))[0]
+        if len(and_set) == 0:
+            return  # no position is set on both sides: proven disjoint
+        if len(and_set) <= _DIGEST_AND_CAP:
+            and_df = spark.createDataFrame(
+                [(int(p),) for p in and_set], "p bigint"
+            )
+            # exactly-K matches <=> ALL the id's position slots are in
+            # the AND-set (a slot joins iff its position is); a true
+            # duplicate always satisfies this, so the filter is
+            # suspect-complete
+            hits = (
+                src_ids().select(
+                    "vec_id",
+                    F.explode(_digest_positions_expr("vec_id")).alias("p"),
+                )
+                .join(F.broadcast(and_df), "p")
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") == _DIGEST_K)
+            )
+            suspects = [
+                int(r["vec_id"])
+                for r in hits.limit(_DIGEST_SUSPECT_CAP + 1).collect()
+            ]
+            if not suspects:
+                return  # no source id passes the destination's bloom
+            if len(suspects) <= _DIGEST_SUSPECT_CAP:
+                sample = [
+                    r["vec_id"]
+                    for r in dst_ids().filter(
+                        F.col("vec_id").isin(suspects)
+                    )
+                    .limit(10)
+                    .collect()
+                ]
+                if sample:
+                    _refuse(sample)
+                return
+        # saturated blooms or a giant suspect set: exact fallback
+    overlap = src_ids().join(dst_ids(), "vec_id", "left_semi")
+    if not overlap.isEmpty():
+        _refuse([r["vec_id"] for r in overlap.limit(10).collect()])
 
 
 def pq_index_merge(
@@ -1027,62 +1313,79 @@ def pq_index_merge(
             src_rec = json.load(f)
     except ValueError:
         src_rec = {}
+    # Merge guards, metadata-first (VERDICT r10 #3: the r10 probes were
+    # three Spark jobs re-reading codes at every merge — right checks,
+    # wrong cost model). Each guard now runs the id_digest ladder
+    # (interval -> bloom -> exact probe over the surviving suspects
+    # only); legacy markers without digests keep the exact probes.
+    # codes reads are LAZY thunks: the metadata-only ladder must not
+    # pay even the parquet file-listing when it proves everything
+    def src_ids():
+        return spark.read.parquet(f"{src_path}/codes").select("vec_id")
+
+    def dst_ids():
+        return spark.read.parquet(f"{dst_path}/codes").select("vec_id")
+
+    src_digest = src_rec.get("id_digest")
+    dst_digest = rec.get("id_digest")
+
+    def _suspects(digest, ids: list[int]) -> list[int]:
+        """ids the digest cannot rule out — metadata-only; absence is
+        exact, so only these need a Spark probe."""
+        if not _digest_usable(digest):
+            return ids
+        bm = _digest_bitmap(digest)
+        return [i for i in ids if _digest_may_contain(digest, bm, i)]
+
     # Takedown-consistency guard: if the destination has REMOVED ids
     # (right-to-erasure), a shard still carrying one of them would be
     # silently resurrected by the file concat — while the marker (and
     # index_serves_removal) kept claiming the id is gone. Refuse; the
     # caller re-runs the takedown against the shard first (the same
-    # pq_index_remove call) and then merges. One column-pruned isEmpty
-    # probe of the shard's codes, only when removals exist.
-    src_ids = spark.read.parquet(f"{src_path}/codes").select("vec_id")
-    dst_ids = spark.read.parquet(f"{dst_path}/codes").select("vec_id")
-    dst_removed = rec.get("removed_ids") or []
-    if dst_removed:
-        hit = src_ids.filter(
-            F.col("vec_id").isin([int(i) for i in dst_removed])
+    # pq_index_remove call) and then merges.
+    dst_removed = [int(i) for i in rec.get("removed_ids") or []]
+    suspects = _suspects(src_digest, dst_removed)
+    if suspects and not src_ids().filter(
+        F.col("vec_id").isin(suspects)
+    ).isEmpty():
+        raise ValueError(
+            f"source index {src_path} contains vector id(s) the "
+            f"destination removed ({sorted(dst_removed)[:10]}...): "
+            "merging would resurrect a taken-down vector behind a "
+            "marker that still claims erasure. Run pq_index_remove "
+            "on the shard first, then merge."
         )
-        if not hit.isEmpty():
-            raise ValueError(
-                f"source index {src_path} contains vector id(s) the "
-                f"destination removed ({sorted(dst_removed)[:10]}...): "
-                "merging would resurrect a taken-down vector behind a "
-                "marker that still claims erasure. Run pq_index_remove "
-                "on the shard first, then merge."
-            )
     # The mirror guard: the SOURCE's removed_ids will be unioned into
     # the destination marker below — if the destination still SERVES
     # one of those ids, the merged marker would claim erasure the index
     # does not honor (index_serves_removal reports it gone while search
     # returns it). Refuse; the caller runs the takedown on the
-    # destination first. Column-pruned isin probe, removals-only.
-    src_removed = src_rec.get("removed_ids") or []
-    if src_removed:
-        hit = dst_ids.filter(
-            F.col("vec_id").isin([int(i) for i in src_removed])
+    # destination first.
+    src_removed = [int(i) for i in src_rec.get("removed_ids") or []]
+    suspects = _suspects(dst_digest, src_removed)
+    if suspects and not dst_ids().filter(
+        F.col("vec_id").isin(suspects)
+    ).isEmpty():
+        raise ValueError(
+            f"destination index {dst_path} still serves vector "
+            f"id(s) the source removed ({sorted(src_removed)[:10]}"
+            "...): merging would record an erasure the merged index "
+            "does not honor. Run pq_index_remove on the destination "
+            "first, then merge."
         )
-        if not hit.isEmpty():
-            raise ValueError(
-                f"destination index {dst_path} still serves vector "
-                f"id(s) the source removed ({sorted(src_removed)[:10]}"
-                "...): merging would record an erasure the merged index "
-                "does not honor. Run pq_index_remove on the destination "
-                "first, then merge."
-            )
     # Disjointness contract: per-cell file concatenation is a UNION of
     # code rows, so any vec_id present on both sides would be served
     # TWICE after the merge (duplicated in search results, inflated
     # fingerprint) — silently breaking 'search-over-merged ==
-    # search-over-union'. One column-pruned semi-join probe (both sides
-    # read only the vec_id column) before any file moves.
-    overlap = src_ids.join(dst_ids, "vec_id", "left_semi")
-    if not overlap.isEmpty():
-        sample = [r["vec_id"] for r in overlap.limit(10).collect()]
-        raise ValueError(
-            f"source index {src_path} and destination {dst_path} share "
-            f"vector id(s) {sorted(sample)}...: per-cell concatenation "
-            "would serve them twice. Shards must be id-disjoint — "
-            "re-shard, or pq_index_remove the overlap from one side."
-        )
+    # search-over-union'. Ladder: disjoint intervals prove it free;
+    # otherwise intersect the blooms driver-side and scan ONLY the
+    # source's ids against the (tiny) AND-set — an id can live on both
+    # sides only if all k of its positions survive, and a true
+    # duplicate ALWAYS does, so an empty suspect set is a proof. The
+    # destination's codes are never read unless suspects survive.
+    _check_id_disjoint(
+        spark, src_ids, dst_ids, src_digest, dst_digest, src_path, dst_path
+    )
     merge_k = int(rec.get("merges", 0)) + 1
     prefix = f"m{merge_k}-"
     invalidate_memo(dst_path)
@@ -1120,6 +1423,14 @@ def pq_index_merge(
     rec["fingerprint"] = dataset_fingerprint(
         spark.read.parquet(f"{dst_path}/codes")
     )
+    # merged digest = OR of the sides (they were just proven disjoint);
+    # absent when either side lacked one — next merge falls back to the
+    # exact probes
+    folded = _digest_or(dst_digest, src_digest)
+    if folded is not None:
+        rec["id_digest"] = folded
+    else:
+        rec.pop("id_digest", None)
     rec["merges"] = merge_k
     removed = set(rec.get("removed_ids", [])) | set(
         src_rec.get("removed_ids", [])

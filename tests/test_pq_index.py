@@ -869,3 +869,165 @@ def test_quantizer_signature_position_sensitive(spark, tmp_path):
     sig_a = quantizer_signature(spark, a)
     assert sig_a != quantizer_signature(spark, b)
     assert sig_a == quantizer_signature(spark, c)
+
+
+# ---------------------------------------------------------------------------
+# id digest: metadata-cheap merge guards (VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_id_digest_helpers_exact_absence_and_or():
+    """The Python bloom helpers: membership never false-negatives, OR
+    composes, interval bounds are exact, and absence outside the
+    interval needs no bitmap read."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    # hand-built digests (no Spark): set positions via the py hasher
+    def mk(ids):
+        bm = bytearray(m._DIGEST_M // 8)
+        res = 0
+        for i in ids:
+            res |= 1 << (i % 64)
+            for p in m._digest_positions_py(i):
+                bm[p >> 3] |= 1 << (p & 7)
+        import base64
+        import zlib
+
+        return {
+            "m": m._DIGEST_M,
+            "k": m._DIGEST_K,
+            "min": min(ids),
+            "max": max(ids),
+            "res64": res,
+            "bloom": base64.b64encode(zlib.compress(bytes(bm))).decode(),
+        }
+
+    a = mk([2, 4, 6, 8])
+    bm_a = m._digest_bitmap(a)
+    assert all(m._digest_may_contain(a, bm_a, i) for i in (2, 4, 6, 8))
+    assert not m._digest_may_contain(a, bm_a, 100)  # outside interval
+    b = mk([101, 103])
+    # parity split: residue masks are disjoint even though the
+    # intervals interleave — the zero-IO proof the merge guard uses
+    assert a["res64"] & b["res64"] == 0
+    u = m._digest_or(a, b)
+    bm_u = m._digest_bitmap(u)
+    assert (u["min"], u["max"]) == (2, 103)
+    assert all(
+        m._digest_may_contain(u, bm_u, i) for i in (2, 4, 6, 8, 101, 103)
+    )
+    # legacy-shaped records disable composition, never corrupt it
+    assert m._digest_or(a, None) is None
+    assert m._digest_or(a, {"m": 64, "k": 2}) is None
+
+
+def test_digest_rides_markers_through_lifecycle(spark, tmp_path):
+    """build, shard-build, add, and merge all keep a usable id_digest in
+    the marker; interval hull and bloom membership stay exact through
+    the composition."""
+    import json
+
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 != 0)
+    build_pq_index(spark, evens, cents, base)
+
+    def digest(path):
+        with open(os.path.join(path, "_COMPLETE")) as f:
+            return json.load(f)["id_digest"]
+
+    d = digest(base)
+    assert m._digest_usable(d)
+    ev = [int(r["vec_id"]) for r in evens.select("vec_id").collect()]
+    od = [int(r["vec_id"]) for r in odds.select("vec_id").collect()]
+    bm = m._digest_bitmap(d)
+    assert all(m._digest_may_contain(d, bm, i) for i in ev)
+    assert (d["min"], d["max"]) == (min(ev), max(ev))
+
+    m.build_pq_shard(spark, base, odds, shard)
+    ds = digest(shard)
+    assert m._digest_usable(ds)
+    bms = m._digest_bitmap(ds)
+    assert all(m._digest_may_contain(ds, bms, i) for i in od)
+
+    m.pq_index_merge(spark, base, shard)
+    dm = digest(base)
+    bmm = m._digest_bitmap(dm)
+    assert all(m._digest_may_contain(dm, bmm, i) for i in ev + od)
+    assert (dm["min"], dm["max"]) == (min(ev + od), max(ev + od))
+
+    # add folds the new ids in
+    new = odds.limit(1).withColumn("vec_id", F.lit(999_983).cast("long")).select(
+        emb.columns
+    )
+    m.pq_index_add(spark, base, new)
+    da = digest(base)
+    bma = m._digest_bitmap(da)
+    assert m._digest_may_contain(da, bma, 999_983)
+    assert da["max"] == 999_983
+
+
+def test_merge_guards_without_digests_fall_back_exact(spark, tmp_path):
+    """Legacy markers (no id_digest) keep the r10 exact probes: overlap
+    still refuses, disjoint sides still merge."""
+    import json
+
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, base)
+    m.build_pq_shard(
+        spark,
+        base,
+        emb.filter((F.col("vec_id") % 2 != 0) | (F.col("vec_id") == 42)),
+        shard,
+    )
+    # strip both digests, simulating pre-r11 markers
+    for p in (base, shard):
+        mk = os.path.join(p, "_COMPLETE")
+        with open(mk) as f:
+            rec = json.load(f)
+        rec.pop("id_digest", None)
+        with open(mk, "w") as f:
+            json.dump(rec, f)
+    with pytest.raises(ValueError, match="share vector id"):
+        m.pq_index_merge(spark, base, shard)
+    # rebuild the shard id-disjoint (pure odds), digest stripped again
+    m.build_pq_shard(spark, base, emb.filter(F.col("vec_id") % 2 != 0), shard)
+    mk = os.path.join(shard, "_COMPLETE")
+    with open(mk) as f:
+        rec = json.load(f)
+    rec.pop("id_digest", None)
+    with open(mk, "w") as f:
+        json.dump(rec, f)
+    stats = m.pq_index_merge(spark, base, shard)
+    assert stats["vectors_merged"] == emb.filter(
+        F.col("vec_id") % 2 != 0
+    ).count()
+    # merged marker has no digest to record (either side missing -> pop)
+    with open(os.path.join(base, "_COMPLETE")) as f:
+        assert "id_digest" not in json.load(f)
+
+
+def test_merge_interval_disjoint_shards(spark, tmp_path):
+    """Range-split shards (the 100 TB sharding shape) merge under the
+    zero-IO interval proof and still serve the union exactly."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).head()[0]
+    lo = emb.filter(F.col("vec_id") <= mid)
+    hi = emb.filter(F.col("vec_id") > mid)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    build_pq_index(spark, lo, cents, base)
+    m.build_pq_shard(spark, base, hi, shard)
+    stats = m.pq_index_merge(spark, base, shard)
+    assert stats["vectors_merged"] == hi.count()
+    assert spark.read.parquet(f"{base}/codes").count() == emb.count()

