@@ -19,147 +19,90 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-10 rotation (VERDICT r9 "Next round" #1): the window front-loads
-# (a) the 8 queries NEW in round 10 (domain_stats_psl /
-# nb_source_predict_served / image_ingest_gate, then the second-half
-# additions domain_blocklist_psl / nb_ingest_gate /
-# video_neardup_pairs / contamination_ingest_gate /
-# curation_front_door — registered the same round they landed, the
-# driver-gate-contract rule the r9 window cut violated), (b) the 2 round-9
-# queries that were added after the r9 window cut and have NEVER had a
-# driver row (cluster_prototypes, contamination_report), (c) the 4
-# carried queries whose ON-PATH behavior changed this round
-# (url_dedup / url_ingest_gate / curation_pipeline_v4 — normalized_url's
-# utm_/slash steps were re-anchored, ADVICE r9; pq_index_merge —
-# quantizer_signature gained a position-sensitive xor term computed on
-# the gate path), then (d) 36 of the 47 queries whose newest driver row
-# dates to round 6 (computed from the CORRECTNESS_r* files).
-# That fills 50 exactly. The 11 r6-stale rows that DID NOT FIT —
-# the candidate set is 47 stale + 10 never-gated + 4 changed = 61 — cede
-# with the strongest alternate validation, each carrying an r6 row into
-# round 11 (front-load them there):
-#   pq_index_add        oracle verbatim = pq_index_merge (in-window,
-#                       re-gated); merge==add pinned byte-identical in
-#                       tests/test_pq_index.py
-#   pq_index_build      build_pq_index EXECUTES inside the gated
-#                       pq_index_merge query (on-path); rebuild/stale
-#                       tests in pytest
-#   ivfpq_search_served oracle verbatim = ivfpq_search (in-window);
-#                       serve==fused pinned in pytest
-#   pq_adc_search_served oracle verbatim = pq_adc_search (r9 row);
-#                       serve==fused pinned in pytest
-#   lm_perplexity_served serve==inline pinned in tests/test_lm_index.py;
-#                       lm_perplexity has an r9 row
-#   incremental_hourly  oracle verbatim = events_hourly (r8 row);
-#                       incremental machinery pinned in
-#                       tests/test_incremental.py
-#   multimodal_meta     narrow mapInPandas metadata pass, pinned in
-#                       tests/test_multimodal.py
-#   hash_sample         narrow deterministic-hash filter, pytest-pinned
-#   zorder_values       pure narrow bit arithmetic, pytest-pinned
-#   topk_per_group      plain per-group rank<=k window, pytest-pinned;
-#                       the windowed-TopK shape has a fresh driver row
-#                       via weighted_sample_by_lang
-#   dedup_clusters      the LSH->components->cluster machinery has
-#                       fresh rows via canonical_docs (>=r7) and the
-#                       in-window minhash/simhash pair queries
-# (the last five ceded to the second-half round-10 queries: gate
-# integrity for NEW code outranks re-gating unchanged narrow ops)
-# All 11 pass the round-10 full local sweep (CORRECTNESS_LOCAL_r10).
-#
-# LATE round-10 additions (the BM25 index family + boilerplate_strip,
-# registered the same round they landed per the gate-contract rule)
-# displace 5 more (d) rows, each with the strongest alternate
-# validation — all pass the full local sweep:
-#   simhash          executes ON-PATH inside simhash_neardup_pairs
-#                    (stays in-window); byte-exact vectors pytest-pinned
-#   ivf_centroids    the k-means build executes on-path inside the
-#                    in-window ivf_assign and ivf_search
-#   vocab_topk       plain token agg + TakeOrdered, pytest-pinned; the
-#                    windowed-TopK shape gated via weighted_sample_by_lang
-#   running_revenue  plain running-sum window, pytest-pinned; the
-#                    per-key window shape re-gated via rolling_1h_value
-#   ngram_bigrams    the bigram explode+agg executes on-path inside
-#                    lm_perplexity (r9 row) and the in-window
-#                    decontaminate's shingle derivation
-#   ivfpq_search_multi  batched≡per-query pinned in
-#                    tests/test_pq_index.py::test_multi_query_search_
-#                    equals_per_query; the serve machinery re-gated via
-#                    the in-window ivfpq_search_refined + pq_index_merge
-#   salted_priority_revenue  its oracle IS the unsalted aggregate
-#                    (salt-invariance is the query's whole claim) and
-#                    salted≡plain is pinned in tests/test_incremental.py;
-#                    the skew pattern stays gated via hot_key_report
-#   vector_lsh_buckets  the EXACT with_lsh_buckets machinery executes
-#                    ON-PATH inside the in-window embedding_ingest_gate
-#                    (48 planes vs 16 — same code, same oracle plane
-#                    derivation); literal≡broadcast paths pytest-pinned
-#   ngram_jaccard_dedup  the shingle machinery (with_shingles) executes
-#                    on-path inside the in-window decontaminate; exact
-#                    jaccard verification pinned in tests/test_dedup.py
-#   similarity_topk  exact cosine_topk pinned in tests/test_similarity.py;
-#                    the broadcast-query + TakeOrdered shape stays gated
-#                    via the in-window ann_blocked_topk
+# Round-11 rotation (VERDICT r10 "Next round" #2: retire every r6-stale
+# row — after this window no green row predates round 7):
+#   (a) the 1 query NEW in round 11, registered the same round it
+#       landed (gate-contract rule): bm25_ingest_gate — the streaming
+#       BM25 ingest twin (VERDICT r10 #4).
+#   (b) the 10 carried queries whose ON-PATH behavior changed this
+#       round: pq_index_merge / ann_ingest_stream / ivfpq_remove_serve
+#       (markers now carry the id_digest and the merge guards run the
+#       metadata-first ladder, VERDICT r10 #3); bm25_index_add (add-time
+#       schema-compatibility refusal, ADVICE r10) / bm25_segment_merge /
+#       bm25_remove_serve (deferred .retired-* segment retirement,
+#       ADVICE r10); boilerplate_strip / boilerplate_strip_served
+#       (single-pass window DF mine + newline-proofed fixture, VERDICT
+#       r10 #1 + ADVICE r10); domain_stats_psl / domain_blocklist_psl
+#       (default rule set is now the checked-in ~560-rule PSL data
+#       file, VERDICT r10 #6).
+#   (c) ALL 21 r6-stale rows (the full list VERDICT r10 #2 names) —
+#       five of them (pq_index_add, pq_index_build, ivfpq_search_served,
+#       pq_adc_search_served, ivfpq_search_multi) also re-gate the
+#       id_digest build path, doing double duty.
+#   (d) 18 round-7 rows, the now-oldest tier, front-loaded for
+#       freshness (cdc_final_state among them — the flagship).
+# That fills 50 exactly. CEDED this round: the remaining 30 r7 rows and
+# everything r8+ — all pass the round-11 full local sweep
+# (CORRECTNESS_LOCAL_r11) and none had an on-path change this round;
+# the r7 tier is the (d)-candidate pool for round 12.
+# Historical correction (ADVICE r10 #5): the r10 comment said the late
+# additions displaced "5 more (d) rows" — ten (d) rows were actually
+# ceded; the r10 cession list itself was complete and accurate.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 10 — never driver-checked
-    "domain_stats_psl",
-    "nb_source_predict_served",
-    "image_ingest_gate",
-    "domain_blocklist_psl",
-    "nb_ingest_gate",
-    "video_neardup_pairs",
-    "contamination_ingest_gate",
-    "curation_front_door",
-    # (b) added after the r9 window cut — never driver-checked
-    "cluster_prototypes",
-    "contamination_report",
-    # (a2) late round-10 additions — never driver-checked: the persisted
-    # BM25 text index (serve twin + segment add/merge lifecycle +
-    # tombstone erasure + positional phrase search), RefinedWeb
-    # host-scoped boilerplate removal, and the embedding (semantic)
-    # dedup-at-ingest gate
-    "bm25_search_served",
+    # (a) new in round 11 — never driver-checked
+    "bm25_ingest_gate",
+    # (b) on-path behavior changed in round 11
+    "pq_index_merge",
+    "ann_ingest_stream",
+    "ivfpq_remove_serve",
     "bm25_index_add",
     "bm25_segment_merge",
     "bm25_remove_serve",
-    "bm25_phrase_search",
-    "bm25_phrase_served",
     "boilerplate_strip",
     "boilerplate_strip_served",
-    "embedding_ingest_gate",
-    "bm25_search_multi",
-    # (c) on-path behavior changed in round 10
-    "url_dedup",
-    "url_ingest_gate",
-    "curation_pipeline_v4",
-    "pq_index_merge",
-    # (d) round-6-stale rows (26 of 47; the 11 + 5 + 5 cessions above)
-    "ann_blocked_topk",
-    "balanced_sample",
-    "bm25_search",
-    "corpus_mixture_report",
-    "curation_pipeline",
-    "customers_with_urgent_orders",
-    "datatype_matrix",
-    "decontaminate",
-    "dedup_incremental",
-    "doc_chunks",
-    "embedding_neardup_pairs",
-    "funnel_conversion",
-    "hot_key_report",
-    "ivf_assign",
-    "ivf_search",
-    "ivfpq_search_refined",
-    "nation_pair_flows",
-    "pack_sequences",
-    "pii_scrub",
-    "quantize_embeddings",
-    "repetition_scores",
-    "retention_cohorts",
-    "rolling_1h_value",
-    "semantic_dedup",
-    "simhash_neardup_pairs",
-    "value_histogram",
+    "domain_stats_psl",
+    "domain_blocklist_psl",
+    # (c) the 21 r6-stale rows (VERDICT r10 #2, complete)
+    "dedup_clusters",
+    "hash_sample",
+    "incremental_hourly",
+    "ivf_centroids",
+    "ivfpq_search_multi",
+    "ivfpq_search_served",
+    "lm_perplexity_served",
+    "multimodal_meta",
+    "ngram_bigrams",
+    "ngram_jaccard_dedup",
+    "pq_adc_search_served",
+    "pq_index_add",
+    "pq_index_build",
+    "running_revenue",
+    "salted_priority_revenue",
+    "simhash",
+    "similarity_topk",
+    "topk_per_group",
+    "vector_lsh_buckets",
+    "vocab_topk",
+    "zorder_values",
+    # (d) round-7 rows, the now-oldest tier (18 of 48)
+    "cdc_final_state",
+    "cdc_state_at",
+    "ivfpq_search",
+    "curation_pipeline_v2",
+    "curation_pipeline_v3",
+    "lm_trigram_served",
+    "lm_trigram_backoff",
+    "moore_lewis_served",
+    "moore_lewis_selection",
+    "nb_source_predict",
+    "schema_embedded_decode",
+    "streaming_curation_gate",
+    "token_budget_admission",
+    "late_data_watermark",
+    "dedup_span_rewrite",
+    "lsh_dedup_recall",
+    "weighted_sample_by_lang",
+    "winnowing_fingerprints",
 ]
 
 

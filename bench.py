@@ -152,6 +152,7 @@ HEADLINE = [
     "boilerplate_strip",
     "boilerplate_strip_served",
     "bm25_search_multi",
+    "bm25_ingest_gate",
 ]
 
 
