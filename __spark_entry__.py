@@ -21,9 +21,11 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
 # Round-11 rotation (VERDICT r10 "Next round" #2: retire every r6-stale
 # row — after this window no green row predates round 7):
-#   (a) the 1 query NEW in round 11, registered the same round it
+#   (a) the 2 queries NEW in round 11, registered the same round they
 #       landed (gate-contract rule): bm25_ingest_gate — the streaming
-#       BM25 ingest twin (VERDICT r10 #4).
+#       BM25 ingest twin (VERDICT r10 #4) — and bm25_tiered_merge —
+#       the TieredMergePolicy subset merge (smallest-segments-only
+#       compaction with per-segment tombstone splitting).
 #   (b) the 10 carried queries whose ON-PATH behavior changed this
 #       round: pq_index_merge / ann_ingest_stream / ivfpq_remove_serve
 #       (markers now carry the id_digest and the merge guards run the
@@ -39,18 +41,23 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #       five of them (pq_index_add, pq_index_build, ivfpq_search_served,
 #       pq_adc_search_served, ivfpq_search_multi) also re-gate the
 #       id_digest build path, doing double duty.
-#   (d) 18 round-7 rows, the now-oldest tier, front-loaded for
+#   (d) 17 round-7 rows, the now-oldest tier, front-loaded for
 #       freshness (cdc_final_state among them — the flagship).
-# That fills 50 exactly. CEDED this round: the remaining 30 r7 rows and
-# everything r8+ — all pass the round-11 full local sweep
-# (CORRECTNESS_LOCAL_r11) and none had an on-path change this round;
-# the r7 tier is the (d)-candidate pool for round 12.
+# That fills 50 exactly. CEDED this round: winnowing_fingerprints
+# (displaced by the late bm25_tiered_merge registration — a fully
+# narrow per-row array op, pytest-pinned byte-exact in
+# tests/test_dedup.py, r7 row stands, no on-path change), plus the
+# remaining 30 r7 rows and everything r8+ — all pass the round-11
+# full local sweep (CORRECTNESS_LOCAL_r11) and none had an on-path
+# change this round; the r7 tier is the (d)-candidate pool for
+# round 12.
 # Historical correction (ADVICE r10 #5): the r10 comment said the late
 # additions displaced "5 more (d) rows" — ten (d) rows were actually
 # ceded; the r10 cession list itself was complete and accurate.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 11 — never driver-checked
     "bm25_ingest_gate",
+    "bm25_tiered_merge",
     # (b) on-path behavior changed in round 11
     "pq_index_merge",
     "ann_ingest_stream",
@@ -102,7 +109,6 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_span_rewrite",
     "lsh_dedup_recall",
     "weighted_sample_by_lang",
-    "winnowing_fingerprints",
 ]
 
 

@@ -153,6 +153,7 @@ HEADLINE = [
     "boilerplate_strip_served",
     "bm25_search_multi",
     "bm25_ingest_gate",
+    "bm25_tiered_merge",
 ]
 
 
@@ -183,6 +184,15 @@ ADJUDICATIONS = [
     "position-sensitive xor term in quantizer_signature over the "
     "vocab-sized quantizer tables). Accepted: the probes prevent "
     "silently-duplicated serve results and false erasure claims.",
+    "r11: the r10 pq_index_merge guard regression is addressed as "
+    "VERDICT r10 #3 prescribed — markers carry an id_digest "
+    "(interval + residues-mod-64 mask + bloom) and the merge guards "
+    "short-circuit on metadata (the bench fixture's even/odd split "
+    "proves disjoint via the residue mask with ZERO IO); the digest "
+    "costs one extra narrow-column job at build/shard time, so the "
+    "query's wall moves by (2 build-side jobs) - (1 semi-join + "
+    "probe overhead) — both guards still fire in tests, and "
+    "legacy digest-less markers keep the exact probes.",
 ]
 
 

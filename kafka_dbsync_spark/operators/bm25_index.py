@@ -261,6 +261,9 @@ def build_bm25_index(
         "n": n,
         "sumdl": sumdl,
         "segments": [gen],
+        # per-segment (n, Σdl): metadata the tiered merge policy picks
+        # by — no doclens count jobs at policy time
+        "segstats": {gen: [n, sumdl]},
         "format": FORMAT,
         **schemas,
     }
@@ -390,6 +393,7 @@ def bm25_index_add(
         n=meta["n"] + n,
         sumdl=meta["sumdl"] + sumdl,
         segments=meta["segments"] + [seg],
+        segstats={**meta.get("segstats", {}), seg: [n, sumdl]},
     )
     # src_sig deliberately dropped: the union corpus no longer equals
     # any single source directory, so staleness falls back to the
@@ -503,6 +507,7 @@ def bm25_ingest_foreach_batch(
             n=meta["n"] + n,
             sumdl=meta["sumdl"] + sumdl,
             segments=meta["segments"] + [seg],
+            segstats={**meta.get("segstats", {}), seg: [n, sumdl]},
         )
         rec.pop("src_sig", None)
         _flip_marker(path, rec)
@@ -579,46 +584,94 @@ def bm25_segment_merge(
     spark: SparkSession,
     path: str,
     id_col: str = "doc_id",
+    segments: list[str] | None = None,
 ) -> int:
-    """Lucene's background merge: compact the live segments into ONE
-    and apply removal tombstones PHYSICALLY — postings, dfs and
-    doclens re-derive from the segment parquet minus the tombstoned
-    docs (the corpus text is never touched), marker stats drop the
-    removed amounts, the tombstone list clears, and the old segment
-    dirs retire only AFTER the marker flips — into a ``.retired-*``
-    trash name that survives until the NEXT merge (one-merge-cycle
-    grace, ADVICE r10), so a reader that resolved the marker just
-    before the flip can finish over the superseded dirs. A
-    single-segment index with no tombstones is already compact
-    (no-op). Returns the number of segments merged."""
+    """Lucene's background merge: compact live segments into ONE and
+    apply removal tombstones PHYSICALLY — postings, dfs and doclens
+    re-derive from the segment parquet minus the tombstoned docs (the
+    corpus text is never touched), marker stats drop the removed
+    amounts, and the old segment dirs retire only AFTER the marker
+    flips — into a ``.retired-*`` trash name that survives until the
+    NEXT merge (one-merge-cycle grace, ADVICE r10), so a reader that
+    resolved the marker just before the flip can finish over the
+    superseded dirs.
+
+    ``segments=None`` merges EVERYTHING (full optimize — Lucene's
+    forceMerge(1)) and clears the whole tombstone list. Passing a
+    SUBSET of live segment names merges only those (the unit a tiered
+    policy schedules — :func:`bm25_merge_tiered`): tombstones whose
+    doc lives INSIDE the subset are applied physically and leave the
+    marker; tombstones pointing into untouched segments stay recorded
+    (and keep being served exactly) until a merge visits them — the
+    Lucene per-segment ``.del`` lifecycle. A single-segment index with
+    no tombstones is already compact (no-op). Returns the number of
+    segments merged."""
+    import hashlib
     import shutil
 
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
 
     meta = _live_meta(path)
-    segs = meta["segments"]
+    live = meta["segments"]
     removed = meta.get("removed_ids", [])
-    if len(segs) <= 1 and not removed:
+    full = segments is None
+    segs = live if full else list(segments)
+    if not full:
+        unknown = [s for s in segs if s not in live]
+        if unknown:
+            raise ValueError(
+                f"cannot merge segments not live in the marker at "
+                f"{path}: {unknown}"
+            )
+        if len(segs) < 2:
+            raise ValueError(
+                "a subset merge needs at least 2 segments (a full "
+                "merge with tombstones may pass segments=None)"
+            )
+        if set(segs) == set(live):
+            full = True
+    if full and len(segs) <= 1 and not removed:
         return len(segs)
-    # the removal SET participates in the dir name (not just its size):
-    # two merges tombstoning different ids must never share an
-    # immutable dir, or the second would flip the marker onto the
-    # first's contents. The marker fingerprint never changes after a
-    # removal (it names the BUILT corpus), so the live doc count rides
-    # along too — successive remove+merge cycles then differ by n even
-    # on a crc collision of their id lists
+    # which tombstones live INSIDE the merged subset? (full merge: all
+    # of them — removal validated membership at tombstone time). The
+    # per-id dl rides along so the marker's Σdl bookkeeping stays exact.
+    if full:
+        rm_in = list(removed)
+        rm_in_sumdl = meta.get("removed_sumdl", 0)
+    else:
+        found = {}
+        if removed:
+            for s in segs:
+                for r in (
+                    _read_table(spark, meta, path, s, "doclens")
+                    .filter(F.col(id_col).isin(removed))
+                    .collect()
+                ):
+                    found[int(r[id_col])] = int(r["dl"])
+        rm_in = sorted(found)
+        rm_in_sumdl = sum(found.values())
+    rm_out = sorted(set(removed) - set(rm_in))
+    # the removal SET and (for subset merges) the member-segment set
+    # participate in the dir name: two merges over different inputs
+    # must never share an immutable dir, or the second would flip the
+    # marker onto the first's contents. The marker fingerprint never
+    # changes after a removal (it names the BUILT corpus), so the live
+    # doc count rides along too — successive remove+merge cycles then
+    # differ by n even on a digest collision of their id lists
     merged = (
         "merged"
         + _gen_name(meta["fingerprint"])[3:]
         + f"_v{FORMAT}_n{meta['n'] - meta.get('removed_n', 0)}"
         + (
+            ""
+            if full
+            else "_s%s"
+            % hashlib.md5(",".join(sorted(segs)).encode()).hexdigest()[:12]
+        )
+        + (
             "_rm%s"
-            % (
-                __import__("hashlib")
-                .md5(",".join(map(str, removed)).encode())
-                .hexdigest()[:16],
-            )
-            if removed
+            % hashlib.md5(",".join(map(str, rm_in)).encode()).hexdigest()[:16]
+            if rm_in
             else ""
         )
     )
@@ -631,9 +684,9 @@ def bm25_segment_merge(
             d = _read_table(spark, meta, path, s, "doclens")
             post = p if post is None else post.unionByName(p)
             lens = d if lens is None else lens.unionByName(d)
-        if removed:
-            post = post.filter(~F.col(id_col).isin(removed))
-            lens = lens.filter(~F.col(id_col).isin(removed))
+        if rm_in:
+            post = post.filter(~F.col(id_col).isin(rm_in))
+            lens = lens.filter(~F.col(id_col).isin(rm_in))
         stage = os.path.join(path, f".stage-{merged}-{os.getpid()}")
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
@@ -650,16 +703,51 @@ def bm25_segment_merge(
             os.rename(stage, final_dir)
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
-    rec = dict(
-        meta,
-        segments=[merged],
-        gen=merged,
-        n=meta["n"] - meta.get("removed_n", 0),
-        sumdl=meta["sumdl"] - meta.get("removed_sumdl", 0),
-        removed_ids=[],
-        removed_n=0,
-        removed_sumdl=0,
-    )
+    old_stats = meta.get("segstats", {})
+    if full:
+        live_n = meta["n"] - meta.get("removed_n", 0)
+        live_sumdl = meta["sumdl"] - meta.get("removed_sumdl", 0)
+        rec = dict(
+            meta,
+            segments=[merged],
+            gen=merged,
+            n=live_n,
+            sumdl=live_sumdl,
+            segstats={merged: [live_n, live_sumdl]},
+            removed_ids=[],
+            removed_n=0,
+            removed_sumdl=0,
+        )
+    else:
+        keep = [s for s in live if s not in set(segs)]
+        # merged-subset stats from marker metadata (fallback: count the
+        # member doclens when a legacy marker lacks segstats)
+        if all(s in old_stats for s in segs):
+            sub_n = sum(old_stats[s][0] for s in segs)
+            sub_dl = sum(old_stats[s][1] for s in segs)
+        else:
+            row = lens_stats = None
+            for s in segs:
+                d = _read_table(spark, meta, path, s, "doclens")
+                lens_stats = d if lens_stats is None else lens_stats.unionByName(d)
+            row = lens_stats.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+            ).head()
+            sub_n, sub_dl = int(row["n"]), int(row["s"] or 0)
+        seg_n = sub_n - len(rm_in)
+        seg_dl = sub_dl - rm_in_sumdl
+        stats = {s: v for s, v in old_stats.items() if s in set(keep)}
+        stats[merged] = [seg_n, seg_dl]
+        rec = dict(
+            meta,
+            segments=keep + [merged],
+            n=meta["n"] - len(rm_in),
+            sumdl=meta["sumdl"] - rm_in_sumdl,
+            segstats=stats,
+            removed_ids=rm_out,
+            removed_n=meta.get("removed_n", 0) - len(rm_in),
+            removed_sumdl=meta.get("removed_sumdl", 0) - rm_in_sumdl,
+        )
     tmp = os.path.join(path, _MARKER + f".tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(rec, f)
@@ -686,6 +774,44 @@ def bm25_segment_merge(
             except OSError:
                 shutil.rmtree(os.path.join(path, s), ignore_errors=True)
     return len(segs)
+
+
+def bm25_merge_tiered(
+    spark: SparkSession,
+    path: str,
+    max_segments: int = 4,
+    id_col: str = "doc_id",
+) -> int:
+    """Lucene's TieredMergePolicy, reduced to its load-bearing idea:
+    never rewrite the big segments to absorb the small ones. When the
+    live segment count exceeds ``max_segments``, merge the SMALLEST
+    ``count - max_segments + 1`` segments into one — the merge IO is
+    proportional to the small segments' size, not the index's, so a
+    long-running ingest stream (one segment per epoch) pays amortized
+    O(n log n) total merge IO instead of forceMerge(1)'s O(n) per call
+    / O(n²) cumulative. Sizes come from the marker's per-segment
+    ``segstats`` (pure metadata; a legacy marker without them falls
+    back to one narrow doclens count per segment). Tombstones inside
+    the chosen subset are applied physically; the rest stay recorded —
+    exactly :func:`bm25_segment_merge`'s subset contract. Returns the
+    number of segments merged (0 when already within policy)."""
+    meta = _live_meta(path)
+    segs = meta["segments"]
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1 (got {max_segments})")
+    if len(segs) <= max_segments:
+        return 0
+    stats = meta.get("segstats", {})
+
+    def size_of(s: str) -> int:
+        if s in stats:
+            return int(stats[s][0])
+        return _read_table(spark, meta, path, s, "doclens").count()
+
+    ordered = sorted(segs, key=lambda s: (size_of(s), s))
+    pick = ordered[: len(segs) - max_segments + 1]
+    bm25_segment_merge(spark, path, id_col, segments=pick)
+    return len(pick)
 
 
 def bm25_index_is_current(

@@ -2913,6 +2913,61 @@ def q_bm25_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_lifecycle(spark, sf_dir, merge=True)
 
 
+@query("bm25_tiered_merge", oracle=ORACLES["bm25_search"])
+def q_bm25_tiered_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene's TieredMergePolicy shape
+    (operators/bm25_index.py::bm25_merge_tiered): a long-running ingest
+    stream leaves one segment per epoch, and the policy merges only
+    the SMALLEST segments when the count exceeds budget — merge IO
+    proportional to the small segments, never a rewrite of the big
+    build segment (forceMerge(1)'s O(n) per call becomes amortized
+    O(n log n) total; at 100 TB this is the difference between a
+    background chore and a nightly outage). Build on three quarters of
+    the corpus, stream the last quarter as THREE small one-epoch
+    segments, tier-merge to a 2-segment budget — the three small epoch
+    segments fold (sizes come from the marker's segstats metadata) and
+    the big build segment is untouched — and serve: the answer must
+    equal the one-shot bm25_search over the whole corpus, its oracle
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_ingest_foreach_batch,
+        bm25_merge_tiered,
+        bm25_search_served,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kds_bm25_tier_")
+    try:
+        build_bm25_index(spark, docs.filter(F.col("doc_id") % 4 != 3), work)
+        fn = bm25_ingest_foreach_batch(work)
+        for i, r in enumerate((3, 7, 11), start=1):
+            fn(docs.filter(F.col("doc_id") % 12 == r), i)
+        merged = bm25_merge_tiered(spark, work, max_segments=2)
+        assert merged == 3, merged
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(work, "_COMPLETE")) as f:
+            rec = _json.load(f)
+        # the big build segment must be untouched (policy merged ONLY
+        # the three small epoch segments)
+        assert rec["segments"][0].startswith("gen"), rec["segments"]
+        out = (
+            bm25_search_served(spark, work, list(_BM25_TERMS), k=10)
+            .select(
+                F.col("rank").cast("long").alias("rank"), "doc_id", "score_r"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query("bm25_ingest_gate", oracle=ORACLES["bm25_search"])
 def q_bm25_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE streaming text-index ingest

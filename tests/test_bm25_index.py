@@ -624,3 +624,142 @@ def test_ingest_gate_tombstone_not_resurrected_until_merge(spark, docs, idx):
     assert _rows(bm25_search_served(spark, idx, ["hash", "join"], k=10)) == _rows(
         bm25_topk(docs, ["hash", "join"], k=10)
     )
+
+
+# ---------------------------------------------------------------------------
+# tiered merges: subset compaction + the TieredMergePolicy shape
+# ---------------------------------------------------------------------------
+
+
+def _gate_epochs(spark, idx, batches):
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_ingest_foreach_batch,
+    )
+
+    fn = bm25_ingest_foreach_batch(idx)
+    for i, rows in enumerate(batches, start=1):
+        fn(spark.createDataFrame(rows, "doc_id bigint, text string"), i)
+
+
+def test_subset_merge_keeps_other_segments_live(spark, docs, idx):
+    import json
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    _gate_epochs(spark, idx, [MORE_DOCS, MORE_DOCS_2])
+    segs = _segments(idx)
+    assert len(segs) == 3
+    assert m.bm25_segment_merge(spark, idx, segments=segs[1:]) == 2
+    after = _segments(idx)
+    assert len(after) == 2 and after[0] == segs[0]
+    assert after[1].startswith("merged") and "_s" in after[1]
+    union = docs.unionByName(
+        spark.createDataFrame(MORE_DOCS + MORE_DOCS_2, "doc_id bigint, text string")
+    )
+    terms = ["hash", "join", "merge", "bloom"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(union, terms, k=20)
+    )
+    # segstats stay exact through the composition
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert set(rec["segstats"]) == set(after)
+    assert sum(v[0] for v in rec["segstats"].values()) == rec["n"]
+    assert sum(v[1] for v in rec["segstats"].values()) == rec["sumdl"]
+
+
+def test_subset_merge_refusals(spark, docs, idx):
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    _gate_epochs(spark, idx, [MORE_DOCS])
+    with pytest.raises(ValueError, match="not live"):
+        m.bm25_segment_merge(spark, idx, segments=["nope_v2"])
+    with pytest.raises(ValueError, match="at least 2"):
+        m.bm25_segment_merge(spark, idx, segments=[_segments(idx)[1]])
+
+
+def test_subset_merge_splits_tombstones(spark, docs, idx):
+    """A tombstone inside the merged subset is applied physically and
+    leaves the marker; a tombstone in an untouched segment stays
+    recorded and keeps being served exactly — the per-segment .del
+    lifecycle."""
+    import json
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    _gate_epochs(spark, idx, [MORE_DOCS, MORE_DOCS_2])
+    # doc 1 lives in the BUILD segment (stays); doc 12 in epoch-1 and
+    # doc 30 in epoch-2 (both merged)
+    m.bm25_index_remove(spark, idx, [1, 12, 30])
+    segs = _segments(idx)
+    m.bm25_segment_merge(spark, idx, segments=segs[1:])
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert rec["removed_ids"] == [1]          # in-subset tombstones gone
+    assert rec["removed_n"] == 1
+    survivors = (
+        docs.unionByName(
+            spark.createDataFrame(
+                MORE_DOCS + MORE_DOCS_2, "doc_id bigint, text string"
+            )
+        )
+        .filter(~F.col("doc_id").isin([1, 12, 30]))
+    )
+    terms = ["hash", "join", "merge", "bloom"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(survivors, terms, k=20)
+    )
+    # a later FULL merge clears the remaining tombstone too
+    m.bm25_segment_merge(spark, idx)
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert rec["removed_ids"] == [] and len(rec["segments"]) == 1
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(survivors, terms, k=20)
+    )
+
+
+def test_tiered_policy_merges_smallest(spark, docs, idx):
+    import json
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    # build (10 docs) + three small epochs: 2, 1, 1 docs
+    _gate_epochs(
+        spark,
+        idx,
+        [
+            MORE_DOCS[:2],
+            [(41, "tiny segment one about hash tables")],
+            [(42, "tiny segment two about merge policies")],
+        ],
+    )
+    assert len(_segments(idx)) == 4
+    # within budget: no-op
+    assert m.bm25_merge_tiered(spark, idx, max_segments=4) == 0
+    # over budget by 2: the THREE smallest merge (epochs; the 10-doc
+    # build segment must not be rewritten)
+    build_seg = _segments(idx)[0]
+    assert m.bm25_merge_tiered(spark, idx, max_segments=2) == 3
+    after = _segments(idx)
+    assert len(after) == 2 and build_seg in after
+    with open(os.path.join(idx, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert rec["segstats"][build_seg][0] == 10
+    union = docs.unionByName(
+        spark.createDataFrame(
+            MORE_DOCS[:2]
+            + [
+                (41, "tiny segment one about hash tables"),
+                (42, "tiny segment two about merge policies"),
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    terms = ["hash", "join", "merge", "policies"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(union, terms, k=20)
+    )
+    # max_segments=1 degenerates to the full optimize
+    assert m.bm25_merge_tiered(spark, idx, max_segments=1) == 2
+    assert len(_segments(idx)) == 1
