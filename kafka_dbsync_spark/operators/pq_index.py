@@ -161,14 +161,26 @@ _MASK64 = (1 << 64) - 1
 
 
 def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
-    """id_digest record for the marker: interval + residues-mod-64 mask
-    + zlib/b64 bloom, all from ONE narrow-column job (the explode
-    duplicates each id k times, which min/max/bit_or ignore and
-    collect_set dedups; the set is bounded by m). The residue mask is
-    EXACT metadata for the standard parity/stride sharding shapes
-    (even/odd, id%k==j): two shards with disjoint residue sets prove
-    id-disjointness with zero IO even when their intervals interleave.
+    """id_digest record for the marker — see
+    :func:`fingerprint_and_digest`, whose single job computes both.
     None for an empty id set (nothing to guard)."""
+    return fingerprint_and_digest(df, id_col)[1]
+
+
+def fingerprint_and_digest(
+    df: DataFrame, id_col: str = "vec_id"
+) -> tuple[dict, dict | None]:
+    """(dataset_fingerprint, id_digest) from ONE narrow-column job: the
+    positions explode emits EXACTLY k rows per id (the array literal is
+    always k long, duplicates included), so count and sum divide back
+    by k exactly, min/max/bit_or ignore the duplication, and
+    collect_set dedups the positions (bounded by m). Build/shard/add
+    paths pay one aggregate where r10 paid one and a digest-less
+    marker — the digest is free at mutation time. The residues-mod-64
+    mask is EXACT metadata for the standard parity/stride sharding
+    shapes (even/odd, id%k==j): two shards with disjoint residue sets
+    prove id-disjointness with zero IO even when their intervals
+    interleave. The digest half is None for an empty id set."""
     import base64
     import zlib
 
@@ -178,8 +190,10 @@ def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
             F.explode(_digest_positions_expr(id_col)).alias("__p"),
         )
         .agg(
+            F.count(F.lit(1)).alias("cnt"),
             F.min("__i").alias("mn"),
             F.max("__i").alias("mx"),
+            F.sum("__i").alias("sm"),
             F.expr(
                 "bit_or(shiftleft(CAST(1 AS BIGINT),"
                 " CAST(pmod(__i, 64) AS INT)))"
@@ -188,13 +202,19 @@ def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
         )
         .head()
     )
+    n = int(row["cnt"]) // _DIGEST_K
+    fp = {
+        "n": n,
+        "max_id": None if row["mx"] is None else int(row["mx"]),
+        "sum_id": None if row["sm"] is None else int(row["sm"]) // _DIGEST_K,
+    }
     if row["mn"] is None:
-        return None
+        return fp, None
     bitmap = bytearray(_DIGEST_M // 8)
     for p in row["ps"]:
         p = int(p)
         bitmap[p >> 3] |= 1 << (p & 7)
-    return {
+    digest = {
         "m": _DIGEST_M,
         "k": _DIGEST_K,
         "min": int(row["mn"]),
@@ -202,6 +222,7 @@ def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
         "res64": int(row["res"]) & _MASK64,
         "bloom": base64.b64encode(zlib.compress(bytes(bitmap))).decode(),
     }
+    return fp, digest
 
 
 def _digest_usable(d) -> bool:
@@ -289,7 +310,7 @@ def build_pq_index(
     invalidate_memo(path)
     if os.path.exists(marker):
         os.remove(marker)
-    fp = dataset_fingerprint(embeddings)
+    fp, _digest = fingerprint_and_digest(embeddings)
     centroids_long.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = spark.read.parquet(f"{path}/centroids")
 
@@ -312,9 +333,8 @@ def build_pq_index(
         f"{path}/flat_codes"
     )
     rec: dict = {"fingerprint": fp}
-    digest = compute_id_digest(embeddings)
-    if digest is not None:
-        rec["id_digest"] = digest
+    if _digest is not None:
+        rec["id_digest"] = _digest
     if src_path is not None:
         rec["src_sig"] = files_signature(src_path)
     with open(marker, "w") as f:
@@ -615,7 +635,7 @@ def pq_index_add(
     except (ValueError, OSError):
         rec = {}
     old = rec.get("fingerprint")
-    add = dataset_fingerprint(new_embeddings)
+    add, add_digest = fingerprint_and_digest(new_embeddings)
     if old:
         add = {
             "n": old["n"] + add["n"],
@@ -633,9 +653,7 @@ def pq_index_add(
     # over ONLY the new ids); a legacy marker without one stays
     # digest-less — exact-probe fallback at the next merge
     if "id_digest" in rec:
-        folded = _digest_or(
-            rec["id_digest"], compute_id_digest(new_embeddings)
-        )
+        folded = _digest_or(rec["id_digest"], add_digest)
         if folded is not None:
             rec["id_digest"] = folded
         else:
@@ -1128,7 +1146,7 @@ def build_pq_shard(
     invalidate_memo(path)
     if os.path.exists(marker):
         os.remove(marker)
-    fp = dataset_fingerprint(embeddings)
+    fp, _digest = fingerprint_and_digest(embeddings)
     os.makedirs(path, exist_ok=True)
     for sub in ("centroids", "pq_codebooks", "flat_codebooks"):
         dst = os.path.join(path, sub)
@@ -1152,9 +1170,8 @@ def build_pq_shard(
         "fingerprint": fp,
         "quantizer_sig": quantizer_signature(spark, path),
     }
-    digest = compute_id_digest(embeddings)
-    if digest is not None:
-        rec["id_digest"] = digest
+    if _digest is not None:
+        rec["id_digest"] = _digest
     with open(marker, "w") as f:
         json.dump(rec, f)
 
