@@ -43,14 +43,9 @@ HEADLINE = [
     "doc_fingerprint",
     "minhash_signatures",
     "minhash_lsh_pairs",
-    "simhash",
-    "similarity_topk",
     "ann_blocked_topk",
-    "vector_lsh_buckets",
     "events_sessionize",
     "asof_join",
-    "vocab_topk",
-    "multimodal_meta",
     # r3 additions: the compressed-ANN read path, the anti-join-heavy
     # TPC-H shapes, and the narrow winnowing fingerprint pass
     "pq_adc_search",
@@ -152,8 +147,17 @@ HEADLINE = [
     "boilerplate_strip",
     "boilerplate_strip_served",
     "bm25_search_multi",
-    "bm25_ingest_gate",
-    "bm25_tiered_merge",
+    # r11: bm25_ingest_gate and bm25_tiered_merge are headline-EXCLUDED
+    # like every other ingest gate and like bm25_segment_merge (epoch/
+    # merge machinery fixed cost dominates); both stay oracle-gated,
+    # driver-windowed, and 10x scale-probed. Five flat narrow per-row
+    # ops (simhash / similarity_topk / vector_lsh_buckets / vocab_topk /
+    # multimodal_meta, all ~0.3-0.6 s and unchanged since r2-r6, all
+    # pytest-pinned and sweep-covered) also leave the headline: the
+    # compact stdout line outgrew the driver's 2000-char tail at 77
+    # entries even at 1dp (the r10 adaptive-precision fallback fired
+    # its new last-resort warning), and trimming redundant rows beats
+    # shipping 0dp medians for everything.
 ]
 
 

@@ -352,10 +352,16 @@ SHUFFLE_BUDGET = {
     # rig; returned serve result is localCheckpoint-truncated
     "bm25_segment_merge": 0,        # same rig, merged serve
     "bm25_remove_serve": 0,         # same rig, tombstoned serve
-    "boilerplate_strip": 6,         # paragraph keys shuffle twice (the
-    # (host,key,doc) distinct then the (host,key) df agg), doomed
-    # positions re-key by doc, host sizes are a tiny agg broadcast
-    # back; all joins broadcast (6 BHJ) — corpus text never shuffles
+    "bm25_ingest_gate": 0,          # build + 3 foreachBatch epochs + a
+    # deliberate replay execute inside the rig; serve result is
+    # localCheckpoint-truncated
+    "bm25_tiered_merge": 0,         # same rig shape, tiered-merged serve
+    "boilerplate_strip": 4,         # r11 single-pass rework: ONE
+    # (host,key) window exchange carries the distinct-doc-count (the
+    # r10 plan re-derived the explode+md5 subtree for a separate
+    # distinct+agg pair, budget 6), doomed positions re-key by doc,
+    # host sizes are a tiny agg broadcast back; all joins broadcast
+    # (4 BHJ) — corpus text never shuffles
     "cdc_corrupt_events": 0,     # pure narrow chain
     "cdc_op_counts": 2,          # agg + countDistinct expand
     "cdc_route_stats": 1,        # one agg exchange (partial agg map-side)

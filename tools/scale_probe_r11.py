@@ -113,6 +113,44 @@ def main() -> None:
     for name in PROBES:
         row = result["queries"][name]
         row["ratio_10x"] = round(row["sf1_median"] / row["sf0.1_median"], 2)
+    # Flagged-entry re-probe (the bench auto-adjudication idea, applied
+    # to the scale instrument): a probe reading taken right after a
+    # heavy index-writing query inherits its /tmp writeback stall even
+    # when the between-block canary says the host is quiet (r11
+    # observed boilerplate_strip at 37.7 s in-suite vs 2.4 s idle).
+    # Any entry over 2x re-measures INTERLEAVED (sf0.1, sf1, sf0.1,
+    # sf1, ...) after the suite has settled; the rerun is recorded as
+    # authoritative with the in-suite reading kept for the audit trail.
+    flagged = [
+        n for n in PROBES if result["queries"][n]["ratio_10x"] > 2.0
+    ]
+    for name in flagged:
+        t01, t1 = [], []
+        for _ in range(3):
+            for tag, sf_dir, acc in (
+                ("sf0.1", sf01, t01),
+                ("sf1", sf1, t1),
+            ):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                acc.append(time.perf_counter() - t0)
+        row = result["queries"][name]
+        row["in_suite"] = {
+            "sf0.1_median": row["sf0.1_median"],
+            "sf1_median": row["sf1_median"],
+            "ratio_10x": row["ratio_10x"],
+        }
+        row["sf0.1_median"] = round(sorted(t01)[1], 3)
+        row["sf1_median"] = round(sorted(t1)[1], 3)
+        row["ratio_10x"] = round(row["sf1_median"] / row["sf0.1_median"], 2)
+        row["rerun"] = "interleaved post-suite (flagged >2x in-suite)"
+        print(
+            f"# rerun {name}: {row['sf0.1_median']}s -> "
+            f"{row['sf1_median']}s ratio {row['ratio_10x']}",
+            file=sys.stderr,
+        )
     g1, g10 = growth["sf0.1"], growth["sf1"]
     v = result["queries"]["video_neardup_pairs"]
     result["adjudications"] = {
