@@ -763,3 +763,62 @@ def test_tiered_policy_merges_smallest(spark, docs, idx):
     # max_segments=1 degenerates to the full optimize
     assert m.bm25_merge_tiered(spark, idx, max_segments=1) == 2
     assert len(_segments(idx)) == 1
+
+
+def test_ingest_gate_refuses_schema_mismatch_batch(spark, docs, idx):
+    """A stream wired with the wrong id type is a configuration error:
+    the gate refuses the batch (the add-path _check_add_schemas guard)
+    BEFORE any segment write, and the epoch stays uncommitted so the
+    fix replays it."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    narrow = spark.createDataFrame(
+        [(900, "int ids from a misconfigured stream")],
+        "doc_id int, text string",
+    )
+    fn = m.bm25_ingest_foreach_batch(idx)
+    with pytest.raises(ValueError, match="incompatible"):
+        fn(narrow, 1)
+    assert not m._ingest_committed(idx, 1)
+    assert len(_segments(idx)) == 1
+    fixed = narrow.withColumn("doc_id", F.col("doc_id").cast("bigint"))
+    fn(fixed, 1)  # the corrected stream replays the SAME epoch
+    assert m._ingest_committed(idx, 1) and len(_segments(idx)) == 2
+
+
+def test_tiered_merge_composes_over_merged_segments(spark, docs, idx):
+    """A second-level tiered merge that absorbs a previously-merged
+    segment stays exact — merged segments are ordinary segments to the
+    policy (Lucene's invariant)."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    _gate_epochs(
+        spark,
+        idx,
+        [
+            [(51, "alpha hash segment")],
+            [(52, "beta join segment")],
+            [(53, "gamma merge segment")],
+            [(54, "delta sort segment")],
+        ],
+    )
+    assert len(_segments(idx)) == 5
+    assert m.bm25_merge_tiered(spark, idx, max_segments=3) == 3
+    assert m.bm25_merge_tiered(spark, idx, max_segments=2) == 2
+    segs = _segments(idx)
+    assert len(segs) == 2
+    union = docs.unionByName(
+        spark.createDataFrame(
+            [
+                (51, "alpha hash segment"),
+                (52, "beta join segment"),
+                (53, "gamma merge segment"),
+                (54, "delta sort segment"),
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    terms = ["hash", "join", "merge"]
+    assert _rows(bm25_search_served(spark, idx, terms, k=20)) == _rows(
+        bm25_topk(union, terms, k=20)
+    )

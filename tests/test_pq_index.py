@@ -1031,3 +1031,63 @@ def test_merge_interval_disjoint_shards(spark, tmp_path):
     stats = m.pq_index_merge(spark, base, shard)
     assert stats["vectors_merged"] == hi.count()
     assert spark.read.parquet(f"{base}/codes").count() == emb.count()
+
+
+def test_disjointness_ladder_rungs_never_touch_codes(spark):
+    """The metadata rungs of _check_id_disjoint must prove disjointness
+    with ZERO IO — pass id thunks that RAISE if ever invoked:
+    interval-disjoint and residue-disjoint digests return without
+    touching either side; the bloom rung may scan the SOURCE but must
+    not read the destination when no suspect survives."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    def mk(ids):
+        import base64
+        import zlib
+
+        bm = bytearray(m._DIGEST_M // 8)
+        res = 0
+        for i in ids:
+            res |= 1 << (i % 64)
+            for p in m._digest_positions_py(i):
+                bm[p >> 3] |= 1 << (p & 7)
+        return {
+            "m": m._DIGEST_M,
+            "k": m._DIGEST_K,
+            "min": min(ids),
+            "max": max(ids),
+            "res64": res,
+            "bloom": base64.b64encode(zlib.compress(bytes(bm))).decode(),
+        }
+
+    def forbidden():
+        raise AssertionError("metadata rung touched the codes")
+
+    # rung 1a: disjoint intervals (residues overlap: both contain 1 mod 64)
+    m._check_id_disjoint(
+        spark, forbidden, forbidden, mk([1, 2]), mk([65, 70]), "s", "d"
+    )
+    # rung 1b: interleaved intervals, disjoint residues (even/odd)
+    m._check_id_disjoint(
+        spark, forbidden, forbidden, mk([2, 100]), mk([1, 99]), "s", "d"
+    )
+    # rung 2: intervals AND residues overlap, sets disjoint — the bloom
+    # rung scans the SOURCE only; the destination thunk must stay cold
+    src = spark.createDataFrame([(1,), (130,)], "vec_id bigint")
+    m._check_id_disjoint(
+        spark, lambda: src, forbidden, mk([1, 130]), mk([65, 194]), "s", "d"
+    )
+    # true duplicate: the ladder must still refuse (reads both sides)
+    dst = spark.createDataFrame([(65,), (130,)], "vec_id bigint")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="share vector id"):
+        m._check_id_disjoint(
+            spark,
+            lambda: src,
+            lambda: dst,
+            mk([1, 130]),
+            mk([65, 130, 194]),
+            "s",
+            "d",
+        )
