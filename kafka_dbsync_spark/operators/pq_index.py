@@ -124,40 +124,28 @@ def dataset_fingerprint(
 # bookkeeping), REMOVALS leave it untouched (a Bloom filter cannot
 # unset; a superset digest can only produce false "maybe"s, never a
 # false "absent"), and merge ORs the two sides.
+#
+# r12: the generic machinery lives in operators/id_digest.py so the
+# BM25 segment family runs the same ladder (VERDICT r11 #1); this
+# module keeps its original names as aliases.
 # ---------------------------------------------------------------------------
 
-_DIGEST_M = 1 << 20  # bits; FIXED across indexes so digests compose
-_DIGEST_K = 4
-_DIGEST_AND_CAP = 1 << 16   # intersection sizes above this: semi-join
-_DIGEST_SUSPECT_CAP = 10000  # suspect ids above this: semi-join
-
-
-def _digest_positions_expr(id_col: str):
-    """The k bloom positions of an id as a Spark array — md5 of the
-    id's decimal string, split into four 32-bit hex slices mod m.
-    Bit-identical to :func:`_digest_positions_py` (Spark's md5/conv and
-    Python's hashlib agree on these inputs), so driver-side membership
-    tests and executor-side suspect scans share one hash family."""
-    h = F.md5(F.col(id_col).cast("long").cast("string"))
-    return F.array(
-        *[
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
-            % _DIGEST_M
-            for i in range(_DIGEST_K)
-        ]
-    )
-
-
-def _digest_positions_py(i: int) -> list[int]:
-    import hashlib
-
-    hx = hashlib.md5(str(int(i)).encode()).hexdigest()
-    return [
-        int(hx[8 * j : 8 * j + 8], 16) % _DIGEST_M for j in range(_DIGEST_K)
-    ]
-
-
-_MASK64 = (1 << 64) - 1
+from kafka_dbsync_spark.operators.id_digest import (  # noqa: E402
+    DIGEST_AND_CAP as _DIGEST_AND_CAP,
+    DIGEST_K as _DIGEST_K,
+    DIGEST_M as _DIGEST_M,
+    DIGEST_SUSPECT_CAP as _DIGEST_SUSPECT_CAP,
+    MASK64 as _MASK64,
+    digest_agg_columns as _digest_agg_columns,
+    digest_and_set as _digest_and_set,
+    digest_bitmap as _digest_bitmap,
+    digest_from_agg_row as _digest_from_agg_row,
+    digest_may_contain as _digest_may_contain,
+    digest_or as _digest_or,
+    digest_positions_expr as _digest_positions_expr,
+    digest_positions_py as _digest_positions_py,
+    digest_usable as _digest_usable,
+)
 
 
 def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
@@ -171,9 +159,13 @@ def fingerprint_and_digest(
     df: DataFrame, id_col: str = "vec_id"
 ) -> tuple[dict, dict | None]:
     """(dataset_fingerprint, id_digest) from ONE narrow-column job: the
-    positions explode emits EXACTLY k rows per id (the array literal is
-    always k long, duplicates included), so count and sum divide back
-    by k exactly, min/max/bit_or ignore the duplication, and
+    positions posexplode emits EXACTLY k rows per id (the array literal
+    is always k long, duplicates included) with the slot index riding
+    along, so count/sum aggregate ONLY the slot-0 copy of each id —
+    each id contributes once, and the sum overflows exactly where
+    ``dataset_fingerprint``'s plain aggregate would (ADVICE r11: the
+    old sum-all-copies-then-divide form hit bigint overflow at a 4x
+    smaller id space). min/max/bit_or ignore the duplication and
     collect_set dedups the positions (bounded by m). Build/shard/add
     paths pay one aggregate where r10 paid one and a digest-less
     marker — the digest is free at mutation time. The residues-mod-64
@@ -181,100 +173,26 @@ def fingerprint_and_digest(
     shapes (even/odd, id%k==j): two shards with disjoint residue sets
     prove id-disjointness with zero IO even when their intervals
     interleave. The digest half is None for an empty id set."""
-    import base64
-    import zlib
-
     row = (
         df.select(
             F.col(id_col).cast("long").alias("__i"),
-            F.explode(_digest_positions_expr(id_col)).alias("__p"),
+            F.posexplode(_digest_positions_expr(id_col)).alias(
+                "__s", "__p"
+            ),
         )
         .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("__i").alias("mn"),
-            F.max("__i").alias("mx"),
-            F.sum("__i").alias("sm"),
-            F.expr(
-                "bit_or(shiftleft(CAST(1 AS BIGINT),"
-                " CAST(pmod(__i, 64) AS INT)))"
-            ).alias("res"),
-            F.collect_set("__p").alias("ps"),
+            F.count(F.when(F.col("__s") == 0, True)).alias("cnt"),
+            F.sum(F.when(F.col("__s") == 0, F.col("__i"))).alias("sm"),
+            *_digest_agg_columns(),
         )
         .head()
     )
-    n = int(row["cnt"]) // _DIGEST_K
     fp = {
-        "n": n,
-        "max_id": None if row["mx"] is None else int(row["mx"]),
-        "sum_id": None if row["sm"] is None else int(row["sm"]) // _DIGEST_K,
+        "n": int(row["cnt"]),
+        "max_id": None if row["__d_mx"] is None else int(row["__d_mx"]),
+        "sum_id": None if row["sm"] is None else int(row["sm"]),
     }
-    if row["mn"] is None:
-        return fp, None
-    bitmap = bytearray(_DIGEST_M // 8)
-    for p in row["ps"]:
-        p = int(p)
-        bitmap[p >> 3] |= 1 << (p & 7)
-    digest = {
-        "m": _DIGEST_M,
-        "k": _DIGEST_K,
-        "min": int(row["mn"]),
-        "max": int(row["mx"]),
-        "res64": int(row["res"]) & _MASK64,
-        "bloom": base64.b64encode(zlib.compress(bytes(bitmap))).decode(),
-    }
-    return fp, digest
-
-
-def _digest_usable(d) -> bool:
-    return (
-        isinstance(d, dict)
-        and d.get("m") == _DIGEST_M
-        and d.get("k") == _DIGEST_K
-        and d.get("min") is not None
-        and d.get("res64") is not None
-        and d.get("bloom")
-    )
-
-
-def _digest_bitmap(d: dict) -> bytes:
-    import base64
-    import zlib
-
-    return zlib.decompress(base64.b64decode(d["bloom"]))
-
-
-def _digest_may_contain(d: dict, bitmap: bytes, i: int) -> bool:
-    """Metadata-only membership: False is EXACT absence (interval and
-    residue tests are exact; the bloom never false-negatives)."""
-    i = int(i)
-    if i < d["min"] or i > d["max"]:
-        return False
-    if not (d["res64"] >> (i % 64)) & 1:
-        return False
-    return all(
-        (bitmap[p >> 3] >> (p & 7)) & 1 for p in _digest_positions_py(i)
-    )
-
-
-def _digest_or(a, b):
-    """Digest of the disjoint union — OR of bitmaps, hull of intervals.
-    None when either side is missing/legacy-shaped (absent digest =
-    exact-probe fallback, never a wrong one)."""
-    import base64
-    import zlib
-
-    if not (_digest_usable(a) and _digest_usable(b)):
-        return None
-    ba, bb = _digest_bitmap(a), _digest_bitmap(b)
-    merged = bytes(x | y for x, y in zip(ba, bb))
-    return {
-        "m": _DIGEST_M,
-        "k": _DIGEST_K,
-        "min": min(a["min"], b["min"]),
-        "max": max(a["max"], b["max"]),
-        "res64": (a["res64"] | b["res64"]) & _MASK64,
-        "bloom": base64.b64encode(zlib.compress(merged)).decode(),
-    }
+    return fp, _digest_from_agg_row(row)
 
 
 def build_pq_index(
@@ -615,6 +533,40 @@ def pq_index_add(
     vectors land in. Periodic full rebuilds (``build_pq_index``)
     re-train when drift accumulates — the standard IVF operating
     procedure, measured by the ``ann_recall_report`` curve."""
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (ValueError, OSError):
+        rec = {}
+    add, add_digest = fingerprint_and_digest(new_embeddings)
+    # PHASE 1 (ADVICE r11): fold the batch's id_digest into the marker
+    # BEFORE any code rows land. The digest's merge-guard contract is
+    # "superset of live ids" — a digest covering ids whose codes never
+    # landed (crash between this write and the appends) is still
+    # superset-sound, while the old order (codes first) left a crash
+    # window where live code rows were MISSING from the digest and a
+    # later pq_index_merge could falsely prove disjointness. The
+    # fingerprint deliberately does NOT advance here: it must keep
+    # matching the codes actually on disk until the appends complete,
+    # so a crash in the window reads as "stale, rebuild" rather than
+    # "current but missing rows".
+    if "id_digest" in rec:
+        folded = _digest_or(rec["id_digest"], add_digest)
+        if folded is not None:
+            rec["id_digest"] = folded
+        else:
+            rec.pop("id_digest", None)
+    # the folded fingerprint (phase 2) will no longer be derivable from
+    # the source directory listing — drop the metadata signature now;
+    # the next validation falls back to one exact check and re-memoizes
+    # (cache_validation tier 3)
+    rec.pop("src_sig", None)
+    with open(marker, "w") as f:
+        json.dump(rec, f)
+    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
+
+    invalidate_memo(path)
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/pq_codebooks")
     resid = with_residuals(new_embeddings, cents)
@@ -626,16 +578,9 @@ def pq_index_add(
     pq_encode(new_embeddings, fcb, d_sub=d_sub).write.mode("append").parquet(
         f"{path}/flat_codes"
     )
-    # keep the marker's dataset fingerprint current: the index now
-    # covers build-time rows PLUS the added ones
-    marker = os.path.join(path, _MARKER)
-    try:
-        with open(marker) as f:
-            rec = json.load(f)
-    except (ValueError, OSError):
-        rec = {}
+    # PHASE 2: the index now covers build-time rows PLUS the added
+    # ones — advance the marker's dataset fingerprint
     old = rec.get("fingerprint")
-    add, add_digest = fingerprint_and_digest(new_embeddings)
     if old:
         add = {
             "n": old["n"] + add["n"],
@@ -649,24 +594,8 @@ def pq_index_add(
             else None,
         }
     rec["fingerprint"] = add
-    # id digest composes by OR under disjoint union (batch-sized job
-    # over ONLY the new ids); a legacy marker without one stays
-    # digest-less — exact-probe fallback at the next merge
-    if "id_digest" in rec:
-        folded = _digest_or(rec["id_digest"], add_digest)
-        if folded is not None:
-            rec["id_digest"] = folded
-        else:
-            rec.pop("id_digest", None)
-    # the folded fingerprint now covers build-time PLUS added rows, so
-    # it is no longer derivable from the source directory listing —
-    # drop the metadata signature; the next validation falls back to
-    # one exact check and re-memoizes (cache_validation tier 3)
-    rec.pop("src_sig", None)
     with open(marker, "w") as f:
         json.dump(rec, f)
-    from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
-
     invalidate_memo(path)
 
 
@@ -1034,6 +963,29 @@ def pq_index_ingest_foreach_batch(
         pq_encode(batch_df, fcb, d_sub=d_sub).write.mode(
             "overwrite"
         ).parquet(staging_flat)
+        # PHASE 1 (ADVICE r11, mirroring pq_index_add): OR the epoch's
+        # id_digest into the marker BEFORE any staged file moves into a
+        # live cell — a crash mid-move must never leave live code rows
+        # the digest misses (superset-sound; OR is replay-idempotent so
+        # a redelivered epoch just re-sets the same bits). The
+        # fingerprint refresh stays AFTER the moves (step 4): it is
+        # derived from final on-disk state.
+        try:
+            with open(marker) as f:
+                rec = json.load(f)
+        except (ValueError, OSError):
+            rec = {}
+        if "id_digest" in rec:
+            folded = _digest_or(
+                rec["id_digest"], compute_id_digest(batch_df)
+            )
+            if folded is not None:
+                rec["id_digest"] = folded
+            else:
+                rec.pop("id_digest", None)
+            with open(marker, "w") as f:
+                json.dump(rec, f)
+            invalidate_memo(path)
         prefix = f"e{epoch}-"
         for d in sorted(os.listdir(staging)):
             if not d.startswith("centroid_id="):
@@ -1046,7 +998,8 @@ def pq_index_ingest_foreach_batch(
         _move_epoch_files(staging_flat, f"{path}/flat_codes", prefix)
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(staging_flat, ignore_errors=True)
-        # fingerprint from the SURVIVING codes: replay-idempotent
+        # fingerprint from the SURVIVING codes: replay-idempotent (the
+        # digest was already folded in phase 1, before the moves)
         try:
             with open(marker) as f:
                 rec = json.load(f)
@@ -1055,16 +1008,6 @@ def pq_index_ingest_foreach_batch(
         rec["fingerprint"] = dataset_fingerprint(
             spark.read.parquet(f"{path}/codes")
         )
-        # digest OR is replay-idempotent (the same epoch's ids set the
-        # same bits), so no epoch bookkeeping is needed here
-        if "id_digest" in rec:
-            folded = _digest_or(
-                rec["id_digest"], compute_id_digest(batch_df)
-            )
-            if folded is not None:
-                rec["id_digest"] = folded
-            else:
-                rec.pop("id_digest", None)
         if "src_sig" in rec:
             rec["built_src_sig"] = rec.pop("src_sig")
         with open(marker, "w") as f:
@@ -1210,15 +1153,7 @@ def _check_id_disjoint(
             # disjoint residues mod 64 (parity/stride sharding — the
             # even/odd split included): proven with zero IO
             return
-        import numpy as np
-
-        both = np.bitwise_and(
-            np.frombuffer(_digest_bitmap(src_digest), dtype=np.uint8),
-            np.frombuffer(_digest_bitmap(dst_digest), dtype=np.uint8),
-        )
-        # bit index = byte*8 + intra-byte position, matching the
-        # writer's `1 << (p & 7)` little-endian layout
-        and_set = np.nonzero(np.unpackbits(both, bitorder="little"))[0]
+        and_set = _digest_and_set(src_digest, dst_digest)
         if len(and_set) == 0:
             return  # no position is set on both sides: proven disjoint
         if len(and_set) <= _DIGEST_AND_CAP:

@@ -1091,3 +1091,73 @@ def test_disjointness_ladder_rungs_never_touch_codes(spark):
             "s",
             "d",
         )
+
+
+def test_fingerprint_and_digest_sums_each_id_once(spark):
+    """ADVICE r11: the fused aggregate must overflow exactly where the
+    plain ``dataset_fingerprint`` would, not 4x earlier — snowflake-
+    scale ids whose sum fits a bigint but whose k-exploded sum does not
+    must still fingerprint, and agree with the plain aggregate."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    big = 1 << 61  # 3 ids sum to 3*2^61 < 2^63; x4 copies would overflow
+    df = spark.createDataFrame(
+        [(big,), (big + 1,), (big + 2,)], "vec_id bigint"
+    )
+    fp, digest = m.fingerprint_and_digest(df)
+    assert fp == m.dataset_fingerprint(df)
+    assert fp["n"] == 3 and fp["sum_id"] == 3 * big + 3
+    bm = m._digest_bitmap(digest)
+    assert all(
+        m._digest_may_contain(digest, bm, i)
+        for i in (big, big + 1, big + 2)
+    )
+
+
+def test_add_folds_digest_before_codes_append(spark, tmp_path, monkeypatch):
+    """ADVICE r11 crash-window pin: pq_index_add must fold the batch's
+    id_digest into the marker BEFORE any code rows land (superset-sound
+    under a crash) while the fingerprint must NOT advance until the
+    appends complete (a crash must read as stale, never as current-but-
+    missing-rows). Simulate the crash by failing the encode step that
+    runs after the phase-1 marker write."""
+    import json
+
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    path = str(tmp_path / "idx")
+    build_pq_index(spark, emb, cents, path)
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        before = json.load(f)
+    new_id = 999_983
+    new = emb.limit(1).withColumn(
+        "vec_id", F.lit(new_id).cast("long")
+    ).select(emb.columns)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the codes append")
+
+    monkeypatch.setattr(m, "with_residuals", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        m.pq_index_add(spark, path, new)
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        after = json.load(f)
+    # digest already covers the id whose codes never landed (superset)
+    d = after["id_digest"]
+    assert m._digest_may_contain(d, m._digest_bitmap(d), new_id)
+    # fingerprint still matches the codes actually on disk
+    assert after["fingerprint"] == before["fingerprint"]
+    assert after["fingerprint"] == m.dataset_fingerprint(
+        spark.read.parquet(f"{path}/codes")
+    )
+    # the interrupted add is retryable once the failure clears
+    monkeypatch.undo()
+    m.pq_index_add(spark, path, new)
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        final = json.load(f)
+    assert final["fingerprint"] == m.dataset_fingerprint(
+        spark.read.parquet(f"{path}/codes")
+    )
+    assert final["fingerprint"]["n"] == before["fingerprint"]["n"] + 1
