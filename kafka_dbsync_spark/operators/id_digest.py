@@ -52,7 +52,7 @@ def digest_positions_expr(id_col: str):
     Bit-identical to :func:`digest_positions_py` (Spark's md5/conv and
     Python's hashlib agree on these inputs), so driver-side membership
     tests and executor-side suspect scans share one hash family."""
-    h = F.md5(F.col(id_col).cast("long").cast("string"))
+    h = F.md5(F.col(id_col).try_cast("long").cast("string"))
     return F.array(
         *[
             F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
@@ -85,16 +85,22 @@ def digest_agg_columns() -> list:
             " CAST(pmod(__i, 64) AS INT)))"
         ).alias("__d_res"),
         F.collect_set("__p").alias("__d_ps"),
+        # ids the long cast lost: a digest that covers only PART of the
+        # id set is not a superset witness — any loss voids the digest
+        # (digest_from_agg_row returns None; callers fall back exact)
+        F.count(F.when(F.col("__i").isNull(), True)).alias("__d_bad"),
     ]
 
 
 def digest_from_agg_row(row) -> dict | None:
     """Digest record from a :func:`digest_agg_columns` result row;
-    None when the id set was empty (or never cast to long)."""
+    None when the id set was empty, or when ANY id failed the long
+    cast (a partial digest would falsely prove disjointness for the
+    uncovered ids)."""
     import base64
     import zlib
 
-    if row["__d_mn"] is None:
+    if row["__d_mn"] is None or int(row["__d_bad"]) > 0:
         return None
     bitmap = bytearray(DIGEST_M // 8)
     for p in row["__d_ps"]:
@@ -117,7 +123,7 @@ def ids_digest(df: DataFrame, id_col: str) -> dict | None:
     that job instead and pay nothing."""
     row = (
         df.select(
-            F.col(id_col).cast("long").alias("__i"),
+            F.col(id_col).try_cast("long").alias("__i"),
             F.posexplode(digest_positions_expr(id_col)).alias("__s", "__p"),
         )
         .agg(*digest_agg_columns())

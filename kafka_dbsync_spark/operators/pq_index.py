@@ -175,7 +175,7 @@ def fingerprint_and_digest(
     interleave. The digest half is None for an empty id set."""
     row = (
         df.select(
-            F.col(id_col).cast("long").alias("__i"),
+            F.col(id_col).try_cast("long").alias("__i"),
             F.posexplode(_digest_positions_expr(id_col)).alias(
                 "__s", "__p"
             ),
