@@ -195,6 +195,11 @@ PSL_FIXTURE = (
 # ~560-rule subset; FIXTURES.md documents the drop-in swap for the
 # full published list, which psl_load parses unchanged).
 _PSL_DATA_FILE = None  # resolved lazily; os.path kept out of import time
+# parsed-rule memo keyed by (path, mtime_ns, size) — ADVICE r11: the
+# parse is per-QUERY otherwise, and grows linearly if the curated file
+# is swapped for the full ~10k-rule published list. The mtime/size key
+# keeps the documented drop-in swap working without a process restart.
+_PSL_CACHE: dict[tuple, tuple[str, ...]] = {}
 
 
 def psl_load(path: str | None = None) -> tuple[str, ...]:
@@ -202,7 +207,8 @@ def psl_load(path: str | None = None) -> tuple[str, ...]:
     :func:`psl_rows` consumes: one rule per line, ``//`` comments and
     blank lines skipped, section markers (===BEGIN/END===) are
     comments. The official file parses verbatim — swapping the full
-    list in changes nothing but the file contents."""
+    list in changes nothing but the file contents. The parsed tuple is
+    memoized per (path, mtime, size)."""
     import os
 
     global _PSL_DATA_FILE
@@ -214,6 +220,11 @@ def psl_load(path: str | None = None) -> tuple[str, ...]:
                 "public_suffix_list.dat",
             )
         path = _PSL_DATA_FILE
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    hit = _PSL_CACHE.get(key)
+    if hit is not None:
+        return hit
     rules: list[str] = []
     with open(path, encoding="utf-8") as f:
         for line in f:
@@ -221,7 +232,9 @@ def psl_load(path: str | None = None) -> tuple[str, ...]:
             if not line or line.startswith("//"):
                 continue
             rules.append(line.lower())
-    return tuple(rules)
+    _PSL_CACHE.clear()  # one live file per process in practice
+    _PSL_CACHE[key] = tuple(rules)
+    return _PSL_CACHE[key]
 
 
 def psl_rules(spark, rules: tuple[str, ...] | None = None) -> DataFrame:

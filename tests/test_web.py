@@ -309,6 +309,34 @@ def test_psl_default_loads_checked_in_list(spark):
     assert got == cases
 
 
+def test_psl_load_memoizes_parse_and_sees_swaps(tmp_path, monkeypatch):
+    """ADVICE r11: the parsed rule tuple is memoized per
+    (path, mtime, size) — the default file parses once per process,
+    not once per query — while the documented drop-in swap of the
+    data file still takes effect without a restart."""
+    import os
+
+    import kafka_dbsync_spark.operators.web as w
+
+    f = tmp_path / "psl.dat"
+    f.write_text("// comment\ncom\nco.uk\n")
+    r1 = w.psl_load(str(f))
+    assert r1 == ("com", "co.uk")
+    # second call returns the SAME memoized tuple without re-opening
+    real_open = open
+
+    def boom(*a, **k):
+        raise AssertionError("memoized psl_load must not re-open the file")
+
+    monkeypatch.setattr("builtins.open", boom)
+    assert w.psl_load(str(f)) is r1
+    monkeypatch.setattr("builtins.open", real_open)
+    # a swapped file (different mtime/size) re-parses
+    f.write_text("// swapped\ncom\nco.uk\ngithub.io\n")
+    os.utime(f, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    assert w.psl_load(str(f)) == ("com", "co.uk", "github.io")
+
+
 def test_domain_stats_psl_rollup_and_plan(spark):
     from kafka_dbsync_spark.operators.web import domain_stats_psl, psl_rules
 
