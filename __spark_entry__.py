@@ -19,96 +19,89 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-11 rotation (VERDICT r10 "Next round" #2: retire every r6-stale
-# row — after this window no green row predates round 7):
-#   (a) the 2 queries NEW in round 11, registered the same round they
-#       landed (gate-contract rule): bm25_ingest_gate — the streaming
-#       BM25 ingest twin (VERDICT r10 #4) — and bm25_tiered_merge —
-#       the TieredMergePolicy subset merge (smallest-segments-only
-#       compaction with per-segment tombstone splitting).
-#   (b) the 10 carried queries whose ON-PATH behavior changed this
-#       round: pq_index_merge / ann_ingest_stream / ivfpq_remove_serve
-#       (markers now carry the id_digest and the merge guards run the
-#       metadata-first ladder, VERDICT r10 #3); bm25_index_add (add-time
-#       schema-compatibility refusal, ADVICE r10) / bm25_segment_merge /
-#       bm25_remove_serve (deferred .retired-* segment retirement,
-#       ADVICE r10); boilerplate_strip / boilerplate_strip_served
-#       (single-pass window DF mine + newline-proofed fixture, VERDICT
-#       r10 #1 + ADVICE r10); domain_stats_psl / domain_blocklist_psl
-#       (default rule set is now the checked-in ~560-rule PSL data
-#       file, VERDICT r10 #6).
-#   (c) ALL 21 r6-stale rows (the full list VERDICT r10 #2 names) —
-#       five of them (pq_index_add, pq_index_build, ivfpq_search_served,
-#       pq_adc_search_served, ivfpq_search_multi) also re-gate the
-#       id_digest build path, doing double duty.
-#   (d) 17 round-7 rows, the now-oldest tier, front-loaded for
-#       freshness (cdc_final_state among them — the flagship).
-# That fills 50 exactly. CEDED this round: winnowing_fingerprints
-# (displaced by the late bm25_tiered_merge registration — a fully
-# narrow per-row array op, pytest-pinned byte-exact in
-# tests/test_dedup.py, r7 row stands, no on-path change), plus the
-# remaining 30 r7 rows and everything r8+ — all pass the round-11
-# full local sweep (CORRECTNESS_LOCAL_r11) and none had an on-path
-# change this round; the r7 tier is the (d)-candidate pool for
-# round 12.
-# Historical correction (ADVICE r10 #5): the r10 comment said the late
-# additions displaced "5 more (d) rows" — ten (d) rows were actually
-# ceded; the r10 cession list itself was complete and accurate.
+# Round-12 rotation (VERDICT r11 "Next round" #3: rotate over the r7
+# tier — after this window no green row predates round 8):
+#   (a) the 1 query NEW in round 12, registered the same round it
+#       landed (gate-contract rule): lm_erasure_rebuild — model-family
+#       right-to-erasure via staleness re-mine (VERDICT r11 #7).
+#   (b) the 15 carried queries whose ON-PATH behavior changed this
+#       round: the whole BM25 mutation family (bm25_index_add /
+#       bm25_ingest_gate / bm25_tiered_merge / bm25_segment_merge /
+#       bm25_remove_serve — per-segment id digests + the zero-IO
+#       disjointness ladder + in-batch dedup + gen repoint + segstats
+#       backfill, VERDICT r11 #1/#5 + ADVICE r11); the pq digest build
+#       path (pq_index_build / pq_index_add / pq_index_merge /
+#       ann_ingest_stream / ivfpq_remove_serve / ivfpq_search_served /
+#       pq_adc_search_served / ivfpq_search_multi — fingerprint_and_
+#       digest's posexplode overflow fix + the two-phase marker write
+#       folding the digest BEFORE codes land, ADVICE r11); and the PSL
+#       pair (domain_stats_psl / domain_blocklist_psl — psl_load parse
+#       memoization, ADVICE r11).
+#   (c) ALL 31 remaining r7-tier rows (the pool VERDICT r11 #3 names;
+#       recomputed from CORRECTNESS_r1..r11 — newest green row = r7).
+#   (d) 3 BM25 serve rows (bm25_search_served / bm25_search_multi /
+#       bm25_phrase_served) — their fixtures now build markers with
+#       the new segdigests shape and serve over merge-touched
+#       segments, so they re-gate the reader side of (b).
+# That fills 50 exactly (1+15+31+3). CEDED this round: nothing — every
+# r8+ row outside the window passes the round-12 full local sweep
+# (CORRECTNESS_LOCAL_r12) and had no on-path change; the r8 tier (46
+# rows) is the (c)-candidate pool for round 13.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 11 — never driver-checked
+    # (a) new in round 12 — never driver-checked
+    "lm_erasure_rebuild",
+    # (b) on-path behavior changed in round 12
+    "bm25_index_add",
     "bm25_ingest_gate",
     "bm25_tiered_merge",
-    # (b) on-path behavior changed in round 11
+    "bm25_segment_merge",
+    "bm25_remove_serve",
+    "pq_index_build",
+    "pq_index_add",
     "pq_index_merge",
     "ann_ingest_stream",
     "ivfpq_remove_serve",
-    "bm25_index_add",
-    "bm25_segment_merge",
-    "bm25_remove_serve",
-    "boilerplate_strip",
-    "boilerplate_strip_served",
+    "ivfpq_search_served",
+    "pq_adc_search_served",
+    "ivfpq_search_multi",
     "domain_stats_psl",
     "domain_blocklist_psl",
-    # (c) the 21 r6-stale rows (VERDICT r10 #2, complete)
-    "dedup_clusters",
-    "hash_sample",
-    "incremental_hourly",
-    "ivf_centroids",
-    "ivfpq_search_multi",
-    "ivfpq_search_served",
-    "lm_perplexity_served",
-    "multimodal_meta",
-    "ngram_bigrams",
-    "ngram_jaccard_dedup",
-    "pq_adc_search_served",
-    "pq_index_add",
-    "pq_index_build",
-    "running_revenue",
-    "salted_priority_revenue",
-    "simhash",
-    "similarity_topk",
-    "topk_per_group",
-    "vector_lsh_buckets",
-    "vocab_topk",
-    "zorder_values",
-    # (d) round-7 rows, the now-oldest tier (18 of 48)
-    "cdc_final_state",
-    "cdc_state_at",
-    "ivfpq_search",
-    "curation_pipeline_v2",
-    "curation_pipeline_v3",
-    "lm_trigram_served",
-    "lm_trigram_backoff",
-    "moore_lewis_served",
-    "moore_lewis_selection",
-    "nb_source_predict",
-    "schema_embedded_decode",
-    "streaming_curation_gate",
-    "token_budget_admission",
-    "late_data_watermark",
-    "dedup_span_rewrite",
-    "lsh_dedup_recall",
-    "weighted_sample_by_lang",
+    # (c) the 31 remaining r7-tier rows (complete — newest green = r7)
+    "bloom_decontaminate",
+    "cube_revenue",
+    "drift_monitor_series",
+    "duplicate_ngram_spans",
+    "embedding_drift_psi",
+    "hard_negative_mining",
+    "idle_rich_customers",
+    "ingest_quality_gate",
+    "ivf_cell_stats",
+    "kmeans_refine",
+    "large_volume_customers",
+    "late_sole_suppliers",
+    "minhash_jaccard_est",
+    "mixture_sample",
+    "multimodal_frames",
+    "multimodal_resize",
+    "nation_year_profit",
+    "ppl_buckets",
+    "ppl_buckets_by_lang",
+    "ppl_buckets_lang_models",
+    "props_json_stats",
+    "quality_drift_psi",
+    "shipping_priority",
+    "skipping_index",
+    "stratified_quantiles",
+    "textrank_keywords",
+    "token_budget_selection",
+    "top_revenue_supplier",
+    "user_value_regression",
+    "weighted_sample_tokens",
+    "winnowing_fingerprints",
+    # (d) BM25 serve rows re-gating the new marker shape's reader side
+    "bm25_search_served",
+    "bm25_search_multi",
+    "bm25_phrase_served",
 ]
 
 

@@ -188,6 +188,15 @@ ADJUDICATIONS = [
     "position-sensitive xor term in quantizer_signature over the "
     "vocab-sized quantizer tables). Accepted: the probes prevent "
     "silently-duplicated serve results and false erasure claims.",
+    "r12: the drift-adjudication band is SCALE-INVARIANT (VERDICT r11 "
+    "what's-wrong #1: the old prev*spread band exempted every query "
+    "with prev > ~0.5s/spread from adjudication on a loaded host — "
+    "six 40-120% regressions rode it unexamined in r11). New rule: "
+    "flag drift > max(0.5s, 40% of prev); standalone tolerance caps "
+    "the host allowance at min(spread, 0.5); rerun cap raised 6->10. "
+    "The compact stdout line is now PROVABLY bounded at any registry "
+    "size (bounded_compact_line: precision ladder then smallest-rows "
+    "shedding with queries_omitted; VERDICT r11 #4).",
     "r11: the r10 pq_index_merge guard regression is addressed as "
     "VERDICT r10 #3 prescribed — markers carry an id_digest "
     "(interval + residues-mod-64 mask + bloom) and the merge guards "
@@ -265,7 +274,7 @@ def _auto_adjudicate(
     per_query_best: dict[str, float],
     prev_q: dict[str, float],
     canaries: dict[str, dict],
-    max_reruns: int = 6,
+    max_reruns: int = 10,
 ) -> dict:
     """Mechanical drift adjudication (VERDICT r8 #3): any carried query
     whose best-of-3 regressed vs the previous round by MORE than both
@@ -281,7 +290,16 @@ def _auto_adjudicate(
         if name not in prev_q:
             continue
         drift = round(t - prev_q[name], 3)
-        band = round(max(0.5, prev_q[name] * spread), 3)
+        # SCALE-INVARIANT flag threshold (VERDICT r11 "what's wrong"
+        # #1): the old band multiplied the WHOLE prior value by the
+        # canary spread, so on a loaded host (spread ~1.1) any query
+        # with prev > ~0.5 s had to slow past ~2.1x before the
+        # adjudicator even looked — exactly the queries the instrument
+        # exists for. Now: drift beyond 40% of prev (floor 0.5 s)
+        # flags, regardless of host spread; the spread still informs
+        # the STANDALONE tolerance below, capped so a loaded suite
+        # start can't grant a 2x allowance to the quiet re-run.
+        band = round(max(0.5, prev_q[name] * 0.4), 3)
         if drift > band:
             flagged.append((drift, band, name))
     flagged.sort(reverse=True)
@@ -295,7 +313,7 @@ def _auto_adjudicate(
             ).save()
             times.append(time.perf_counter() - t0)
         sa_best, sa_med = round(min(times), 3), round(sorted(times)[1], 3)
-        tol = round(prev_q[name] * (1 + spread) + 0.25, 3)
+        tol = round(prev_q[name] * (1 + min(spread, 0.5)) + 0.25, 3)
         verdict = (
             "host/suite context (standalone back within band)"
             if sa_best <= tol
@@ -321,6 +339,44 @@ def _auto_adjudicate(
             "verdict": "flagged but rerun cap reached",
         }
     return out
+
+
+def bounded_compact_line(record: dict, budget: int = 1900) -> tuple[dict, object]:
+    """(compact record, precision tag) PROVABLY within ``budget`` chars
+    when encoded with compact separators, at ANY registry size
+    (VERDICT r11 #4 — the old ladder ended at 0dp medians and was one
+    round of headline growth from silently truncating the JSON head in
+    the driver's 2000-char stdout tail). The ladder: per-query medians
+    at 2dp, then 1dp; if even that exceeds the budget, WARN loudly and
+    shed per-query rows SMALLEST-FIRST (the big movers are what a
+    reader of the compact line needs) with a ``queries_omitted`` count
+    — every number always lives at full precision in the detail
+    artifact the ``detail_file`` key points at. The suite-level keys
+    are fixed-size, so the shedding loop always terminates under
+    budget."""
+
+    def enc(d: dict) -> int:
+        return len(json.dumps(d, separators=(",", ":")))
+
+    full = record["queries"]
+    for dp in (2, 1):
+        c = dict(record, queries={k: round(v, dp) for k, v in full.items()})
+        if enc(c) <= budget:
+            return c, dp
+    print(
+        "WARNING: compact bench line exceeds the stdout budget even at "
+        "1dp — shedding the smallest per-query rows (all values remain "
+        "in the detail artifact); consider trimming the headline set",
+        file=sys.stderr,
+    )
+    kept = {k: round(v, 1) for k, v in full.items()}
+    c = dict(record, queries=kept, queries_omitted=0)
+    while kept and enc(c) > budget:
+        kept.pop(min(kept, key=lambda k: (kept[k], k)))
+        c = dict(
+            record, queries=kept, queries_omitted=len(full) - len(kept)
+        )
+    return c, "1dp-top-movers"
 
 
 def main() -> None:
@@ -415,12 +471,15 @@ def main() -> None:
     # compact line hit 1837 and each added headline entry costs ~14
     # chars, so the line must stay lean: per-query medians at 2dp, the
     # best/first suite columns live in the detail artifact only.
-    def _compact(dp: int) -> dict:
-        return {
+    # bounded compact line (VERDICT r11 #4): precision ladder, then
+    # smallest-rows shedding — provably under the driver's stdout tail
+    # at any registry size; bounded_compact_line carries the docstring
+    compact, compact_dp = bounded_compact_line(
+        {
             "metric": "headline_suite_wall_seconds",
             "value": round(total, 3),  # median-of-3 per query, summed
             "unit": "sec",
-            "queries": {k: round(v, dp) for k, v in per_query.items()},
+            "queries": per_query,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "cdc_events_per_sec": round(n_events / cdc_secs),
             "cdc_apply_events_per_sec": apply_rate,
@@ -429,30 +488,7 @@ def main() -> None:
             # r10 compact line dropped it, orphaning the detail)
             "detail_file": detail_name,
         }
-
-    # adaptive precision: the r10 second-half headline (73 entries)
-    # pushed the 2dp compact line past the driver's 2000-char stdout
-    # tail, which would truncate the JSON head. Per-query medians drop
-    # to 1dp only when needed (canary lives in the detail artifact
-    # only, same reason); full 3dp always in the detail.
-    compact = _compact(2)
-    compact_dp = 2
-    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
-        compact, compact_dp = _compact(1), 1
-    if len(json.dumps(compact, separators=(",", ":"))) > 1900:
-        # ADVICE r10: the fallback ladder ends at 1dp — if headline
-        # growth ever pushes even THAT past the driver's stdout tail,
-        # the r3 truncation bug silently returns. Fail loudly (stderr
-        # is not recorded by the driver, so the warning cannot itself
-        # truncate the JSON line) and shed the medians' fraction
-        # entirely as a last resort rather than ship a clipped head.
-        print(
-            "WARNING: compact bench line exceeds the 1900-char stdout "
-            "budget even at 1dp — trim the headline set or raise the "
-            "detail split",
-            file=sys.stderr,
-        )
-        compact, compact_dp = _compact(0), 0
+    )
     detail = dict(
         compact,
         queries=per_query,              # full 3dp precision

@@ -7661,6 +7661,102 @@ def q_lm_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_erasure_rebuild",
+    # Model-family right-to-erasure (VERDICT r11 #7): index families
+    # erase by tombstone + merge; MODEL TABLES erase by re-mine — the
+    # frozen model that trained on the subject's docs reports stale
+    # against the surviving corpus (fingerprint moved) and rebuilds,
+    # after which the subject's own docs score EXACTLY as under a
+    # model that never saw them. The oracle trains its mirror on the
+    # surviving corpus ONLY and scores the subject docs — bit-equal
+    # ppl is the proof (the subject's previously-frequent bigrams now
+    # price at the add-one unseen mass).
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 17 <> 3 AND {_SQL_NORM.format(c='text')} <> ''
+    ), tr_idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM train WHERE len(t) >= 2
+    ), tr_g AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2 FROM tr_idx
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM tr_g GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, count(*) AS n1 FROM tr_g GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT tok) AS V
+      FROM (SELECT unnest(t) AS tok FROM train)
+    ), subject AS (
+      SELECT doc_id, string_split({_SQL_NORM.format(c='text')}, ' ') AS t
+      FROM documents WHERE doc_id % 17 = 3 AND {_SQL_NORM.format(c='text')} <> ''
+    ), sv_idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM subject WHERE len(t) >= 2
+    ), sv_g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM sv_idx
+    ), dg AS (
+      SELECT doc_id, w1, w2, count(*) AS k FROM sv_g GROUP BY doc_id, w1, w2
+    ), scored AS (
+      SELECT dg.doc_id, dg.k,
+             CAST(round(ln(CAST(coalesce(c12.n12, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.n1, 0) + v.V AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM dg
+      LEFT JOIN c12 ON dg.w1 = c12.w1 AND dg.w2 = c12.w2
+      LEFT JOIN c1 ON dg.w1 = c1.w1, v
+    ), per_doc AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             sum(logp * k) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(exp(-(CAST(sum_logp AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)), 4) AS ppl
+    FROM per_doc
+    ORDER BY ppl DESC, doc_id LIMIT 30
+    """,
+)
+def q_lm_erasure_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure for the model-table family (VERDICT r11 #7,
+    closing the gap test_erasure.py covers for the index families):
+    subject = docs with ``doc_id % 17 == 3``. The bigram LM first
+    trains on the FULL corpus (subject included) — the pre-erasure
+    state; the erasure request then removes the subject's docs, the
+    frozen model reports STALE against the surviving corpus through
+    the standard ``lm_model_is_current`` ladder (corpus fingerprint
+    moved — no bespoke erasure flag), and the rebuild re-mines from
+    the surviving docs only. Scoring the subject's own docs against
+    the REBUILT model must equal the oracle's never-saw-them mirror
+    bit-for-bit. The cache alternates full/surviving between
+    invocations by design — each run re-demonstrates both the
+    pre-erasure build and the staleness-driven re-mine."""
+    import tempfile
+    from pathlib import Path
+
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        lm_model_is_current,
+        lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_f = docs.filter(normalize_text(F.col("text")) != "")
+    subject = docs_f.filter(F.col("doc_id") % 17 == 3)
+    surviving = docs_f.filter(F.col("doc_id") % 17 != 3)
+    cache = str(
+        Path(tempfile.gettempdir())
+        / f"kds_lm_erase_{Path(sf_dir.rstrip('/')).name}"
+    )
+    # pre-erasure model: the subject's docs ARE in the training set
+    if not lm_model_is_current(docs_f, cache):
+        build_lm_model(spark, docs_f, cache)
+    # erasure: the subject leaves the corpus -> the model is stale by
+    # fingerprint and re-mines from the surviving corpus only
+    if not lm_model_is_current(surviving, cache):
+        build_lm_model(spark, surviving, cache)
+    out = lm_score(spark, cache, subject)
+    return out.orderBy(F.col("ppl").desc(), "doc_id").limit(30)
+
+
+@query(
     "lm_trigram_backoff",
     # Stupid-backoff trigram LM (operators/corpus.py::
     # trigram_backoff_perplexity): model trains on EVEN doc_ids, odd

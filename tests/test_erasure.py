@@ -108,6 +108,58 @@ def test_right_to_erasure_across_artifacts(spark, tmp_path):
     assert SUBJECT not in rows and rows == {8: "keep"}
 
 
+def test_model_family_erasure_by_staleness_rebuild(spark, tmp_path):
+    """VERDICT r11 #7: the model-table families (LM/NB/Moore-Lewis)
+    erase by RE-MINE, and this pins the full demonstration the scope
+    note above only documented: a model trained WITH the subject's
+    docs provably remembers them (their distinctive bigrams are cheap
+    under it); dropping the subject from the corpus flips
+    lm_model_is_current to stale with NO bespoke erasure flag; and the
+    staleness-driven rebuild scores the subject's docs EXACTLY as a
+    model that never saw them — bit-equal to a from-scratch build on
+    the surviving corpus."""
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        lm_model_is_current,
+        lm_score,
+    )
+
+    subject_rows = [
+        (9101, "zq wombat zq wombat zq wombat zq wombat"),
+        (9102, "zq wombat zq wombat signature phrase"),
+    ]
+    others = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("text") != "").limit(50)
+    subject = spark.createDataFrame(subject_rows, "doc_id long, text string")
+    full = others.unionByName(subject)
+    path = str(tmp_path / "lm")
+    build_lm_model(spark, full, path)
+    assert lm_model_is_current(full, path)
+    with_subject = {
+        r["doc_id"]: r["ppl"] for r in lm_score(spark, path, subject).collect()
+    }
+    # erasure request: the subject's docs leave the corpus — the frozen
+    # model is now stale purely by fingerprint
+    assert not lm_model_is_current(others, path)
+    build_lm_model(spark, others, path)  # the re-mine
+    assert lm_model_is_current(others, path)
+    rebuilt = {
+        r["doc_id"]: r["ppl"] for r in lm_score(spark, path, subject).collect()
+    }
+    # the rebuilt model must stop reflecting the subject: its signature
+    # bigrams priced as SEEN before, as add-one unseen mass after
+    assert all(rebuilt[i] > with_subject[i] for i in rebuilt)
+    # and it is indistinguishable from never-ingested: bit-equal to a
+    # from-scratch model over the surviving corpus
+    fresh = str(tmp_path / "lm_fresh")
+    build_lm_model(spark, others, fresh)
+    fresh_scores = {
+        r["doc_id"]: r["ppl"] for r in lm_score(spark, fresh, subject).collect()
+    }
+    assert rebuilt == fresh_scores
+
+
 def test_erasure_survives_shard_merge(spark, tmp_path):
     """The cross-artifact right-to-erasure contract extends to the
     merge path: once a subject's vector is taken down, NO sequence of

@@ -107,6 +107,11 @@ SHUFFLE_BUDGET = {
     # per-doc agg; the frozen-model joins are planner-decided and
     # broadcast at audit SF (stats-based) — a real vocabulary would
     # shuffle-join and this budget would need revisiting with it
+    "lm_erasure_rebuild": 2,        # serve side only (same split as
+    # lm_perplexity_served): subject doc-bigram agg + per-doc agg; the
+    # two model builds (pre-erasure full + staleness re-mine) are write
+    # jobs outside the returned plan, and the rebuilt model tables join
+    # broadcast at audit SF
     "lm_trigram_backoff": 7,        # fused train+score: serve trigram agg
     # + trigram/bigram/unigram model count aggs (bigram reused across its
     # two join roles where pruning allows) + vocab-sized totals fold +
