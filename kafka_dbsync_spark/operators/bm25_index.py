@@ -39,9 +39,23 @@ indexed corpus), the marker's live-segment list flips last, and serves
 union the pruned per-segment reads (corpus stats and per-term df are
 additive because segment doc sets are DISJOINT — an add whose shard
 shares a doc_id with the index is refused, the ANN-merge duplicate-id
-guard). :func:`bm25_segment_merge` compacts the live segments into one
+guard). The marker carries per-segment metadata the mutations run on:
+``segstats`` (n, Σdl — what the tiered merge policy sizes by, no
+doclens jobs at policy time) and ``segdigests`` (per-segment id
+digests, ``operators/id_digest.py`` — r12, VERDICT r11 #1): the
+add/ingest disjointness probe ORs the live digests and runs the
+interval / residue-mask / bloom ladder over the ARRIVING side only, so
+the duplicate-id guard costs ZERO segment IO on the proven path
+instead of a per-mutation union read of every segment's doclens —
+Lucene's per-segment metadata discipline, the same ladder
+``pq_index_merge`` runs. Digest absence is exact, so takedown
+validation and tombstone location read only may-contain segments;
+legacy markers without digests keep the exact probes verbatim.
+:func:`bm25_segment_merge` compacts the live segments into one
 (Lucene's background merge), retiring the old dirs only after the
-marker flips. The marker fingerprint composes additively on add
+marker flips, and records an EXACT digest recomputed from the
+surviving doclens (erased-then-merged ids re-admit through the
+zero-IO rungs). The marker fingerprint composes additively on add
 (count/sum/max/content-sum all combine), so the staleness ladder keeps
 working against the UNION corpus.
 
@@ -254,6 +268,7 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
 
     st = (
         per_doc.select(
+            F.col(id_col),
             F.col(id_col).try_cast("long").alias("__i"),
             F.col("dl"),
             F.posexplode(digest_positions_expr(id_col)).alias("__s", "__p"),
@@ -261,6 +276,15 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         .agg(
             F.count(F.when(F.col("__s") == 0, True)).alias("n"),
             F.sum(F.when(F.col("__s") == 0, F.col("dl"))).alias("sumdl"),
+            # id hygiene, free in the same job: duplicate ids inside
+            # ONE segment would write duplicate doclens rows and
+            # double-counted n/Σdl/df (the in-batch twin of the
+            # cross-segment disjointness contract), and a NULL id is
+            # unaddressable by every membership probe
+            F.count_distinct(F.col(id_col)).alias("n_ids"),
+            F.count(
+                F.when((F.col("__s") == 0) & F.col(id_col).isNull(), True)
+            ).alias("n_null_ids"),
             *digest_agg_columns(),
         )
         .collect()[0]
@@ -277,7 +301,29 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         (int(st["n"]), int(st["sumdl"] or 0)),
         schemas,
         digest,
+        (int(st["n_ids"]), int(st["n_null_ids"])),
     )
+
+
+def _check_unique_ids(n: int, id_stats, id_col: str, what: str) -> None:
+    """Refuse a corpus/shard whose ids are not unique non-null BEFORE
+    anything lands: duplicate ids inside one segment double-count
+    n/Σdl/df silently (ADVICE r11 caught this at the streaming gate,
+    which dedups by admission semantics; the refusal-shaped build/add
+    paths must refuse instead), and null ids are unaddressable by the
+    membership probes, takedowns, and digests."""
+    n_ids, n_null = id_stats
+    if n_null:
+        raise ValueError(
+            f"{what} has {n_null} NULL {id_col} value(s); ids must be "
+            "non-null (they key membership, takedown, and df semantics)"
+        )
+    if n_ids != n:
+        raise ValueError(
+            f"{what} has duplicate {id_col} values ({n} rows, {n_ids} "
+            f"distinct ids): one segment would double-count n/Σdl/df — "
+            "dedup or re-id before indexing"
+        )
 
 
 def build_bm25_index(
@@ -300,9 +346,10 @@ def build_bm25_index(
     # v1 dir with the same fingerprint must never satisfy a v2 build's
     # "already published" check
     gen = _gen_name(fp) + f"_v{FORMAT}"
-    write_stage, (n, sumdl), schemas, digest = _segment_writer(
+    write_stage, (n, sumdl), schemas, digest, id_stats = _segment_writer(
         spark, docs, id_col, text_col
     )
+    _check_unique_ids(n, id_stats, id_col, "build corpus")
     rec: dict = {
         "fingerprint": fp,
         "n": n,
@@ -536,9 +583,10 @@ def bm25_index_add(
         raise ValueError(
             f"shard {seg!r} is already a live segment of {path}"
         )
-    write_stage, (n, sumdl), schemas, seg_digest = _segment_writer(
+    write_stage, (n, sumdl), schemas, seg_digest, id_stats = _segment_writer(
         spark, shard, id_col, text_col
     )
+    _check_unique_ids(n, id_stats, id_col, "shard")
     _check_add_schemas(meta, schemas, path)
     # disjointness probe, metadata-first: the segment digest just
     # computed (free — same job as the stats) is the shard side of the
@@ -699,7 +747,7 @@ def bm25_ingest_foreach_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        write_stage, (n, sumdl), schemas, seg_digest = _segment_writer(
+        write_stage, (n, sumdl), schemas, seg_digest, _ids = _segment_writer(
             spark, fresh, id_col, text_col
         )
         _check_add_schemas(meta, schemas, path)

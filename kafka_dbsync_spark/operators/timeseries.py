@@ -36,10 +36,14 @@ def hourly_gap_fill(
 
     ``max_hours_per_key`` bounds each key's generated grid:
 
-    - ``on_exceed="raise"``: a cheap driver-side check over the bounds
-      aggregate (already computed for the grid) raises ``ValueError``
-      naming the worst key — the safe default, because silently
-      clamping changes answers.
+    - ``on_exceed="raise"``: the span check rides the bounds frame
+      INSIDE the single lineage (``raise_error`` folded into the grid's
+      lower bound — r12: the old driver-side ``.head()`` pre-check ran
+      the events scan, the hourly dedup shuffle, and the bounds
+      aggregate TWICE, once for the guard and again for the main job).
+      A violating key surfaces at action time as a Spark
+      ``USER_RAISED_EXCEPTION`` naming the key and the bound — the safe
+      default, because silently clamping changes answers.
     - ``on_exceed="clamp"``: keep only the MOST RECENT
       ``max_hours_per_key`` hours of each over-span key (plan-side
       ``greatest`` on the lower bound, no extra job) — the streaming-
@@ -61,21 +65,27 @@ def hourly_gap_fill(
     )
     span_hours = (F.unix_timestamp("mx") - F.unix_timestamp("mn")) / 3600 + 1
     if on_exceed == "raise":
-        worst = (
-            bounds.select(
-                F.col(key_col),
-                span_hours.cast("long").alias("span_hours"),
-            )
-            .orderBy(F.col("span_hours").desc())
-            .head()
+        # the guard is folded into `mn` (a column the grid explode
+        # consumes, so the optimizer can never prune it away): every
+        # key's span evaluates exactly once, in the same job that
+        # builds the grid — no second scan, no driver-side action
+        guard_msg = F.concat(
+            F.lit("gap-fill span guard: key "),
+            F.col(key_col).cast("string"),
+            F.lit(" spans "),
+            span_hours.cast("long").cast("string"),
+            F.lit(
+                f" hours > max_hours_per_key={max_hours_per_key} "
+                "(pass on_exceed='clamp' to keep only the most recent "
+                "window, or raise the bound)"
+            ),
         )
-        if worst is not None and worst["span_hours"] > max_hours_per_key:
-            raise ValueError(
-                f"gap-fill span guard: key {worst[key_col]!r} spans "
-                f"{worst['span_hours']} hours > max_hours_per_key="
-                f"{max_hours_per_key} (pass on_exceed='clamp' to keep "
-                "only the most recent window, or raise the bound)"
-            )
+        bounds = bounds.withColumn(
+            "mn",
+            F.when(
+                span_hours <= F.lit(max_hours_per_key), F.col("mn")
+            ).otherwise(F.raise_error(guard_msg)),
+        )
     else:
         bounds = bounds.withColumn(
             "mn",

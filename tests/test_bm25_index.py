@@ -989,6 +989,35 @@ def test_ingest_in_batch_duplicates_collapse(spark, docs, idx):
     )
 
 
+def test_build_and_add_refuse_duplicate_or_null_ids(spark, docs, idx, tmp_path):
+    """The refusal-shaped twin of the gate's in-batch dedup (ADVICE
+    r11): duplicate ids INSIDE one corpus/shard would double-count
+    n/Σdl/df silently; null ids are unaddressable by membership
+    probes and takedowns. Both refuse BEFORE anything lands."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    dup = spark.createDataFrame(
+        [(1, "one copy"), (1, "another copy"), (2, "fine")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        build_bm25_index(spark, dup, str(tmp_path / "dup"))
+    withnull = spark.createDataFrame(
+        [(None, "ghost doc"), (500, "fine")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        build_bm25_index(spark, withnull, str(tmp_path / "null"))
+    dup_shard = spark.createDataFrame(
+        [(600, "copy a"), (600, "copy b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        m.bm25_index_add(spark, dup_shard, idx)
+    assert len(_segments(idx)) == 1  # marker untouched
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        m.bm25_index_add(spark, withnull, idx)
+    assert len(_segments(idx)) == 1
+
+
 def test_subset_merge_repoints_gen_when_build_segment_folds(spark, docs, idx):
     """ADVICE r11: a tiered merge that folds the original build segment
     must repoint the marker's `gen` at a surviving dir — otherwise the

@@ -46,7 +46,11 @@ def test_adversarial_long_span_key_raises(spark):
         (7, t0 + timedelta(days=3650), 2.0, 2),   # 10-year span
         (8, t0, 3.0, 3),
     ]
-    with pytest.raises(ValueError, match="key 7 .*max_hours_per_key=1000"):
+    # r12: the guard rides the plan (raise_error folded into the grid's
+    # lower bound — the old driver-side pre-check ran the whole dedup
+    # lineage twice), so the violation surfaces at ACTION time as a
+    # Spark USER_RAISED_EXCEPTION carrying the same message
+    with pytest.raises(Exception, match="key 7 .*max_hours_per_key=1000"):
         hourly_gap_fill(
             _df(spark, rows), max_hours_per_key=1000, on_exceed="raise"
         ).collect()
