@@ -454,11 +454,17 @@ def _ladder_suspects(
     ``[]`` = probe ids PROVEN absent from the index with zero IO;
     ``[ids]`` = only these probe ids can possibly be present;
     ``None`` = undecided (legacy marker / unusable digests) — callers
-    keep their full exact probe."""
+    keep their full exact probe. ``probe_digest=None`` computes the
+    probe side lazily, only AFTER the index side proves usable — a
+    legacy marker then costs no extra batch job."""
     index_digest = _union_segment_digest(meta)
     if isinstance(index_digest, dict) and index_digest.get("empty"):
         return []  # the index holds no ids at all
-    if index_digest is None or not digest_usable(probe_digest):
+    if index_digest is None:
+        return None
+    if probe_digest is None:
+        probe_digest = ids_digest(probe_df, id_col)
+    if not digest_usable(probe_digest):
         return None
     return disjoint_suspects(spark, probe_df, probe_digest, index_digest, id_col)
 
@@ -704,9 +710,7 @@ def bm25_ingest_foreach_batch(
         # batch-sized digest job replaces the index-sized doclens union
         # read on the proven path; survivors shrink the anti-join's
         # index side to an isin over the may-contain segments only.
-        suspects = _ladder_suspects(
-            spark, meta, batch_df, ids_digest(batch_df, id_col), id_col
-        )
+        suspects = _ladder_suspects(spark, meta, batch_df, None, id_col)
         if suspects == []:
             fresh = batch_df
         else:
