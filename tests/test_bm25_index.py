@@ -1102,6 +1102,28 @@ def test_segment_sizes_backfills_legacy_marker(spark, docs, idx, monkeypatch):
     )
     monkeypatch.undo()
     assert len(_segments(idx)) == 4
+    # VERDICT r11 #5's literal criterion: a SECOND bm25_merge_tiered
+    # call on the healed marker reads no parquet at POLICY time — the
+    # only segment tables the call may touch are the merge rewrite's
+    # own subset (the picked smallest segments), never a policy-phase
+    # doclens count of every live segment
+    reads: list[tuple[str, str]] = []
+    real = m._read_table
+
+    def counting(spark_, meta_, path_, seg_, table_):
+        reads.append((seg_, table_))
+        return real(spark_, meta_, path_, seg_, table_)
+
+    monkeypatch.setattr(m, "_read_table", counting)
+    live_before = _segments(idx)
+    big = live_before[0]  # the 10-doc build segment stays out
+    assert m.bm25_merge_tiered(spark, idx, max_segments=2) == 3
+    monkeypatch.undo()
+    touched = {s for s, _t in reads}
+    assert big not in touched, (
+        f"tiered policy touched the big segment's tables: {reads}"
+    )
+    assert touched <= set(live_before[1:]), reads
 
 
 def test_full_merge_digest_is_exact_not_superset(spark, docs, idx, monkeypatch):
