@@ -93,12 +93,12 @@ from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import normalize_text
 from kafka_dbsync_spark.operators.id_digest import (
+    attach_bloom,
     digest_agg_columns,
     digest_bitmap,
     digest_from_agg_row,
     digest_may_contain,
     digest_or,
-    digest_positions_expr,
     digest_usable,
     disjoint_suspects,
     ids_digest,
@@ -217,10 +217,14 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     published postings (never a second corpus pass), stats over ALL
     docs — token-empty ones included, exactly as bm25_topk's scalar
     aggregate counts them. The segment's id digest
-    (``operators/id_digest.py``) folds into the SAME stats aggregate —
-    free at write time, exactly as ``pq_index.fingerprint_and_digest``
-    proved (VERDICT r11 #1) — so add/ingest disjointness probes can
-    run metadata-only."""
+    (``operators/id_digest.py``) rides the SAME stats aggregate as
+    three plain interval/residue columns — free at write time — plus,
+    for segments under ``BLOOM_MAX_IDS`` ids, one capped distributed
+    bloom job (r12: the r11 shape posexploded bloom positions into
+    this aggregate and collect_set'd up to 2^20 values through one
+    reducer per segment write — the round-12 scale probe measured the
+    mutation family at ~3.8x for 10x data from exactly that) — so
+    add/ingest disjointness probes can run metadata-only."""
     tok = _bm25_tokens(text_col)
     per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
     # positions are 1-based and sorted — the positional index that
@@ -271,25 +275,30 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
             F.col(id_col),
             F.col(id_col).try_cast("long").alias("__i"),
             F.col("dl"),
-            F.posexplode(digest_positions_expr(id_col)).alias("__s", "__p"),
         )
         .agg(
-            F.count(F.when(F.col("__s") == 0, True)).alias("n"),
-            F.sum(F.when(F.col("__s") == 0, F.col("dl"))).alias("sumdl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sumdl"),
             # id hygiene, free in the same job: duplicate ids inside
             # ONE segment would write duplicate doclens rows and
             # double-counted n/Σdl/df (the in-batch twin of the
             # cross-segment disjointness contract), and a NULL id is
             # unaddressable by every membership probe
             F.count_distinct(F.col(id_col)).alias("n_ids"),
-            F.count(
-                F.when((F.col("__s") == 0) & F.col(id_col).isNull(), True)
-            ).alias("n_null_ids"),
+            F.count(F.when(F.col(id_col).isNull(), True)).alias(
+                "n_null_ids"
+            ),
             *digest_agg_columns(),
         )
         .collect()[0]
     )
-    digest = digest_from_agg_row(st)
+    # bloom layer only while the id set is small enough to
+    # discriminate (id_digest.BLOOM_MAX_IDS): one extra column-pruned
+    # batch-sized job over the raw docs — NOT per_doc, whose lineage
+    # re-runs the tokenizer
+    digest = attach_bloom(
+        docs.select(id_col), id_col, digest_from_agg_row(st), int(st["n"])
+    )
     if digest is None and int(st["n"]) == 0:
         # empty segment: the union treats it as identity rather than
         # abandoning the metadata rungs. A NON-empty segment whose ids
@@ -1147,26 +1156,26 @@ def _segment_sizes(
         )
 
         for s in missing:
+            lens = _read_table(spark, meta, path, s, "doclens")
             row = (
-                _read_table(spark, meta, path, s, "doclens")
-                .select(
+                lens.select(
                     F.col(id_col).try_cast("long").alias("__i"),
                     F.col("dl"),
-                    F.posexplode(digest_positions_expr(id_col)).alias(
-                        "__s", "__p"
-                    ),
                 )
                 .agg(
-                    F.count(F.when(F.col("__s") == 0, True)).alias("n"),
-                    F.sum(F.when(F.col("__s") == 0, F.col("dl"))).alias(
-                        "sumdl"
-                    ),
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("sumdl"),
                     *digest_agg_columns(),
                 )
                 .head()
             )
             stats[s] = [int(row["n"]), int(row["sumdl"] or 0)]
-            d = digest_from_agg_row(row)
+            d = attach_bloom(
+                lens.select(id_col),
+                id_col,
+                digest_from_agg_row(row),
+                int(row["n"]),
+            )
             if d is None:
                 d = _EMPTY_DIGEST if int(row["n"]) == 0 else _UNKNOWN_DIGEST
             digs[s] = d

@@ -93,12 +93,14 @@ def dataset_fingerprint(
 # The r10 merge guards (takedown resurrection, erasure mirror, id
 # disjointness) were three Spark jobs that re-read codes at EVERY
 # merge — correct, but the wrong cost model at scale. Each marker now
-# carries an ``id_digest``: the live id set's [min, max] interval, its
-# residues-mod-64 mask (one uint64), and a fixed-parameter Bloom
-# bitmap (m = 2^20 bits, k = 4, md5-derived positions — fixed so
-# digests of different indexes COMPOSE by OR and cross-test
-# directly), all computed in ONE narrow-column job. The guards then
-# run a ladder:
+# carries an ``id_digest``: the live id set's [min, max] interval and
+# residues-mod-64 mask (three plain columns riding the fingerprint
+# aggregate — free at mutation time), plus — for id sets small enough
+# that a fixed-m bitmap still discriminates (id_digest.BLOOM_MAX_IDS)
+# — a fixed-parameter Bloom bitmap (m = 2^20 bits, k = 4, md5-derived
+# positions — fixed so blooms of different indexes COMPOSE by OR and
+# cross-test directly) from one capped, distributed word-grouped job.
+# The guards then run a ladder:
 #
 #   1. interval / residue mask — disjoint [min,max] ranges or disjoint
 #      residue sets prove disjointness with zero IO (ranges cover the
@@ -112,7 +114,8 @@ def dataset_fingerprint(
 #      positions survive the intersection) — no read of the
 #      destination's codes at all, and an empty suspect set is a
 #      PROOF of disjointness (a true duplicate always passes its own
-#      bloom);
+#      bloom); a bloom-less digest (id set above BLOOM_MAX_IDS at
+#      write time) just skips this rung — interval/residue stay exact;
 #   3. exact fallback — only the suspects (expected ≈0: fpp^1 per
 #      genuine absence) hit the old column-pruned isin / semi-join
 #      probes, and legacy markers without digests keep the r10
@@ -136,6 +139,7 @@ from kafka_dbsync_spark.operators.id_digest import (  # noqa: E402
     DIGEST_M as _DIGEST_M,
     DIGEST_SUSPECT_CAP as _DIGEST_SUSPECT_CAP,
     MASK64 as _MASK64,
+    attach_bloom as _attach_bloom,
     digest_agg_columns as _digest_agg_columns,
     digest_and_set as _digest_and_set,
     digest_bitmap as _digest_bitmap,
@@ -144,6 +148,7 @@ from kafka_dbsync_spark.operators.id_digest import (  # noqa: E402
     digest_or as _digest_or,
     digest_positions_expr as _digest_positions_expr,
     digest_positions_py as _digest_positions_py,
+    digest_has_bloom as _digest_has_bloom,
     digest_usable as _digest_usable,
 )
 
@@ -158,31 +163,28 @@ def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
 def fingerprint_and_digest(
     df: DataFrame, id_col: str = "vec_id"
 ) -> tuple[dict, dict | None]:
-    """(dataset_fingerprint, id_digest) from ONE narrow-column job: the
-    positions posexplode emits EXACTLY k rows per id (the array literal
-    is always k long, duplicates included) with the slot index riding
-    along, so count/sum aggregate ONLY the slot-0 copy of each id —
-    each id contributes once, and the sum overflows exactly where
-    ``dataset_fingerprint``'s plain aggregate would (ADVICE r11: the
-    old sum-all-copies-then-divide form hit bigint overflow at a 4x
-    smaller id space). min/max/bit_or ignore the duplication and
-    collect_set dedups the positions (bounded by m). Build/shard/add
-    paths pay one aggregate where r10 paid one and a digest-less
-    marker — the digest is free at mutation time. The residues-mod-64
-    mask is EXACT metadata for the standard parity/stride sharding
-    shapes (even/odd, id%k==j): two shards with disjoint residue sets
-    prove id-disjointness with zero IO even when their intervals
-    interleave. The digest half is None for an empty id set."""
+    """(dataset_fingerprint, id_digest) from ONE narrow-column job:
+    the digest's interval/residue layers are three plain aggregate
+    columns riding the fingerprint's own count/sum/max — no row
+    multiplication, and the sum overflows exactly where
+    ``dataset_fingerprint``'s plain aggregate would (r12: the r11
+    shape posexploded the k bloom positions here, 4x-ing the frame —
+    ADVICE r11's overflow fix conditioned on the slot index, but the
+    simpler fix is not exploding at all). The bloom layer, useful only
+    while the id set is small enough for the fixed-m bitmap to
+    discriminate, is one extra batch-sized job below
+    ``BLOOM_MAX_IDS`` and skipped entirely above it — build-sized
+    datasets get interval+residue-only digests, which still prove the
+    dominant range-/stride-sharding shapes with zero IO. The
+    residues-mod-64 mask is EXACT metadata for parity/stride sharding
+    (even/odd, id%k==j): two shards with disjoint residue sets prove
+    id-disjointness even when their intervals interleave. The digest
+    half is None for an empty id set."""
     row = (
-        df.select(
-            F.col(id_col).try_cast("long").alias("__i"),
-            F.posexplode(_digest_positions_expr(id_col)).alias(
-                "__s", "__p"
-            ),
-        )
+        df.select(F.col(id_col).try_cast("long").alias("__i"))
         .agg(
-            F.count(F.when(F.col("__s") == 0, True)).alias("cnt"),
-            F.sum(F.when(F.col("__s") == 0, F.col("__i"))).alias("sm"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("__i").alias("sm"),
             *_digest_agg_columns(),
         )
         .head()
@@ -192,7 +194,10 @@ def fingerprint_and_digest(
         "max_id": None if row["__d_mx"] is None else int(row["__d_mx"]),
         "sum_id": None if row["sm"] is None else int(row["sm"]),
     }
-    return fp, _digest_from_agg_row(row)
+    digest = _attach_bloom(
+        df, id_col, _digest_from_agg_row(row), int(row["cnt"])
+    )
+    return fp, digest
 
 
 def build_pq_index(
@@ -1153,10 +1158,18 @@ def _check_id_disjoint(
             # disjoint residues mod 64 (parity/stride sharding — the
             # even/odd split included): proven with zero IO
             return
-        and_set = _digest_and_set(src_digest, dst_digest)
-        if len(and_set) == 0:
+        # bloom rung: only when BOTH sides carry a bloom (an id set
+        # above BLOOM_MAX_IDS at write time has none — the fixed-m
+        # bitmap would be saturated anyway); else exact fallback below
+        and_set = (
+            _digest_and_set(src_digest, dst_digest)
+            if _digest_has_bloom(src_digest)
+            and _digest_has_bloom(dst_digest)
+            else None
+        )
+        if and_set is not None and len(and_set) == 0:
             return  # no position is set on both sides: proven disjoint
-        if len(and_set) <= _DIGEST_AND_CAP:
+        if and_set is not None and len(and_set) <= _DIGEST_AND_CAP:
             and_df = spark.createDataFrame(
                 [(int(p),) for p in and_set], "p bigint"
             )
