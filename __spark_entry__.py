@@ -29,12 +29,17 @@ from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 #       bm25_ingest_gate / bm25_tiered_merge / bm25_segment_merge /
 #       bm25_remove_serve — per-segment id digests + the zero-IO
 #       disjointness ladder + in-batch dedup + gen repoint + segstats
-#       backfill, VERDICT r11 #1/#5 + ADVICE r11); the pq digest build
-#       path (pq_index_build / pq_index_add / pq_index_merge /
-#       ann_ingest_stream / ivfpq_remove_serve / ivfpq_search_served /
-#       pq_adc_search_served / ivfpq_search_multi — fingerprint_and_
-#       digest's posexplode overflow fix + the two-phase marker write
-#       folding the digest BEFORE codes land, ADVICE r11); and the PSL
+#       backfill, VERDICT r11 #1/#5 + ADVICE r11; then the digest
+#       construction itself reworked mid-round after the r12 scale
+#       probe caught it at 2.5-4x: plain-row interval/residue stats +
+#       capped word-grouped distributed bloom, id_digest.py); the pq
+#       digest build path (pq_index_build / pq_index_add /
+#       pq_index_merge / ann_ingest_stream / ivfpq_remove_serve /
+#       ivfpq_search_served / pq_adc_search_served / ivfpq_search_multi
+#       — the same digest rework, riding fingerprint_and_digest, which
+#       also obsoletes ADVICE r11's posexplode-overflow conditioning by
+#       not exploding at all + the two-phase marker write folding the
+#       digest BEFORE codes land, ADVICE r11); and the PSL
 #       pair (domain_stats_psl / domain_blocklist_psl — psl_load parse
 #       memoization, ADVICE r11).
 #   (c) ALL 31 remaining r7-tier rows (the pool VERDICT r11 #3 names;

@@ -108,14 +108,26 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+    # output-growth algebra for the entries whose work is output-
+    # proportional (the r11 video_neardup adjudication standard): a
+    # ratio near the output ratio is LINEAR scaling, not super-
+    # linearity
+    gap_rows = {
+        tag: QUERIES["timeseries_gap_fill"](spark, sf_dir).count()
+        for tag, sf_dir in (("sf0.1", sf01), ("sf1", sf1))
+    }
     result["adjudications"] = {
-        "bm25_index_add": {
-            "expectation": (
-                "the r11 per-add doclens-union disjointness read is "
-                "replaced by the zero-IO digest ladder (the fixture's "
-                "even/odd split proves disjoint via the residue mask); "
-                "tests/test_bm25_index.py pins that the metadata rungs "
-                "never touch segment parquet"
+        "bm25_mutation_family": {
+            "finding": (
+                "the FIRST r12 probe run caught add/ingest/merge at "
+                "2.5-4.0x (vs r11's 1.2-1.26x): the digest construction "
+                "posexploded the stats frame 4x and collect_set'd up to "
+                "2^20 bloom positions through one reducer per segment "
+                "write. Fixed in-round: plain-row interval/residue "
+                "columns + a capped, word-grouped distributed bloom "
+                "(id_digest.BLOOM_MAX_IDS); bm25_index_add 20.8 -> "
+                "12.0 s, bm25_segment_merge 21.5 -> 14.7 s at sf1 "
+                "(median-of-3). This file records the POST-fix probe."
             ),
         },
         "timeseries_gap_fill": {
@@ -124,6 +136,13 @@ def main() -> None:
                 "folded into the grid lower bound) — the old driver-"
                 "side .head() pre-check ran the events scan + hourly "
                 "dedup + bounds aggregate twice per invocation"
+            ),
+            "output_rows": gap_rows,
+            "note": (
+                "the 10x fixture has 10x users with constant per-user "
+                "span, so the generated grid (the operator's output) "
+                "grows ~10x — a wall ratio tracking the output ratio "
+                "is linear scaling"
             ),
         },
     }
