@@ -1147,3 +1147,48 @@ def test_full_merge_digest_is_exact_not_superset(spark, docs, idx, monkeypatch):
     assert _rows(bm25_search_served(spark, idx, terms, k=12)) == _rows(
         bm25_topk(union, terms, k=12)
     )
+
+
+def test_bloom_cap_crossover_keeps_ladder_sound(spark, tmp_path, monkeypatch):
+    """r12 bloom cap: above BLOOM_MAX_IDS segments carry NO bloom (the
+    fixed-m bitmap would saturate) — pinned here by forcing the cap to
+    0 so EVERY digest is bloom-less, the true-scale shape. The residue
+    rung must still prove parity-split adds with zero segment IO, and
+    a genuine id clash must still refuse through the exact fallback
+    (never a false merge)."""
+    import json
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+    import kafka_dbsync_spark.operators.id_digest as dig
+
+    monkeypatch.setattr(dig, "BLOOM_MAX_IDS", 0)
+    evens = spark.createDataFrame(
+        [(i, f"even doc {i} about hash joins") for i in (2, 4, 6, 8, 10)],
+        "doc_id bigint, text string",
+    )
+    odds = spark.createDataFrame(
+        [(i, f"odd doc {i} about merge sorts") for i in (3, 5, 7, 9)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "capless")
+    build_bm25_index(spark, evens, path)
+    with open(os.path.join(path, "_COMPLETE")) as f:
+        rec = json.load(f)
+    segdig = next(iter(rec["segdigests"].values()))
+    assert "bloom" not in segdig and segdig.get("res64") is not None
+    # parity split proves at the residue rung — zero IO, no bloom needed
+    _forbid_reads(monkeypatch, tables=("doclens",))
+    m.bm25_index_add(spark, odds, path)
+    monkeypatch.undo()
+    monkeypatch.setattr(dig, "BLOOM_MAX_IDS", 0)
+    # overlap without blooms: interval+residue both collide -> ladder
+    # abstains (None) -> the exact doclens fallback still REFUSES
+    clash = spark.createDataFrame(
+        [(4, "redelivered even doc")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        m.bm25_index_add(spark, clash, path)
+    union = evens.unionByName(odds)
+    assert _rows(bm25_search_served(spark, path, ["hash", "merge"], k=10)) == _rows(
+        bm25_topk(union, ["hash", "merge"], k=10)
+    )

@@ -1161,3 +1161,41 @@ def test_add_folds_digest_before_codes_append(spark, tmp_path, monkeypatch):
         spark.read.parquet(f"{path}/codes")
     )
     assert final["fingerprint"]["n"] == before["fingerprint"]["n"] + 1
+
+
+def test_bloom_cap_crossover_merge_guards_stay_sound(spark, tmp_path, monkeypatch):
+    """r12 bloom cap crossover for the ANN family: with the cap forced
+    to 0 every marker digest is bloom-less (the true-scale shape for
+    build-sized id sets) — parity-split shards must still merge under
+    the zero-IO residue proof (id thunks raise if the rungs touch
+    codes, via the refusal path staying un-entered), and a genuine
+    overlap must still refuse through the exact semi-join fallback."""
+    import json
+
+    import kafka_dbsync_spark.operators.id_digest as dig
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    monkeypatch.setattr(dig, "BLOOM_MAX_IDS", 0)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    base, shard = str(tmp_path / "base"), str(tmp_path / "shard")
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 != 0)
+    build_pq_index(spark, evens, cents, base)
+    with open(os.path.join(base, "_COMPLETE")) as f:
+        rec = json.load(f)
+    assert "bloom" not in rec["id_digest"]
+    assert rec["id_digest"].get("res64") is not None
+    m.build_pq_shard(spark, base, odds, shard)
+    stats = m.pq_index_merge(spark, base, shard)
+    assert stats["vectors_merged"] == odds.count()
+    # overlap, no blooms anywhere: ladder abstains -> exact refusal
+    overlap = str(tmp_path / "overlap")
+    m.build_pq_shard(
+        spark,
+        base,
+        emb.filter((F.col("vec_id") % 7 == 0) | (F.col("vec_id") % 2 == 0)).limit(50),
+        overlap,
+    )
+    with pytest.raises(ValueError, match="share vector id"):
+        m.pq_index_merge(spark, base, overlap)
