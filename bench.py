@@ -515,7 +515,11 @@ def main() -> None:
     # stdout, and the default ", "/": " separators cost ~150 chars at 65
     # headline entries (the r10 line hit 1940 with them — one more round
     # of growth would truncate the headline)
-    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    # explicit teardown: a local[32] session can leave non-daemon JVM
+    # callback threads that keep the python process alive after main()
+    # returns — the artifact is already on disk and stdout flushed
+    spark.stop()
 
 
 def _prev_bench_paths(sf: str) -> list[str]:

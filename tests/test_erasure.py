@@ -203,3 +203,62 @@ def test_erasure_survives_shard_merge(spark, tmp_path):
         .filter(F.col("vec_id") == 295)
         .isEmpty()
     )
+
+
+def test_nb_model_erasure_by_staleness_rebuild(spark, tmp_path):
+    """The NB classifier twin of the LM staleness-erasure proof: a
+    model trained WITH the subject's docs provably remembers them (a
+    probe doc of the subject's signature token classifies as the
+    subject's label — that label exists only through the subject's
+    rows); dropping the subject flips nb_model_is_current stale purely
+    by the label-aware fingerprint; and the re-mined model is
+    bit-equal to a from-scratch build on the surviving corpus — the
+    subject's label is gone from the priors entirely, so the probe
+    can never classify as it again."""
+    from kafka_dbsync_spark.operators.nb_index import (
+        build_nb_model,
+        nb_classify_served,
+        nb_model_is_current,
+    )
+
+    others = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text") != "")
+        .limit(50)
+    )
+    subject = spark.createDataFrame(
+        [
+            (9101, "subjectsrc", "zqglyph zqglyph zqglyph wombat"),
+            (9102, "subjectsrc", "zqglyph signature phrase zqglyph"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    full = others.unionByName(subject)
+    probe = spark.createDataFrame(
+        [(1, "zqglyph zqglyph")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "nb")
+    build_nb_model(spark, full, path)
+    assert nb_model_is_current(full, path)
+    before = nb_classify_served(spark, path, probe).collect()[0]["pred"]
+    assert before == "subjectsrc"  # the model remembers the subject
+    # erasure: the subject leaves the corpus -> stale by fingerprint
+    # alone (no bespoke erasure flag), re-mine from survivors
+    assert not nb_model_is_current(others, path)
+    build_nb_model(spark, others, path)
+    assert nb_model_is_current(others, path)
+    after = nb_classify_served(spark, path, probe).collect()[0]["pred"]
+    assert after != "subjectsrc"  # the label itself left the priors
+    # indistinguishable from never-ingested: bit-equal scores against
+    # a from-scratch model over the surviving corpus
+    score = others.limit(20).select("doc_id", "text")
+    rebuilt = sorted(
+        map(tuple, nb_classify_served(spark, path, score).collect())
+    )
+    fresh_path = str(tmp_path / "nb_fresh")
+    build_nb_model(spark, others, fresh_path)
+    fresh = sorted(
+        map(tuple, nb_classify_served(spark, fresh_path, score).collect())
+    )
+    assert rebuilt == fresh and len(rebuilt) > 0

@@ -141,6 +141,7 @@ def main() -> int:
         }
         with open(json_out, "w") as fh:
             json.dump(doc, fh, indent=1)
+    spark.stop()  # non-daemon JVM threads otherwise outlive main()
     return 1 if failures else 0
 
 

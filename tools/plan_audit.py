@@ -545,6 +545,7 @@ def main() -> int:
                 fh,
                 indent=1,
             )
+    spark.stop()  # non-daemon JVM threads otherwise outlive main()
     if failures:
         print(f"\nAUDIT FAIL: {failures}")
         return 1

@@ -147,7 +147,8 @@ def main() -> None:
         },
     }
     Path(out).write_text(json.dumps(result, indent=1) + "\n")
-    print(json.dumps({k: result["queries"][k] for k in PROBES}))
+    print(json.dumps({k: result["queries"][k] for k in PROBES}), flush=True)
+    spark.stop()  # non-daemon JVM threads otherwise outlive main()
 
 
 if __name__ == "__main__":
