@@ -1220,6 +1220,262 @@ def bm25_index_is_current(
     )
 
 
+def bm25_index_check(
+    spark: SparkSession,
+    path: str,
+    full: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene's ``CheckIndex`` for the BM25 segment family: a
+    consistency report over one persisted index as a DataFrame of
+    ``(check, segment, status, detail)`` rows — ``status`` is PASS /
+    WARN (legacy or reclaimable, still servable) / FAIL (the marker
+    and the artifacts disagree; do not trust serves until rebuilt).
+
+    Two levels, matching the cost model every guard in this module
+    follows:
+
+    - **metadata** (``full=False``): ZERO data IO — marker parse +
+      layout format, segment-dir existence, marker totals vs the
+      per-segment ``segstats``, digest usability, tombstone-count
+      bookkeeping, and a directory sweep classifying ``.retired-*``
+      reader-grace trash, ``.stage-*`` crash leftovers, and ORPHAN
+      immutable dirs the marker no longer references (race losers —
+      harmless but reclaimable disk).
+    - **full** (default): adds per-segment data probes, each a
+      column-pruned parquet aggregate — doclens count/Σdl vs
+      ``segstats``, cross-segment id uniqueness (an id served twice is
+      the double-count failure every disjointness guard exists to
+      prevent), digest SUPERSET soundness (actual id interval within
+      the recorded one, actual residue mask a subset), postings⊆doclens
+      membership with matching per-doc dl, the persisted ``dfs`` table
+      vs a recount from postings, and every marker tombstone still
+      physically present (tombstones leave only via a merge).
+
+    Like Lucene's tool this is an OPERATOR'S instrument: the full level
+    deliberately reads the whole index (that is what an fsck is); the
+    metadata level is safe to run on every serve path."""
+    rows: list[tuple] = []
+
+    def add(check: str, seg: str, ok, detail: str = "") -> None:
+        rows.append((check, seg, "PASS" if ok is True else ok, detail))
+
+    def report() -> DataFrame:
+        return spark.createDataFrame(
+            rows, "check string, segment string, status string, detail string"
+        )
+
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (OSError, ValueError) as e:
+        add("marker_parses", "", "FAIL", f"{e}")
+        return report()
+    add("marker_parses", "", True)
+    add(
+        "layout_format",
+        "",
+        meta.get("format") == FORMAT or "FAIL",
+        f"marker format {meta.get('format')!r}, reader needs {FORMAT}",
+    )
+    segs = meta.get("segments") or ([meta["gen"]] if meta.get("gen") else [])
+    if not segs:
+        add("segments_listed", "", "FAIL", "marker names no live segment")
+        return report()
+    for s in segs:
+        there = os.path.isdir(os.path.join(path, s))
+        add(
+            "segment_dir_exists",
+            s,
+            there or "FAIL",
+            "" if there else "marker references a missing dir — a reader would throw",
+        )
+    stats = meta.get("segstats") or {}
+    missing = [s for s in segs if s not in stats]
+    add(
+        "segstats_cover_segments",
+        "",
+        not missing or "WARN",
+        f"legacy segments without segstats: {missing}"
+        if missing
+        else "every live segment carries (n, sumdl) metadata",
+    )
+    if not missing:
+        tot_n = sum(int(stats[s][0]) for s in segs)
+        tot_dl = sum(int(stats[s][1]) for s in segs)
+        add(
+            "marker_totals_match_segstats",
+            "",
+            (tot_n == int(meta.get("n", -1)) and tot_dl == int(meta.get("sumdl", -1)))
+            or "FAIL",
+            f"marker n={meta.get('n')}/sumdl={meta.get('sumdl')} vs "
+            f"segstats sums {tot_n}/{tot_dl}",
+        )
+    digs = meta.get("segdigests") or {}
+    for s in segs:
+        d = digs.get(s)
+        if isinstance(d, dict) and d.get("empty"):
+            add("segment_digest", s, True, "empty segment")
+        elif digest_usable(d):
+            add("segment_digest", s, True, "bloom" if d.get("bloom") else "interval+residue")
+        else:
+            add(
+                "segment_digest",
+                s,
+                "WARN",
+                "no usable digest (legacy or uncastable ids): mutation "
+                "guards fall back to exact probes — correct, but paying "
+                "segment IO the digest rungs would prove for free",
+            )
+    removed = meta.get("removed_ids", [])
+    add(
+        "tombstone_bookkeeping",
+        "",
+        (len(removed) == int(meta.get("removed_n", 0))) or "FAIL",
+        f"{len(removed)} removed_ids vs removed_n={meta.get('removed_n', 0)}",
+    )
+    live = set(segs)
+    for entry in sorted(os.listdir(path)):
+        p = os.path.join(path, entry)
+        if entry == _MARKER or entry == "ingest" or entry in live or not os.path.isdir(p):
+            continue
+        if entry.startswith(".retired-"):
+            add(
+                "retired_dir",
+                entry,
+                "WARN",
+                "reader-grace trash from a merge; the next merge reclaims it",
+            )
+        elif entry.startswith("."):
+            add(
+                "staging_leftover",
+                entry,
+                "WARN",
+                "in-flight or crashed staging dir; safe to reclaim when no "
+                "builder is running",
+            )
+        else:
+            add(
+                "orphan_dir",
+                entry,
+                "WARN",
+                "immutable dir the marker does not reference (publish-race "
+                "loser or superseded generation): never served, reclaimable",
+            )
+    if not full:
+        return report()
+
+    lens_all = None
+    for s in segs:
+        if not os.path.isdir(os.path.join(path, s)):
+            continue  # already FAILed above; data probes would throw
+        lens = _read_table(spark, meta, path, s, "doclens")
+        st = lens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sumdl"),
+            F.min(F.col(id_col).try_cast("long")).alias("mn"),
+            F.max(F.col(id_col).try_cast("long")).alias("mx"),
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod("
+                f"try_cast({id_col} AS BIGINT), 64) AS INT)))"
+            ).alias("res"),
+        ).head()
+        if s in stats:
+            add(
+                "doclens_match_segstats",
+                s,
+                (int(st["n"]) == int(stats[s][0]) and int(st["sumdl"] or 0) == int(stats[s][1]))
+                or "FAIL",
+                f"doclens n={st['n']}/sumdl={st['sumdl'] or 0} vs "
+                f"segstats {stats[s]}",
+            )
+        d = digs.get(s)
+        if digest_usable(d) and st["mn"] is not None:
+            # Spark's bit_or of bit 63 comes back as a negative long;
+            # the marker stores res64 unsigned — mask both to 64 bits
+            mask64 = (1 << 64) - 1
+            superset = (
+                int(st["mn"]) >= d["min"]
+                and int(st["mx"]) <= d["max"]
+                and (int(st["res"]) & mask64) & (~int(d["res64"]) & mask64) == 0
+            )
+            add(
+                "digest_superset_sound",
+                s,
+                superset or "FAIL",
+                ""
+                if superset
+                else "live ids fall outside the segment digest — a digest "
+                "missing ids lets a merge falsely prove disjointness",
+            )
+        post = _read_table(spark, meta, path, s, "postings")
+        bad_link = (
+            post.select(F.col(id_col), F.col("dl"))
+            .distinct()
+            .join(lens.select(id_col, F.col("dl").alias("__ldl")), id_col, "left")
+            .filter(F.col("__ldl").isNull() | (F.col("__ldl") != F.col("dl")))
+            .count()
+        )
+        add(
+            "postings_docs_in_doclens",
+            s,
+            bad_link == 0 or "FAIL",
+            f"{bad_link} posting docs missing from doclens or with "
+            "mismatched dl",
+        )
+        recount = post.groupBy("bucket", "term").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        df_bad = (
+            _read_table(spark, meta, path, s, "dfs")
+            .join(recount, ["bucket", "term"], "full")
+            .filter(
+                F.col("df").isNull()
+                | F.col("__df").isNull()
+                | (F.col("df") != F.col("__df"))
+            )
+            .count()
+        )
+        add(
+            "dfs_match_postings",
+            s,
+            df_bad == 0 or "FAIL",
+            f"{df_bad} terms whose persisted df disagrees with a recount",
+        )
+        ids = lens.select(F.col(id_col).alias("__cid"))
+        lens_all = ids if lens_all is None else lens_all.unionByName(ids)
+    if lens_all is not None:
+        dup = (
+            lens_all.groupBy("__cid")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(5)
+            .collect()
+        )
+        add(
+            "ids_unique_across_segments",
+            "",
+            not dup or "FAIL",
+            f"ids served twice: {[r['__cid'] for r in dup]}"
+            if dup
+            else "no id appears in two live segments",
+        )
+        if removed:
+            present = lens_all.filter(
+                F.col("__cid").isin(list(removed))
+            ).count()
+            add(
+                "tombstones_physically_present",
+                "",
+                present == len(removed) or "FAIL",
+                f"{present}/{len(removed)} tombstoned ids found in doclens "
+                "(they leave only via a merge; fewer means the marker "
+                "carries tombstones for ids that never existed)",
+            )
+    return report()
+
+
 def bm25_search_served(
     spark: SparkSession,
     path: str,

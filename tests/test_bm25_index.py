@@ -1192,3 +1192,95 @@ def test_bloom_cap_crossover_keeps_ladder_sound(spark, tmp_path, monkeypatch):
     assert _rows(bm25_search_served(spark, path, ["hash", "merge"], k=10)) == _rows(
         bm25_topk(union, ["hash", "merge"], k=10)
     )
+
+
+def _fsck(spark, path, full=True):
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    return {
+        (r["check"], r["segment"]): (r["status"], r["detail"])
+        for r in m.bm25_index_check(spark, path, full=full).collect()
+    }
+
+
+def test_index_check_healthy_lifecycle_all_pass(spark, docs, idx):
+    """CheckIndex over a full lifecycle (build + add + tombstone +
+    subset state): a healthy index reports no FAIL at either level,
+    and the metadata level runs with zero segment IO."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    shard = spark.createDataFrame(MORE_DOCS, "doc_id bigint, text string")
+    m.bm25_index_add(spark, shard, idx)
+    m.bm25_index_remove(spark, idx, [4])
+    rep = _fsck(spark, idx)
+    assert not [k for k, v in rep.items() if v[0] == "FAIL"], rep
+    assert rep[("ids_unique_across_segments", "")][0] == "PASS"
+    assert rep[("tombstones_physically_present", "")][0] == "PASS"
+    # metadata level: zero data IO, pinned the module's usual way
+    reads: list = []
+    real = m._read_table
+    try:
+        m._read_table = lambda *a: (_ for _ in ()).throw(
+            AssertionError("metadata-level fsck read segment data")
+        )
+        meta_rep = _fsck(spark, idx, full=False)
+    finally:
+        m._read_table = real
+    assert not [k for k, v in meta_rep.items() if v[0] == "FAIL"]
+
+
+def test_index_check_detects_corruptions(spark, docs, idx, tmp_path):
+    """Each corruption class an operator can hit on real storage is
+    DETECTED: tampered segstats (marker/data split-brain), a digest
+    that stopped being a superset of its ids, an orphan generation
+    dir, and a tombstone for an id that never existed."""
+    import json
+    import shutil
+
+    import kafka_dbsync_spark.operators.bm25_index as m
+
+    mk = os.path.join(idx, "_COMPLETE")
+    with open(mk) as f:
+        meta = json.load(f)
+    seg = meta["segments"][0]
+
+    # orphan dir: an immutable gen the marker does not reference
+    shutil.copytree(os.path.join(idx, seg), os.path.join(idx, "gen-orphan_v2"))
+    rep = _fsck(spark, idx, full=False)
+    assert rep[("orphan_dir", "gen-orphan_v2")][0] == "WARN"
+
+    # split-brain: marker segstats disagree with the parquet
+    bad = dict(meta)
+    bad["segstats"] = {seg: [meta["segstats"][seg][0] + 1, meta["segstats"][seg][1]]}
+    bad["n"] = meta["n"] + 1
+    with open(mk, "w") as f:
+        json.dump(bad, f)
+    rep = _fsck(spark, idx)
+    assert rep[("doclens_match_segstats", seg)][0] == "FAIL"
+
+    # digest no longer a superset: narrow the residue mask to one bit
+    bad = dict(meta)
+    bad["segdigests"] = {
+        seg: {**meta["segdigests"][seg], "res64": 1, "min": 0, "max": 10**9}
+    }
+    with open(mk, "w") as f:
+        json.dump(bad, f)
+    rep = _fsck(spark, idx)
+    assert rep[("digest_superset_sound", seg)][0] == "FAIL"
+
+    # tombstone for an id that never existed in any segment
+    bad = dict(meta)
+    bad["removed_ids"] = [999999]
+    bad["removed_n"] = 1
+    with open(mk, "w") as f:
+        json.dump(bad, f)
+    rep = _fsck(spark, idx)
+    assert rep[("tombstones_physically_present", "")][0] == "FAIL"
+
+    # missing segment dir: FAIL at the metadata level
+    with open(mk, "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(os.path.join(idx, "gen-orphan_v2"))
+    shutil.move(os.path.join(idx, seg), str(tmp_path / "stolen"))
+    rep = _fsck(spark, idx, full=False)
+    assert rep[("segment_dir_exists", seg)][0] == "FAIL"
