@@ -329,6 +329,190 @@ def index_summary(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def pq_index_check(
+    spark: SparkSession,
+    path: str,
+    full: bool = True,
+) -> DataFrame:
+    """Lucene's ``CheckIndex`` (FAISS has no equivalent; it should) for
+    the persisted IVF-PQ family — the ANN twin of
+    ``bm25_index.bm25_index_check``: a ``(check, artifact, status,
+    detail)`` report with PASS / WARN (reclaimable or legacy, still
+    servable) / FAIL (marker and artifacts disagree — rebuild before
+    trusting serves).
+
+    Metadata level (``full=False``, zero data IO): marker parse, the
+    five artifact dirs exist, id_digest usability, uncommitted
+    streaming-ingest epochs (their epoch-tagged files must not be
+    compacted — the replay's delete-by-prefix would duplicate rows),
+    and staging/compaction leftovers.
+
+    Full level adds column-pruned aggregates: codes and flat_codes row
+    counts vs the marker fingerprint's n, the fingerprint's max/sum
+    recomputed from surviving codes, vec_id uniqueness inside codes,
+    codes⇄flat_codes covering the SAME vector set, digest superset
+    soundness (interval + residue mask over live ids), and — the
+    opposite polarity of the BM25 check, because ANN removal is
+    PHYSICAL cell rewrites — every marker ``removed_ids`` entry ABSENT
+    from both code tables (a present one means a takedown was
+    resurrected)."""
+    rows: list[tuple] = []
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    def report() -> DataFrame:
+        return spark.createDataFrame(
+            rows,
+            "check string, artifact string, status string, detail string",
+        )
+
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (OSError, ValueError) as e:
+        add("marker_parses", "", "FAIL", f"{e}")
+        return report()
+    add("marker_parses", "", True)
+    for a in ARTIFACTS:
+        there = os.path.isdir(os.path.join(path, a))
+        add(
+            "artifact_dir_exists",
+            a,
+            there or "FAIL",
+            "" if there else "marker present but artifact missing",
+        )
+    digest = rec.get("id_digest")
+    if _digest_usable(digest):
+        add(
+            "id_digest",
+            "",
+            True,
+            "bloom" if digest.get("bloom") else "interval+residue",
+        )
+    else:
+        add(
+            "id_digest",
+            "",
+            "WARN",
+            "no usable digest (legacy marker): merge/takedown guards fall "
+            "back to exact probes — correct, but paying codes IO the "
+            "digest rungs would prove for free",
+        )
+    pending = _pending_ingest_epochs(path)
+    add(
+        "ingest_epochs_committed",
+        "",
+        not pending or "WARN",
+        f"uncommitted epoch(s) {sorted(pending)}: let the stream replay "
+        "and commit before compacting"
+        if pending
+        else "",
+    )
+    codes_root = os.path.join(path, "codes")
+    if os.path.isdir(codes_root):
+        for entry in sorted(os.listdir(codes_root)):
+            if entry.startswith("."):
+                add(
+                    "staging_leftover",
+                    f"codes/{entry}",
+                    "WARN",
+                    "crashed compaction/staging dir; safe to reclaim when "
+                    "no writer is running",
+                )
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(".") and os.path.isdir(os.path.join(path, entry)):
+            add(
+                "staging_leftover",
+                entry,
+                "WARN",
+                "crashed staging dir; safe to reclaim when no writer is "
+                "running",
+            )
+    if not full or not all(
+        os.path.isdir(os.path.join(path, a)) for a in ("codes", "flat_codes")
+    ):
+        return report()
+
+    fp = rec.get("fingerprint") or {}
+    codes = spark.read.parquet(f"{path}/codes")
+    st = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.max("vec_id").alias("mx"),
+        F.min("vec_id").alias("mn"),
+        F.sum("vec_id").alias("sm"),
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod("
+            "try_cast(vec_id AS BIGINT), 64) AS INT)))"
+        ).alias("res"),
+    ).head()
+    add(
+        "codes_match_fingerprint",
+        "codes",
+        (
+            int(st["n"]) == int(fp.get("n", -1))
+            and (fp.get("max_id") is None or int(st["mx"]) == int(fp["max_id"]))
+            and (fp.get("sum_id") is None or int(st["sm"]) == int(fp["sum_id"]))
+        )
+        or "FAIL",
+        f"codes n={st['n']}/max={st['mx']}/sum={st['sm']} vs marker "
+        f"fingerprint {fp}",
+    )
+    add(
+        "vec_ids_unique",
+        "codes",
+        int(st["n"]) == int(st["n_ids"]) or "FAIL",
+        f"{st['n']} rows, {st['n_ids']} distinct vec_ids — a duplicate is "
+        "served twice by every probe that lists its cell",
+    )
+    if _digest_usable(digest) and st["mn"] is not None:
+        mask64 = (1 << 64) - 1
+        superset = (
+            int(st["mn"]) >= digest["min"]
+            and int(st["mx"]) <= digest["max"]
+            and (int(st["res"]) & mask64) & (~int(digest["res64"]) & mask64)
+            == 0
+        )
+        add(
+            "digest_superset_sound",
+            "codes",
+            superset or "FAIL",
+            ""
+            if superset
+            else "live vec_ids fall outside the marker digest — a digest "
+            "missing ids lets a merge falsely prove disjointness",
+        )
+    flat = spark.read.parquet(f"{path}/flat_codes").select("vec_id")
+    only_codes = codes.select("vec_id").exceptAll(flat).count()
+    only_flat = flat.exceptAll(codes.select("vec_id")).count()
+    add(
+        "codes_flat_codes_same_vectors",
+        "",
+        (only_codes == 0 and only_flat == 0) or "FAIL",
+        f"{only_codes} ids only in codes, {only_flat} only in flat_codes "
+        "— the IVF and flat views must cover the same vector set",
+    )
+    removed = [int(i) for i in rec.get("removed_ids") or []]
+    if removed:
+        resurrected = (
+            codes.select("vec_id")
+            .unionByName(flat)
+            .filter(F.col("vec_id").isin(removed))
+            .count()
+        )
+        add(
+            "takedowns_stay_removed",
+            "",
+            resurrected == 0 or "FAIL",
+            f"{resurrected} code rows carry a removed vec_id — ANN "
+            "removal is physical, a present one is a resurrected "
+            "takedown",
+        )
+    return report()
+
+
 def ivfpq_search_index(
     spark: SparkSession,
     path: str,

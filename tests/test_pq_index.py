@@ -1199,3 +1199,85 @@ def test_bloom_cap_crossover_merge_guards_stay_sound(spark, tmp_path, monkeypatc
     )
     with pytest.raises(ValueError, match="share vector id"):
         m.pq_index_merge(spark, base, overlap)
+
+
+def _fsck(spark, path, full=True):
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    return {
+        (r["check"], r["artifact"]): (r["status"], r["detail"])
+        for r in m.pq_index_check(spark, path, full=full).collect()
+    }
+
+
+def test_pq_index_check_healthy_lifecycle(spark, tmp_path):
+    """CheckIndex over build + add + remove: a healthy ANN index
+    reports no FAIL at either level; removal polarity is pinned —
+    taken-down ids must be ABSENT (physical rewrite), unlike the BM25
+    tombstone check."""
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    path = str(tmp_path / "pq")
+    build_pq_index(spark, emb.filter(F.col("vec_id") % 2 == 0), cents, path)
+    new = emb.filter(F.col("vec_id") % 2 != 0).limit(20)
+    m.pq_index_add(spark, path, new)
+    victim = [int(new.select("vec_id").head()[0])]
+    m.pq_index_remove(spark, path, victim)
+    rep = _fsck(spark, path)
+    fails = [k for k, v in rep.items() if v[0] == "FAIL"]
+    assert not fails, {k: rep[k] for k in fails}
+    assert rep[("takedowns_stay_removed", "")][0] == "PASS"
+    assert rep[("codes_flat_codes_same_vectors", "")][0] == "PASS"
+    meta_rep = _fsck(spark, path, full=False)
+    assert not [k for k, v in meta_rep.items() if v[0] == "FAIL"]
+
+
+def test_pq_index_check_detects_corruptions(spark, tmp_path):
+    """Detection per corruption class: a resurrected takedown (the
+    erasure-violation an fsck exists to catch), fingerprint/codes
+    split-brain, and a compaction staging leftover."""
+    import json
+    import os as _os
+    import shutil
+
+    import kafka_dbsync_spark.operators.pq_index as m
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(60)
+    cents = QUERIES["ivf_centroids"](spark, SF)
+    path = str(tmp_path / "pq")
+    build_pq_index(spark, emb, cents, path)
+    mk = _os.path.join(path, "_COMPLETE")
+    with open(mk) as f:
+        rec = json.load(f)
+
+    # resurrected takedown: claim an id was removed while its codes stay
+    vid = int(emb.select("vec_id").head()[0])
+    bad = dict(rec)
+    bad["removed_ids"] = [vid]
+    with open(mk, "w") as f:
+        json.dump(bad, f)
+    rep = _fsck(spark, path)
+    assert rep[("takedowns_stay_removed", "")][0] == "FAIL"
+
+    # split-brain fingerprint
+    bad = dict(rec)
+    bad["fingerprint"] = {**rec["fingerprint"], "n": rec["fingerprint"]["n"] + 1}
+    with open(mk, "w") as f:
+        json.dump(bad, f)
+    rep = _fsck(spark, path)
+    assert rep[("codes_match_fingerprint", "codes")][0] == "FAIL"
+
+    # staging leftover + restore marker
+    with open(mk, "w") as f:
+        json.dump(rec, f)
+    _os.makedirs(_os.path.join(path, "codes", ".centroid_id=0.compact"))
+    rep = _fsck(spark, path, full=False)
+    assert rep[("staging_leftover", "codes/.centroid_id=0.compact")][0] == "WARN"
+    shutil.rmtree(_os.path.join(path, "codes", ".centroid_id=0.compact"))
+
+    # artifact dir vanished
+    shutil.rmtree(_os.path.join(path, "flat_codes"))
+    rep = _fsck(spark, path, full=False)
+    assert rep[("artifact_dir_exists", "flat_codes")][0] == "FAIL"
