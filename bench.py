@@ -522,7 +522,7 @@ def main() -> None:
     spark.stop()
 
 
-def _prev_bench_paths(sf: str) -> list[str]:
+def _prev_bench_paths(sf: str, root=None) -> list[str]:
     """The per-round bench artifacts of the SAME scale-factor series as
     this run, oldest first: an sf1 run reads the ``BENCH_SF1_r*.json``
     series, everything else the driver's sf0.1 ``BENCH_r*.json`` series
@@ -533,7 +533,15 @@ def _prev_bench_paths(sf: str) -> list[str]:
     $SPARK_GRAFT_ROUND names it (VERDICT r10 #3: a re-run within a
     round picked up the round's own earlier artifact as `prev_bench`,
     so the shipped detail adjudicated against itself-series-same-round
-    instead of round N−1)."""
+    instead of round N−1).
+
+    r13 (VERDICT r12 what's-wrong #1): the series INCLUDES same-sf
+    ``BENCH_QUIET_*`` re-baselines — a round whose driver run landed
+    on a loaded host re-benches quiet, and the NEXT round's drift
+    bands must anchor on the per-query BEST across both artifacts
+    (``_delta_vs_previous_round`` takes the min), or a real regression
+    can hide entirely inside a band inflated by the prior round's host
+    load."""
     import glob
     import re
 
@@ -541,14 +549,24 @@ def _prev_bench_paths(sf: str) -> list[str]:
         is_sf1 = float(sf) == 1.0
     except ValueError:
         is_sf1 = False
-    pattern = "BENCH_SF1_r*.json" if is_sf1 else "BENCH_r*.json"
+    patterns = (
+        ("BENCH_SF1_r*.json", "BENCH_QUIET_SF1_r*.json")
+        if is_sf1
+        else ("BENCH_r*.json", "BENCH_QUIET_r*.json")
+    )
     try:
         cur_round = int(os.environ.get("SPARK_GRAFT_ROUND", ""))
     except ValueError:
         cur_round = None
+    root = Path(root) if root is not None else Path(__file__).resolve().parent
     paths = sorted(
-        glob.glob(str(Path(__file__).resolve().parent / pattern)),
-        key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
+        (p for pat in patterns for p in glob.glob(str(root / pat))),
+        # round first; the driver artifact before its QUIET sibling
+        # (shorter name sorts first), purely for determinism
+        key=lambda p: (
+            int(re.search(r"r(\d+)", Path(p).name).group(1)),
+            Path(p).name,
+        ),
     )
     if cur_round is not None:
         paths = [
@@ -574,28 +592,58 @@ def _prev_round_sf(sf: str):
         return None
 
 
-def _delta_vs_previous_round(per_query_best: dict[str, float], sf: str):
-    """Per-query best-time delta vs the newest SAME-SF-SERIES bench
-    artifact in the repo root (BENCH_SF1_r* for sf1 runs, BENCH_r*
-    otherwise). Returns (prev_name, delta, prev_queries) — the previous
-    per-query map also feeds the automatic drift adjudication."""
-    benches = _prev_bench_paths(sf)
+def _delta_vs_previous_round(
+    per_query_best: dict[str, float], sf: str, root=None
+):
+    """Per-query best-time delta vs the NEWEST ROUND's same-sf-series
+    bench artifacts in the repo root (BENCH_SF1_r*/BENCH_QUIET_SF1_r*
+    for sf1 runs, BENCH_r*/BENCH_QUIET_r* otherwise). Returns
+    (prev_name, delta, prev_queries) — the previous per-query map also
+    feeds the automatic drift adjudication.
+
+    r13 (VERDICT r12 what's-wrong #1): when the newest round shipped
+    BOTH a driver artifact and a quiet re-baseline, ``prev_q`` is the
+    per-query MIN across them — the band anchors on the quiet number,
+    so a loaded same-round driver run can never inflate the allowance
+    a real regression must exceed. ``prev_name`` names every artifact
+    that contributed."""
+    import re
+
+    benches = _prev_bench_paths(sf, root=root)
     if not benches:
         return None, None, None
-    prev_path = benches[-1]
-    try:
-        prev = json.loads(Path(prev_path).read_text())
-        if "parsed" in prev:  # driver wrapper: {n, rc, cpus, sf, tail, parsed}
-            prev = prev["parsed"] or _recover_from_tail(prev.get("tail") or "")
-        prev_q = prev.get("queries_best") or prev.get("queries") or {}
-    except (OSError, ValueError):
-        return Path(prev_path).name, None, None
+
+    def rnd(p: str) -> int:
+        return int(re.search(r"r(\d+)", Path(p).name).group(1))
+
+    newest = rnd(benches[-1])
+    prev_q: dict[str, float] = {}
+    names: list[str] = []
+    for p in benches:
+        if rnd(p) != newest:
+            continue
+        try:
+            prev = json.loads(Path(p).read_text())
+            if "parsed" in prev:  # driver wrapper: {n, rc, ..., tail, parsed}
+                prev = prev["parsed"] or _recover_from_tail(
+                    prev.get("tail") or ""
+                )
+            q = prev.get("queries_best") or prev.get("queries") or {}
+        except (OSError, ValueError):
+            continue
+        if not q:
+            continue
+        names.append(Path(p).name)
+        for k, v in q.items():
+            prev_q[k] = min(prev_q[k], v) if k in prev_q else v
+    if not names:
+        return Path(benches[-1]).name, None, None
     delta = {
         name: round(t - prev_q[name], 3)
         for name, t in per_query_best.items()
         if name in prev_q
     }
-    return Path(prev_path).name, delta, prev_q
+    return "+".join(names), delta, prev_q
 
 
 def _recover_from_tail(tail: str) -> dict:

@@ -43,11 +43,16 @@ guard). The marker carries per-segment metadata the mutations run on:
 ``segstats`` (n, Σdl — what the tiered merge policy sizes by, no
 doclens jobs at policy time) and ``segdigests`` (per-segment id
 digests, ``operators/id_digest.py`` — r12, VERDICT r11 #1): the
-add/ingest disjointness probe ORs the live digests and runs the
-interval / residue-mask / bloom ladder over the ARRIVING side only, so
-the duplicate-id guard costs ZERO segment IO on the proven path
-instead of a per-mutation union read of every segment's doclens —
-Lucene's per-segment metadata discipline, the same ladder
+add/ingest disjointness probe runs the interval / residue-mask /
+bloom ladder PER SEGMENT over the ARRIVING side only — r13: a
+collectible batch is collected once and tested against every
+segment's digest driver-side (vectorized numpy, zero Spark jobs per
+segment), so per-epoch admission cost stays FLAT as the index grows
+(VERDICT r12 #1's constant-epoch production shape); blooms scale
+their m with segment size, so segments stay bloom-covered to 2^21
+ids — so the duplicate-id guard costs ZERO segment IO on the proven
+path instead of a per-mutation union read of every segment's doclens
+— Lucene's per-segment metadata discipline, the same ladder
 ``pq_index_merge`` runs. Digest absence is exact, so takedown
 validation and tombstone location read only may-contain segments;
 legacy markers without digests keep the exact probes verbatim.
@@ -93,15 +98,18 @@ from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import normalize_text
 from kafka_dbsync_spark.operators.id_digest import (
+    DIGEST_SUSPECT_CAP,
     attach_bloom,
+    collect_probe_ids,
     digest_agg_columns,
     digest_bitmap,
     digest_from_agg_row,
     digest_may_contain,
-    digest_or,
     digest_usable,
     disjoint_suspects,
     ids_digest,
+    probe_membership,
+    probe_positions,
 )
 from kafka_dbsync_spark.operators.lm_index import (
     _MARKER,
@@ -219,11 +227,14 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     aggregate counts them. The segment's id digest
     (``operators/id_digest.py``) rides the SAME stats aggregate as
     three plain interval/residue columns — free at write time — plus,
-    for segments under ``BLOOM_MAX_IDS`` ids, one capped distributed
-    bloom job (r12: the r11 shape posexploded bloom positions into
-    this aggregate and collect_set'd up to 2^20 values through one
-    reducer per segment write — the round-12 scale probe measured the
-    mutation family at ~3.8x for 10x data from exactly that) — so
+    for segments under ``BLOOM_MAX_IDS`` ids, one distributed bloom
+    job at a size scaled to the segment (r13: ``bloom_m_for``) run
+    inside ``write_stage`` over the STAGED doclens bytes (ADVICE r12:
+    deriving it from a third evaluation of a non-deterministic docs
+    lineage could bloom ids that differ from the written ones — a
+    false-negative the superset contract forbids; the stats aggregate
+    itself still assumes a deterministic input, the long-standing
+    stats-vs-write split every fingerprinting write shares) — so
     add/ingest disjointness probes can run metadata-only."""
     tok = _bm25_tokens(text_col)
     per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
@@ -269,6 +280,18 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         per_doc.select(id_col, "dl").write.mode("overwrite").parquet(
             f"{stage}/doclens"
         )
+        # bloom layer from the STAGED doclens — the id set actually
+        # being published — never a third evaluation of the docs
+        # lineage: a non-deterministic input (limit/sample without
+        # ordering) could otherwise bloom ids that differ from the
+        # written ones, a false-negative the superset contract forbids
+        # (ADVICE r12). Mutated IN PLACE: the marker record holds this
+        # same dict and flips only after write_stage returns.
+        if digest is not None:
+            staged = spark.read.schema(
+                _schema_of(schemas, "doclens_schema")
+            ).parquet(f"{stage}/doclens")
+            attach_bloom(staged, id_col, digest, int(st["n"]), in_place=True)
 
     st = (
         per_doc.select(
@@ -292,13 +315,7 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         )
         .collect()[0]
     )
-    # bloom layer only while the id set is small enough to
-    # discriminate (id_digest.BLOOM_MAX_IDS): one extra column-pruned
-    # batch-sized job over the raw docs — NOT per_doc, whose lineage
-    # re-runs the tokenizer
-    digest = attach_bloom(
-        docs.select(id_col), id_col, digest_from_agg_row(st), int(st["n"])
-    )
+    digest = digest_from_agg_row(st)
     if digest is None and int(st["n"]) == 0:
         # empty segment: the union treats it as identity rather than
         # abandoning the metadata rungs. A NON-empty segment whose ids
@@ -409,26 +426,23 @@ def _live_meta(path: str, what: str = "BM25 index") -> dict:
     return meta
 
 
-def _union_segment_digest(meta: dict):
-    """OR of every live segment's id digest — the index side of the
-    add/ingest disjointness ladder (VERDICT r11 #1), pure marker
-    metadata. Returns ``_EMPTY_DIGEST`` when every live segment is
-    empty (the index provably holds no ids), or None when ANY live
-    segment lacks a usable digest (legacy marker, or ids the long cast
+def _live_segment_digests(meta: dict):
+    """The non-empty live segments' digests, or None when ANY live
+    segment lacks a usable one (legacy marker, or ids the long cast
     lost) — callers then keep the exact doclens probe verbatim.
     Tombstoned ids are INCLUDED by construction (they stay physically
     present in doclens until a merge), so the no-resurrection guard
     rides the same metadata."""
     digs = meta.get("segdigests") or {}
-    out = None
+    out = []
     for s in meta["segments"]:
         d = digs.get(s)
         if isinstance(d, dict) and d.get("empty"):
             continue
         if not digest_usable(d):
             return None
-        out = d if out is None else digest_or(out, d)
-    return out if out is not None else _EMPTY_DIGEST
+        out.append(d)
+    return out
 
 
 def _segments_maybe_containing(meta: dict, ids) -> list[str]:
@@ -462,20 +476,67 @@ def _ladder_suspects(
     """Shared front half of the add/ingest disjointness probes:
     ``[]`` = probe ids PROVEN absent from the index with zero IO;
     ``[ids]`` = only these probe ids can possibly be present;
-    ``None`` = undecided (legacy marker / unusable digests) — callers
-    keep their full exact probe. ``probe_digest=None`` computes the
-    probe side lazily, only AFTER the index side proves usable — a
-    legacy marker then costs no extra batch job."""
-    index_digest = _union_segment_digest(meta)
-    if isinstance(index_digest, dict) and index_digest.get("empty"):
-        return []  # the index holds no ids at all
-    if index_digest is None:
+    ``None`` = undecided (legacy marker / unusable digests / a giant
+    suspect set) — callers keep their full exact probe.
+    ``probe_digest=None`` computes the probe side lazily, only AFTER
+    the index side proves usable — a legacy marker then costs no extra
+    batch job.
+
+    r13 (VERDICT r12 #1, the production ingest shape — constant-size
+    epochs against a GROWING index): the ladder runs PER SEGMENT, not
+    against one OR-union digest. Interval/residue rungs are driver
+    arithmetic per segment; segments they clear cost nothing. For a
+    collectible probe (distinct ids within
+    ``id_digest.PROBE_COLLECT_CAP``) the bloom rung is ONE batch-sized
+    collect and then pure driver-side numpy per segment
+    (``probe_membership``) — zero Spark jobs per segment, so per-epoch
+    admission cost stays flat as segments accumulate. Bigger probes
+    run the shared Spark ladder per overlapping segment (same-m
+    AND-set, else the cross-m word join at the segment's native m)."""
+    seg_digs = _live_segment_digests(meta)
+    if seg_digs is None:
         return None
+    if not seg_digs:
+        return []  # the index holds no ids at all
     if probe_digest is None:
         probe_digest = ids_digest(probe_df, id_col)
     if not digest_usable(probe_digest):
         return None
-    return disjoint_suspects(spark, probe_df, probe_digest, index_digest, id_col)
+    overlapping = [
+        d
+        for d in seg_digs
+        if not (
+            probe_digest["max"] < d["min"] or d["max"] < probe_digest["min"]
+        )
+        and (probe_digest["res64"] & d["res64"]) != 0
+    ]
+    if not overlapping:
+        return []  # every segment cleared by interval/residue: zero IO
+    ids = collect_probe_ids(probe_df, id_col)
+    if ids is not None:
+        if not ids:
+            return []
+        import numpy as np
+
+        arr, pos = probe_positions(ids)
+        maybe = np.zeros(len(ids), dtype=bool)
+        for d in overlapping:
+            maybe |= probe_membership(arr, pos, d)
+            if maybe.all():
+                break
+        suspects = [int(i) for i in arr[maybe]]
+        if len(suspects) <= DIGEST_SUSPECT_CAP:
+            return suspects
+        return None
+    out: set[int] = set()
+    for d in overlapping:
+        r = disjoint_suspects(spark, probe_df, probe_digest, d, id_col)
+        if r is None:
+            return None
+        out.update(r)
+        if len(out) > DIGEST_SUSPECT_CAP:
+            return None
+    return sorted(out)
 
 
 def _suspect_ids_present(
@@ -1462,16 +1523,32 @@ def bm25_index_check(
             else "no id appears in two live segments",
         )
         if removed:
-            present = lens_all.filter(
-                F.col("__cid").isin(list(removed))
-            ).count()
+            # a broadcast semi-join, not an isin literal: tombstones
+            # accumulate until a merge, and a marker with many of them
+            # would otherwise inflate the plan with a giant IN list;
+            # DISTINCT matched ids, not rows, so an id tombstoned while
+            # present in two segments (already FAILed by
+            # ids_unique_across_segments) is not double-counted here
+            # (ADVICE r12)
+            n_removed = len({str(r) for r in removed})
+            rem_df = spark.createDataFrame(
+                [(str(r),) for r in removed], "__rid string"
+            ).distinct()
+            present = (
+                lens_all.select(
+                    F.col("__cid").cast("string").alias("__rid")
+                )
+                .join(F.broadcast(rem_df), "__rid", "left_semi")
+                .distinct()
+                .count()
+            )
             add(
                 "tombstones_physically_present",
                 "",
-                present == len(removed) or "FAIL",
-                f"{present}/{len(removed)} tombstoned ids found in doclens "
-                "(they leave only via a merge; fewer means the marker "
-                "carries tombstones for ids that never existed)",
+                present == n_removed or "FAIL",
+                f"{present}/{n_removed} distinct tombstoned ids found in "
+                "doclens (they leave only via a merge; fewer means the "
+                "marker carries tombstones for ids that never existed)",
             )
     return report()
 

@@ -134,34 +134,35 @@ def dataset_fingerprint(
 # ---------------------------------------------------------------------------
 
 from kafka_dbsync_spark.operators.id_digest import (  # noqa: E402
-    DIGEST_AND_CAP as _DIGEST_AND_CAP,
     DIGEST_K as _DIGEST_K,
     DIGEST_M as _DIGEST_M,
-    DIGEST_SUSPECT_CAP as _DIGEST_SUSPECT_CAP,
     MASK64 as _MASK64,
     attach_bloom as _attach_bloom,
     digest_agg_columns as _digest_agg_columns,
-    digest_and_set as _digest_and_set,
     digest_bitmap as _digest_bitmap,
     digest_from_agg_row as _digest_from_agg_row,
     digest_may_contain as _digest_may_contain,
     digest_or as _digest_or,
-    digest_positions_expr as _digest_positions_expr,
     digest_positions_py as _digest_positions_py,
-    digest_has_bloom as _digest_has_bloom,
     digest_usable as _digest_usable,
+    disjoint_suspects as _disjoint_suspects,
 )
 
 
-def compute_id_digest(df: DataFrame, id_col: str = "vec_id") -> dict | None:
+def compute_id_digest(
+    df: DataFrame, id_col: str = "vec_id", m: int | None = None
+) -> dict | None:
     """id_digest record for the marker — see
     :func:`fingerprint_and_digest`, whose single job computes both.
-    None for an empty id set (nothing to guard)."""
-    return fingerprint_and_digest(df, id_col)[1]
+    None for an empty id set (nothing to guard). ``m`` pins the bloom
+    size — a batch digest destined to OR into an EXISTING marker
+    digest must match its m (``digest_or`` keeps blooms only at equal
+    m)."""
+    return fingerprint_and_digest(df, id_col, m=m)[1]
 
 
 def fingerprint_and_digest(
-    df: DataFrame, id_col: str = "vec_id"
+    df: DataFrame, id_col: str = "vec_id", m: int | None = None
 ) -> tuple[dict, dict | None]:
     """(dataset_fingerprint, id_digest) from ONE narrow-column job:
     the digest's interval/residue layers are three plain aggregate
@@ -170,10 +171,11 @@ def fingerprint_and_digest(
     ``dataset_fingerprint``'s plain aggregate would (r12: the r11
     shape posexploded the k bloom positions here, 4x-ing the frame —
     ADVICE r11's overflow fix conditioned on the slot index, but the
-    simpler fix is not exploding at all). The bloom layer, useful only
-    while the id set is small enough for the fixed-m bitmap to
-    discriminate, is one extra batch-sized job below
-    ``BLOOM_MAX_IDS`` and skipped entirely above it — build-sized
+    simpler fix is not exploding at all). The bloom layer — its m
+    SCALED to the id set (r13, ``id_digest.bloom_m_for``: constant
+    fill, so segments stay bloom-covered to 2^21 ids instead of the
+    old fixed-m 2^17 saturation point) — is one extra batch-sized job
+    below ``BLOOM_MAX_IDS`` and skipped entirely above it — larger
     datasets get interval+residue-only digests, which still prove the
     dominant range-/stride-sharding shapes with zero IO. The
     residues-mod-64 mask is EXACT metadata for parity/stride sharding
@@ -195,7 +197,7 @@ def fingerprint_and_digest(
         "sum_id": None if row["sm"] is None else int(row["sm"]),
     }
     digest = _attach_bloom(
-        df, id_col, _digest_from_agg_row(row), int(row["cnt"])
+        df, id_col, _digest_from_agg_row(row), int(row["cnt"]), m=m
     )
     return fp, digest
 
@@ -435,11 +437,12 @@ def pq_index_check(
     ):
         return report()
 
-    fp = rec.get("fingerprint") or {}
+    fp = rec.get("fingerprint")
     codes = spark.read.parquet(f"{path}/codes")
     st = codes.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("n_ids"),
+        F.count(F.when(F.col("vec_id").isNull(), True)).alias("n_null"),
         F.max("vec_id").alias("mx"),
         F.min("vec_id").alias("mn"),
         F.sum("vec_id").alias("sm"),
@@ -448,24 +451,59 @@ def pq_index_check(
             "try_cast(vec_id AS BIGINT), 64) AS INT)))"
         ).alias("res"),
     ).head()
-    add(
-        "codes_match_fingerprint",
-        "codes",
-        (
-            int(st["n"]) == int(fp.get("n", -1))
-            and (fp.get("max_id") is None or int(st["mx"]) == int(fp["max_id"]))
-            and (fp.get("sum_id") is None or int(st["sm"]) == int(fp["sum_id"]))
+    if not fp:
+        # a legacy/servable state is WARN by this check's own
+        # convention, mirroring the id_digest branch above — comparing
+        # against fp.get('n', -1) would FAIL every legacy marker
+        # (ADVICE r12)
+        add(
+            "codes_match_fingerprint",
+            "codes",
+            "WARN",
+            "legacy marker without fingerprint: staleness checks fall "
+            "back to exact recomputation; rebuild to restore the "
+            "metadata ladder",
         )
-        or "FAIL",
-        f"codes n={st['n']}/max={st['mx']}/sum={st['sm']} vs marker "
-        f"fingerprint {fp}",
+        fp = {}
+    else:
+        add(
+            "codes_match_fingerprint",
+            "codes",
+            (
+                int(st["n"]) == int(fp.get("n", -1))
+                and (
+                    fp.get("max_id") is None
+                    or (st["mx"] is not None and int(st["mx"]) == int(fp["max_id"]))
+                )
+                and (
+                    fp.get("sum_id") is None
+                    or (st["sm"] is not None and int(st["sm"]) == int(fp["sum_id"]))
+                )
+            )
+            or "FAIL",
+            f"codes n={st['n']}/max={st['mx']}/sum={st['sm']} vs marker "
+            f"fingerprint {fp}",
+        )
+    # countDistinct ignores NULLs, so nulls and duplicates are DISTINCT
+    # defects with distinct messages (ADVICE r12): an unaddressable
+    # null id is not a "duplicate row"
+    n_null = int(st["n_null"])
+    add(
+        "vec_ids_non_null",
+        "codes",
+        n_null == 0 or "FAIL",
+        f"{n_null} NULL vec_id rows — unaddressable by every membership "
+        "probe, takedown, and digest"
+        if n_null
+        else "",
     )
     add(
         "vec_ids_unique",
         "codes",
-        int(st["n"]) == int(st["n_ids"]) or "FAIL",
-        f"{st['n']} rows, {st['n_ids']} distinct vec_ids — a duplicate is "
-        "served twice by every probe that lists its cell",
+        int(st["n"]) - n_null == int(st["n_ids"]) or "FAIL",
+        f"{int(st['n']) - n_null} non-null rows, {st['n_ids']} distinct "
+        "vec_ids — a duplicate is served twice by every probe that lists "
+        "its cell",
     )
     if _digest_usable(digest) and st["mn"] is not None:
         mask64 = (1 << 64) - 1
@@ -728,7 +766,13 @@ def pq_index_add(
             rec = json.load(f)
     except (ValueError, OSError):
         rec = {}
-    add, add_digest = fingerprint_and_digest(new_embeddings)
+    # the batch bloom is pinned to the MARKER digest's m so the fold
+    # below OR-composes instead of dropping the bloom (r13: m scales
+    # per digest; digest_or keeps blooms only at equal m)
+    _rec_d = rec.get("id_digest") or {}
+    add, add_digest = fingerprint_and_digest(
+        new_embeddings, m=_rec_d.get("m") if _rec_d.get("bloom") else None
+    )
     # PHASE 1 (ADVICE r11): fold the batch's id_digest into the marker
     # BEFORE any code rows land. The digest's merge-guard contract is
     # "superset of live ids" — a digest covering ids whose codes never
@@ -1165,8 +1209,15 @@ def pq_index_ingest_foreach_batch(
         except (ValueError, OSError):
             rec = {}
         if "id_digest" in rec:
+            _rec_d = rec.get("id_digest") or {}
             folded = _digest_or(
-                rec["id_digest"], compute_id_digest(batch_df)
+                rec["id_digest"],
+                # bloom pinned to the marker digest's m so the OR
+                # composes (digest_or keeps blooms only at equal m)
+                compute_id_digest(
+                    batch_df,
+                    m=_rec_d.get("m") if _rec_d.get("bloom") else None,
+                ),
             )
             if folded is not None:
                 rec["id_digest"] = folded
@@ -1318,11 +1369,15 @@ def _check_id_disjoint(
     dst_path: str,
 ) -> None:
     """Refuse when the two indexes share any vec_id. Ladder per the
-    module's id_digest section: interval/residue-mask -> bloom AND-set
-    scan of the SOURCE only -> exact semi-join (also the legacy-marker
-    path). ``src_ids``/``dst_ids`` are LAZY thunks returning the codes
-    id column — the metadata-only rungs never pay the parquet
-    listing."""
+    module's id_digest section, via the SHARED
+    ``id_digest.disjoint_suspects`` (r13 — the pq and bm25 twins run
+    ONE implementation): interval / residue-mask / same-m bloom
+    AND-set / cross-m word join at the destination bloom's native m,
+    scanning the SOURCE side only; exact semi-join for undecided
+    (legacy-marker) pairs. ``src_ids``/``dst_ids`` are LAZY thunks
+    returning the codes id column — the metadata-only rungs never pay
+    the parquet listing (disjoint_suspects resolves the thunk only
+    when a scan rung runs)."""
 
     def _refuse(sample) -> None:
         raise ValueError(
@@ -1332,64 +1387,23 @@ def _check_id_disjoint(
             "re-shard, or pq_index_remove the overlap from one side."
         )
 
-    if _digest_usable(src_digest) and _digest_usable(dst_digest):
-        if (
-            src_digest["max"] < dst_digest["min"]
-            or dst_digest["max"] < src_digest["min"]
-        ):
-            return  # interval-disjoint: proven with zero IO
-        if (src_digest["res64"] & dst_digest["res64"]) == 0:
-            # disjoint residues mod 64 (parity/stride sharding — the
-            # even/odd split included): proven with zero IO
-            return
-        # bloom rung: only when BOTH sides carry a bloom (an id set
-        # above BLOOM_MAX_IDS at write time has none — the fixed-m
-        # bitmap would be saturated anyway); else exact fallback below
-        and_set = (
-            _digest_and_set(src_digest, dst_digest)
-            if _digest_has_bloom(src_digest)
-            and _digest_has_bloom(dst_digest)
-            else None
-        )
-        if and_set is not None and len(and_set) == 0:
-            return  # no position is set on both sides: proven disjoint
-        if and_set is not None and len(and_set) <= _DIGEST_AND_CAP:
-            and_df = spark.createDataFrame(
-                [(int(p),) for p in and_set], "p bigint"
-            )
-            # exactly-K matches <=> ALL the id's position slots are in
-            # the AND-set (a slot joins iff its position is); a true
-            # duplicate always satisfies this, so the filter is
-            # suspect-complete
-            hits = (
-                src_ids().select(
-                    "vec_id",
-                    F.explode(_digest_positions_expr("vec_id")).alias("p"),
-                )
-                .join(F.broadcast(and_df), "p")
-                .groupBy("vec_id")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .filter(F.col("c") == _DIGEST_K)
-            )
-            suspects = [
-                int(r["vec_id"])
-                for r in hits.limit(_DIGEST_SUSPECT_CAP + 1).collect()
-            ]
-            if not suspects:
-                return  # no source id passes the destination's bloom
-            if len(suspects) <= _DIGEST_SUSPECT_CAP:
-                sample = [
-                    r["vec_id"]
-                    for r in dst_ids().filter(
-                        F.col("vec_id").isin(suspects)
-                    )
-                    .limit(10)
-                    .collect()
-                ]
-                if sample:
-                    _refuse(sample)
-                return
-        # saturated blooms or a giant suspect set: exact fallback
+    suspects = _disjoint_suspects(
+        spark, src_ids, src_digest, dst_digest, "vec_id"
+    )
+    if suspects == []:
+        return  # proven disjoint with zero index IO
+    if suspects is not None:
+        sample = [
+            r["vec_id"]
+            for r in dst_ids()
+            .filter(F.col("vec_id").isin(suspects))
+            .limit(10)
+            .collect()
+        ]
+        if sample:
+            _refuse(sample)
+        return
+    # undecided (legacy digests / giant suspect set): exact fallback
     overlap = src_ids().join(dst_ids(), "vec_id", "left_semi")
     if not overlap.isEmpty():
         _refuse([r["vec_id"] for r in overlap.limit(10).collect()])

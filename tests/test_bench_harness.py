@@ -81,3 +81,59 @@ def test_drift_band_is_scale_invariant():
     assert 3.1 - 1.4 > band  # r11's escaped regression now flags
     # and small-prev queries keep the 0.5s absolute floor
     assert max(0.5, 0.2 * 0.4) == 0.5
+
+
+def test_quiet_rebaseline_anchors_drift_band(tmp_path):
+    """VERDICT r12 what's-wrong #1: when the newest round shipped a
+    loaded driver artifact AND a quiet re-baseline, the next round's
+    prev_q must take the per-query MIN across them — a loaded
+    same-round artifact can never inflate the band a regression must
+    exceed."""
+    loaded = {
+        "sf": 0.1,
+        "queries_best": {"bm25_index_add": 7.5, "bm25_remove_serve": 5.8},
+    }
+    quiet = {
+        "sf": 0.1,
+        "queries_best": {"bm25_index_add": 5.0, "bm25_remove_serve": 3.6},
+    }
+    (tmp_path / "BENCH_r42.json").write_text(json.dumps(loaded))
+    (tmp_path / "BENCH_QUIET_r42.json").write_text(json.dumps(quiet))
+    # an older round must NOT contribute (only the newest round anchors)
+    (tmp_path / "BENCH_r41.json").write_text(
+        json.dumps({"sf": 0.1, "queries_best": {"bm25_index_add": 1.0}})
+    )
+    cur = {"bm25_index_add": 7.2, "bm25_remove_serve": 5.0}
+    prev_name, delta, prev_q = bench._delta_vs_previous_round(
+        cur, "0.1", root=tmp_path
+    )
+    assert "BENCH_r42.json" in prev_name
+    assert "BENCH_QUIET_r42.json" in prev_name
+    assert "r41" not in prev_name
+    assert prev_q == {"bm25_index_add": 5.0, "bm25_remove_serve": 3.6}
+    assert delta["bm25_index_add"] == 2.2
+    # the band anchors on the QUIET best, so the 7.2s run is a flagged
+    # drift (7.2 - 5.0 > max(0.5, 5.0*0.4)) — against the loaded 7.5
+    # it would have read as an improvement
+    assert 7.2 - prev_q["bm25_index_add"] > max(
+        0.5, prev_q["bm25_index_add"] * 0.4
+    ) > 7.2 - 7.5
+
+
+def test_prev_bench_series_separates_sf1_and_quiet(tmp_path):
+    """sf1 runs anchor on the BENCH_SF1_*/BENCH_QUIET_SF1_* series
+    only, and vice versa — cross-sf deltas stay impossible (VERDICT
+    r9 #2) with the quiet artifacts included."""
+    for name in (
+        "BENCH_r42.json",
+        "BENCH_QUIET_r42.json",
+        "BENCH_SF1_r42.json",
+        "BENCH_QUIET_SF1_r42.json",
+    ):
+        (tmp_path / name).write_text(
+            json.dumps({"sf": 1.0, "queries_best": {"q": 1.0}})
+        )
+    small = [p.rsplit("/", 1)[-1] for p in bench._prev_bench_paths("0.1", root=tmp_path)]
+    big = [p.rsplit("/", 1)[-1] for p in bench._prev_bench_paths("1", root=tmp_path)]
+    assert small == ["BENCH_QUIET_r42.json", "BENCH_r42.json"]
+    assert big == ["BENCH_QUIET_SF1_r42.json", "BENCH_SF1_r42.json"]
