@@ -198,3 +198,100 @@ def boilerplate_strip_served(
     keys = F.broadcast(reader.parquet(f"{gen_dir}/keys"))
     d, cand = _paragraph_candidates(docs, host_col, id_col, text_col, sep)
     return _strip_by_keys(d, cand, keys, host_col, id_col, sep)
+
+
+def boilerplate_index_check(
+    spark: SparkSession, path: str, full: bool = True
+) -> DataFrame:
+    """``CheckIndex`` for the persisted boilerplate key set (VERDICT
+    r12 #4): metadata level = the shared
+    :func:`lm_index.generation_check` over the lone ``keys`` artifact
+    plus PARAM COHERENCE — the mining thresholds are model identity
+    here, so the marker's ``param_key`` must reproduce from its own
+    recorded ``params`` and the live generation name must end with it
+    (two thresholds must never share an immutable dir). Full level:
+    the keys table reads back under the marker-recorded schema with no
+    null host/key and no duplicate (host, key) rows — a duplicate
+    strips nothing extra but doubles the serve join's build side; a
+    null host matches no document ever."""
+    from kafka_dbsync_spark.operators.lm_index import (
+        _check_report,
+        generation_check,
+    )
+
+    rows, rec = generation_check(path, ("keys",), what="boilerplate index")
+    if rec is None:
+        return _check_report(spark, rows)
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    # param coherence is MARKER-ONLY (zero data IO): it runs at the
+    # metadata level too
+    params = rec.get("params") or {}
+    pk = rec.get("param_key")
+    if params and pk:
+        expected = _param_key(
+            int(params.get("min_frac_pct", -1)),
+            int(params.get("min_docs", -1)),
+            str(params.get("sep", "")),
+        )
+        ok = pk == expected and str(rec.get("gen") or "").endswith(
+            f"_p{params.get('min_frac_pct')}_{params.get('min_docs')}"
+            f"_s{zlib.crc32(str(params.get('sep', '')).encode())}"
+        )
+        add(
+            "param_key_coherent",
+            rec.get("gen") or "",
+            ok or "FAIL",
+            f"param_key {pk!r} vs recomputed {expected!r} and the "
+            "generation name suffix — mismatched params would serve a "
+            "key set mined under different thresholds",
+        )
+    else:
+        add(
+            "param_key_coherent",
+            "",
+            "WARN",
+            "legacy marker without params/param_key: staleness cannot "
+            "pre-check thresholds cheaply",
+        )
+    if not full or not rec.get("gen"):
+        return _check_report(spark, rows)
+    gen_dir = os.path.join(path, rec["gen"])
+    if not os.path.isdir(os.path.join(gen_dir, "keys")):
+        return _check_report(spark, rows)
+    reader = spark.read
+    if rec.get("keys_schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(rec["keys_schema"]))
+        )
+    keys = reader.parquet(f"{gen_dir}/keys")
+    host_col = (rec.get("params") or {}).get("host_col") or keys.columns[0]
+    key_col = [c for c in keys.columns if c != host_col][0]
+    st = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(host_col), F.col(key_col)).alias("nd"),
+        F.count(
+            F.when(
+                F.col(host_col).isNull() | F.col(key_col).isNull(), True
+            )
+        ).alias("nn"),
+    ).head()
+    add(
+        "keys_non_null",
+        "keys",
+        int(st["nn"]) == 0 or "FAIL",
+        f"{st['nn']} rows with a null host or key — unmatchable by the "
+        "serve join",
+    )
+    add(
+        "keys_distinct",
+        "keys",
+        int(st["n"]) == int(st["nd"]) or "FAIL",
+        f"{st['n']} rows, {st['nd']} distinct (host, key) pairs — "
+        "duplicates double the serve join's build side",
+    )
+    return _check_report(spark, rows)

@@ -178,3 +178,60 @@ def contamination_gate_foreach_batch(
             scored.unpersist()
 
     return fn
+
+
+def benchmark_index_check(
+    spark: SparkSession, path: str, full: bool = True
+) -> DataFrame:
+    """``CheckIndex`` for the persisted decontamination gram index
+    (VERDICT r12 #4): metadata level = the shared
+    :func:`lm_index.generation_check` over the lone ``grams`` artifact
+    plus the ``k`` parameter recorded positive (the gram order is
+    model identity — scoring k'-gram docs against a k-gram index
+    reports nonsense contamination). Full level: the gram table must
+    be DISTINCT and null-free — ``benchmark_grams`` publishes a
+    distinct set, so a duplicate inflates every per-doc match count
+    and a null gram matches nothing."""
+    from kafka_dbsync_spark.operators.lm_index import (
+        _check_report,
+        generation_check,
+    )
+
+    rows, rec = generation_check(path, ("grams",), what="benchmark index")
+    if rec is not None:
+        k = rec.get("k")
+        rows.append(
+            (
+                "gram_order_recorded",
+                "",
+                "PASS" if isinstance(k, int) and k > 0 else "FAIL",
+                f"marker k={k!r} — the gram order the gate must "
+                "shingle new docs at",
+            )
+        )
+    if rec is None or not full or not rec.get("gen"):
+        return _check_report(spark, rows)
+    gen_dir = os.path.join(path, rec["gen"])
+    if not os.path.isdir(os.path.join(gen_dir, "grams")):
+        return _check_report(spark, rows)
+    st = (
+        spark.read.parquet(f"{gen_dir}/grams")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("__g").alias("nd"),
+            F.count(F.when(F.col("__g").isNull(), True)).alias("nn"),
+        )
+        .head()
+    )
+    rows.append(
+        (
+            "grams_distinct_non_null",
+            "grams",
+            "PASS"
+            if int(st["n"]) == int(st["nd"]) and int(st["nn"]) == 0
+            else "FAIL",
+            f"{st['n']} rows, {st['nd']} distinct, {st['nn']} null — "
+            "duplicates inflate every contamination score",
+        )
+    )
+    return _check_report(spark, rows)

@@ -499,3 +499,167 @@ def dedup_index_add(
     rec["fingerprint"] = add
     with open(marker, "w") as f:
         json.dump(rec, f)
+
+
+def dedup_index_check(
+    spark: SparkSession, path: str, full: bool = True
+) -> DataFrame:
+    """``CheckIndex`` for the persisted MinHash-LSH dedup index
+    (VERDICT r12 #4). This family does NOT use the generation
+    protocol — its artifacts are flat append-only tables (signatures/
+    buckets) under one marker, the pq_index shape — so the checker is
+    self-contained but reports the same ``(check, artifact, status,
+    detail)`` rows with the same PASS / WARN (legacy, servable) / FAIL
+    (marker and artifacts disagree — rebuild) convention.
+
+    Metadata level (zero data IO): marker parse, the hash-family
+    params recorded (a legacy marker without ``max_bucket_size`` is
+    WARN — remove/compact refuse on it already), both artifact dirs
+    present, staging/leftover sweep.
+
+    Full level, column-pruned aggregates: signature count/max/sum of
+    ids vs the marker fingerprint (the fold ``dedup_index_add``
+    maintains), signature ids unique + non-null (a duplicate id is
+    verified twice and reported twice), every bucket doc_id present in
+    signatures (the candidate join promotes bucket hits to signature
+    verification — an orphan bucket row can never verify), and every
+    ``band_idx`` within the hash family's band count."""
+    rows: list[tuple] = []
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    def report() -> DataFrame:
+        return spark.createDataFrame(
+            rows,
+            "check string, artifact string, status string, detail string",
+        )
+
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (OSError, ValueError) as e:
+        add("marker_parses", "", "FAIL", f"{e}")
+        return report()
+    add("marker_parses", "", True)
+    nh, rpb = rec.get("num_hashes"), rec.get("rows_per_band")
+    add(
+        "hash_family_recorded",
+        "",
+        (isinstance(nh, int) and nh > 0 and isinstance(rpb, int) and rpb > 0)
+        or "FAIL",
+        f"num_hashes={nh!r}, rows_per_band={rpb!r} — new arrivals must "
+        "signature with the SAME frozen family",
+    )
+    add(
+        "bucket_cap_recorded",
+        "",
+        ("max_bucket_size" in rec) or "WARN",
+        ""
+        if "max_bucket_size" in rec
+        else "legacy marker without max_bucket_size: remove/compact "
+        "refuse until a rebuild upgrades it",
+    )
+    for sub in ("signatures", "buckets"):
+        there = os.path.isdir(os.path.join(path, sub))
+        add(
+            "artifact_dir_exists",
+            sub,
+            there or "FAIL",
+            "" if there else "marker present but artifact missing",
+        )
+    for entry in sorted(os.listdir(path)):
+        p = os.path.join(path, entry)
+        if os.path.isdir(p) and entry.startswith("."):
+            add(
+                "staging_leftover",
+                entry,
+                "WARN",
+                "crashed staging/swap dir; safe to reclaim when no "
+                "writer is running",
+            )
+    if not full or not all(
+        os.path.isdir(os.path.join(path, s))
+        for s in ("signatures", "buckets")
+    ):
+        return report()
+    sig = spark.read.parquet(f"{path}/signatures")
+    id_col = sig.columns[0]
+    st = sig.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+        F.count(F.when(F.col(id_col).isNull(), True)).alias("nn"),
+        F.max(id_col).alias("mx"),
+        F.sum(id_col).alias("sm"),
+    ).head()
+    fp = rec.get("fingerprint")
+    if fp:
+        ok = (
+            int(st["n"]) == int(fp.get("n", -1))
+            and (
+                fp.get("max_id") is None
+                or (st["mx"] is not None and int(st["mx"]) == int(fp["max_id"]))
+            )
+            and (
+                fp.get("sum_id") is None
+                or (st["sm"] is not None and int(st["sm"]) == int(fp["sum_id"]))
+            )
+        )
+        add(
+            "signatures_match_fingerprint",
+            "signatures",
+            ok or "FAIL",
+            f"signatures n={st['n']}/max={st['mx']}/sum={st['sm']} vs "
+            f"marker fingerprint {fp}",
+        )
+    else:
+        add(
+            "signatures_match_fingerprint",
+            "signatures",
+            "WARN",
+            "legacy marker without fingerprint: staleness cannot detect "
+            "a swapped corpus — rebuild to restore it",
+        )
+    n_null = int(st["nn"])
+    add(
+        "sig_ids_non_null",
+        "signatures",
+        n_null == 0 or "FAIL",
+        f"{n_null} NULL id rows — unmatchable by the verify join"
+        if n_null
+        else "",
+    )
+    add(
+        "sig_ids_unique",
+        "signatures",
+        int(st["n"]) - n_null == int(st["nd"]) or "FAIL",
+        f"{int(st['n']) - n_null} non-null rows, {st['nd']} distinct ids "
+        "— a duplicate is verified and reported twice per candidate",
+    )
+    buckets = spark.read.parquet(f"{path}/buckets")
+    orphan = (
+        buckets.select(F.col(id_col))
+        .join(sig.select(id_col), id_col, "left_anti")
+        .count()
+    )
+    add(
+        "bucket_ids_in_signatures",
+        "buckets",
+        orphan == 0 or "FAIL",
+        f"{orphan} bucket rows whose doc_id has no signature — their "
+        "candidates can never verify, silently dropping near-dups",
+    )
+    if isinstance(nh, int) and isinstance(rpb, int) and nh > 0 and rpb > 0:
+        n_bands = nh // rpb
+        out_of_range = buckets.filter(
+            (F.col("band_idx") < 0) | (F.col("band_idx") >= n_bands)
+        ).count()
+        add(
+            "band_idx_in_range",
+            "buckets",
+            out_of_range == 0 or "FAIL",
+            f"{out_of_range} rows with band_idx outside [0, {n_bands}) "
+            "— written by a different hash family than the marker's",
+        )
+    return report()

@@ -618,3 +618,248 @@ def moore_lewis_score_served(
             4,
         ).alias("ced"),
     )
+
+
+def generation_check(path: str, subdirs, what: str = "model cache"):
+    """The shared METADATA half of the Lucene-``CheckIndex``-style fsck
+    every ``publish_generation`` family runs (VERDICT r12 #4 — the
+    bigram/trigram LMs here, the NB classifier, the boilerplate key
+    set, and the decontamination gram index all publish through this
+    module's protocol, so they share one corruption surface): marker
+    parse, live-generation recorded + dir present, per-generation
+    artifact ``subdirs`` present, fingerprint/staleness-metadata
+    coherence, and a directory sweep classifying ``.stage-*`` crash
+    leftovers, marker tmp files, and ORPHAN generations the marker no
+    longer references (publish-race losers — harmless, reclaimable).
+
+    Returns ``(rows, rec)``: rows are ``(check, artifact, status,
+    detail)`` tuples for the family's report DataFrame (status PASS /
+    WARN = still servable / FAIL = marker and artifacts disagree); rec
+    is the parsed marker, or None when unparseable (rows then carry
+    the lone FAIL). ZERO data IO by construction — every probe is a
+    filesystem stat or the marker JSON, safe on any serve path; the
+    family's ``full`` level adds the data probes."""
+    rows: list[tuple] = []
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    marker = os.path.join(path, _MARKER)
+    try:
+        with open(marker) as f:
+            rec = json.load(f)
+    except (OSError, ValueError) as e:
+        add("marker_parses", "", "FAIL", f"{e}")
+        return rows, None
+    add("marker_parses", "", True)
+    gen = rec.get("gen")
+    if not gen:
+        add(
+            "generation_recorded",
+            "",
+            "FAIL",
+            f"marker names no live generation — no servable {what}",
+        )
+        return rows, rec
+    add("generation_recorded", gen, True)
+    gen_dir = os.path.join(path, gen)
+    there = os.path.isdir(gen_dir)
+    add(
+        "generation_dir_exists",
+        gen,
+        there or "FAIL",
+        ""
+        if there
+        else "marker references a missing generation dir — a reader "
+        "would throw",
+    )
+    if there:
+        for sub in subdirs:
+            ok = os.path.isdir(os.path.join(gen_dir, sub))
+            add(
+                "artifact_dir_exists",
+                f"{gen}/{sub}",
+                ok or "FAIL",
+                "" if ok else "generation published without this artifact",
+            )
+    if rec.get("fingerprint"):
+        add("fingerprint_recorded", "", True)
+    else:
+        add(
+            "fingerprint_recorded",
+            "",
+            "WARN",
+            "legacy marker without fingerprint: staleness checks cannot "
+            "prove currency — rebuild to restore the ladder",
+        )
+    add(
+        "staleness_metadata",
+        "",
+        True,
+        "src_sig recorded (metadata-only staleness on the happy path)"
+        if rec.get("src_sig")
+        else "no src_sig: staleness pays the exact corpus fingerprint",
+    )
+    for entry in sorted(os.listdir(path)):
+        p = os.path.join(path, entry)
+        if not os.path.isdir(p):
+            if entry.startswith(_MARKER + ".tmp."):
+                add(
+                    "staging_leftover",
+                    entry,
+                    "WARN",
+                    "crashed marker tmp file; safe to reclaim",
+                )
+            continue
+        if entry == gen:
+            continue
+        if entry.startswith(".stage-"):
+            add(
+                "staging_leftover",
+                entry,
+                "WARN",
+                "in-flight or crashed staging dir; safe to reclaim when "
+                "no builder is running",
+            )
+        elif entry.startswith("."):
+            add(
+                "staging_leftover",
+                entry,
+                "WARN",
+                "hidden leftover dir; reclaimable",
+            )
+        else:
+            add(
+                "orphan_generation",
+                entry,
+                "WARN",
+                "immutable generation the marker does not reference "
+                "(publish-race loser or superseded): never served, "
+                "reclaimable disk",
+            )
+    return rows, rec
+
+
+def _check_report(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        rows, "check string, artifact string, status string, detail string"
+    )
+
+
+def lm_index_check(
+    spark: SparkSession, path: str, full: bool = True
+) -> DataFrame:
+    """``CheckIndex`` for the LM model family — ONE checker for both
+    orders, because the marker is self-describing (a trigram marker
+    carries ``alpha``/``N``; a bigram marker only ``V``): a ``(check,
+    artifact, status, detail)`` report, PASS / WARN (legacy, still
+    servable) / FAIL (marker and artifacts disagree — rebuild before
+    trusting scores).
+
+    Metadata level (``full=False``): :func:`generation_check` with the
+    order's artifact set (bigram ``c12``/``c1``; trigram ``c123``/
+    ``cb``/``cu``) — zero data IO.
+
+    Full level, exact recounts (every scalar the scorer trusts):
+
+    - bigram: ``c1(w1) == Σ_w2 c12(w1, w2)`` — both tables fold from
+      the SAME doc_bigrams rows, so any inequality is corruption; and
+      marker ``V >= distinct(w1 ∪ w2)`` (V counts all corpus tokens,
+      bigram members are a subset).
+    - trigram: marker ``N == Σ cu.n`` and ``V == count(cu)`` (the
+      published scalars fold from cu — the exact derivation
+      ``build_trigram_model`` ran at publish); ``cb(w1,w2) >=
+      Σ_w3 c123`` with every c123 context PRESENT in cb (the last
+      bigram of each doc has no trigram continuation, so >= — a
+      missing context or a deficit is corruption)."""
+    trigram = None
+    try:
+        with open(os.path.join(path, _MARKER)) as f:
+            rec0 = json.load(f)
+        trigram = "alpha" in rec0 or "N" in rec0
+    except (OSError, ValueError):
+        pass
+    subdirs = ("c123", "cb", "cu") if trigram else ("c12", "c1")
+    rows, rec = generation_check(path, subdirs, what="LM model")
+    if rec is None or not full or not rec.get("gen"):
+        return _check_report(spark, rows)
+    gen_dir = os.path.join(path, rec["gen"])
+    if not all(os.path.isdir(os.path.join(gen_dir, s)) for s in subdirs):
+        return _check_report(spark, rows)  # already FAILed above
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    if trigram:
+        cu = spark.read.parquet(f"{gen_dir}/cu")
+        st = cu.agg(
+            F.sum("n").alias("N"), F.count(F.lit(1)).alias("V")
+        ).head()
+        ok = int(st["N"] or 0) == int(rec.get("N", -1)) and int(
+            st["V"]
+        ) == int(rec.get("V", -1))
+        add(
+            "marker_scalars_match_cu",
+            "cu",
+            ok or "FAIL",
+            f"cu N={st['N']}/V={st['V']} vs marker "
+            f"N={rec.get('N')}/V={rec.get('V')} — the scorer's "
+            "denominators",
+        )
+        re12 = (
+            spark.read.parquet(f"{gen_dir}/c123")
+            .groupBy("w1", "w2")
+            .agg(F.sum("n123").alias("__n"))
+        )
+        bad = (
+            spark.read.parquet(f"{gen_dir}/cb")
+            .join(re12, ["w1", "w2"], "full")
+            .filter(
+                F.col("__n").isNotNull()
+                & (F.col("n").isNull() | (F.col("n") < F.col("__n")))
+            )
+            .count()
+        )
+        add(
+            "cb_covers_c123",
+            "",
+            bad == 0 or "FAIL",
+            f"{bad} (w1,w2) contexts whose trigram mass exceeds (or "
+            "misses) the stored bigram count — the backoff ratio "
+            "would exceed 1",
+        )
+    else:
+        c12 = spark.read.parquet(f"{gen_dir}/c12")
+        re1 = c12.groupBy("w1").agg(F.sum("n12").alias("__n"))
+        bad = (
+            spark.read.parquet(f"{gen_dir}/c1")
+            .join(re1, "w1", "full")
+            .filter(
+                F.col("n1").isNull()
+                | F.col("__n").isNull()
+                | (F.col("n1") != F.col("__n"))
+            )
+            .count()
+        )
+        add(
+            "c1_matches_c12_recount",
+            "",
+            bad == 0 or "FAIL",
+            f"{bad} contexts whose stored n1 disagrees with the c12 "
+            "recount — both fold from the same bigram rows",
+        )
+        vocab_obs = (
+            c12.select(F.col("w1").alias("w"))
+            .unionByName(c12.select(F.col("w2").alias("w")))
+            .agg(F.countDistinct("w").alias("v"))
+            .head()["v"]
+        )
+        add(
+            "marker_V_covers_bigram_vocab",
+            "",
+            int(rec.get("V", -1)) >= int(vocab_obs) or "FAIL",
+            f"marker V={rec.get('V')} vs {vocab_obs} distinct bigram "
+            "members — V below the observed vocabulary understates "
+            "every unseen-mass denominator",
+        )
+    return _check_report(spark, rows)

@@ -247,3 +247,101 @@ def nb_classify_served(
     return nb_score_tables(
         new_docs, counts, totals, vocab, priors, id_col, text_col
     )
+
+
+def nb_index_check(
+    spark: SparkSession, path: str, full: bool = True
+) -> DataFrame:
+    """``CheckIndex`` for the persisted NB classifier (VERDICT r12 #4):
+    metadata level = the shared :func:`lm_index.generation_check` over
+    the ``counts``/``totals``/``priors`` artifact set (zero data IO);
+    full level recounts every scalar the serve path trusts:
+
+    - ``totals.tc == Σ counts.ct`` per class (both fold from the same
+      (cls, tok) rows at train time — any inequality is corruption);
+    - class sets AGREE across counts/totals/priors (a class with
+      counts but no prior scores -inf; a prior with no counts serves
+      pure smoothing);
+    - ``Σ exp(lprior) ≈ 1`` (the priors are 6-dp decimal log
+      frequencies of a partition of the train set);
+    - marker ``V == countDistinct(counts.tok)`` — the exact derivation
+      ``build_nb_model`` ran at publish."""
+    from kafka_dbsync_spark.operators.lm_index import (
+        _check_report,
+        generation_check,
+    )
+
+    subdirs = ("counts", "totals", "priors")
+    rows, rec = generation_check(path, subdirs, what="NB model")
+    if rec is None or not full or not rec.get("gen"):
+        return _check_report(spark, rows)
+    gen_dir = os.path.join(path, rec["gen"])
+    if not all(os.path.isdir(os.path.join(gen_dir, s)) for s in subdirs):
+        return _check_report(spark, rows)
+
+    def add(check: str, artifact: str, ok, detail: str = "") -> None:
+        rows.append((check, artifact, "PASS" if ok is True else ok, detail))
+
+    counts = spark.read.parquet(f"{gen_dir}/counts")
+    totals = spark.read.parquet(f"{gen_dir}/totals")
+    priors = spark.read.parquet(f"{gen_dir}/priors")
+    recount = counts.groupBy("cls").agg(F.sum("ct").alias("__tc"))
+    bad = (
+        totals.join(recount, "cls", "full")
+        .filter(
+            F.col("tc").isNull()
+            | F.col("__tc").isNull()
+            | (F.col("tc") != F.col("__tc"))
+        )
+        .count()
+    )
+    add(
+        "totals_match_counts_recount",
+        "",
+        bad == 0 or "FAIL",
+        f"{bad} classes whose stored tc disagrees with the counts "
+        "recount — every likelihood denominator depends on tc",
+    )
+    cls_mismatch = (
+        totals.select("cls")
+        .join(priors.select("cls"), "cls", "full")
+        .filter(F.col("cls").isNull())
+        .count()
+    )
+    orphan = (
+        priors.select("cls")
+        .join(totals.select("cls"), "cls", "left_anti")
+        .unionByName(
+            totals.select("cls").join(
+                priors.select("cls"), "cls", "left_anti"
+            )
+        )
+        .count()
+    )
+    add(
+        "class_sets_agree",
+        "",
+        (cls_mismatch == 0 and orphan == 0) or "FAIL",
+        f"{orphan} classes present in only one of totals/priors — a "
+        "class without a prior scores -inf; a prior without counts "
+        "serves pure smoothing",
+    )
+    psum = priors.agg(
+        F.sum(F.exp(F.col("lprior").cast("double"))).alias("s")
+    ).head()["s"]
+    add(
+        "priors_normalized",
+        "priors",
+        (psum is not None and abs(float(psum) - 1.0) < 1e-3) or "FAIL",
+        f"sum(exp(lprior)) = {psum} — the priors must be a "
+        "distribution over the train classes",
+    )
+    v_obs = counts.agg(F.countDistinct("tok").alias("v")).head()["v"]
+    add(
+        "marker_V_matches_vocab",
+        "",
+        int(rec.get("V", -1)) == int(v_obs) or "FAIL",
+        f"marker V={rec.get('V')} vs {v_obs} distinct tokens in counts "
+        "— V is every smoothing denominator's vocab term",
+    )
+    return _check_report(spark, rows)

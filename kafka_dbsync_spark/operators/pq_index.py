@@ -415,7 +415,12 @@ def pq_index_check(
     codes_root = os.path.join(path, "codes")
     if os.path.isdir(codes_root):
         for entry in sorted(os.listdir(codes_root)):
-            if entry.startswith("."):
+            # DIRECTORIES only: Hadoop committers drop dot-FILES
+            # (._SUCCESS.crc checksums) beside every parquet write —
+            # normal artifacts, not crashed staging state
+            if entry.startswith(".") and os.path.isdir(
+                os.path.join(codes_root, entry)
+            ):
                 add(
                     "staging_leftover",
                     f"codes/{entry}",

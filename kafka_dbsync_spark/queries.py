@@ -12315,3 +12315,268 @@ def q_curation_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ===========================================================================
+# CheckIndex under the correctness gate (VERDICT r12 #5): the fsck
+# operators themselves are driver-gated — a healthy, deterministically
+# built lifecycle must report EXACTLY the expected (check, status)
+# census, so a report-schema regression, a check that silently stops
+# running, or a false FAIL on healthy artifacts is caught by the same
+# oracle machinery as every data operator. The oracles are VALUES
+# literals: the census is STRUCTURAL (row counts per check follow from
+# the lifecycle's segment/artifact count, never from corpus content),
+# so one literal holds at every sf. Detail text is deliberately
+# excluded — it carries corpus-sized numbers; the pytest twins pin it.
+# ===========================================================================
+
+
+def _fsck_census(rep: DataFrame, family: str) -> DataFrame:
+    return rep.groupBy(
+        F.lit(family).alias("family"),
+        F.col("check").alias("chk"),
+        "status",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "bm25_index_fsck",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('dfs_match_postings', 'PASS', 2),
+      ('digest_superset_sound', 'PASS', 2),
+      ('doclens_match_segstats', 'PASS', 2),
+      ('ids_unique_across_segments', 'PASS', 1),
+      ('layout_format', 'PASS', 1),
+      ('marker_parses', 'PASS', 1),
+      ('marker_totals_match_segstats', 'PASS', 1),
+      ('postings_docs_in_doclens', 'PASS', 2),
+      ('segment_digest', 'PASS', 2),
+      ('segment_dir_exists', 'PASS', 2),
+      ('segstats_cover_segments', 'PASS', 1),
+      ('tombstone_bookkeeping', 'PASS', 1),
+      ('tombstones_physically_present', 'PASS', 1)
+    ) AS t(chk, status, n) ORDER BY chk, status
+    """,
+)
+def q_bm25_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``CheckIndex`` under the correctness gate
+    (operators/bm25_index.py::bm25_index_check): a full segment
+    lifecycle — build the even half, add the odd half as its own
+    segment, tombstone one doc — then fsck at the FULL level. The
+    (check, status) census is structural: two live segments yield
+    exactly two rows of every per-segment probe, one of every
+    marker-level probe, zero WARN/FAIL — pinned as a VALUES oracle, so
+    a silently-skipped probe (a row short) or a false FAIL on healthy
+    artifacts hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.bm25_index import (
+        bm25_index_add,
+        bm25_index_check,
+        bm25_index_remove,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="kds_bm25_fsck_")
+    try:
+        build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), work)
+        bm25_index_add(spark, docs.filter(F.col("doc_id") % 2 == 1), work)
+        bm25_index_remove(spark, work, [1])
+        out = (
+            _fsck_census(bm25_index_check(spark, work, full=True), "bm25")
+            .drop("family")
+            .orderBy("chk", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
+    "pq_index_fsck",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('artifact_dir_exists', 'PASS', 5),
+      ('codes_flat_codes_same_vectors', 'PASS', 1),
+      ('codes_match_fingerprint', 'PASS', 1),
+      ('digest_superset_sound', 'PASS', 1),
+      ('id_digest', 'PASS', 1),
+      ('ingest_epochs_committed', 'PASS', 1),
+      ('marker_parses', 'PASS', 1),
+      ('takedowns_stay_removed', 'PASS', 1),
+      ('vec_ids_non_null', 'PASS', 1),
+      ('vec_ids_unique', 'PASS', 1)
+    ) AS t(chk, status, n) ORDER BY chk, status
+    """,
+)
+def q_pq_index_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-family fsck under the correctness gate
+    (operators/pq_index.py::pq_index_check): build on the even
+    vectors, add a deterministic odd shard, physically remove one id,
+    then run the FULL check — removal polarity included
+    (``takedowns_stay_removed``: ANN removal is a physical cell
+    rewrite, the opposite of BM25's tombstones). Census pinned as a
+    VALUES oracle; all-PASS, zero WARN/FAIL."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.pq_index import (
+        build_pq_index,
+        pq_index_add,
+        pq_index_check,
+        pq_index_remove,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="kds_pq_fsck_")
+    try:
+        build_pq_index(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            q_ivf_centroids(spark, sf_dir),
+            work,
+        )
+        pq_index_add(
+            spark,
+            work,
+            emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 40)),
+        )
+        pq_index_remove(spark, work, [3])
+        out = (
+            _fsck_census(pq_index_check(spark, work, full=True), "pq")
+            .drop("family")
+            .orderBy("chk", "status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
+    "family_fsck_report",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('boilerplate', 'artifact_dir_exists', 'PASS', 1),
+      ('boilerplate', 'fingerprint_recorded', 'PASS', 1),
+      ('boilerplate', 'generation_dir_exists', 'PASS', 1),
+      ('boilerplate', 'generation_recorded', 'PASS', 1),
+      ('boilerplate', 'keys_distinct', 'PASS', 1),
+      ('boilerplate', 'keys_non_null', 'PASS', 1),
+      ('boilerplate', 'marker_parses', 'PASS', 1),
+      ('boilerplate', 'param_key_coherent', 'PASS', 1),
+      ('boilerplate', 'staleness_metadata', 'PASS', 1),
+      ('decontam', 'artifact_dir_exists', 'PASS', 1),
+      ('decontam', 'fingerprint_recorded', 'PASS', 1),
+      ('decontam', 'generation_dir_exists', 'PASS', 1),
+      ('decontam', 'generation_recorded', 'PASS', 1),
+      ('decontam', 'gram_order_recorded', 'PASS', 1),
+      ('decontam', 'grams_distinct_non_null', 'PASS', 1),
+      ('decontam', 'marker_parses', 'PASS', 1),
+      ('decontam', 'staleness_metadata', 'PASS', 1),
+      ('dedup', 'artifact_dir_exists', 'PASS', 2),
+      ('dedup', 'band_idx_in_range', 'PASS', 1),
+      ('dedup', 'bucket_cap_recorded', 'PASS', 1),
+      ('dedup', 'bucket_ids_in_signatures', 'PASS', 1),
+      ('dedup', 'hash_family_recorded', 'PASS', 1),
+      ('dedup', 'marker_parses', 'PASS', 1),
+      ('dedup', 'sig_ids_non_null', 'PASS', 1),
+      ('dedup', 'sig_ids_unique', 'PASS', 1),
+      ('dedup', 'signatures_match_fingerprint', 'PASS', 1),
+      ('lm', 'artifact_dir_exists', 'PASS', 2),
+      ('lm', 'c1_matches_c12_recount', 'PASS', 1),
+      ('lm', 'fingerprint_recorded', 'PASS', 1),
+      ('lm', 'generation_dir_exists', 'PASS', 1),
+      ('lm', 'generation_recorded', 'PASS', 1),
+      ('lm', 'marker_V_covers_bigram_vocab', 'PASS', 1),
+      ('lm', 'marker_parses', 'PASS', 1),
+      ('lm', 'staleness_metadata', 'PASS', 1),
+      ('nb', 'artifact_dir_exists', 'PASS', 3),
+      ('nb', 'class_sets_agree', 'PASS', 1),
+      ('nb', 'fingerprint_recorded', 'PASS', 1),
+      ('nb', 'generation_dir_exists', 'PASS', 1),
+      ('nb', 'generation_recorded', 'PASS', 1),
+      ('nb', 'marker_V_matches_vocab', 'PASS', 1),
+      ('nb', 'marker_parses', 'PASS', 1),
+      ('nb', 'priors_normalized', 'PASS', 1),
+      ('nb', 'staleness_metadata', 'PASS', 1),
+      ('nb', 'totals_match_counts_recount', 'PASS', 1)
+    ) AS t(family, chk, status, n) ORDER BY family, chk, status
+    """,
+)
+def q_family_fsck_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One census over the five remaining index families' fsck
+    operators (VERDICT r12 #4/#5 — lm_index_check, nb_index_check,
+    boilerplate_index_check, benchmark_index_check, dedup_index_check,
+    all sharing ``lm_index.generation_check``'s metadata half): build
+    each family's artifact from a deterministic 1-in-7 document
+    subsample, fsck at the FULL level, and union the (family, check,
+    status) counts. Structural and all-PASS by construction; any
+    family whose checker stops running drops its whole row block."""
+    import shutil
+    import tempfile
+
+    from kafka_dbsync_spark.operators.boilerplate_index import (
+        boilerplate_index_check,
+        build_boilerplate_index,
+    )
+    from kafka_dbsync_spark.operators.decontam_index import (
+        benchmark_index_check,
+        build_benchmark_index,
+    )
+    from kafka_dbsync_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_index_add,
+        dedup_index_check,
+    )
+    from kafka_dbsync_spark.operators.lm_index import (
+        build_lm_model,
+        lm_index_check,
+    )
+    from kafka_dbsync_spark.operators.nb_index import (
+        build_nb_model,
+        nb_index_check,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    work = tempfile.mkdtemp(prefix="kds_family_fsck_")
+    try:
+        reports = []
+        build_lm_model(spark, docs, f"{work}/lm")
+        reports.append(_fsck_census(lm_index_check(spark, f"{work}/lm"), "lm"))
+        build_nb_model(spark, docs, f"{work}/nb")
+        reports.append(_fsck_census(nb_index_check(spark, f"{work}/nb"), "nb"))
+        build_boilerplate_index(spark, docs, f"{work}/bp")
+        reports.append(
+            _fsck_census(
+                boilerplate_index_check(spark, f"{work}/bp"), "boilerplate"
+            )
+        )
+        build_benchmark_index(spark, docs, f"{work}/dc", k=3)
+        reports.append(
+            _fsck_census(
+                benchmark_index_check(spark, f"{work}/dc"), "decontam"
+            )
+        )
+        build_dedup_index(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{work}/dd")
+        dedup_index_add(
+            spark, f"{work}/dd", docs.filter(F.col("doc_id") % 2 == 1)
+        )
+        reports.append(
+            _fsck_census(dedup_index_check(spark, f"{work}/dd"), "dedup")
+        )
+        out = reports[0]
+        for r in reports[1:]:
+            out = out.unionByName(r)
+        out = out.orderBy("family", "chk", "status").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
