@@ -19,94 +19,110 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-12 rotation (VERDICT r11 "Next round" #3: rotate over the r7
-# tier — after this window no green row predates round 8):
-#   (a) the 1 query NEW in round 12, registered the same round it
-#       landed (gate-contract rule): lm_erasure_rebuild — model-family
-#       right-to-erasure via staleness re-mine (VERDICT r11 #7).
-#   (b) the 15 carried queries whose ON-PATH behavior changed this
-#       round: the whole BM25 mutation family (bm25_index_add /
-#       bm25_ingest_gate / bm25_tiered_merge / bm25_segment_merge /
-#       bm25_remove_serve — per-segment id digests + the zero-IO
-#       disjointness ladder + in-batch dedup + gen repoint + segstats
-#       backfill, VERDICT r11 #1/#5 + ADVICE r11; then the digest
-#       construction itself reworked mid-round after the r12 scale
-#       probe caught it at 2.5-4x: plain-row interval/residue stats +
-#       capped word-grouped distributed bloom, id_digest.py); the pq
-#       digest build path (pq_index_build / pq_index_add /
-#       pq_index_merge / ann_ingest_stream / ivfpq_remove_serve /
-#       ivfpq_search_served / pq_adc_search_served / ivfpq_search_multi
-#       — the same digest rework, riding fingerprint_and_digest, which
-#       also obsoletes ADVICE r11's posexplode-overflow conditioning by
-#       not exploding at all + the two-phase marker write folding the
-#       digest BEFORE codes land, ADVICE r11); and the PSL
-#       pair (domain_stats_psl / domain_blocklist_psl — psl_load parse
-#       memoization, ADVICE r11).
-#   (c) ALL 31 remaining r7-tier rows (the pool VERDICT r11 #3 names;
-#       recomputed from CORRECTNESS_r1..r11 — newest green row = r7).
-#   (d) 3 BM25 serve rows (bm25_search_served / bm25_search_multi /
-#       bm25_phrase_served) — their fixtures now build markers with
-#       the new segdigests shape and serve over merge-touched
-#       segments, so they re-gate the reader side of (b).
-# That fills 50 exactly (1+15+31+3). CEDED this round: nothing — every
-# r8+ row outside the window passes the round-12 full local sweep
-# (CORRECTNESS_LOCAL_r12) and had no on-path change; the r8 tier (46
-# rows) is the (c)-candidate pool for round 13.
+# Round-13 rotation. The ON-PATH rule is now MECHANICAL (VERDICT r12
+# what's-wrong #2): a query is on-path iff any file imported by its
+# operator chain changed this round with at least one changed line on a
+# code path the query executes — computed from `git diff r12..HEAD`
+# over kafka_dbsync_spark/. Files changed in r13: id_digest.py +
+# bm25_index.py + pq_index.py (the digest-v2 rework: scaled-m blooms,
+# per-segment ladder, bloom-from-staged-bytes, shared merge-guard
+# ladder, check fixes), and lm_index.py / nb_index.py /
+# boilerplate_index.py / decontam_index.py / dedup_index.py (fsck
+# checkers APPENDED — generation_check + *_check are new functions; no
+# existing query path executes a changed line, so those families'
+# existing queries are disclosed below rather than windowed, and the
+# new family_fsck_report row gates the appended code itself).
+#   (a) the 3 queries NEW in round 13 (gate-contract rule — registered
+#       the round they land): bm25_index_fsck / pq_index_fsck /
+#       family_fsck_report — the CheckIndex census rows (VERDICT r12
+#       #4/#5).
+#   (b) the 14 carried queries on-path of the digest-v2 rework: the
+#       BM25 mutation family (bm25_index_add / bm25_ingest_gate /
+#       bm25_tiered_merge / bm25_segment_merge / bm25_remove_serve)
+#       and its reader rows over the new marker shape
+#       (bm25_search_served / bm25_phrase_served / bm25_search_multi —
+#       their fixtures BUILD with the scaled-m staged-bytes bloom), and
+#       the pq family (pq_index_build / pq_index_add / pq_index_merge /
+#       ann_ingest_stream / ivfpq_remove_serve / ivfpq_search_served —
+#       fingerprint_and_digest + the shared disjointness ladder).
+#   (c) timeseries_gap_fill — the r12 disclosure slip (VERDICT r12
+#       what's-wrong #2): changed on-path in r12 without a window slot;
+#       re-gated now.
+#   (d) 32 of the 46 r8-tier rows (newest green = r8, recomputed from
+#       CORRECTNESS_r1..r12), CDC/reference-core and compound operators
+#       first.
+# That fills 50 exactly (3+14+1+32). CEDED this round, each passing the
+# round-13 full local sweep (CORRECTNESS_LOCAL_r13):
+#   - 14 r8-tier rows that didn't fit — all simple single-shuffle
+#     analytics shapes whose operator chains haven't changed since they
+#     were built (countmin_counts, dup_rate_by_source, events_hourly,
+#     important_parts, local_supplier_revenue, min_price_suppliers,
+#     part_cooccurrence, quality_rank_by_source,
+#     range_join_active_orders, rarity_scores,
+#     returned_revenue_customers, snapshot_diff, top_customers,
+#     user_value_outliers) — the (d)-candidate pool for round 14;
+#   - the lm/nb/boilerplate/decontam/dedup families' existing queries
+#     (lm_erasure_rebuild, lm_perplexity_served, nb_source_predict_served,
+#     boilerplate_strip_served, dedup_incremental, the curation chains,
+#     ...): their module files changed but ONLY by appended fsck
+#     functions (verified: the r13 diff to those five files adds new
+#     defs after the last existing one and touches no existing line),
+#     and the appended code is gated by family_fsck_report.
 _DRIVER_PRIORITY: list[str] = [
-    # (a) new in round 12 — never driver-checked
-    "lm_erasure_rebuild",
-    # (b) on-path behavior changed in round 12
+    # (a) new in round 13 — never driver-checked
+    "bm25_index_fsck",
+    "pq_index_fsck",
+    "family_fsck_report",
+    # (b) on-path of the digest-v2 rework
     "bm25_index_add",
     "bm25_ingest_gate",
     "bm25_tiered_merge",
     "bm25_segment_merge",
     "bm25_remove_serve",
+    "bm25_search_served",
+    "bm25_phrase_served",
+    "bm25_search_multi",
     "pq_index_build",
     "pq_index_add",
     "pq_index_merge",
     "ann_ingest_stream",
     "ivfpq_remove_serve",
     "ivfpq_search_served",
-    "pq_adc_search_served",
-    "ivfpq_search_multi",
-    "domain_stats_psl",
-    "domain_blocklist_psl",
-    # (c) the 31 remaining r7-tier rows (complete — newest green = r7)
-    "bloom_decontaminate",
-    "cube_revenue",
-    "drift_monitor_series",
-    "duplicate_ngram_spans",
-    "embedding_drift_psi",
-    "hard_negative_mining",
-    "idle_rich_customers",
-    "ingest_quality_gate",
-    "ivf_cell_stats",
-    "kmeans_refine",
-    "large_volume_customers",
-    "late_sole_suppliers",
-    "minhash_jaccard_est",
-    "mixture_sample",
-    "multimodal_frames",
-    "multimodal_resize",
-    "nation_year_profit",
-    "ppl_buckets",
-    "ppl_buckets_by_lang",
-    "ppl_buckets_lang_models",
-    "props_json_stats",
-    "quality_drift_psi",
-    "shipping_priority",
-    "skipping_index",
-    "stratified_quantiles",
-    "textrank_keywords",
-    "token_budget_selection",
-    "top_revenue_supplier",
-    "user_value_regression",
-    "weighted_sample_tokens",
-    "winnowing_fingerprints",
-    # (d) BM25 serve rows re-gating the new marker shape's reader side
-    "bm25_search_served",
-    "bm25_search_multi",
-    "bm25_phrase_served",
+    # (c) the r12 disclosure-slip re-gate
+    "timeseries_gap_fill",
+    # (d) 32 of the 46 r8-tier rows
+    "asof_join",
+    "audio_window_energy",
+    "bpe_merge_step",
+    "bpe_merges_k",
+    "bpe_token_counts",
+    "canonical_docs",
+    "ccnet_pipeline",
+    "cdc_backfill_then_stream",
+    "cdc_corrupt_events",
+    "cdc_op_counts",
+    "cdc_route_stats",
+    "dataset_splits",
+    "dlq_records",
+    "envelope_unwrap",
+    "events_sessionize",
+    "fingerprint_overlap_pairs",
+    "fk_integrity_report",
+    "gopher_rules_report",
+    "iidr_ts_normalize",
+    "inverted_index",
+    "ivf_outliers",
+    "k_anonymity_report",
+    "label_pca",
+    "lsh_recall_curve",
+    "mixture_epochs_plan",
+    "paragraph_dedup",
+    "scd2_history",
+    "setsim_exact_join",
+    "table_profile",
+    "triangle_counts",
+    "type_coercion",
+    "user_activity_streaks",
 ]
 
 
