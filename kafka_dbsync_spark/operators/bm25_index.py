@@ -452,6 +452,15 @@ def _segments_maybe_containing(meta: dict, ids) -> list[str]:
     Shrinks takedown validation and suspect probes from every-segment
     scans to the (usually one) segment actually holding the doc."""
     digs = meta.get("segdigests") or {}
+    ids = list(ids)
+    try:
+        # one md5 pass over the id list (probe_positions hashes at the
+        # m cap; per-digest positions mask down), then numpy membership
+        # per segment — r13: the old shape re-hashed every id PER
+        # SEGMENT through digest_may_contain
+        ids_arr, pos = probe_positions([int(i) for i in ids])
+    except (TypeError, ValueError):
+        ids_arr = None  # non-numeric ids: the scalar path below
     out = []
     for s in meta["segments"]:
         d = digs.get(s)
@@ -459,6 +468,10 @@ def _segments_maybe_containing(meta: dict, ids) -> list[str]:
             continue
         if not digest_usable(d):
             out.append(s)
+            continue
+        if ids_arr is not None:
+            if probe_membership(ids_arr, pos, d).any():
+                out.append(s)
             continue
         bm = digest_bitmap(d)
         if any(digest_may_contain(d, bm, i) for i in ids):
