@@ -1284,3 +1284,38 @@ def test_index_check_detects_corruptions(spark, docs, idx, tmp_path):
     shutil.move(os.path.join(idx, seg), str(tmp_path / "stolen"))
     rep = _fsck(spark, idx, full=False)
     assert rep[("segment_dir_exists", seg)][0] == "FAIL"
+
+
+def test_add_big_probe_word_rung_reads_no_doclens(
+    spark, tmp_path, monkeypatch
+):
+    """r13: a probe too big to collect (PROBE_COLLECT_CAP forced to 0)
+    falls to the per-segment Spark ladder. Base = multiples of 3 (39
+    values mod 64 on each side guarantees >= 14 shared residues, and
+    the intervals interleave), so interval and residue rungs are
+    saturated by construction — and the shard digest carries NO bloom
+    at probe time (the bloom attaches from the STAGED doclens later,
+    inside write_stage), so the SAME-m AND rung cannot run either: the
+    cross-m word rung against the base segment's bloom at its native m
+    must prove disjointness scanning ONLY the shard."""
+    import kafka_dbsync_spark.operators.bm25_index as m
+    import kafka_dbsync_spark.operators.id_digest as dig
+
+    base = spark.createDataFrame(
+        [(3 * i, f"doc about hash joins {i}") for i in range(1, 40)],
+        "doc_id bigint, text string",
+    )
+    shard = spark.createDataFrame(
+        [(3 * i + 1, f"shard about merge sorts {i}") for i in range(1, 30)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "wordrung")
+    build_bm25_index(spark, base, path)
+    monkeypatch.setattr(dig, "PROBE_COLLECT_CAP", 0)
+    _forbid_reads(monkeypatch)
+    m.bm25_index_add(spark, shard, path)
+    monkeypatch.undo()
+    union = base.unionByName(shard)
+    assert _rows(
+        bm25_search_served(spark, path, ["hash", "merge"], k=10)
+    ) == _rows(bm25_topk(union, ["hash", "merge"], k=10))
