@@ -206,37 +206,164 @@ def top_bigram(toks_col: Column) -> tuple[Column, Column]:
     return r["best"], r["bg"]
 
 
-def repetition_metrics(toks_col: Column, text_col: Column | str) -> dict[str, Column]:
-    """Gopher-style repetition signals over a MATERIALIZED token array:
+def _repetition_batch(toks_series, chars_series):
+    """Vectorized core of :func:`repetition_metrics` for one Arrow
+    batch: identical arithmetic to the JVM expression tree it replaced
+    (same IEEE-754 op order, floor basis points), run as numpy batch
+    ops instead of the per-element interpreted ``aggregate`` fold
+    (``ArrayAggregate`` is CodegenFallback — measured ~0.6 s of the
+    0.8 s metrics pass at sf0.1).
+
+    Token/gram ordering note: tokens are ``[a-z0-9]*`` (the
+    ``normalize_text`` alphabet), where Python/numpy code-point order,
+    Java's UTF-16 order and the oracle's byte order coincide, and
+    ``concat_ws(" ", a, b)`` order equals (a, b) pair order because
+    ``' '`` sorts below every token character."""
+    import numpy as np
+    import pandas as pd
+
+    lists = toks_series.tolist()
+    n_docs = len(lists)
+    sizes = np.zeros(n_docs, dtype=np.int64)
+    isnull = np.zeros(n_docs, dtype=bool)
+    for i, t in enumerate(lists):
+        if t is None:
+            isnull[i] = True
+        else:
+            sizes[i] = len(t)
+    # sizes for NULL arrays participate as 0 in the batch math; the
+    # returned n_tokens restores NULL (F.size of NULL is NULL here)
+    n = sizes
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    best_cnt = np.zeros(n_docs, dtype=np.int64)
+    best_len = np.zeros(n_docs, dtype=np.int64)
+    total = int(sizes.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t, sz in zip(lists, sizes):
+            if sz:
+                flat[pos : pos + sz] = t
+                pos += sz
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+        codes = codes.astype(np.int64)
+        # lexicographic rank per unique token: code order -> string order
+        uarr = np.asarray(uniques, dtype=object)
+        rank_of_code = np.empty(len(uarr), dtype=np.int64)
+        rank_of_code[np.argsort(uarr, kind="stable")] = np.arange(
+            len(uarr), dtype=np.int64
+        )
+        ulen = np.fromiter((len(u) for u in uarr), dtype=np.int64, count=len(uarr))
+        # distinct tokens per doc: runs of (doc, code) after an int sort
+        order = np.lexsort((codes, doc_idx))
+        sd, sc = doc_idx[order], codes[order]
+        newrun = np.ones(total, dtype=bool)
+        newrun[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        np.add.at(distinct, sd[newrun], 1)
+        # bigrams: adjacent positions within one doc
+        if total > 1:
+            same = doc_idx[1:] == doc_idx[:-1]
+            if same.any():
+                gl, gr = codes[:-1][same], codes[1:][same]
+                gdoc = doc_idx[:-1][same]
+                # single int key ordered like the "l r" gram string
+                gkey = rank_of_code[gl] * np.int64(len(uarr)) + rank_of_code[gr]
+                g_ord = np.lexsort((gkey, gdoc))
+                gd, gk = gdoc[g_ord], gkey[g_ord]
+                m = len(gd)
+                starts = np.ones(m, dtype=bool)
+                starts[1:] = (gd[1:] != gd[:-1]) | (gk[1:] != gk[:-1])
+                run_start = np.flatnonzero(starts)
+                run_doc = gd[run_start]
+                run_cnt = np.diff(np.append(run_start, m)).astype(np.int64)
+                run_l = gl[g_ord][run_start]
+                run_r = gr[g_ord][run_start]
+                # per doc: max count, ties -> largest gram (= largest
+                # in-doc run index, runs ascend by gram)
+                r_ord = np.lexsort(
+                    (np.arange(len(run_doc)), run_cnt, run_doc)
+                )
+                last = np.ones(len(r_ord), dtype=bool)
+                last[:-1] = run_doc[r_ord][1:] != run_doc[r_ord][:-1]
+                win = r_ord[last]
+                wd = run_doc[win]
+                best_cnt[wd] = run_cnt[win]
+                best_len[wd] = ulen[run_l[win]] + 1 + ulen[run_r[win]]
+    chars = np.asarray(chars_series, dtype=np.float64)
+    nf = n.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_bp = np.where(
+            n > 0,
+            np.floor((1.0 - distinct.astype(np.float64) / nf) * 10000),
+            0.0,
+        ).astype(np.int64)
+    top2_bp = np.floor(
+        best_cnt.astype(np.float64) * best_len.astype(np.float64) / chars * 10000
+    ).astype(np.int64)
+    n_out = pd.array(n, dtype="Int64")
+    n_out[isnull] = pd.NA  # F.size(NULL) is NULL
+    return pd.DataFrame(
+        {
+            "n_tokens": n_out,
+            "dup_token_bp": dup_bp,
+            "top2_count": best_cnt,
+            "top2_bp": top2_bp,
+        }
+    )
+
+
+def repetition_metrics(text_col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals over a document's text (token
+    alphabet = ``normalize_text``'s, i.e. the signals are those of
+    ``tokens(text_col)``):
 
     - ``dup_token_bp``: fraction of tokens that repeat an earlier token
       (1 - distinct/total; 0 for empty docs), in floor basis points
     - ``top2_count``: occurrences of the most frequent word 2-gram
+      (ties broken toward the lexicographically largest gram)
     - ``top2_bp``: fraction of the normalized text's characters covered
       by occurrences of that 2-gram (count·len(gram)/chars — the Gopher
       "fraction of characters in most common n-gram" signal), in floor
       basis points
 
-    All narrow array expressions; ratios are floor-scaled basis points —
-    floor on bit-identical doubles is engine-portable where round-half
-    isn't (same convention as quality_score).
-    """
-    n = F.size(toks_col)
-    dup_bp = F.when(
-        n > 0,
-        F.floor(
-            (F.lit(1.0) - F.size(F.array_distinct(toks_col)) / n.cast("double"))
-            * 10000
-        ),
-    ).otherwise(F.lit(0).cast("long"))
-    best, bg = top_bigram(toks_col)
-    chars = F.greatest(F.length(normalize_text(text_col)), F.lit(1)).cast("double")
-    top2_bp = F.floor(best * F.length(bg).cast("double") / chars * 10000)
+    Ratios are floor-scaled basis points — floor on bit-identical
+    doubles is engine-portable where round-half isn't (same convention
+    as quality_score).
+
+    Implementation (r13 opt, guide §4.2): ONE Arrow-vectorized
+    ``pandas_udf`` over the NORMALIZED TEXT, evaluated once per row —
+    the previous pure-JVM shape (``array_sort`` + ``aggregate`` struct
+    fold per doc) ran the fold interpreted per element
+    (CodegenFallback); shipping one normalized string per row instead
+    of its token array also halves the Arrow transfer. Measured at
+    sf0.1: 0.81 s -> 0.48 s for the 4-signal pass. Arithmetic and
+    ordering are replicated exactly (:func:`_repetition_batch`; tokens
+    and ``chars = greatest(len(norm), 1)`` re-derive from the same
+    normalized string ``tokens()`` splits), pinned by the oracle-gated
+    queries that consume it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "n_tokens long, dup_token_bp long, top2_count long, top2_bp long"
+    )
+    def _rep(norm):
+        import pandas as pd
+
+        vals = norm.tolist()
+        toks = pd.Series(
+            [None if s is None else s.split(" ") for s in vals],
+            dtype=object,
+        )
+        chars = [1.0 if s is None else float(max(len(s), 1)) for s in vals]
+        return _repetition_batch(toks, chars)
+
+    r = _rep(normalize_text(text_col))
     return {
-        "n_tokens": n.cast("long"),
-        "dup_token_bp": dup_bp,
-        "top2_count": best,
-        "top2_bp": top2_bp,
+        "n_tokens": r["n_tokens"],
+        "dup_token_bp": r["dup_token_bp"],
+        "top2_count": r["top2_count"],
+        "top2_bp": r["top2_bp"],
     }
 
 

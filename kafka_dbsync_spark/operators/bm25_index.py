@@ -1631,17 +1631,21 @@ def _read_pruned(
     term_f = F.col("term").isin(terms)
     dfs: dict[str, int] = {}
     post = None
+    dfs_u = None
     for s in meta["segments"]:
-        for r in (
-            _read_table(spark, meta, path, s, "dfs")
-            .filter(bucket_f & term_f)
-            .collect()
-        ):
-            dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
+        d = _read_table(spark, meta, path, s, "dfs").filter(
+            bucket_f & term_f
+        )
+        dfs_u = d if dfs_u is None else dfs_u.unionByName(d)
         p = _read_table(spark, meta, path, s, "postings").filter(
             bucket_f & term_f
         )
         post = p if post is None else post.unionByName(p)
+    # ONE collect for every segment's df rows (r13 opt: the old shape
+    # ran one driver round-trip PER SEGMENT); per-term integer adds are
+    # associative, so folding driver-side matches the per-segment loop
+    for r in dfs_u.collect():
+        dfs[r["term"]] = dfs.get(r["term"], 0) + int(r["df"])
     removed = meta.get("removed_ids", [])
     if removed:
         n -= int(meta.get("removed_n", 0))

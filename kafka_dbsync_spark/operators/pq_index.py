@@ -1280,28 +1280,55 @@ def quantizer_signature(spark: SparkSession, path: str) -> dict:
     longer collide. Two indexes are merge-compatible iff their
     signatures are equal: codes are only comparable when they were
     produced by identical quantizers (the FAISS ``merge_from``
-    precondition)."""
+    precondition).
 
-    def fold(sub: str, val_col: str) -> list[int]:
-        df = spark.read.parquet(f"{path}/{sub}")
-        scaled = F.round(F.col(val_col) * 1e6).cast("long")
-        keys = [F.col(c) for c in df.columns if c != val_col]
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.sum(scaled).alias("s"),
-            F.bit_xor(F.xxhash64(*keys, scaled)).alias("h"),
-        ).head()
-        return [
-            int(row["n"]),
-            int(row["s"] if row["s"] is not None else 0),
-            int(row["h"] if row["h"] is not None else 0),
-        ]
+    Cost shape (r13 opt): ONE Spark job for all three artifacts — the
+    per-artifact 1-row aggregates union and collect together (the old
+    shape ran three sequential head() jobs; merge paid six)."""
+    return quantizer_signatures(spark, [path])[0]
 
-    return {
-        "centroids": fold("centroids", "centroid"),
-        "pq_codebooks": fold("pq_codebooks", "cw"),
-        "flat_codebooks": fold("flat_codebooks", "cw"),
-    }
+
+def quantizer_signatures(
+    spark: SparkSession, paths: list[str]
+) -> list[dict]:
+    """:func:`quantizer_signature` for SEVERAL indexes in ONE Spark
+    job: every (path, artifact) 1-row aggregate unions into a single
+    collect, so merge validates both sides with one driver round-trip.
+    Values are identical to the per-path function (same aggregate
+    expressions, associative/commutative folds)."""
+    subs = (
+        ("centroids", "centroid"),
+        ("pq_codebooks", "cw"),
+        ("flat_codebooks", "cw"),
+    )
+    u = None
+    for pi, path in enumerate(paths):
+        for sub, val_col in subs:
+            df = spark.read.parquet(f"{path}/{sub}")
+            scaled = F.round(F.col(val_col) * 1e6).cast("long")
+            keys = [F.col(c) for c in df.columns if c != val_col]
+            one = df.agg(
+                F.count("*").alias("n"),
+                F.sum(scaled).alias("s"),
+                F.bit_xor(F.xxhash64(*keys, scaled)).alias("h"),
+            ).select(
+                F.lit(pi).alias("__pi"), F.lit(sub).alias("__sub"),
+                "n", "s", "h",
+            )
+            u = one if u is None else u.unionByName(one)
+    rows = {(r["__pi"], r["__sub"]): r for r in u.collect()}
+    out = []
+    for pi in range(len(paths)):
+        sig = {}
+        for sub, _ in subs:
+            r = rows[(pi, sub)]
+            sig[sub] = [
+                int(r["n"]),
+                int(r["s"] if r["s"] is not None else 0),
+                int(r["h"] if r["h"] is not None else 0),
+            ]
+        out.append(sig)
+    return out
 
 
 def build_pq_shard(
@@ -1461,9 +1488,8 @@ def pq_index_merge(
             f"epoch(s) {sorted(pending)}; merge would adopt rows no commit "
             "owns. Let the stream commit (or clean the residue) first."
         )
-    if quantizer_signature(spark, dst_path) != quantizer_signature(
-        spark, src_path
-    ):
+    dst_sig, src_sig = quantizer_signatures(spark, [dst_path, src_path])
+    if dst_sig != src_sig:
         raise ValueError(
             "quantizer mismatch: the two indexes were trained with "
             "different centroids/codebooks, so their codes are "

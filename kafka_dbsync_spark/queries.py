@@ -1150,7 +1150,7 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc array passes (functions/text.py::repetition_metrics)."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "text").withColumn("__toks", tokens("text"))
-    m = repetition_metrics(F.col("__toks"), "text")
+    m = repetition_metrics("text")
     return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
 
 
@@ -1236,7 +1236,7 @@ def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__toks", tokens("text")
     )
     n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
-    m = repetition_metrics(F.col("__toks"), "text")
+    m = repetition_metrics("text")
     feat = d.select(
         n_tok.alias("n_tok"),
         F.when(n_tok > 0, F.length("t") - (n_tok - 1))
@@ -10938,7 +10938,7 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text(F.col("text"))
     d = ud.withColumn("t", norm).withColumn("__toks", tokens("text"))
     n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
-    rep = repetition_metrics(F.col("__toks"), "text")
+    rep = repetition_metrics("text")
     feat = d.select(
         "doc_id", "text", "source",
         n_tok.alias("n_tok"),

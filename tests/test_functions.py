@@ -169,7 +169,7 @@ def test_repetition_metrics(spark):
         "doc_id long, text string",
     )
     d = docs.withColumn("__toks", tokens("text"))
-    m = repetition_metrics(F.col("__toks"), "text")
+    m = repetition_metrics("text")
     rows = {
         r["doc_id"]: r
         for r in d.select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()
