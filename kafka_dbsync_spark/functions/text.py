@@ -206,7 +206,7 @@ def top_bigram(toks_col: Column) -> tuple[Column, Column]:
     return r["best"], r["bg"]
 
 
-def _repetition_batch(toks_series, chars_series):
+def _repetition_batch(toks_series, chars_series, stopwords=None):
     """Vectorized core of :func:`repetition_metrics` for one Arrow
     batch: identical arithmetic to the JVM expression tree it replaced
     (same IEEE-754 op order, floor basis points), run as numpy batch
@@ -237,6 +237,8 @@ def _repetition_batch(toks_series, chars_series):
     distinct = np.zeros(n_docs, dtype=np.int64)
     best_cnt = np.zeros(n_docs, dtype=np.int64)
     best_len = np.zeros(n_docs, dtype=np.int64)
+    alpha_cnt = np.zeros(n_docs, dtype=np.int64)
+    stop_cnt = np.zeros(n_docs, dtype=np.int64)
     total = int(sizes.sum())
     if total:
         flat = np.empty(total, dtype=object)
@@ -261,6 +263,21 @@ def _repetition_batch(toks_series, chars_series):
         newrun = np.ones(total, dtype=bool)
         newrun[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
         np.add.at(distinct, sd[newrun], 1)
+        if stopwords is not None:
+            # alpha/stopword gate signals, decided once per UNIQUE token
+            # (tokens are [a-z0-9]*: "contains a letter" == non-empty and
+            # not all digits — same predicate as rlike('[a-z]'))
+            has_alpha = np.fromiter(
+                (len(u) > 0 and not u.isdigit() for u in uarr),
+                dtype=bool,
+                count=len(uarr),
+            )
+            np.add.at(alpha_cnt, doc_idx[has_alpha[codes]], 1)
+            is_stop = np.fromiter(
+                (u in stopwords for u in uarr), dtype=bool, count=len(uarr)
+            )
+            dmask = newrun & is_stop[sc]
+            np.add.at(stop_cnt, sd[dmask], 1)
         # bigrams: adjacent positions within one doc
         if total > 1:
             same = doc_idx[1:] == doc_idx[:-1]
@@ -303,7 +320,7 @@ def _repetition_batch(toks_series, chars_series):
     ).astype(np.int64)
     n_out = pd.array(n, dtype="Int64")
     n_out[isnull] = pd.NA  # F.size(NULL) is NULL
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "n_tokens": n_out,
             "dup_token_bp": dup_bp,
@@ -311,6 +328,16 @@ def _repetition_batch(toks_series, chars_series):
             "top2_bp": top2_bp,
         }
     )
+    if stopwords is not None:
+        # size(filter(NULL_toks, ...)) / size(array_intersect(NULL, ...))
+        # are NULL in the JVM shape these mirror
+        a_out = pd.array(alpha_cnt, dtype="Int64")
+        s_out = pd.array(stop_cnt, dtype="Int64")
+        a_out[isnull] = pd.NA
+        s_out[isnull] = pd.NA
+        out["alpha_cnt"] = a_out
+        out["stop_cnt"] = s_out
+    return out
 
 
 def repetition_metrics(text_col: Column | str) -> dict[str, Column]:
@@ -365,6 +392,81 @@ def repetition_metrics(text_col: Column | str) -> dict[str, Column]:
         "top2_count": r["top2_count"],
         "top2_bp": r["top2_bp"],
     }
+
+
+def gopher_signals(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Every per-doc signal the Gopher rule gate consumes, as ONE
+    struct column ``(n_tok, letters, alpha_cnt, stop_cnt, top2_bp)``
+    computed by a single Arrow-vectorized pass over the normalized
+    text (r13 opt, guide §4.2/§4.4).
+
+    Motivation: the gate previously built each signal as a separate JVM
+    expression tree (tokens() split + HOF filter with a per-element
+    rlike + the repetition fold), and a filter over those aliased
+    columns inlines a fresh copy of each tree into every conjunct —
+    measured at sf0.1, the 0.97 s feature projection became 9.3 s once
+    the 6-conjunct gate filter inlined it. One UDF call is extracted
+    into one ArrowEvalPython node however many conjuncts reference its
+    fields, so the corpus is tokenized exactly once.
+
+    Field semantics replicate the JVM expressions bit-for-bit
+    (oracle-pinned by gopher_rules_report / curation_pipeline_v4):
+
+    - ``n_tok``: 0 for empty normalized text, else token count
+      (NULL text -> NULL)
+    - ``letters``: ``len(norm) - (n_tok - 1)`` when n_tok > 0 else 0
+      (chars minus separating spaces — exact letter count, since the
+      normalized alphabet is [a-z0-9 ])
+    - ``alpha_cnt``: tokens containing a letter (occurrences)
+    - ``stop_cnt``: DISTINCT tokens found in ``stopwords``
+    - ``top2_bp``: the repetition_metrics signal (same core)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    stopset = frozenset(stopwords)
+
+    @pandas_udf(
+        "n_tok long, letters long, alpha_cnt long, stop_cnt long, top2_bp long"
+    )
+    def _gate(norm):
+        import pandas as pd
+
+        vals = norm.tolist()
+        toks = pd.Series(
+            [None if s is None else s.split(" ") for s in vals],
+            dtype=object,
+        )
+        chars = [1.0 if s is None else float(max(len(s), 1)) for s in vals]
+        import numpy as np
+
+        r = _repetition_batch(toks, chars, stopwords=stopset)
+        # n_tok: the gate's when(t=='', 0).otherwise(size(toks)) — 0
+        # for empty norm (where split('') is ['']), NULL for NULL text
+        isnull = np.array([s is None for s in vals], dtype=bool)
+        nt = np.array(
+            [0 if not s else s.count(" ") + 1 for s in vals],
+            dtype=np.int64,
+        )
+        lens = np.array(
+            [0 if s is None else len(s) for s in vals], dtype=np.int64
+        )
+        # when(n_tok > 0, len - (n_tok - 1)).otherwise(0): NULL n_tok
+        # takes the otherwise branch, exactly like nt=0 here
+        lets = np.where(nt > 0, lens - (nt - 1), 0)
+        n_tok = pd.array(nt, dtype="Int64")
+        n_tok[isnull] = pd.NA
+        letters = pd.array(lets, dtype="Int64")
+        return pd.DataFrame(
+            {
+                "n_tok": n_tok,
+                "letters": letters,
+                "alpha_cnt": r["alpha_cnt"],
+                "stop_cnt": r["stop_cnt"],
+                "top2_bp": r["top2_bp"],
+            }
+        )
+
+    return _gate(normalize_text(text_col))
 
 
 # PII patterns: RE2-safe subset (no lookaround/backrefs) so the Java

@@ -23,6 +23,7 @@ from kafka_dbsync_spark.functions.text import (
     EMAIL_RE,
     PHONE_RE,
     URL_RE,
+    gopher_signals,
     repetition_metrics,
     with_pii_scrubbed,
     detect_language,
@@ -1231,27 +1232,16 @@ def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE corpus scan; everything per-doc is a narrow array expression,
     the report is a single 6-column aggregate unpivoted via stack."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    d = docs.select("doc_id", "text", norm.alias("t")).withColumn(
-        "__toks", tokens("text")
-    )
-    n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
-    m = repetition_metrics("text")
-    feat = d.select(
-        n_tok.alias("n_tok"),
-        F.when(n_tok > 0, F.length("t") - (n_tok - 1))
-        .otherwise(F.lit(0))
-        .alias("letters"),
-        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))).alias(
-            "alpha_cnt"
-        ),
-        F.size(
-            F.array_intersect(
-                F.array_distinct("__toks"),
-                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
-            )
-        ).alias("stop_cnt"),
-        m["top2_bp"].alias("top2_bp"),
+    # r13 opt (guide §4.2/§4.4): all five gate signals come from ONE
+    # Arrow-vectorized pass (functions/text.py::gopher_signals) instead
+    # of per-signal JVM HOF trees that the aggregate re-inlined per rule
+    g = gopher_signals("text", _GOPHER_STOPWORDS)
+    feat = docs.select(
+        g["n_tok"].alias("n_tok"),
+        g["letters"].alias("letters"),
+        g["alpha_cnt"].alias("alpha_cnt"),
+        g["stop_cnt"].alias("stop_cnt"),
+        g["top2_bp"].alias("top2_bp"),
     )
     r_wc = (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)
     r_mwl = (
@@ -10934,29 +10924,21 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("doc_id")
     )
     ud = docs.join(keep, "doc_id", "left_semi")
-    # stage 2: Gopher gate (one scan; same expressions as the report)
-    norm = normalize_text(F.col("text"))
-    d = ud.withColumn("t", norm).withColumn("__toks", tokens("text"))
-    n_tok = F.when(F.col("t") == "", F.lit(0)).otherwise(F.size("__toks"))
-    rep = repetition_metrics("text")
-    feat = d.select(
-        "doc_id", "text", "source",
-        n_tok.alias("n_tok"),
-        F.when(n_tok > 0, F.length("t") - (n_tok - 1))
-        .otherwise(F.lit(0))
-        .alias("letters"),
-        F.size(F.filter("__toks", lambda x: x.rlike("[a-z]"))).alias(
-            "alpha_cnt"
-        ),
-        rep["top2_bp"].alias("top2_bp"),
-    )
+    # stage 2: Gopher gate (one scan; same signals as the report).
+    # r13 opt (guide §4.2/§4.4): the signals come from ONE Arrow pass —
+    # as separate aliased JVM trees, the 6-conjunct filter inlined a
+    # fresh copy of each tree per conjunct (0.97 s projection -> 9.3 s
+    # filtered, measured at sf0.1); one UDF is extracted into one
+    # ArrowEvalPython node no matter how many conjuncts read its fields
+    g = gopher_signals("text", _GOPHER_STOPWORDS)
+    feat = ud.select("doc_id", "text", "source", g.alias("__g"))
     gated = (
         feat.filter(
-            (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100000)
-            & (F.col("letters") >= 3 * F.col("n_tok"))
-            & (F.col("letters") <= 10 * F.col("n_tok"))
-            & (F.col("alpha_cnt") * 10 >= F.col("n_tok") * 8)
-            & (F.col("top2_bp") <= 2000)
+            (F.col("__g.n_tok") >= 50) & (F.col("__g.n_tok") <= 100000)
+            & (F.col("__g.letters") >= 3 * F.col("__g.n_tok"))
+            & (F.col("__g.letters") <= 10 * F.col("__g.n_tok"))
+            & (F.col("__g.alpha_cnt") * 10 >= F.col("__g.n_tok") * 8)
+            & (F.col("__g.top2_bp") <= 2000)
         )
         .select("doc_id", "text", "source")
         .localCheckpoint(eager=True)
