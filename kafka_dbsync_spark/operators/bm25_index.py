@@ -209,6 +209,84 @@ def _bm25_tokens(text_col: str):
     ).otherwise(F.split(norm, " "))
 
 
+def _postings_batches_fn(id_col: str):
+    """mapInArrow body computing one segment's postings map-only (r13
+    opt): per batch, flatten the pre-normalized text into (doc, term,
+    1-based pos) triplets with numpy, group by (doc, term-code) with a
+    stable lexsort (positions stay ascending, matching the old
+    ``sort_array(collect_list(pos))`` exactly), and emit
+    ``(id, term, tf, dl, pos, bucket)`` rows. ``bucket`` is
+    ``zlib.crc32 % N_BUCKETS`` computed once per UNIQUE term —
+    bit-identical to JVM ``crc32`` (same polynomial; the serve path's
+    ``_term_bucket`` already relies on that equality). The positions
+    ListArray is built from (offsets, values) buffers — no per-group
+    Python lists. Ids pass through untouched via Arrow ``take``, so
+    any id type the caller uses survives byte-exact."""
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in it:
+            id_arr = batch.column(id_col)
+            texts = batch.column("__bm25_norm").to_pylist()
+            toks_per_doc = [t.split(" ") if t else [] for t in texts]
+            sizes = np.fromiter(
+                (len(t) for t in toks_per_doc),
+                dtype=np.int64,
+                count=len(toks_per_doc),
+            )
+            total = int(sizes.sum())
+            if not total:
+                continue
+            flat = np.empty(total, dtype=object)
+            o = 0
+            for t in toks_per_doc:
+                if t:
+                    flat[o : o + len(t)] = t
+                    o += len(t)
+            doc_idx = np.repeat(np.arange(len(sizes)), sizes)
+            starts_per_doc = np.cumsum(sizes) - sizes
+            pos = np.arange(1, total + 1) - np.repeat(starts_per_doc, sizes)
+            uniq, codes = np.unique(flat, return_inverse=True)
+            order = np.lexsort((codes, doc_idx))
+            sd, sc, sp = doc_idx[order], codes[order], pos[order]
+            newrun = np.ones(total, dtype=bool)
+            newrun[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            g_starts = np.flatnonzero(newrun)
+            tf = np.diff(np.append(g_starts, total))
+            g_doc = sd[g_starts]
+            g_code = sc[g_starts]
+            buckets = np.fromiter(
+                (zlib.crc32(u.encode("utf-8")) % N_BUCKETS for u in uniq),
+                dtype=np.int32,
+                count=len(uniq),
+            )
+            uniq_pa = pa.array(uniq, type=pa.string())
+            offsets = np.empty(len(g_starts) + 1, dtype=np.int32)
+            offsets[0] = 0
+            np.cumsum(tf, out=offsets[1:])
+            pos_list = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(sp.astype(np.int32), type=pa.int32()),
+            )
+            take_idx = pa.array(g_doc, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(id_arr, take_idx),
+                    pc.take(uniq_pa, pa.array(g_code, type=pa.int64())),
+                    pa.array(tf, type=pa.int64()),
+                    pa.array(sizes[g_doc].astype(np.int32), type=pa.int32()),
+                    pos_list,
+                    pa.array(buckets[g_code], type=pa.int32()),
+                ],
+                names=[id_col, "term", "tf", "dl", "pos", "bucket"],
+            )
+
+    return _batches
+
+
 #: segdigests value for a segment with zero docs: the union skips it
 #: instead of abandoning the metadata rungs
 _EMPTY_DIGEST = {"empty": True}
@@ -236,12 +314,31 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     itself still assumes a deterministic input, the long-standing
     stats-vs-write split every fingerprinting write shares) — so
     add/ingest disjointness probes can run metadata-only."""
-    tok = _bm25_tokens(text_col)
-    per_doc = docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
+    norm = normalize_text(text_col)
+    # dl without materializing the token array: the normalized alphabet
+    # is single-spaced and trimmed, so token count == spaces + 1 for
+    # non-empty text (r13 opt, guide §1.2 per-task work: split()
+    # allocated millions of per-token strings just to take size())
+    dl_expr = F.when(norm.isNull() | (norm == ""), F.lit(0)).otherwise(
+        F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + 1
+    )
+    per_doc = docs.select(F.col(id_col), dl_expr.cast("int").alias("dl"))
     # positions are 1-based and sorted — the positional index that
-    # makes exact phrase queries servable (Lucene's prox data)
-    postings = (
-        per_doc.select(id_col, "dl", F.posexplode("__t").alias("__p0", "term"))
+    # makes exact phrase queries servable (Lucene's prox data).
+    # r13 opt (guide §2.4 remove shuffles outright + §4.2): every
+    # (doc, term) group lives inside ONE doc row, so the old
+    # posexplode + groupBy(id, term) + collect_list shape shuffled the
+    # full exploded token stream only to regroup rows that never left
+    # their partition. The postings are now computed map-only in one
+    # Arrow pass per batch (numpy unique/lexsort + a zero-copy Arrow
+    # ListArray for positions) — no Exchange, value-identical output
+    # (proven by exceptAll in both directions at sf0.1 before the
+    # swap). The JVM lineage is kept ONLY as the plan-time schema donor
+    # so the marker's schema JSON stays exactly what it always was.
+    tok = _bm25_tokens(text_col)
+    postings_schema_donor = (
+        docs.select(F.col(id_col), F.size(tok).alias("dl"), tok.alias("__t"))
+        .select(id_col, "dl", F.posexplode("__t").alias("__p0", "term"))
         .groupBy(id_col, "term")
         .agg(
             F.count(F.lit(1)).alias("tf"),
@@ -252,6 +349,11 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
             "bucket",
             F.pmod(F.crc32(F.col("term")), F.lit(N_BUCKETS)).cast("int"),
         )
+    )
+    postings = docs.select(
+        F.col(id_col), norm.alias("__bm25_norm")
+    ).mapInArrow(
+        _postings_batches_fn(id_col), postings_schema_donor.schema
     )
     # plan-time schemas ride in the marker so every read-back is
     # schema-EXPLICIT: a segment whose every doc is token-empty writes
