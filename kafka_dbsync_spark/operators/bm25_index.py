@@ -368,32 +368,48 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
     }
 
     def write_stage(stage: str) -> None:
-        postings.write.partitionBy("bucket").mode("overwrite").parquet(
-            f"{stage}/postings"
-        )
-        spark.read.schema(_schema_of(schemas, "postings_schema")).parquet(
-            f"{stage}/postings"
-        ).groupBy("bucket", "term").agg(
-            F.count(F.lit(1)).alias("df")
-        ).write.partitionBy("bucket").mode("overwrite").parquet(f"{stage}/dfs")
-        # doclens records EVERY doc — token-empty ones included (dl=0),
-        # so index membership is exact: the add-time disjointness probe
-        # and remove-time validation see empty docs too
-        per_doc.select(id_col, "dl").write.mode("overwrite").parquet(
-            f"{stage}/doclens"
-        )
-        # bloom layer from the STAGED doclens — the id set actually
-        # being published — never a third evaluation of the docs
-        # lineage: a non-deterministic input (limit/sample without
-        # ordering) could otherwise bloom ids that differ from the
-        # written ones, a false-negative the superset contract forbids
-        # (ADVICE r12). Mutated IN PLACE: the marker record holds this
-        # same dict and flips only after write_stage returns.
-        if digest is not None:
-            staged = spark.read.schema(
-                _schema_of(schemas, "doclens_schema")
-            ).parquet(f"{stage}/doclens")
-            attach_bloom(staged, id_col, digest, int(st["n"]), in_place=True)
+        # r13 opt (guide §2.6): the postings→dfs chain and the
+        # doclens→bloom chain are independent — overlapping them
+        # back-fills the executor slots each chain's tail leaves idle.
+        # Within each chain the order is unchanged (dfs derives from
+        # the STAGED postings, the bloom from the STAGED doclens).
+        from kafka_dbsync_spark.operators.concurrency import run_job_chains
+
+        def _postings_chain():
+            postings.write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{stage}/postings"
+            )
+            spark.read.schema(_schema_of(schemas, "postings_schema")).parquet(
+                f"{stage}/postings"
+            ).groupBy("bucket", "term").agg(
+                F.count(F.lit(1)).alias("df")
+            ).write.partitionBy("bucket").mode("overwrite").parquet(
+                f"{stage}/dfs"
+            )
+
+        def _doclens_chain():
+            # doclens records EVERY doc — token-empty ones included
+            # (dl=0), so index membership is exact: the add-time
+            # disjointness probe and remove-time validation see empty
+            # docs too
+            per_doc.select(id_col, "dl").write.mode("overwrite").parquet(
+                f"{stage}/doclens"
+            )
+            # bloom layer from the STAGED doclens — the id set actually
+            # being published — never a third evaluation of the docs
+            # lineage: a non-deterministic input (limit/sample without
+            # ordering) could otherwise bloom ids that differ from the
+            # written ones, a false-negative the superset contract
+            # forbids (ADVICE r12). Mutated IN PLACE: the marker record
+            # holds this same dict and flips only after write_stage
+            # returns.
+            if digest is not None:
+                staged = spark.read.schema(
+                    _schema_of(schemas, "doclens_schema")
+                ).parquet(f"{stage}/doclens")
+                attach_bloom(staged, id_col, digest, int(st["n"]), in_place=True)
+
+        run_job_chains(_postings_chain, _doclens_chain)
 
     st = (
         per_doc.select(

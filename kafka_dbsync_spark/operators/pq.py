@@ -168,28 +168,48 @@ def pq_encode(
     subspace; argmin of the rounded squared-L2 to each codeword, ties to
     the lowest code).
 
-    Map-only: the codebooks ride in as one broadcast row and each
-    subspace's argmin is a higher-order fold over its entries — no
-    shuffle, no Python."""
-    books = F.broadcast(codebooks_as_array(codebooks_long))
-    withv = embeddings.withColumn(
-        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    ).crossJoin(books)
+    Map-only. r13 opt (guide §4.2): the per-subspace argmin was a JVM
+    higher-order fold over the broadcast codebook row — n_sub·k·d_sub
+    interpreted lambda steps per row. It now runs as one ``mapInArrow``
+    numpy kernel (operators/pq_kernels.py) with the identical
+    arithmetic: sequential-fold squared-L2, Spark-exact round to
+    ``dist_decimals``, ties to the lowest code. The codebooks are
+    collected driver-side — the same n_sub×k×d_sub metadata the
+    broadcast row carried."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
-    def code_for(s):
-        sub = F.slice(F.col("__v"), s["m"] * d_sub + 1, d_sub)
+    from kafka_dbsync_spark.operators import pq_kernels as K
 
-        def entry(e):
-            return F.struct(
-                F.round(_d2(sub, e["cvec"]), dist_decimals).alias("dist"),
-                e["code"].alias("code"),
+    books = K.collect_books(codebooks_long)
+    src = embeddings.select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col(vec_col))
+    out_names = [id_col, *keep_cols, "codes"]
+    schema = StructType(
+        [src.schema[c] for c in (id_col, *keep_cols)]
+        + [StructField("codes", ArrayType(IntegerType()))]
+    )
+
+    def _fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat, lens, nulls = K.list_column_matrix(batch.column(vec_col), n)
+            codes = K.encode_codes(mat, lens, nulls, books, d_sub, dist_decimals)
+            n_sub = codes.shape[1]
+            offsets = pa.array(
+                np.arange(0, (n + 1) * n_sub, n_sub, dtype=np.int32),
+                type=pa.int32(),
             )
+            codes_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.ravel(), type=pa.int32())
+            )
+            cols = [batch.column(c) for c in (id_col, *keep_cols)] + [codes_arr]
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-        return F.array_min(F.transform(s["entries"], entry))["code"].cast("int")
-
-    return withv.withColumn(
-        "codes", F.transform(F.col("__books"), code_for)
-    ).select(F.col(id_col), *[F.col(c) for c in keep_cols], "codes")
+    return src.mapInArrow(_fn, schema)
 
 
 def with_residuals(
@@ -206,35 +226,82 @@ def with_residuals(
     raw vector (residuals have ~B× less variance, so the same code
     budget quantizes them much more precisely; Jégou et al. §IV).
 
-    Two map-only steps: the assignment's broadcast fold, then a
-    broadcast hash join against the per-cell centroid vectors for the
-    subtraction. No shuffle of the data."""
-    from kafka_dbsync_spark.operators.similarity import (
-        centroid_cell_vectors,
-        ivf_assign,
+    r13 opt (guide §4.2 + §2.4): assignment and subtraction now run in
+    ONE ``mapInArrow`` pass (numpy kernel, bit-identical arithmetic —
+    see operators/pq_kernels.py), which also removes the broadcast hash
+    join the subtraction used to need. Map-only, no shuffle of the
+    data, and the vector crosses the Python boundary exactly once."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
 
-    assigned = ivf_assign(
-        embeddings,
-        centroids_long,
-        id_col=id_col,
-        vec_col=vec_col,
-        keep_cols=keep_cols,
-        keep_vec=True,
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
+    cents = K.collect_cents(centroids_long)
+    src = embeddings.select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col(vec_col))
+    out_names = [id_col, *keep_cols, "centroid_id", out_col]
+    schema = StructType(
+        [src.schema[c] for c in (id_col, *keep_cols)]
+        + [
+            StructField("centroid_id", LongType()),
+            StructField(out_col, ArrayType(DoubleType())),
+        ]
     )
-    cells = F.broadcast(centroid_cell_vectors(centroids_long))
-    return (
-        assigned.join(cells, assigned["centroid_id"] == cells["cell"])
-        .withColumn(
-            out_col,
-            F.zip_with(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                F.col("cvec"),
-                lambda x, y: x - y,
-            ),
-        )
-        .select(F.col(id_col), *[F.col(c) for c in keep_cols], "centroid_id", out_col)
-    )
+
+    def _fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat, lens, nulls = K.list_column_matrix(batch.column(vec_col), n)
+            cell, _dist = K.assign_cells(mat, lens, nulls, cents, 6)
+            d = len(cents[0][1])
+            cmat = np.asarray([v for _, v in cents], dtype=np.float64)
+            pos_of = {c: j for j, (c, _) in enumerate(cents)}
+            win = np.asarray([pos_of[c] for c in cell.tolist()], dtype=np.int64)
+            bad = nulls | (lens != d)
+            resid = mat[:, :d] if mat.shape[1] >= d else np.zeros((n, d))
+            resid = resid - cmat[win]
+            if bad.any():
+                # zip_with(v, cvec) pads the shorter side with nulls —
+                # rebuild the degenerate rows' lists elementwise
+                rl = []
+                for i in range(n):
+                    if not bad[i]:
+                        rl.append(resid[i].tolist())
+                    elif nulls[i]:
+                        rl.append(None)
+                    else:
+                        L = int(lens[i])
+                        cv = cmat[win[i]]
+                        row = [
+                            float(mat[i, j]) - float(cv[j])
+                            for j in range(min(L, d))
+                        ]
+                        row += [None] * (max(L, d) - min(L, d))
+                        rl.append(row)
+                resid_arr = pa.array(rl, type=pa.list_(pa.float64()))
+            else:
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * d, d, dtype=np.int32), type=pa.int32()
+                )
+                resid_arr = pa.ListArray.from_arrays(
+                    offsets, pa.array(resid.ravel(), type=pa.float64())
+                )
+            cols = [batch.column(c) for c in (id_col, *keep_cols)] + [
+                pa.array(cell, type=pa.int64()),
+                resid_arr,
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return src.mapInArrow(_fn, schema)
 
 
 def ivfpq_search(
@@ -292,36 +359,37 @@ def ivfpq_search(
     # codebooks train on ALL residuals (above), but only the probed
     # cells' rows are ever SCORED — filter before the encode so the
     # fused query encodes nprobe/B of the data, exactly what the
-    # persisted index's partition pruning achieves physically
+    # persisted index's partition pruning achieves physically.
+    # r13 opt (guide §4.2): the per-cell query-residual ADC tables are
+    # precomputed driver-side (FAISS trick: the per-subspace term
+    # depends only on (cell, m, code)) and the encode feeds one
+    # mapInArrow scoring pass — no broadcast qres join, no per-row fold.
     enc = pq_encode(
         resid.filter(F.col("centroid_id").isin([int(c) for c in probe])),
         cb, d_sub=d_sub, id_col=id_col, vec_col="resid",
         keep_cols=(*keep_cols, "centroid_id"),
     )
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
     cellvecs = dict(cents)
-    spark = embeddings.sparkSession
-    qres = F.broadcast(
-        spark.createDataFrame(
-            [(int(c), [qi - ci for qi, ci in zip(q, cellvecs[c])]) for c in probe],
-            "qcell bigint, qr array<double>",
+    books_py = K.collect_books(cb)
+    cell_luts = {
+        int(c): K.adc_lut(
+            books_py,
+            [qi - ci for qi, ci in zip(q, cellvecs[c])],
+            d_sub,
+            dist_decimals,
         )
+        for c in probe
+    }
+    scored = K.adc_score_frame(
+        enc.select(id_col, *keep_cols, "codes", "centroid_id"),
+        id_col,
+        keep_cols,
+        out_decimals,
+        cell_luts=cell_luts,
     )
-    books = F.broadcast(codebooks_as_array(cb))
-    cand = enc.join(qres, F.col("centroid_id") == F.col("qcell")).crossJoin(
-        books
-    )
-    adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
-    return (
-        cand.withColumn("adc_dist", F.round(adc, out_decimals))
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in keep_cols],
-            F.col("centroid_id"),
-            F.col("adc_dist"),
-        )
-        .orderBy("adc_dist", id_col)
-        .limit(k_top)
-    )
+    return scored.orderBy("adc_dist", id_col).limit(k_top)
 
 
 def ivfpq_refine(
@@ -377,16 +445,17 @@ def pq_adc_topk(
     codeword. The corpus is never decoded; the scan reads only
     ``codes``. Per-subspace terms round to ``dist_decimals`` and sum in
     subspace order; the total rounds to ``out_decimals`` so the ranking
-    is engine-portable."""
-    books = F.broadcast(codebooks_as_array(codebooks_long))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    withc = encoded.crossJoin(books)
-    adc = adc_distance_expr(qlit, d_sub, dist_decimals)
-    return (
-        withc.withColumn("adc_dist", F.round(adc, out_decimals))
-        .select(
-            F.col(id_col), *[F.col(c) for c in keep_cols], F.col("adc_dist")
-        )
-        .orderBy("adc_dist", id_col)
-        .limit(k_top)
-    )
+    is engine-portable.
+
+    r13 opt (guide §4.2): scoring uses the FAISS precomputed-table
+    trick — the per-subspace term depends only on (query, m, code),
+    never on the row, so the n_sub×k table is computed once driver-side
+    (same IEEE op order as the JVM per-row fold, exact half-up round)
+    and each row is a numpy gather + sequential n_sub-term sum in one
+    ``mapInArrow`` pass."""
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
+    books = K.collect_books(codebooks_long)
+    lv = K.adc_lut(books, [float(x) for x in query_vec], d_sub, dist_decimals)
+    scored = K.adc_score_frame(encoded, id_col, keep_cols, out_decimals, luts=lv)
+    return scored.orderBy("adc_dist", id_col).limit(k_top)

@@ -47,8 +47,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.operators.pq import (
-    adc_distance_expr,
-    codebooks_as_array,
     pq_codebooks,
     pq_encode,
     with_residuals,
@@ -231,32 +229,46 @@ def build_pq_index(
         invalidate_memo,
     )
 
+    from kafka_dbsync_spark.operators.concurrency import run_job_chains
+
     marker = os.path.join(path, _MARKER)
     invalidate_memo(path)
     if os.path.exists(marker):
         os.remove(marker)
-    fp, _digest = fingerprint_and_digest(embeddings)
-    centroids_long.write.mode("overwrite").parquet(f"{path}/centroids")
-    cents = spark.read.parquet(f"{path}/centroids")
 
-    resid = with_residuals(embeddings, cents)
-    cb = pq_codebooks(resid, n_sub=n_sub, d_sub=d_sub, k=k, vec_col="resid")
-    cb.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
-    cb_r = spark.read.parquet(f"{path}/pq_codebooks")
-    enc = pq_encode(
-        resid, cb_r, d_sub=d_sub, vec_col="resid",
-        keep_cols=("label", "centroid_id"),
-    )
-    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/codes"
-    )
+    # r13 opt (guide §2.6): the fingerprint aggregate, the residual
+    # artifact chain, and the flat artifact chain are INDEPENDENT job
+    # chains over the same input — overlapping them back-fills executor
+    # slots each chain's stage tail leaves idle. The marker still
+    # writes only after every chain completes (crash discipline
+    # unchanged; any chain failure propagates and leaves no marker).
+    def _meta_chain():
+        return fingerprint_and_digest(embeddings)
 
-    fcb = pq_codebooks(embeddings, n_sub=n_sub, d_sub=d_sub, k=k)
-    fcb.write.mode("overwrite").parquet(f"{path}/flat_codebooks")
-    fcb_r = spark.read.parquet(f"{path}/flat_codebooks")
-    pq_encode(embeddings, fcb_r, d_sub=d_sub).write.mode("overwrite").parquet(
-        f"{path}/flat_codes"
-    )
+    def _resid_chain():
+        centroids_long.write.mode("overwrite").parquet(f"{path}/centroids")
+        cents = spark.read.parquet(f"{path}/centroids")
+        resid = with_residuals(embeddings, cents)
+        cb = pq_codebooks(resid, n_sub=n_sub, d_sub=d_sub, k=k, vec_col="resid")
+        cb.write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+        cb_r = spark.read.parquet(f"{path}/pq_codebooks")
+        enc = pq_encode(
+            resid, cb_r, d_sub=d_sub, vec_col="resid",
+            keep_cols=("label", "centroid_id"),
+        )
+        enc.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+
+    def _flat_chain():
+        fcb = pq_codebooks(embeddings, n_sub=n_sub, d_sub=d_sub, k=k)
+        fcb.write.mode("overwrite").parquet(f"{path}/flat_codebooks")
+        fcb_r = spark.read.parquet(f"{path}/flat_codebooks")
+        pq_encode(embeddings, fcb_r, d_sub=d_sub).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/flat_codes")
+
+    (fp, _digest), _, _ = run_job_chains(_meta_chain, _resid_chain, _flat_chain)
     rec: dict = {"fingerprint": fp}
     if _digest is not None:
         rec["id_digest"] = _digest
@@ -576,38 +588,35 @@ def ivfpq_search_index(
         select_probe_cells,
     )
 
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
     q = [float(x) for x in query_vec]
     cents = centroid_arrays(spark.read.parquet(f"{path}/centroids"))
     probe = select_probe_cells(cents, q, nprobe)
     cellvecs = dict(cents)
-    qres = F.broadcast(
-        spark.createDataFrame(
-            [(int(c), [qi - ci for qi, ci in zip(q, cellvecs[c])]) for c in probe],
-            "qcell bigint, qr array<double>",
+    # r13 opt (guide §4.2): per-cell ADC tables precomputed driver-side
+    # from the codebook metadata (FAISS precomputed-tables), scored in
+    # one mapInArrow gather pass — no qres broadcast join, no per-row
+    # interpreted fold. The codes scan still prunes to the probed cells.
+    books = K.collect_books(spark.read.parquet(f"{path}/pq_codebooks"))
+    cell_luts = {
+        int(c): K.adc_lut(
+            books,
+            [qi - ci for qi, ci in zip(q, cellvecs[c])],
+            d_sub,
+            dist_decimals,
         )
+        for c in probe
+    }
+    cand = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin([int(c) for c in probe])
     )
-    books = F.broadcast(
-        codebooks_as_array(spark.read.parquet(f"{path}/pq_codebooks"))
+    scored = K.adc_score_frame(
+        cand, "vec_id", ("label",), out_decimals, cell_luts=cell_luts
     )
-    cand = (
-        spark.read.parquet(f"{path}/codes")
-        .filter(F.col("centroid_id").isin([int(c) for c in probe]))
-        .join(qres, F.col("centroid_id") == F.col("qcell"))
-        .crossJoin(books)
-    )
-    adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
-    return (
-        cand.withColumn("adc_dist", F.round(adc, out_decimals))
-        # the partition column reads back as int — restore the fused
-        # query's bigint so both paths share one output schema
-        .select(
-            "vec_id", "label",
-            F.col("centroid_id").cast("long").alias("centroid_id"),
-            "adc_dist",
-        )
-        .orderBy("adc_dist", "vec_id")
-        .limit(k_top)
-    )
+    # the partition column reads back as int — adc_score_frame emits it
+    # as bigint, so both paths share one output schema
+    return scored.orderBy("adc_dist", "vec_id").limit(k_top)
 
 
 def ivfpq_search_multi_index(
@@ -644,37 +653,39 @@ def ivfpq_search_multi_index(
 
     if not queries:
         raise ValueError("queries must be non-empty")
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
     cents = centroid_arrays(spark.read.parquet(f"{path}/centroids"))
     cellvecs = dict(cents)
-    qres_rows = []
+    # r13 opt (guide §4.2): the (query, cell) residual tables are
+    # precomputed driver-side and each pruned row is emitted once per
+    # query probing its cell inside one mapInArrow pass — replacing the
+    # broadcast qres join + per-row interpreted fold with a table
+    # gather. Still ONE pruned codes scan for all queries.
+    books = K.collect_books(spark.read.parquet(f"{path}/pq_codebooks"))
+    cell_queries: dict[int, list] = {}
     all_cells: set[int] = set()
     for qid, qv in queries:
         q = [float(x) for x in qv]
         probe = select_probe_cells(cents, q, nprobe)
         all_cells.update(int(c) for c in probe)
-        qres_rows.extend(
-            (int(qid), int(c), [qi - ci for qi, ci in zip(q, cellvecs[c])])
-            for c in probe
-        )
-    qres = F.broadcast(
-        spark.createDataFrame(
-            qres_rows, "query_id bigint, qcell bigint, qr array<double>"
-        )
+        for c in probe:
+            cell_queries.setdefault(int(c), []).append(
+                (
+                    int(qid),
+                    K.adc_lut(
+                        books,
+                        [qi - ci for qi, ci in zip(q, cellvecs[c])],
+                        d_sub,
+                        dist_decimals,
+                    ),
+                )
+            )
+    cand = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid_id").isin(sorted(all_cells))
     )
-    books = F.broadcast(
-        codebooks_as_array(spark.read.parquet(f"{path}/pq_codebooks"))
-    )
-    cand = (
-        spark.read.parquet(f"{path}/codes")
-        .filter(F.col("centroid_id").isin(sorted(all_cells)))
-        .join(qres, F.col("centroid_id") == F.col("qcell"))
-        .crossJoin(books)
-    )
-    adc = adc_distance_expr(F.col("qr"), d_sub, dist_decimals)
-    scored = cand.withColumn("adc_dist", F.round(adc, out_decimals)).select(
-        "query_id", "vec_id", "label",
-        F.col("centroid_id").cast("long").alias("centroid_id"),
-        "adc_dist",
+    scored = K.adc_score_frame(
+        cand, "vec_id", ("label",), out_decimals, cell_queries=cell_queries
     )
     order = (F.col("adc_dist"), F.col("vec_id"))
     # stage 1: partial top-k per (query, input partition) — any split
@@ -733,20 +744,21 @@ def pq_adc_search_index(
     out_decimals: int = 4,
 ) -> DataFrame:
     """Flat-PQ ADC top-k against the persisted index: scan only the
-    8-byte code arrays, broadcast codebooks, TakeOrdered."""
-    books = F.broadcast(
-        codebooks_as_array(spark.read.parquet(f"{path}/flat_codebooks"))
+    8-byte code arrays, TakeOrdered. r13 opt (guide §4.2): the query's
+    ADC table is precomputed driver-side from the codebook metadata and
+    rows are scored by a numpy gather in one mapInArrow pass."""
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
+    books = K.collect_books(spark.read.parquet(f"{path}/flat_codebooks"))
+    lv = K.adc_lut(books, [float(x) for x in query_vec], d_sub, dist_decimals)
+    scored = K.adc_score_frame(
+        spark.read.parquet(f"{path}/flat_codes"),
+        "vec_id",
+        ("label",),
+        out_decimals,
+        luts=lv,
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    adc = adc_distance_expr(qlit, d_sub, dist_decimals)
-    return (
-        spark.read.parquet(f"{path}/flat_codes")
-        .crossJoin(books)
-        .withColumn("adc_dist", F.round(adc, out_decimals))
-        .select("vec_id", "label", "adc_dist")
-        .orderBy("adc_dist", "vec_id")
-        .limit(k_top)
-    )
+    return scored.orderBy("adc_dist", "vec_id").limit(k_top)
 
 
 def pq_index_add(
@@ -805,17 +817,29 @@ def pq_index_add(
     from kafka_dbsync_spark.operators.cache_validation import invalidate_memo
 
     invalidate_memo(path)
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/pq_codebooks")
-    resid = with_residuals(new_embeddings, cents)
-    pq_encode(
-        resid, cb, d_sub=d_sub, vec_col="resid",
-        keep_cols=("label", "centroid_id"),
-    ).write.mode("append").partitionBy("centroid_id").parquet(f"{path}/codes")
-    fcb = spark.read.parquet(f"{path}/flat_codebooks")
-    pq_encode(new_embeddings, fcb, d_sub=d_sub).write.mode("append").parquet(
-        f"{path}/flat_codes"
-    )
+    # r13 opt (guide §2.6): the two appends are independent job chains
+    # (phase-1 digest fold above already made a crash anywhere in them
+    # superset-sound; the fingerprint advances only after BOTH land)
+    from kafka_dbsync_spark.operators.concurrency import run_job_chains
+
+    def _codes_chain():
+        cents = spark.read.parquet(f"{path}/centroids")
+        cb = spark.read.parquet(f"{path}/pq_codebooks")
+        resid = with_residuals(new_embeddings, cents)
+        pq_encode(
+            resid, cb, d_sub=d_sub, vec_col="resid",
+            keep_cols=("label", "centroid_id"),
+        ).write.mode("append").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+
+    def _flat_chain():
+        fcb = spark.read.parquet(f"{path}/flat_codebooks")
+        pq_encode(new_embeddings, fcb, d_sub=d_sub).write.mode(
+            "append"
+        ).parquet(f"{path}/flat_codes")
+
+    run_job_chains(_codes_chain, _flat_chain)
     # PHASE 2: the index now covers build-time rows PLUS the added
     # ones — advance the marker's dataset fingerprint
     old = rec.get("fingerprint")
@@ -1357,33 +1381,52 @@ def build_pq_shard(
             f"no complete index at {quantizer_src} to take quantizers "
             "from; train with build_pq_index first."
         )
+    from kafka_dbsync_spark.operators.concurrency import run_job_chains
+
     marker = os.path.join(path, _MARKER)
     invalidate_memo(path)
     if os.path.exists(marker):
         os.remove(marker)
-    fp, _digest = fingerprint_and_digest(embeddings)
     os.makedirs(path, exist_ok=True)
     for sub in ("centroids", "pq_codebooks", "flat_codebooks"):
         dst = os.path.join(path, sub)
         if os.path.exists(dst):
             shutil.rmtree(dst)
         shutil.copytree(os.path.join(quantizer_src, sub), dst)
-    cents = spark.read.parquet(f"{path}/centroids")
-    cb = spark.read.parquet(f"{path}/pq_codebooks")
-    resid = with_residuals(embeddings, cents)
-    pq_encode(
-        resid, cb, d_sub=d_sub, vec_col="resid",
-        keep_cols=("label", "centroid_id"),
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/codes"
-    )
-    fcb = spark.read.parquet(f"{path}/flat_codebooks")
-    pq_encode(embeddings, fcb, d_sub=d_sub).write.mode("overwrite").parquet(
-        f"{path}/flat_codes"
+
+    # r13 opt (guide §2.6): fingerprint, residual-codes, flat-codes and
+    # the quantizer-signature readback are independent job chains (the
+    # quantizer artifacts are already copied above) — overlap them;
+    # marker-last discipline unchanged.
+    def _meta_chain():
+        return fingerprint_and_digest(embeddings)
+
+    def _codes_chain():
+        cents = spark.read.parquet(f"{path}/centroids")
+        cb = spark.read.parquet(f"{path}/pq_codebooks")
+        resid = with_residuals(embeddings, cents)
+        pq_encode(
+            resid, cb, d_sub=d_sub, vec_col="resid",
+            keep_cols=("label", "centroid_id"),
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/codes"
+        )
+
+    def _flat_chain():
+        fcb = spark.read.parquet(f"{path}/flat_codebooks")
+        pq_encode(embeddings, fcb, d_sub=d_sub).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/flat_codes")
+
+    def _sig_chain():
+        return quantizer_signature(spark, path)
+
+    (fp, _digest), _, _, qsig = run_job_chains(
+        _meta_chain, _codes_chain, _flat_chain, _sig_chain
     )
     rec = {
         "fingerprint": fp,
-        "quantizer_sig": quantizer_signature(spark, path),
+        "quantizer_sig": qsig,
     }
     if _digest is not None:
         rec["id_digest"] = _digest

@@ -338,31 +338,54 @@ def ivf_assign(
 
     At 100 TB this is the index-build pass whose ``cell_col`` output
     becomes the table's partition column, so searches prune to nprobe/B
-    of the files."""
-    cents_row = F.broadcast(centroids_as_array(centroids_long))
-    # materialize the double-cast once per row: it is referenced by every
-    # per-centroid distance term, and Spark does no CSE inside HOF lambdas
-    withv = embeddings.withColumn(
-        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    ).crossJoin(cents_row)
+    of the files.
 
-    def entry(c):
-        d2 = F.aggregate(
-            F.zip_with(F.col("__v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        return F.struct(
-            F.round(d2, dist_decimals).alias("dist"),
-            c["cell"].alias(cell_col),
-        )
+    r13 opt (guide §4.2): the per-row argmin was a JVM higher-order
+    fold over the broadcast centroid array — HOFs are CodegenFallback,
+    so every row paid B·dim interpreted lambda steps. The assignment
+    now runs as ONE ``mapInArrow`` pass with a numpy kernel
+    (operators/pq_kernels.py) that keeps the arithmetic contract
+    bit-for-bit: sequential left-fold dim order, Spark-exact half-up
+    rounding, ties to the lowest cell. The centroids are collected
+    driver-side first — the same B×dim metadata object the broadcast
+    row carried (and the FAISS coarse-quantizer RAM model); still
+    map-only, still no Exchange on the data side."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    best = F.array_min(F.transform(F.col("__cents"), entry))
-    out = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    from kafka_dbsync_spark.operators import pq_kernels as K
+
+    cents = centroid_arrays(centroids_long)
+    in_cols = [id_col, *keep_cols, vec_col]
+    src = embeddings.select(*[F.col(c) for c in in_cols])
+    out_names = [id_col, *keep_cols]
     if keep_vec:
-        out.append(F.col(vec_col))
-    out += [F.col(f"__b.{cell_col}").alias(cell_col), F.col("__b.dist").alias("dist")]
-    return withv.withColumn("__b", best).select(*out)
+        out_names.append(vec_col)
+    schema = StructType(
+        [src.schema[c] for c in out_names]
+        + [StructField(cell_col, LongType()), StructField("dist", DoubleType())]
+    )
+
+    def _fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if not n:
+                continue
+            mat, lens, nulls = K.list_column_matrix(batch.column(vec_col), n)
+            if cents:
+                cell, dist = K.assign_cells(mat, lens, nulls, cents, dist_decimals)
+                bad = nulls | (lens != len(cents[0][1]))
+                cell_arr = pa.array(cell, type=pa.int64())
+                dist_arr = pa.array(dist, type=pa.float64(), mask=bad)
+            else:  # array_min over an empty centroid array → NULL row
+                cell_arr = pa.nulls(n, type=pa.int64())
+                dist_arr = pa.nulls(n, type=pa.float64())
+            cols = [batch.column(c) for c in out_names] + [cell_arr, dist_arr]
+            yield pa.RecordBatch.from_arrays(cols, names=[*out_names, cell_col, "dist"])
+
+    return src.mapInArrow(_fn, schema)
 
 
 def kmeans_iterate(

@@ -72,10 +72,13 @@ def test_books_row_is_single_and_sorted(cb):
 
 
 def test_encode_plan_is_map_only(emb, cb):
-    # broadcast codebook row -> no Exchange on the data side past the
-    # codebook build itself (the encode adds only a BroadcastNestedLoopJoin)
+    # r13 opt: the encode is ONE Arrow pass over the data — no join of
+    # any kind (the codebooks ride in as collected metadata) and no
+    # Exchange anywhere in the encode plan
     plan = pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_adc_sparse_codebook_looks_up_by_code(emb, cb, spark):
@@ -175,16 +178,18 @@ def test_ivfpq_refine_exact_order_within_candidates(emb, spark):
     assert abs(round(cs, 4) - other["exact_cs"]) < 1e-9
 
 
-def test_ivfpq_runtime_reuses_metadata_exchanges(spark):
-    # the static plan re-derives the centroid/codebook metadata pipelines
-    # per consumer (plan_audit budgets 11 exchanges); at RUNTIME AQE must
-    # collapse at least some of them into ReusedExchange nodes — the
-    # property the budget comment relies on
+def test_ivfpq_search_plan_has_no_exchange(spark):
+    # r13 opt: the old static plan re-derived the centroid/codebook
+    # metadata pipelines per consumer (11-exchange budget, AQE collapsed
+    # some into ReusedExchange at runtime). The Arrow rewrite removed
+    # the duplicated subtrees outright: the metadata is collected once
+    # driver-side and the scoring path is three map-only Arrow passes +
+    # TakeOrdered — the FINAL search plan holds NO Exchange at all
+    # (strictly stronger than the old reuse property).
     from kafka_dbsync_spark.queries import QUERIES
 
     df = QUERIES["ivfpq_search"](spark, SF)
-    # collect() (not count()) so THIS df's adaptive plan finalizes
     assert len(df.collect()) == 10
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert plan.count("ReusedExchange") >= 1
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan

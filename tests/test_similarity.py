@@ -76,24 +76,18 @@ def test_ivf_assign_nearest_centroid(spark):
 
 
 def test_ivf_assign_is_map_only(spark):
-    """The assignment shuffles no DATA: the embeddings side crosses only a
-    single-row broadcast (the centroid array), so the plan may contain the
-    centroid-side metadata exchanges (SinglePartition collect + broadcast)
-    but no hash-partitioned exchange and no shuffle join."""
+    """The assignment shuffles no DATA: r13 opt made it ONE Arrow pass
+    over the embeddings (the centroids are collected driver-side
+    metadata, the FAISS coarse-quantizer RAM model), so the plan holds
+    no join of any kind and no Exchange at all."""
     plan = ivf_assign(
         emb_df(spark).coalesce(1), centroids_df(spark)
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    # the STREAMED (embeddings) side of the broadcast join — the ":"-prefixed
-    # left subtree in the plan string — must contain no Exchange; the
-    # centroid side may shuffle its B*dim metadata rows freely
-    lines = plan.splitlines()
-    join_at = next(i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln)
-    streamed = [ln for ln in lines[join_at + 1:] if ln.lstrip().startswith(":")]
-    assert streamed, plan
-    assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
+    assert "MapInArrow" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_ivf_search_probes_nearest_cells(spark):
