@@ -19,7 +19,8 @@ Scale design:
 - SimHash: fully narrow — per-doc token-hash arrays with one counted
   array pass per bit; no explode, no shuffle.
 
-No Python UDFs anywhere — md5/array built-ins only.
+No row-at-a-time Python UDFs anywhere — md5/array built-ins, plus one
+vectorized Arrow pass (the setsim pair verifier, r13 opt).
 """
 
 from __future__ import annotations
@@ -1144,6 +1145,64 @@ def _assemble_from_drops(
     )
 
 
+def _pair_jaccard_batches(tbp: int):
+    """mapInArrow kernel: exact Jaccard basis points per candidate pair
+    from the two docs' full shingle arrays (r13 opt, guide §8: verify
+    on pair-scoped payloads instead of re-shuffling the exploded
+    shingle stream twice — the old equi-join verifier materialized
+    Σ|A| rows per candidate pair and hash-aggregated them).
+
+    Exactness: the batch's two flattened string columns are
+    dictionary-encoded TOGETHER in one Arrow pass, so equal shingles
+    share an int32 code and distinct shingles never collide — the same
+    string-equality contract as the JVM join, no hashing across the
+    boundary. Intersection counts come from one ``np.intersect1d``
+    over (pair, code) composite keys; both sides are genuine sets
+    (``array_distinct`` upstream), so ``assume_unique`` holds.
+    ``jaccard_bp = floor(inter·1e4 / union)`` in int64 — the exact
+    integer arithmetic of the JVM expression it replaces."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sa, sb = b.column("sh_a"), b.column("sh_b")
+            la = np.asarray(pc.list_value_length(sa).fill_null(0))
+            lb = np.asarray(pc.list_value_length(sb).fill_null(0))
+            flat_a, flat_b = sa.flatten(), sb.flatten()
+            enc = pa.concat_arrays([flat_a, flat_b]).dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ca, cb = codes[: len(flat_a)], codes[len(flat_a):]
+            pidx_a = np.repeat(np.arange(n, dtype=np.int64), la)
+            pidx_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+            m = np.int64(len(enc.dictionary)) + 1
+            # composite (pair, code) key fits int64: n ≤ Arrow batch
+            # rows (10k default) and m ≤ the batch's flat lengths
+            common = np.intersect1d(
+                pidx_a * m + ca, pidx_b * m + cb, assume_unique=True
+            )
+            inter = np.bincount(common // m, minlength=n).astype(np.int64)
+            union = la.astype(np.int64) + lb.astype(np.int64) - inter
+            ok = union > 0
+            jac = np.zeros(n, dtype=np.int64)
+            np.floor_divide(inter * 10000, union, out=jac, where=ok)
+            keep = pa.array(ok & (jac >= tbp))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("id_a").filter(keep),
+                    b.column("id_b").filter(keep),
+                    pa.array(jac, type=pa.int64()).filter(keep),
+                ],
+                names=["id_a", "id_b", "jaccard_bp"],
+            )
+
+    return fn
+
+
 def setsim_prefix_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1188,8 +1247,11 @@ def setsim_prefix_join(
     a pruning comparison, so a pair exactly at the bp boundary can
     never be pruned by a filter yet accepted by the verifier (the
     double for e.g. 0.34 rounds UP, so ``t * s`` float arithmetic
-    would over-prune). No Python UDFs; the per-doc prefix sort is a
-    narrow ``sort_array`` over that document's own shingles.
+    would over-prune). The per-doc prefix sort is a narrow
+    ``sort_array`` over that document's own shingles; verification is
+    one vectorized Arrow pass over pair-scoped shingle arrays
+    (``_pair_jaccard_batches`` — exact, batch-local dictionary
+    encoding, no row-at-a-time Python).
 
     CLONE COLLAPSE — the clone-heavy-corpus guard: documents with
     IDENTICAL shingle sets first collapse to one representative
@@ -1254,8 +1316,31 @@ def setsim_prefix_join(
         )
     else:
         sh = all_sh  # every doc is its own representative
+    # The candidate machinery never needs the shingle STRINGS — only a
+    # consistent total order and an equality key (verification is exact
+    # on the full arrays below). Run it on a 128-bit hash of g (two
+    # independently-seeded xxhash64 halves): 16-byte keys through every
+    # exchange/sort/join instead of ~25-byte strings (guide §2.3
+    # "shuffle keys and metadata instead of payloads"; measured
+    # candidate stage 2.08 → 1.38 s at sf0.1). Completeness: df-counts
+    # and the order are keyed by the SAME deterministic function of g
+    # for every doc, so (df(h), h) is a consistent total order, and
+    # equal g ⇒ equal h always holds — the prefix pigeonhole argument
+    # is unchanged. Distinct shingles sharing h would merge a key;
+    # 128 bits puts that in the same collision class as the md5
+    # digest-equality contract the clone collapse above already
+    # rests on (and anywhere it mattered, the exact verifier still
+    # bounds the damage to candidate-set noise, never to a wrong
+    # jaccard_bp).
     exploded = sh.select(
-        id_col, F.size("sh").alias("s"), F.explode("sh").alias("g")
+        id_col, F.size("sh").alias("s"), F.explode("sh").alias("g0")
+    ).select(
+        id_col,
+        "s",
+        F.struct(
+            F.xxhash64("g0").alias("h1"),
+            F.xxhash64(F.lit(1), "g0").alias("h2"),
+        ).alias("g"),
     )
     dfreq = exploded.groupBy("g").agg(F.count("*").alias("df"))
     # per-doc prefix under the global (df, g) order: attach df, fold the
@@ -1320,29 +1405,34 @@ def setsim_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification by COUNTING shared shingles through an
-    # equi-join: O(sum of candidate set sizes) flat JVM rows, instead
-    # of the per-pair O(|A|*|B|) nested array intersect jaccard_pairs
-    # does (right for LSH-sized candidate sets, quadratic pain here)
-    ga = exploded.select(F.col(id_col).alias("id_a"), "g")
-    gb = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("s").alias("szb"), "g"
+    # exact verification on PAIR-SCOPED payloads (r13 opt, guide §8):
+    # attach the two docs' full shingle arrays to each candidate pair
+    # (two joins against the ≤corpus-sized set table) and count the
+    # intersection in one Arrow pass (_pair_jaccard_batches). The old
+    # equi-join verifier re-shuffled the exploded shingle stream twice
+    # — Σ|A| rows PER candidate pair (34M rows at sf0.1) through an
+    # exchange + hash aggregate; the arrays now ride the candidate
+    # rows once and never explode.
+    sh_sets = sh.select(F.col(id_col).alias("__sid"), "sh")
+    pairs_in = (
+        cand.join(
+            sh_sets.select(
+                F.col("__sid").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh_sets.select(
+                F.col("__sid").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
-    sza = sh.select(F.col(id_col).alias("id_a"), F.size("sh").alias("sza"))
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"), F.first("szb").alias("szb"))
-        .join(sza, "id_a")
-    )
-    jac_bp = F.floor(
-        F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))
-    )
-    rep_pairs = (
-        inter.withColumn("jaccard_bp", jac_bp)
-        .filter(F.col("jaccard_bp") >= tbp)
-        .select("id_a", "id_b", "jaccard_bp")
+    id_type = dict(df.dtypes)[id_col]
+    rep_pairs = pairs_in.mapInArrow(
+        _pair_jaccard_batches(tbp),
+        f"id_a {id_type}, id_b {id_type}, jaccard_bp bigint",
     )
     if not has_clones:
         return rep_pairs  # expansion would be the identity
