@@ -225,6 +225,7 @@ def _postings_batches_fn(id_col: str):
 
     def _batches(it):
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -249,7 +250,15 @@ def _postings_batches_fn(id_col: str):
             doc_idx = np.repeat(np.arange(len(sizes)), sizes)
             starts_per_doc = np.cumsum(sizes) - sizes
             pos = np.arange(1, total + 1) - np.repeat(starts_per_doc, sizes)
-            uniq, codes = np.unique(flat, return_inverse=True)
+            # hash-based coding (r13 opt follow-up): np.unique on object
+            # strings pays a full comparison sort; factorize is O(n) and
+            # code order is irrelevant — the stable lexsort below keyed
+            # on (doc, code) keeps positions ascending per group either
+            # way, and postings order within a batch is not part of the
+            # segment contract (the write shuffles into bucket files)
+            codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+            codes = codes.astype(np.int64)
+            uniq = np.asarray(uniq, dtype=object)
             order = np.lexsort((codes, doc_idx))
             sd, sc, sp = doc_idx[order], codes[order], pos[order]
             newrun = np.ones(total, dtype=bool)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from kafka_dbsync_spark.functions.text import normalize_text, token_count, tokens
 from kafka_dbsync_spark.operators.dedup import with_shingles
+from kafka_dbsync_spark.utils import ensure_parallelism
 
 
 def tfidf_top_terms(
@@ -69,6 +70,101 @@ def tfidf_top_terms(
     )
 
 
+def _tf_batches_fn(id_col: str, units: list):
+    """mapInArrow body shared by :func:`bm25_topk` and
+    :func:`bm25_phrase_topk` (r13 opt, guide §4.2): per batch, one
+    numpy pass codes the token stream (hash-based ``pd.factorize`` —
+    no object sort) and counts each query unit — a term (string) or an
+    adjacent bigram phrase ((w1, w2) tuple) — per document, replacing
+    the per-unit interpreted HOF ``filter`` lambdas (CodegenFallback:
+    each ran per element × per unit). Exact-integer outputs
+    (dl, tf0..tf{m-1}); empty/NULL text rows emit dl = 0 and zero tfs,
+    matching the coalesced-token JVM expression. Overlapping phrase
+    occurrences count, exactly as the positional filter counted
+    them."""
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        for batch in it:
+            id_arr = batch.column(id_col)
+            texts = batch.column("__bm25_norm").to_pylist()
+            nrows = len(texts)
+            toks_per_doc = [t.split(" ") if t else () for t in texts]
+            sizes = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=nrows
+            )
+            tfs = np.zeros((len(units), nrows), dtype=np.int32)
+            total = int(sizes.sum())
+            if total:
+                flat = np.empty(total, dtype=object)
+                o = 0
+                for t in toks_per_doc:
+                    if t:
+                        flat[o : o + len(t)] = t
+                        o += len(t)
+                doc_idx = np.repeat(np.arange(nrows), sizes)
+                codes, uniq = pd.factorize(pd.Series(flat), sort=False)
+                codes = codes.astype(np.int64)
+                idx = pd.Index(uniq)
+
+                def _code(w):
+                    return int(idx.get_indexer([w])[0])
+
+                for j, u in enumerate(units):
+                    if isinstance(u, str):
+                        c = _code(u)
+                        if c < 0:
+                            continue
+                        mask = codes == c
+                        np.add.at(tfs[j], doc_idx[mask], 1)
+                    else:
+                        c1, c2 = _code(u[0]), _code(u[1])
+                        if c1 < 0 or c2 < 0 or total < 2:
+                            continue
+                        mask = (
+                            (codes[:-1] == c1)
+                            & (codes[1:] == c2)
+                            & (doc_idx[:-1] == doc_idx[1:])
+                        )
+                        np.add.at(tfs[j], doc_idx[:-1][mask], 1)
+            cols = [id_arr, pa.array(sizes.astype(np.int32), type=pa.int32())]
+            names = [id_col, "dl"]
+            for j in range(len(units)):
+                cols.append(pa.array(tfs[j], type=pa.int32()))
+                names.append(f"__tf{j}")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return _batches
+
+
+def _tf_per_doc(docs: DataFrame, id_col: str, text_col: str, units: list) -> DataFrame:
+    """(id, dl, __tf0..__tf{m-1}) via :func:`_tf_batches_fn` — the
+    normalized text is produced by the SAME JVM expression as the HOF
+    lineage it replaces (the ``bm25_index._postings_batches_fn``
+    tokenization-parity contract: the normalized alphabet is
+    single-spaced and trimmed, so ``str.split(" ")`` equals
+    ``F.split(norm, " ")`` element-for-element), and every output is an
+    exact integer, so the shared Okapi tail computes bit-identical
+    scores. ``ensure_parallelism`` keeps the CPU-bound pass off 1-2
+    cores on small/few-file scans (no-op on large multi-split
+    inputs)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    fields = {f.name: f for f in docs.schema.fields}
+    norm = normalize_text(text_col)
+    out_schema = StructType(
+        [fields[id_col], StructField("dl", IntegerType())]
+        + [StructField(f"__tf{j}", IntegerType()) for j in range(len(units))]
+    )
+    sel = ensure_parallelism(
+        docs.select(F.col(id_col), norm.alias("__bm25_norm"))
+    )
+    return sel.mapInArrow(_tf_batches_fn(id_col, list(units)), out_schema)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -93,28 +189,11 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    # NULL text guard: normalize_text(NULL) is NULL, which would fall
-    # through to F.size(NULL) = -1 and corrupt sumdl/avgdl for the whole
-    # corpus (the oracle's CASE yields NULL dl which sum() skips).
-    # Coalescing tokens to an empty array makes every downstream size()
-    # and filter() a clean 0 for NULL/empty documents.
-    norm = normalize_text(text_col)
-    tok = F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
-
-    def eq_term(term: str):
-        # single-arg lambda: a 2-arg one would receive (element, INDEX)
-        return lambda x: x == F.lit(term)
-
-    per_doc = docs.select(
-        F.col(id_col),
-        F.size(tok).alias("dl"),
-        *[
-            F.size(F.filter(tok, eq_term(t))).alias(f"__tf{i}")
-            for i, t in enumerate(query_terms)
-        ],
-    )
+    # r13 opt (guide §4.2): dl and the per-term tfs come from ONE Arrow
+    # pass (_tf_per_doc) instead of m interpreted HOF ``filter`` lambdas
+    # per row; NULL/empty text emits dl = 0 and zero tfs, exactly as the
+    # coalesced-token JVM expression did.
+    per_doc = _tf_per_doc(docs, id_col, text_col, list(query_terms))
     return _okapi_topk(per_doc, len(query_terms), id_col, k, k1, b)
 
 
@@ -131,7 +210,10 @@ def _okapi_topk(
     aggregate broadcasts back, the score is the exact left-assoc
     expression tree (evaluation order is part of the result under IEEE
     doubles — the oracle embeds the same order), top-k via
-    TakeOrdered."""
+    TakeOrdered. ``per_doc`` is localCheckpointed (r13 opt): the stats
+    aggregate and the scoring scan both read it, and without the
+    checkpoint each branch re-runs the whole per-doc tf computation."""
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count("*").alias("__n"),
         F.sum("dl").alias("__sumdl"),
@@ -209,45 +291,14 @@ def bm25_phrase_topk(
     for p in phrases:
         if len(p) != 2:
             raise ValueError(f"only bigram phrases are supported (got {p!r})")
-    norm = normalize_text(text_col)
-    tok = F.when(norm.isNull() | (norm == ""), F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
-    # Phrase tf via ONE materialized bigram-string array, then plain
-    # per-phrase element filters — the term query's cost profile. Two
-    # rejected formulations, measured at sf0.1 (50k docs): per-index
-    # element_at lambdas re-evaluate their array child per position
-    # (the repo's documented no-CSE-in-HOF pitfall: 27 s even with the
-    # tokens materialized), and per-phrase zip_with trees stop being
-    # cheap past one phrase per projection (8.6 s at three). The shared
-    # bigram array evaluates once per row (CollapseProject keeps
-    # multi-referenced non-cheap aliases) and runs at 0.4 s. Tokens
-    # cannot contain spaces, so "x y" == "w1 w2" iff x==w1 AND y==w2 —
-    # integer-exact equivalence with the oracle's positional count; the
-    # zip's final (t[n], NULL) pair concats to a spaceless string that
-    # can never equal a phrase.
-    t = F.col("__t")
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.zip_with(
-            t,
-            F.slice(t, 2, F.size(t) - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bi = docs.select(F.col(id_col), tok.alias("__t")).select(
-        F.col(id_col), F.size(t).alias("dl"), bigrams.alias("__bg")
-    )
-    per_doc = bi.select(
-        F.col(id_col),
-        "dl",
-        *[
-            F.size(
-                F.filter(F.col("__bg"), lambda x: x == F.lit(f"{w1} {w2}"))
-            ).alias(f"__tf{i}")
-            for i, (w1, w2) in enumerate(phrases)
-        ],
-    )
+    # r13 opt (guide §4.2): a phrase's tf is the count of in-document
+    # ADJACENT (w1, w2) code pairs in the same Arrow pass the term
+    # query uses (_tf_per_doc) — the previous shape materialized a
+    # bigram-string array per row and ran one interpreted HOF filter
+    # per phrase over it (its own history of rejected formulations is
+    # preserved in git). Overlapping occurrences count, exactly as the
+    # positional filter counted them.
+    per_doc = _tf_per_doc(docs, id_col, text_col, [tuple(p) for p in phrases])
     return _okapi_topk(per_doc, len(phrases), id_col, k, k1, b)
 
 

@@ -682,3 +682,31 @@ def test_contamination_stats_counts_and_fraction(spark):
     assert got[1] == (5, 5, 10000)
     assert got[2] == (9, 1, 1111)                   # floor(1*10000/9)
     assert got[3][1] == 0 and got[3][2] == 0
+
+
+def test_tf_per_doc_phrase_counts_overlapping(spark):
+    """The shared BM25 tf kernel (r13 opt) counts OVERLAPPING
+    adjacent-phrase occurrences (the positional-filter semantics) and
+    matches the term filters exactly, with dl = 0 for NULL/empty
+    text."""
+    from kafka_dbsync_spark.operators.corpus import _tf_per_doc
+
+    rows = [
+        (1, "a b a b a"),  # phrase (a, b) occurs at positions 1 and 3
+        (2, "a a a"),      # phrase (a, a) overlaps: positions 1 and 2
+        (3, ""),
+        (4, None),
+        (5, "b a"),
+    ]
+    docs = _docs(spark, rows)
+    out = {
+        r["doc_id"]: (r["dl"], r["__tf0"], r["__tf1"], r["__tf2"])
+        for r in _tf_per_doc(
+            docs, "doc_id", "text", [("a", "b"), ("a", "a"), "a"]
+        ).collect()
+    }
+    assert out[1] == (5, 2, 0, 3)
+    assert out[2] == (3, 0, 2, 3)
+    assert out[3] == (0, 0, 0, 0)
+    assert out[4] == (0, 0, 0, 0)
+    assert out[5] == (2, 0, 0, 1)
