@@ -385,7 +385,18 @@ def _segment_writer(spark: SparkSession, docs: DataFrame, id_col: str, text_col:
         from kafka_dbsync_spark.operators.concurrency import run_job_chains
 
         def _postings_chain():
-            postings.write.partitionBy("bucket").mode("overwrite").parquet(
+            # scale guard (guide §6 small files): partitionBy("bucket")
+            # from T input tasks emits up to T × N_BUCKETS files, so
+            # once the corpus scan yields more tasks than buckets the
+            # write clusters by bucket first (the shuffle carries the
+            # per-doc COMPRESSED postings rows, never the token
+            # stream). Below that the exchange costs more than the
+            # handful of files it saves — measured at sf0.1: the
+            # unconditional repartition regressed every segment write.
+            out = postings
+            if out.rdd.getNumPartitions() > N_BUCKETS:
+                out = out.repartition("bucket")
+            out.write.partitionBy("bucket").mode("overwrite").parquet(
                 f"{stage}/postings"
             )
             spark.read.schema(_schema_of(schemas, "postings_schema")).parquet(
@@ -1177,6 +1188,15 @@ def bm25_segment_merge(
             post = post.filter(~F.col(id_col).isin(rm_in))
             lens = lens.filter(~F.col(id_col).isin(rm_in))
         stage = os.path.join(path, f".stage-{merged}-{os.getpid()}")
+        # scale guard (guide §6 small files): the N-segment union would
+        # leave N files per bucket in the MERGED segment — a merge is a
+        # compaction, so once the union's task count exceeds the bucket
+        # count the write clusters by bucket first. Below that the
+        # exchange costs more than the handful of files it saves
+        # (measured at sf0.1: an unconditional repartition regressed
+        # every merge).
+        if post.rdd.getNumPartitions() > N_BUCKETS:
+            post = post.repartition("bucket")
         post.write.partitionBy("bucket").mode("overwrite").parquet(
             f"{stage}/postings"
         )
