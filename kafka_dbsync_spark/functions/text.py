@@ -87,6 +87,21 @@ def chunk_documents(
     )
 
 
+def chunk_breaks_every_nth_space(c: Column | str, n: int = 8) -> Column:
+    """Replace every ``n``-th space with a newline — the 8-token-chunk
+    paragraph synthesis (split on " ", group in ``n``s, join groups
+    with "\\n") as ONE regex pass (r13 opt, guide §4.1 built-ins
+    first): ``split``/``join`` round-trip losslessly for any string, so
+    grouping k tokens and rejoining equals replacing every n-th
+    separator in place — proven value-identical to the
+    transform/sequence/slice tree it replaces (which re-evaluated its
+    interpreted lambda per chunk), including empty/NULL text,
+    consecutive-space empty tokens and exact n-token boundaries
+    (``test_chunk_breaks_matches_transform_tree``)."""
+    pat = "((?:[^ ]* ){%d}[^ ]*) " % (n - 1)
+    return F.regexp_replace(_col(c), pat, "$1\n")
+
+
 def word_regex_count(c: Column | str) -> Column:
     """BPE-ish unit count: letter runs, single digits, single punctuation."""
     return F.regexp_count(_col(c), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))

@@ -23,6 +23,7 @@ from kafka_dbsync_spark.functions.text import (
     EMAIL_RE,
     PHONE_RE,
     URL_RE,
+    chunk_breaks_every_nth_space,
     gopher_signals,
     repetition_metrics,
     with_pii_scrubbed,
@@ -3686,13 +3687,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_dbsync_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
-        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
-    )
     chunked = docs.select(
-        "doc_id", F.array_join(paras, "\n").alias("text")
+        "doc_id", chunk_breaks_every_nth_space("text", 8).alias("text")
     )
     return paragraph_dedup(chunked, "doc_id", "text", sep="\n", mode="keep_first")
 
@@ -3719,12 +3715,9 @@ def q_paragraph_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
-        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    chunked = docs.select(
+        "doc_id", chunk_breaks_every_nth_space("text", 8).alias("text")
     )
-    chunked = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
     mx = int(chunked.agg(F.max("doc_id")).head()[0])
     b1, b2 = mx // 3, (2 * mx) // 3
     batches = [
@@ -3857,12 +3850,9 @@ def _boilerplate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # newline inside a token would silently desynchronize the two. A
     # no-op on the newline-free test corpora; the oracle's t CTE applies
     # the same replace so the equivalence is structural, not accidental.
-    tk = F.split(F.regexp_replace(F.col("text"), "\n", " "), " ")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
-        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    body = chunk_breaks_every_nth_space(
+        F.regexp_replace(F.col("text"), "\n", " "), 8
     )
-    body = F.array_join(paras, "\n")
     header = F.concat(
         F.lit("(c) "), F.col("source"), F.lit(" all rights reserved")
     )
@@ -9013,12 +9003,9 @@ def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_dbsync_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.split(F.col("text"), " ")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
-        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    chunked = docs.select(
+        "doc_id", chunk_breaks_every_nth_space("text", 8).alias("text")
     )
-    chunked = docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
     cleaned = paragraph_dedup(
         chunked, "doc_id", "text", sep="\n", mode="keep_first"
     ).select("doc_id", "cleaned_text")
@@ -10944,12 +10931,9 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # stage 3: paragraph dedup over 8-token chunks (the ccnet fixture)
-    tk = F.split(F.col("text"), " ")
-    paras = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
-        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    chunked = gated.select(
+        "doc_id", chunk_breaks_every_nth_space("text", 8).alias("text")
     )
-    chunked = gated.select("doc_id", F.array_join(paras, "\n").alias("text"))
     cleaned = paragraph_dedup(
         chunked, "doc_id", "text", sep="\n", mode="keep_first"
     ).select("doc_id", "cleaned_text")

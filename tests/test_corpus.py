@@ -710,3 +710,37 @@ def test_tf_per_doc_phrase_counts_overlapping(spark):
     assert out[3] == (0, 0, 0, 0)
     assert out[4] == (0, 0, 0, 0)
     assert out[5] == (2, 0, 0, 1)
+
+
+def test_chunk_breaks_matches_transform_tree(spark):
+    """The r13 regex chunker equals the transform/sequence/slice tree
+    it replaced: split on " " and join back round-trips losslessly, so
+    grouping 8 tokens and rejoining with newlines IS replacing every
+    8th space — including NULL/empty text, consecutive-space empty
+    tokens and exact 8-token boundaries."""
+    from pyspark.sql import functions as F
+
+    from kafka_dbsync_spark.functions.text import chunk_breaks_every_nth_space
+
+    rows = [
+        (1, ""),
+        (2, None),
+        (3, "one"),
+        (4, "a b c d e f g h"),
+        (5, "a b c d e f g h i"),
+        (6, "x  y   z"),
+        (7, "a\nb c d e f g h i j"),
+        (8, " ".join(f"t{i}" for i in range(25))),
+    ]
+    docs = _docs(spark, rows)
+    tk = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(tk) / 8.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    old = docs.select("doc_id", F.array_join(paras, "\n").alias("t"))
+    new = docs.select(
+        "doc_id", chunk_breaks_every_nth_space("text", 8).alias("t")
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
