@@ -19,55 +19,71 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from kafka_dbsync_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's CORRECTNESS gate checks the FIRST 50 entries of queries().
-# Round-13 rotation. The ON-PATH rule is now MECHANICAL (VERDICT r12
+# Round-13 rotation. The ON-PATH rule is MECHANICAL (VERDICT r12
 # what's-wrong #2): a query is on-path iff any file imported by its
 # operator chain changed this round with at least one changed line on a
 # code path the query executes — computed from `git diff r12..HEAD`
-# over kafka_dbsync_spark/. Files changed in r13: id_digest.py +
-# bm25_index.py + pq_index.py (the digest-v2 rework: scaled-m blooms,
-# per-segment ladder, bloom-from-staged-bytes, shared merge-guard
-# ladder, check fixes), and lm_index.py / nb_index.py /
-# boilerplate_index.py / decontam_index.py / dedup_index.py (fsck
-# checkers APPENDED — generation_check + *_check are new functions; no
-# existing query path executes a changed line, so those families'
-# existing queries are disclosed below rather than windowed, and the
-# new family_fsck_report row gates the appended code itself).
-#   (a) the 3 queries NEW in round 13 (gate-contract rule — registered
-#       the round they land): bm25_index_fsck / pq_index_fsck /
-#       family_fsck_report — the CheckIndex census rows (VERDICT r12
-#       #4/#5).
+# over kafka_dbsync_spark/. Round 13 had two phases and the window is
+# recomputed over the UNION of their diffs:
+#   build phase — id_digest.py + bm25_index.py + pq_index.py (the
+#   digest-v2 rework) plus fsck checkers APPENDED to five family
+#   modules (no existing query path executes an appended line; the new
+#   family_fsck_report row gates that code);
+#   optimization phase — pq.py (pq_encode / with_residuals /
+#   ivfpq_search / pq_adc_topk) + similarity.py (ivf_assign) +
+#   pq_kernels.py (new) + functions/text.py (repetition_metrics /
+#   gopher_signals / chunk_breaks_every_nth_space) + corpus.py
+#   (bm25_topk / _okapi_topk / bm25_phrase_topk) + dedup.py
+#   (setsim_prefix_join + the Arrow pair verifier) + the queries.py
+#   call sites of all of the above.
+# Window composition, 50 exactly (3 + 14 + 1 + 28 + 4):
+#   (a) the 3 queries NEW in round 13 (gate-contract rule):
+#       bm25_index_fsck / pq_index_fsck / family_fsck_report.
 #   (b) the 14 carried queries on-path of the digest-v2 rework: the
-#       BM25 mutation family (bm25_index_add / bm25_ingest_gate /
-#       bm25_tiered_merge / bm25_segment_merge / bm25_remove_serve)
-#       and its reader rows over the new marker shape
-#       (bm25_search_served / bm25_phrase_served / bm25_search_multi —
-#       their fixtures BUILD with the scaled-m staged-bytes bloom), and
-#       the pq family (pq_index_build / pq_index_add / pq_index_merge /
-#       ann_ingest_stream / ivfpq_remove_serve / ivfpq_search_served —
-#       fingerprint_and_digest + the shared disjointness ladder).
-#   (c) timeseries_gap_fill — the r12 disclosure slip (VERDICT r12
-#       what's-wrong #2): changed on-path in r12 without a window slot;
-#       re-gated now.
-#   (d) 32 of the 46 r8-tier rows (newest green = r8, recomputed from
-#       CORRECTNESS_r1..r12), CDC/reference-core and compound operators
-#       first.
-# That fills 50 exactly (3+14+1+32). CEDED this round, each passing the
-# round-13 full local sweep (CORRECTNESS_LOCAL_r13):
-#   - 14 r8-tier rows that didn't fit — all simple single-shuffle
-#     analytics shapes whose operator chains haven't changed since they
-#     were built (countmin_counts, dup_rate_by_source, events_hourly,
-#     important_parts, local_supplier_revenue, min_price_suppliers,
+#       BM25 mutation family and its reader rows over the new marker
+#       shape, and the pq_index build/add/merge/stream/remove/serve
+#       family.
+#   (c) timeseries_gap_fill — the r12 disclosure-slip re-gate.
+#   (e) the 28 carried queries on-path of the OPTIMIZATION diffs:
+#       the inline IVF/PQ family (ivf_assign / ivf_search /
+#       ivf_cell_stats / ivf_outliers / cluster_prototypes /
+#       ann_recall_report / pq_encode / pq_adc_search / ivfpq_search /
+#       ivfpq_search_refined / ivfpq_search_multi /
+#       pq_adc_search_served / semantic_dedup — Arrow kernels replaced
+#       the HOF folds), the inline BM25 family (bm25_search /
+#       bm25_phrase_search / hybrid_rank_fusion — Arrow tf pass +
+#       checkpointed Okapi input), the Gopher/repetition signals
+#       (repetition_scores / gopher_rules_report /
+#       curation_pipeline_v4), the chunker sites (paragraph_dedup /
+#       paragraph_ingest_gate / boilerplate_strip /
+#       boilerplate_strip_served / ccnet_pipeline), and the setsim
+#       machinery (setsim_exact_join / curation_pipeline_v3 /
+#       lsh_dedup_recall / lsh_recall_curve).
+#   (d) 4 r8-tier rows (newest green = r8), CDC/reference-core first:
+#       cdc_backfill_then_stream / cdc_corrupt_events / cdc_op_counts /
+#       cdc_route_stats.
+# CEDED this round, each passing the post-optimization full local
+# sweep (CORRECTNESS_LOCAL_r13, 218/218 at sf0.01 re-run after the
+# last optimization commit):
+#   - the remaining r8-tier rows (asof_join, audio_window_energy,
+#     bpe_merge_step, bpe_merges_k, bpe_token_counts, canonical_docs,
+#     countmin_counts, dataset_splits, dlq_records, dup_rate_by_source,
+#     envelope_unwrap, events_hourly, events_sessionize,
+#     fingerprint_overlap_pairs, fk_integrity_report, iidr_ts_normalize,
+#     important_parts, inverted_index, k_anonymity_report, label_pca,
+#     local_supplier_revenue, min_price_suppliers, mixture_epochs_plan,
 #     part_cooccurrence, quality_rank_by_source,
 #     range_join_active_orders, rarity_scores,
-#     returned_revenue_customers, snapshot_diff, top_customers,
-#     user_value_outliers) — the (d)-candidate pool for round 14;
-#   - the lm/nb/boilerplate/decontam/dedup families' existing queries
-#     (lm_erasure_rebuild, lm_perplexity_served, nb_source_predict_served,
-#     boilerplate_strip_served, dedup_incremental, the curation chains,
-#     ...): their module files changed but ONLY by appended fsck
-#     functions (verified: the r13 diff to those five files adds new
-#     defs after the last existing one and touches no existing line),
-#     and the appended code is gated by family_fsck_report.
+#     returned_revenue_customers, scd2_history, snapshot_diff,
+#     table_profile, top_customers, triangle_counts, type_coercion,
+#     user_activity_streaks, user_value_outliers) — none on-path of any
+#     r13 change; the (d)-candidate pool for round 14;
+#   - the lm/nb/boilerplate/decontam/dedup families' existing queries:
+#     their module files changed ONLY by appended fsck functions (the
+#     optimization phase's LM/MinHash rewrites were measured, reverted,
+#     and are NOT in the diff — OPTIMIZATION_r13.md "Examined,
+#     deliberately left alone"), and the appended code is gated by
+#     family_fsck_report.
 _DRIVER_PRIORITY: list[str] = [
     # (a) new in round 13 — never driver-checked
     "bm25_index_fsck",
@@ -90,39 +106,40 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_search_served",
     # (c) the r12 disclosure-slip re-gate
     "timeseries_gap_fill",
-    # (d) 32 of the 46 r8-tier rows
-    "asof_join",
-    "audio_window_energy",
-    "bpe_merge_step",
-    "bpe_merges_k",
-    "bpe_token_counts",
-    "canonical_docs",
+    # (e) on-path of the optimization diffs
+    "ivf_assign",
+    "ivf_search",
+    "ivf_cell_stats",
+    "ivf_outliers",
+    "cluster_prototypes",
+    "ann_recall_report",
+    "pq_encode",
+    "pq_adc_search",
+    "ivfpq_search",
+    "ivfpq_search_refined",
+    "ivfpq_search_multi",
+    "pq_adc_search_served",
+    "semantic_dedup",
+    "bm25_search",
+    "bm25_phrase_search",
+    "hybrid_rank_fusion",
+    "repetition_scores",
+    "gopher_rules_report",
+    "curation_pipeline_v4",
+    "curation_pipeline_v3",
+    "paragraph_dedup",
+    "paragraph_ingest_gate",
+    "boilerplate_strip",
+    "boilerplate_strip_served",
     "ccnet_pipeline",
+    "setsim_exact_join",
+    "lsh_dedup_recall",
+    "lsh_recall_curve",
+    # (d) r8-tier fill, CDC/reference-core first
     "cdc_backfill_then_stream",
     "cdc_corrupt_events",
     "cdc_op_counts",
     "cdc_route_stats",
-    "dataset_splits",
-    "dlq_records",
-    "envelope_unwrap",
-    "events_sessionize",
-    "fingerprint_overlap_pairs",
-    "fk_integrity_report",
-    "gopher_rules_report",
-    "iidr_ts_normalize",
-    "inverted_index",
-    "ivf_outliers",
-    "k_anonymity_report",
-    "label_pca",
-    "lsh_recall_curve",
-    "mixture_epochs_plan",
-    "paragraph_dedup",
-    "scd2_history",
-    "setsim_exact_join",
-    "table_profile",
-    "triangle_counts",
-    "type_coercion",
-    "user_activity_streaks",
 ]
 
 
