@@ -1145,22 +1145,27 @@ def _assemble_from_drops(
     )
 
 
-def _pair_jaccard_batches(tbp: int):
+def _pair_jaccard_hash_batches(tbp: int):
     """mapInArrow kernel: exact Jaccard basis points per candidate pair
-    from the two docs' full shingle arrays (r13 opt, guide §8: verify
-    on pair-scoped payloads instead of re-shuffling the exploded
-    shingle stream twice — the old equi-join verifier materialized
-    Σ|A| rows per candidate pair and hash-aggregated them).
+    from the two docs' 128-BIT HASHED shingle arrays (r14 opt, VERDICT
+    r13 #3 / guide §2.3: the r13 verifier attached the full shingle
+    STRING arrays to every candidate pair — ~1.5 GB of Arrow string
+    transfer at sf0.1, and at scale two joins shipping Σ(|A|+|B|)
+    strings per pair. Pair rows now carry list<struct<h1,h2>> — the
+    SAME ``struct(xxhash64(g), xxhash64(1,g))`` keys the candidate
+    machinery already trusts, 16 bytes per shingle, no strings past
+    the source projection).
 
-    Exactness: the batch's two flattened string columns are
-    dictionary-encoded TOGETHER in one Arrow pass, so equal shingles
-    share an int32 code and distinct shingles never collide — the same
-    string-equality contract as the JVM join, no hashing across the
-    boundary. Intersection counts come from one ``np.intersect1d``
-    over (pair, code) composite keys; both sides are genuine sets
-    (``array_distinct`` upstream), so ``assume_unique`` holds.
-    ``jaccard_bp = floor(inter·1e4 / union)`` in int64 — the exact
-    integer arithmetic of the JVM expression it replaces."""
+    Exactness: equal shingles always hash equal, so the intersection
+    count over (pair, h1, h2) triples equals the string intersection
+    unless two DISTINCT shingles collide in all 128 bits — the same
+    collision class as the md5 digest-equality contract the clone
+    collapse rests on (and the prefix-filter candidate keys already
+    accepted). Both sides are genuine sets (``array_distinct``
+    upstream + injective-under-the-contract hashing), so
+    ``assume_unique`` holds. ``jaccard_bp = floor(inter*1e4/union)``
+    in int64 — the exact integer arithmetic of the JVM expression the
+    r12 verifier evaluated."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1170,23 +1175,55 @@ def _pair_jaccard_batches(tbp: int):
             n = b.num_rows
             if n == 0:
                 continue
-            sa, sb = b.column("sh_a"), b.column("sh_b")
-            la = np.asarray(pc.list_value_length(sa).fill_null(0))
-            lb = np.asarray(pc.list_value_length(sb).fill_null(0))
-            flat_a, flat_b = sa.flatten(), sb.flatten()
-            enc = pa.concat_arrays([flat_a, flat_b]).dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            ca, cb = codes[: len(flat_a)], codes[len(flat_a):]
-            pidx_a = np.repeat(np.arange(n, dtype=np.int64), la)
-            pidx_b = np.repeat(np.arange(n, dtype=np.int64), lb)
-            m = np.int64(len(enc.dictionary)) + 1
-            # composite (pair, code) key fits int64: n ≤ Arrow batch
-            # rows (10k default) and m ≤ the batch's flat lengths
-            common = np.intersect1d(
-                pidx_a * m + ca, pidx_b * m + cb, assume_unique=True
+            sa, sb = b.column("hs_a"), b.column("hs_b")
+            la = np.asarray(pc.list_value_length(sa).fill_null(0)).astype(
+                np.int64
             )
-            inter = np.bincount(common // m, minlength=n).astype(np.int64)
-            union = la.astype(np.int64) + lb.astype(np.int64) - inter
+            lb = np.asarray(pc.list_value_length(sb).fill_null(0)).astype(
+                np.int64
+            )
+            fla, flb = sa.flatten(), sb.flatten()
+            fa, tot = len(fla), len(fla) + len(flb)
+            inter = np.zeros(n, dtype=np.int64)
+            if tot:
+                # batch-local joint dictionary over the 16-byte keys:
+                # Arrow's hash-based dictionary_encode (no sort) assigns
+                # one int32 code per distinct 128-bit value — exact
+                # equality, exactly as it did for the r13 strings
+                k128 = np.empty((tot, 2), dtype="<i8")
+                k128[:fa, 0] = fla.field("h1").to_numpy(zero_copy_only=False)
+                k128[:fa, 1] = fla.field("h2").to_numpy(zero_copy_only=False)
+                k128[fa:, 0] = flb.field("h1").to_numpy(zero_copy_only=False)
+                k128[fa:, 1] = flb.field("h2").to_numpy(zero_copy_only=False)
+                fsb = pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(16), tot, [None, pa.py_buffer(k128)]
+                )
+                enc = fsb.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                # composite (pair, code) keys fit int64: n ≤ Arrow batch
+                # rows (10k default), m ≤ tot + 1
+                m = np.int64(len(enc.dictionary)) + 1
+                ka = (
+                    np.repeat(np.arange(n, dtype=np.int64), la) * m
+                    + codes[:fa]
+                )
+                pidx_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+                kb = pidx_b * m + codes[fa:]
+                if len(ka) and len(kb):
+                    # membership via one sort + searchsorted (cheaper
+                    # than intersect1d: B's keys never get sorted); both
+                    # sides are genuine sets (array_distinct upstream +
+                    # injective-under-the-contract hashing), so each hit
+                    # is exactly one shared element
+                    ka.sort()
+                    pos = np.searchsorted(ka, kb).clip(0, len(ka) - 1)
+                    hit = ka[pos] == kb
+                    inter = np.bincount(
+                        pidx_b[hit], minlength=n
+                    ).astype(np.int64)
+            union = la + lb - inter
             ok = union > 0
             jac = np.zeros(n, dtype=np.int64)
             np.floor_divide(inter * 10000, union, out=jac, where=ok)
@@ -1249,9 +1286,11 @@ def setsim_prefix_join(
     double for e.g. 0.34 rounds UP, so ``t * s`` float arithmetic
     would over-prune). The per-doc prefix sort is a narrow
     ``sort_array`` over that document's own shingles; verification is
-    one vectorized Arrow pass over pair-scoped shingle arrays
-    (``_pair_jaccard_batches`` — exact, batch-local dictionary
-    encoding, no row-at-a-time Python).
+    one vectorized Arrow pass over pair-scoped 128-bit hashed shingle
+    arrays (``_pair_jaccard_hash_batches`` — exact under the same
+    collision contract as the clone collapse, fixed-width int64
+    matching, no strings past the source projection, no row-at-a-time
+    Python).
 
     CLONE COLLAPSE — the clone-heavy-corpus guard: documents with
     IDENTICAL shingle sets first collapse to one representative
@@ -1288,13 +1327,32 @@ def setsim_prefix_join(
     # exists() filter on the shingle array instead gets pushed below
     # the projection and re-evaluates the whole shingle transform
     # per row — measured 9x the cost).
+    # r14 opt (VERDICT r13 #3, guide §2.3): the shingle STRINGS are
+    # consumed entirely at this projection — the clone key (md5 of the
+    # sorted set) and the 128-bit per-shingle hashes
+    # struct(xxhash64(g), xxhash64(1,g)) are both computed here, and
+    # everything downstream (candidate machinery AND the exact
+    # verifier) runs on the 16-byte hash structs. The checkpointed
+    # table, both verifier joins and the Arrow boundary stop carrying
+    # ~25-byte strings; correctness rests on the same 128-bit
+    # collision class as the md5 clone-collapse contract.
     all_sh = (
         with_shingles(df.filter(F.col(text_col).isNotNull()), text_col, k)
         .select(
             F.col(id_col),
             F.array_distinct("shingles").alias("sh"),
         )
-        .withColumn("sk", F.md5(F.concat_ws("\x1f", F.sort_array("sh"))))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("sh"),
+                lambda x: F.struct(
+                    F.xxhash64(x).alias("h1"),
+                    F.xxhash64(F.lit(1), x).alias("h2"),
+                ),
+            ).alias("hsh"),
+            F.md5(F.concat_ws("\x1f", F.sort_array("sh"))).alias("sk"),
+        )
         .localCheckpoint(eager=True)
     )
     members = all_sh.select(id_col, "sk")
@@ -1307,40 +1365,29 @@ def setsim_prefix_join(
     ).collect()[0]
     has_clones = stats["n"] != stats["ns"]
     if has_clones:
-        # one representative per identical-set group (any member's sh
+        # one representative per identical-set group (any member's hsh
         # IS the set); checkpointed too — four downstream consumers
         sh = (
             all_sh.groupBy("sk")
-            .agg(F.min(id_col).alias(id_col), F.first("sh").alias("sh"))
+            .agg(F.min(id_col).alias(id_col), F.first("hsh").alias("hsh"))
             .localCheckpoint(eager=True)
         )
     else:
         sh = all_sh  # every doc is its own representative
     # The candidate machinery never needs the shingle STRINGS — only a
-    # consistent total order and an equality key (verification is exact
-    # on the full arrays below). Run it on a 128-bit hash of g (two
-    # independently-seeded xxhash64 halves): 16-byte keys through every
-    # exchange/sort/join instead of ~25-byte strings (guide §2.3
-    # "shuffle keys and metadata instead of payloads"; measured
-    # candidate stage 2.08 → 1.38 s at sf0.1). Completeness: df-counts
-    # and the order are keyed by the SAME deterministic function of g
-    # for every doc, so (df(h), h) is a consistent total order, and
-    # equal g ⇒ equal h always holds — the prefix pigeonhole argument
-    # is unchanged. Distinct shingles sharing h would merge a key;
-    # 128 bits puts that in the same collision class as the md5
-    # digest-equality contract the clone collapse above already
-    # rests on (and anywhere it mattered, the exact verifier still
-    # bounds the damage to candidate-set noise, never to a wrong
-    # jaccard_bp).
+    # consistent total order and an equality key. It runs on the
+    # 128-bit hash structs computed at the source (r13: 16-byte keys
+    # through every exchange/sort/join instead of ~25-byte strings,
+    # guide §2.3; measured candidate stage 2.08 → 1.38 s at sf0.1).
+    # Completeness: df-counts and the order are keyed by the SAME
+    # deterministic function of g for every doc, so (df(h), h) is a
+    # consistent total order, and equal g ⇒ equal h always holds — the
+    # prefix pigeonhole argument is unchanged. Distinct shingles
+    # sharing h would merge a key; 128 bits puts that in the same
+    # collision class as the md5 digest-equality contract the clone
+    # collapse above already rests on.
     exploded = sh.select(
-        id_col, F.size("sh").alias("s"), F.explode("sh").alias("g0")
-    ).select(
-        id_col,
-        "s",
-        F.struct(
-            F.xxhash64("g0").alias("h1"),
-            F.xxhash64(F.lit(1), "g0").alias("h2"),
-        ).alias("g"),
+        id_col, F.size("hsh").alias("s"), F.explode("hsh").alias("g")
     )
     dfreq = exploded.groupBy("g").agg(F.count("*").alias("df"))
     # per-doc prefix under the global (df, g) order: attach df, fold the
@@ -1405,33 +1452,46 @@ def setsim_prefix_join(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on PAIR-SCOPED payloads (r13 opt, guide §8):
-    # attach the two docs' full shingle arrays to each candidate pair
-    # (two joins against the ≤corpus-sized set table) and count the
-    # intersection in one Arrow pass (_pair_jaccard_batches). The old
-    # equi-join verifier re-shuffled the exploded shingle stream twice
-    # — Σ|A| rows PER candidate pair (34M rows at sf0.1) through an
-    # exchange + hash aggregate; the arrays now ride the candidate
-    # rows once and never explode.
-    sh_sets = sh.select(F.col(id_col).alias("__sid"), "sh")
+    # verify-parallelism guard (r14): AQE rightly coalesces the tiny
+    # (id_a, id_b) distinct output to ~1 partition, but the verifier's
+    # Arrow pass downstream is CPU-bound and the attach joins are
+    # broadcast (they preserve partitioning), so the whole verification
+    # would run on 1-2 cores. Re-spread the NARROW pair rows (16 bytes
+    # each) before the arrays are attached — the heavy payload is never
+    # re-shuffled, exactly the guide §8 rule (decide with small rows,
+    # move big rows once).
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    # exact verification on PAIR-SCOPED payloads (r13 opt, guide §8),
+    # now on the 128-bit HASH arrays (r14 opt, VERDICT r13 #3): attach
+    # the two docs' hash-struct arrays to each candidate pair (two
+    # joins against the ≤corpus-sized set table) and count the
+    # intersection in one Arrow pass (_pair_jaccard_hash_batches). The
+    # r12 equi-join verifier re-shuffled the exploded shingle stream
+    # twice — Σ|A| rows PER candidate pair through an exchange + hash
+    # aggregate; the r13 arrays-on-pairs shape fixed that but shipped
+    # the full STRING arrays through both joins and the Python
+    # boundary (~1.5 GB at sf0.1). Pair rows now carry 16 bytes per
+    # shingle and the kernel matches fixed-width int64 triples — no
+    # string materialization past the source projection.
+    sh_sets = sh.select(F.col(id_col).alias("__sid"), "hsh")
     pairs_in = (
         cand.join(
             sh_sets.select(
-                F.col("__sid").alias("id_a"), F.col("sh").alias("sh_a")
+                F.col("__sid").alias("id_a"), F.col("hsh").alias("hs_a")
             ),
             "id_a",
         )
         .join(
             sh_sets.select(
-                F.col("__sid").alias("id_b"), F.col("sh").alias("sh_b")
+                F.col("__sid").alias("id_b"), F.col("hsh").alias("hs_b")
             ),
             "id_b",
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", "hs_a", "hs_b")
     )
     id_type = dict(df.dtypes)[id_col]
     rep_pairs = pairs_in.mapInArrow(
-        _pair_jaccard_batches(tbp),
+        _pair_jaccard_hash_batches(tbp),
         f"id_a {id_type}, id_b {id_type}, jaccard_bp bigint",
     )
     if not has_clones:

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for registry queries to plans/r13/.
+"""Dump .explain("formatted") for registry queries to plans/<round>/
+(round dir from $PLANS_ROUND, default r14).
 
 Usage: python3 tools/dump_plans.py <suffix> query [query ...]
 e.g. python3 tools/dump_plans.py before curation_pipeline_v4
@@ -27,7 +28,11 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r14")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="dump-plans")
     for name in names:
@@ -36,7 +41,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         (out_dir / f"{name}_{suffix}.txt").write_text(buf.getvalue())
-        print(f"wrote plans/r13/{name}_{suffix}.txt")
+        print(f"wrote {out_dir.name}/{name}_{suffix}.txt")
     spark.stop()
 
 
