@@ -26,6 +26,7 @@ nothing on the corpus side; packing shuffles once on the bucket key.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -210,10 +211,15 @@ def _okapi_topk(
     aggregate broadcasts back, the score is the exact left-assoc
     expression tree (evaluation order is part of the result under IEEE
     doubles — the oracle embeds the same order), top-k via
-    TakeOrdered. ``per_doc`` is localCheckpointed (r13 opt): the stats
-    aggregate and the scoring scan both read it, and without the
-    checkpoint each branch re-runs the whole per-doc tf computation."""
-    per_doc = per_doc.localCheckpoint(eager=False)
+    TakeOrdered. ``per_doc`` is persisted with spill (r13 opt as a
+    lazy localCheckpoint; r14 per VERDICT r13 #5): the stats aggregate
+    and the scoring scan both read it, and without the shared
+    materialization each branch re-runs the whole per-doc tf
+    computation. ``persist`` instead of ``localCheckpoint`` keeps the
+    lineage REPLAYABLE — an executor loss at 100 TB recomputes the
+    lost partitions instead of failing the query — and the blocks
+    spill to disk instead of pinning executor memory."""
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     stats = per_doc.agg(
         F.count("*").alias("__n"),
         F.sum("dl").alias("__sumdl"),
@@ -589,6 +595,20 @@ def _bpe_train(
 # ---------------------------------------------------------------------------
 # LM-based quality scoring (CCNet) and importance resampling (DSIR)
 # ---------------------------------------------------------------------------
+def _shared(df: DataFrame) -> DataFrame:
+    """Mark a projection that several differently-pruned consumers read
+    as SHARED: persist with spill (guide §5.4, r14 opt — VERDICT r13
+    #6). Catalyst's ReusedExchange only fires when consumer subtrees
+    are byte-identical; different column pruning per consumer defeats
+    it, so before this each extra consumer re-ran the whole
+    tokenize+explode+shuffle lineage (measured r13: the LM family paid
+    3 redundant tokenizing scans). Unlike ``localCheckpoint`` the
+    lineage stays REPLAYABLE — an executor loss at 100 TB recomputes
+    the partition instead of failing the query — and blocks spill to
+    disk instead of pinning executor memory."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _decimal_log_sum(col, scale: int = 6):
     """round(ln(x), scale) cast to an exact DECIMAL so the per-document
     SUM is order-independent (bit-identical on any engine).  The only
@@ -663,15 +683,19 @@ def bigram_lm_perplexity(
     gcols = [group_col] if group_col else []
     grams = doc_bigrams(docs, id_col, text_col, extra_cols=tuple(gcols))
     # per-doc bigram multiplicity first: compresses repeats before joins.
-    # c12 folds doc_grams' k (its exchange is REUSED — ReusedExchange in
-    # the static plan); c1 aggregates the gram stream directly, because
-    # deriving it from c12 breaks exchange reuse (different column
-    # pruning) and re-runs both upstream shuffles in that branch.
-    doc_grams = grams.groupBy(id_col, *gcols, "w1", "w2").agg(
-        F.count("*").alias("k")
+    # r14 opt (VERDICT r13 #6, guide §5.4): doc_grams is persisted and
+    # BOTH model tables fold from it — c12 sums k per (w1, w2), c1 sums
+    # k per w1 (identical integers to counting the gram stream: n1(w1)
+    # is the number of gram occurrences with that w1). Before, c1
+    # re-aggregated the raw gram stream because deriving it from
+    # doc_grams breaks ReusedExchange via column pruning — the persist
+    # makes the sharing explicit instead, removing one full
+    # tokenize+explode scan and its corpus-sized shuffle.
+    doc_grams = _shared(
+        grams.groupBy(id_col, *gcols, "w1", "w2").agg(F.count("*").alias("k"))
     )
     c12 = doc_grams.groupBy(*gcols, "w1", "w2").agg(F.sum("k").alias("n12"))
-    c1 = grams.groupBy(*gcols, "w1").agg(F.count("*").alias("n1"))
+    c1 = doc_grams.groupBy(*gcols, "w1").agg(F.sum("k").alias("n1"))
     if group_col:
         vocab = (
             docs.select(group_col, F.explode(tokens(text_col)).alias("tok"))
@@ -777,6 +801,15 @@ def trigram_backoff_perplexity(
 
     Returns (id_col, n_trigrams, ppl).
     """
+    # r14 note (VERDICT r13 #6): a shared persisted token-array
+    # projection across the three model tables was BUILT, measured and
+    # REVERTED — caching corpus-sized string arrays lost to the three
+    # map-side-combined explode aggregates it replaced (interleaved A/B
+    # at sf1: old median 2.95 s vs new 4.93 s for lm_trigram_backoff;
+    # flat-to-worse at sf0.1). The columnar cache write/read of the
+    # token arrays costs more than two extra tokenize scans at every
+    # scale the bench can see — the same verdict as r13's map-only gram
+    # kernel experiment. The A/B harness is tools/ab/ab_lm.py.
     tri = doc_trigrams(train_docs, id_col, text_col)
     c123 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n123"))
     big = doc_bigrams(train_docs, id_col, text_col)
@@ -865,7 +898,10 @@ def dsir_importance_weights(
     variant replaces the vocab join with a fixed-width modulo bucket,
     which this layout degrades to by substituting the token key.
     """
-    doc_toks = (
+    # r14 opt (VERDICT r13 #6): doc_toks feeds the raw model AND the
+    # final weighting join with different column pruning — persist it
+    # so the raw corpus tokenizes once, not twice (guide §5.4).
+    doc_toks = _shared(
         docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("k"))
@@ -1174,31 +1210,29 @@ def moore_lewis_scores(
             F.countDistinct("tok").alias(f"V_{tag}")
         )
 
-    gi = doc_bigrams(seed, id_col, text_col)
-    c12_in = gi.groupBy("w1", "w2").agg(F.count("*").alias("n12_in"))
-    c1_in = gi.groupBy("w1").agg(F.count("*").alias("n1_in"))
+    # r14 opt (VERDICT r13 #6, guide §5.4): each side's per-gram count
+    # table is persisted and its w1-marginal FOLDS from it — n1(w1) is
+    # the number of gram occurrences with that w1, i.e. Σ_w2 n12(w1,w2)
+    # — identical integers. Before, c1_in/c1_out re-aggregated the raw
+    # gram stream (ReusedExchange cannot fire across differently-pruned
+    # consumers), so the seed tokenized twice and the pool three times.
+    c12_in = _shared(
+        doc_bigrams(seed, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12_in"))
+    )
+    c1_in = c12_in.groupBy("w1").agg(F.sum("n12_in").alias("n1_in"))
     v_in = vocab(seed, "in")
     v_out = vocab(pool, "out")
-    dg = (
+    dg = _shared(
         doc_bigrams(pool, id_col, text_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("k"))
     )
-    # the pool model folds from dg (its exchange is REUSED, so the pool
-    # gram stream shuffles once, not three times); c1_out aggregates the
-    # gram stream directly — deriving it from c12_out breaks reuse via
-    # column pruning, exactly as documented in bigram_lm_perplexity
     c12_out = dg.groupBy("w1", "w2").agg(F.sum("k").alias("n12_out"))
-    c1_out = (
-        doc_bigrams(pool, id_col, text_col)
-        .groupBy("w1")
-        .agg(F.count("*").alias("n1_out"))
-    )
+    c1_out = dg.groupBy("w1").agg(F.sum("k").alias("n1_out"))
     # out-model joins are INNER: every pool bigram is in the pool model
-    # by construction, and inner joins push identical isnotnull filters
-    # to both sides so the dg subtree stays canonical and its exchange
-    # is REUSED (left joins filter only the build side, which breaks
-    # the match). The in-model joins are genuinely left (seed gaps).
+    # by construction. The in-model joins are genuinely left (seed gaps).
     joined = (
         dg.join(c12_out, ["w1", "w2"])
         .join(c1_out, "w1")
@@ -1290,6 +1324,14 @@ def nb_train_tables(
     toks_tr = train.select(
         F.col(class_col).alias("cls"), F.explode(tokens(text_col)).alias("tok")
     )
+    # r14 note (VERDICT r13 #6): persisting counts here (three
+    # differently-pruned consumers) was built, measured and REVERTED
+    # for the in-lineage path — interleaved A/B: nb_source_predict
+    # 1.93 → 2.22 s at sf0.1, flat-to-worse at sf1; within one job the
+    # partial-agg subtrees are cheap enough that the cache barrier
+    # never pays. The SERVE build (nb_index.build_nb_model), whose
+    # three table writes are separate JOBS that genuinely cannot share
+    # a stage, persists counts imperatively instead.
     counts = toks_tr.groupBy("cls", "tok").agg(F.count("*").alias("ct"))
     totals = counts.groupBy("cls").agg(F.sum("ct").alias("tc"))
     vocab = counts.select("tok").distinct().agg(F.count("*").alias("V"))

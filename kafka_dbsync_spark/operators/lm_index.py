@@ -123,13 +123,25 @@ def build_lm_model(
     gen = _gen_name(fp)
 
     def write_stage(stage: str) -> None:
+        # r14 opt (VERDICT r13 #6): the two writes are separate jobs, so
+        # the gram stream used to tokenize the corpus twice. Persist the
+        # vocab-sized c12 table and FOLD c1 from it (n1(w1) = Σ_w2
+        # n12(w1, w2) — identical integers), then drop the cache.
+        from pyspark import StorageLevel
+
         grams = doc_bigrams(docs, id_col, text_col)
-        grams.groupBy("w1", "w2").agg(F.count("*").alias("n12")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/c12")
-        grams.groupBy("w1").agg(F.count("*").alias("n1")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/c1")
+        c12 = (
+            grams.groupBy("w1", "w2")
+            .agg(F.count("*").alias("n12"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            c12.write.mode("overwrite").parquet(f"{stage}/c12")
+            c12.groupBy("w1").agg(F.sum("n12").alias("n1")).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/c1")
+        finally:
+            c12.unpersist()
 
     vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
         F.countDistinct("tok").alias("V")
@@ -418,22 +430,60 @@ def build_trigram_model(
     after publish (never a second corpus pass) and land in the marker
     with ``alpha`` so the scorer is self-describing."""
     from kafka_dbsync_spark.operators.cache_validation import files_signature
-    from kafka_dbsync_spark.operators.corpus import doc_trigrams
 
     fp = fingerprint or corpus_fingerprint(docs, id_col, text_col)
     gen = _gen_name(fp)
 
     def write_stage(stage: str) -> None:
-        tri = doc_trigrams(docs, id_col, text_col)
-        tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n123")).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/c123")
-        doc_bigrams(docs, id_col, text_col).groupBy("w1", "w2").agg(
-            F.count("*").alias("n")
-        ).write.mode("overwrite").parquet(f"{stage}/cb")
-        docs.select(F.explode(tokens(text_col)).alias("w")).groupBy("w").agg(
-            F.count("*").alias("n")
-        ).write.mode("overwrite").parquet(f"{stage}/cu")
+        # r14 opt (VERDICT r13 #6): three model writes are three jobs,
+        # so the corpus used to tokenize THREE times. Persist the token
+        # arrays once, derive all three gram streams from the cache
+        # (the same window expressions doc_trigrams/doc_bigrams build —
+        # ids dropped, the model counts never used them), drop it after.
+        from pyspark import StorageLevel
+
+        toks = docs.select(tokens(text_col).alias("toks")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            tri = (
+                toks.filter(F.size("toks") >= 3)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 2), "
+                            "i -> struct(element_at(toks, i) AS w1, "
+                            "element_at(toks, i + 1) AS w2, "
+                            "element_at(toks, i + 2) AS w3))"
+                        )
+                    ).alias("g")
+                )
+                .select("g.w1", "g.w2", "g.w3")
+            )
+            tri.groupBy("w1", "w2", "w3").agg(
+                F.count("*").alias("n123")
+            ).write.mode("overwrite").parquet(f"{stage}/c123")
+            big = (
+                toks.filter(F.size("toks") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 1), "
+                            "i -> struct(element_at(toks, i) AS w1, "
+                            "element_at(toks, i + 1) AS w2))"
+                        )
+                    ).alias("g")
+                )
+                .select("g.w1", "g.w2")
+            )
+            big.groupBy("w1", "w2").agg(F.count("*").alias("n")).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/cb")
+            toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+                F.count("*").alias("n")
+            ).write.mode("overwrite").parquet(f"{stage}/cu")
+        finally:
+            toks.unpersist()
 
     def marker_rec(final_dir: str) -> dict:
         r = (
