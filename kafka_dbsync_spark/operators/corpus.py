@@ -683,19 +683,24 @@ def bigram_lm_perplexity(
     gcols = [group_col] if group_col else []
     grams = doc_bigrams(docs, id_col, text_col, extra_cols=tuple(gcols))
     # per-doc bigram multiplicity first: compresses repeats before joins.
-    # r14 opt (VERDICT r13 #6, guide §5.4): doc_grams is persisted and
-    # BOTH model tables fold from it — c12 sums k per (w1, w2), c1 sums
-    # k per w1 (identical integers to counting the gram stream: n1(w1)
-    # is the number of gram occurrences with that w1). Before, c1
-    # re-aggregated the raw gram stream because deriving it from
-    # doc_grams breaks ReusedExchange via column pruning — the persist
-    # makes the sharing explicit instead, removing one full
-    # tokenize+explode scan and its corpus-sized shuffle.
-    doc_grams = _shared(
-        grams.groupBy(id_col, *gcols, "w1", "w2").agg(F.count("*").alias("k"))
+    # c12 folds doc_grams' k (its exchange is REUSED — ReusedExchange in
+    # the static plan); c1 aggregates the gram stream directly, because
+    # deriving it from c12 breaks exchange reuse (different column
+    # pruning) and re-runs both upstream shuffles in that branch.
+    # r14 note (VERDICT r13 #6): a persisted doc_grams with both
+    # marginals folded from it was built, measured and REVERTED — the
+    # standalone query was mixed (sf1 best 2.90 → 2.35 s, sf0.1 median
+    # worse), but the two heaviest suite riders lost ~1 s each
+    # (curation_pipeline_v4 3.95 → 5.00 s, ccnet_pipeline 4.52 → 5.33 s
+    # median, attributed by single-operator patching in the interleaved
+    # harness): the pipelines already materialize the scores lineage,
+    # so the extra cache fill is pure cost there. A/B:
+    # tools/ab/ab_lm.py.
+    doc_grams = grams.groupBy(id_col, *gcols, "w1", "w2").agg(
+        F.count("*").alias("k")
     )
     c12 = doc_grams.groupBy(*gcols, "w1", "w2").agg(F.sum("k").alias("n12"))
-    c1 = doc_grams.groupBy(*gcols, "w1").agg(F.sum("k").alias("n1"))
+    c1 = grams.groupBy(*gcols, "w1").agg(F.count("*").alias("n1"))
     if group_col:
         vocab = (
             docs.select(group_col, F.explode(tokens(text_col)).alias("tok"))
@@ -898,10 +903,14 @@ def dsir_importance_weights(
     variant replaces the vocab join with a fixed-width modulo bucket,
     which this layout degrades to by substituting the token key.
     """
-    # r14 opt (VERDICT r13 #6): doc_toks feeds the raw model AND the
-    # final weighting join with different column pruning — persist it
-    # so the raw corpus tokenizes once, not twice (guide §5.4).
-    doc_toks = _shared(
+    # r14 note (VERDICT r13 #6): persisting doc_toks (it feeds the raw
+    # model AND the final weighting join) was built, measured and
+    # REVERTED — single-operator attribution in the interleaved harness
+    # put the persisted shape at 1.75 s median vs 1.21 s for this exact
+    # lineage at sf0.1, and it cost curation_pipeline_v4 ~0.5-1 s on
+    # top: the cache fill + barrier outweigh the one tokenize scan it
+    # saves at every scale the bench can see (tools/ab/ab_lm.py).
+    doc_toks = (
         docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("k"))
