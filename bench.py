@@ -252,7 +252,25 @@ def _canary(spark, label: str = "start") -> dict:
             .head()
         ),
     }
+    # r14 diagnostic: this sandbox has a degradation mode where memory
+    # bandwidth drops 3-5x while pure-CPU work stays at parity (measured:
+    # np.sort of 1M int64 178 ms vs ~40 typical, md5 microbench
+    # unchanged) — the three jobs above are cache-resident and blind to
+    # it, which made the r13/r14 drift adjudicator under-estimate the
+    # host allowance for memory-bound queries (multimodal decode, CC
+    # loops). ``membw`` (a 20M-row sort) is RECORDED for diagnosis but
+    # EXCLUDED from ``total`` so canary totals stay comparable across
+    # rounds.
+    membw = med(
+        lambda: spark.range(20_000_000)
+        .selectExpr("id * 2654435761 % 1000003 AS k")
+        .orderBy("k")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     out["total"] = round(sum(out.values()), 3)
+    out["membw"] = membw
     print(f"# canary[{label}]: {out}", file=sys.stderr)
     return out
 
